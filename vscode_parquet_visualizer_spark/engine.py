@@ -1,0 +1,229 @@
+"""Engine / Dataset / ResultSet — the orchestration layer.
+
+Maps the reference's document lifecycle (SURVEY.md §3) onto one
+SparkSession:
+
+- ``Engine.open(path)`` ≈ openCustomDocument: route format, register temp
+  view ``data`` (reference substitutes ``FROM data`` → ``read_parquet(path)``
+  per query, src/worker.ts:247-266; a real temp view makes that a no-op).
+- ``Dataset.query(sql)`` ≈ startQuery (src/worker.ts:92-134): transpile the
+  dialect, build the DataFrame, **materialize** it (cache + count — the
+  CTAS-equivalent, src/worker.ts:83-90), attach a stable ``__row_id`` so
+  pagination is deterministic, and only then swap the ``query_result``
+  binding — a failing query leaves the previous result intact (atomic
+  replace, CHANGELOG.md:205).
+- ``ResultSet.page/sort/search/export/schema`` ≈ the paginator + search +
+  COPY flows (§2 A7-A9, A13-A18), all reading the cached result, never
+  re-running the user query.
+
+Scale notes: materialization uses MEMORY_AND_DISK (a 100 TB result spills
+rather than OOMs; on a cluster you'd swap persist() for a checkpoint to a
+scratch table — same orchestration shape). Pages collect ≤ page_size rows
+to the driver; everything else stays distributed.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vscode_parquet_visualizer_spark.functions.completions import completions
+from vscode_parquet_visualizer_spark.functions.metadata import (
+    parquet_file_metadata,
+    parquet_num_rows,
+)
+from vscode_parquet_visualizer_spark.functions.schema_format import schema_rows
+from vscode_parquet_visualizer_spark.functions.serialization import serialize_rows
+from vscode_parquet_visualizer_spark.operators import export as export_ops
+from vscode_parquet_visualizer_spark.operators import search as search_ops
+from vscode_parquet_visualizer_spark.operators import sort as sort_ops
+from vscode_parquet_visualizer_spark.operators.pagination import (
+    PAGE_ALL,
+    ROW_ID,
+    Paginator,
+)
+from vscode_parquet_visualizer_spark.plans import dialect
+from vscode_parquet_visualizer_spark.session import get_spark
+from vscode_parquet_visualizer_spark.sources import registry
+
+DEFAULT_QUERY = "SELECT * FROM data LIMIT 1000;"  # reference package.json:62
+
+
+def _with_row_id(df: DataFrame) -> DataFrame:
+    """Attach a stable total-order anchor. monotonically_increasing_id is
+    (partition_index << 33) + offset — deterministic for a deterministic
+    plan, no shuffle, preserves scan order within and across partitions."""
+    return df.withColumn(ROW_ID, F.monotonically_increasing_id())
+
+
+class ResultSet:
+    """A materialized query result: cached DataFrame + row anchor.
+
+    Mirrors the reference's ``query_result`` table plus its
+    ``filtered_query_result`` derivative (search) — both live here as
+    cached DataFrames; sort and page state mirror the paginator protocol.
+    """
+
+    def __init__(self, df: DataFrame, name: str = "query_result"):
+        self._base = _with_row_id(df).persist(StorageLevel.MEMORY_AND_DISK)
+        self.row_count = self._base.count()  # eager: the CTAS moment
+        self.name = name
+        self._filtered: DataFrame | None = None
+        self._filtered_count: int | None = None
+        self._search_term: str = ""
+        self._sort_field: str | None = None
+        self._sort_dir: str = sort_ops.ASC
+        self.query_ms: float | None = None
+        self._base.drop(ROW_ID).createOrReplaceTempView(name)
+
+    # -- state ---------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        """Public (row-id-free) view of the current, possibly filtered, result."""
+        return self._current().drop(ROW_ID)
+
+    def _current(self) -> DataFrame:
+        return self._filtered if self._filtered is not None else self._base
+
+    @property
+    def current_count(self) -> int:
+        if self._filtered is not None:
+            return self._filtered_count  # type: ignore[return-value]
+        return self.row_count
+
+    # -- interaction (A7-A9) --------------------------------------------
+    def sort(self, field: str | None, direction: str = sort_ops.ASC) -> None:
+        self._sort_field, self._sort_dir = field, direction
+
+    def search(self, term: str) -> int:
+        """Materialize the filtered result (reference CTAS to
+        filtered_query_result, src/worker.ts:151-180); returns match count."""
+        if self._filtered is not None:
+            self._filtered.unpersist()
+            self._filtered, self._filtered_count = None, None
+        self._search_term = term
+        if term != "":
+            flt = search_ops.search(self._base, term).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            self._filtered = flt
+            self._filtered_count = flt.count()
+        return self.current_count
+
+    def _ordered(self) -> DataFrame:
+        return sort_ops.sort(self._current(), self._sort_field, self._sort_dir)
+
+    def paginator(self, page_size: int = 20) -> Paginator:
+        return Paginator(self._ordered(), self.current_count, page_size)
+
+    def page(self, page_number: int = 1, page_size: int = 20) -> list[dict[str, Any]]:
+        """One page of JSON-safe rows — the webview row contract."""
+        pager = self.paginator(page_size)
+        rows = pager.goto(page_number).drop(ROW_ID).collect()
+        return serialize_rows(rows)
+
+    def page_df(self, page_number: int = 1, page_size: int = 20) -> DataFrame:
+        return self.paginator(page_size).goto(page_number).drop(ROW_ID)
+
+    # -- introspection (A10, A26) ----------------------------------------
+    def schema(self) -> list[dict[str, Any]]:
+        return schema_rows(self.df.schema)
+
+    def completions(self) -> list[dict[str, str]]:
+        return completions(self.df.schema)
+
+    # -- export (A13-A18): search+sort applied, like the reference --------
+    def export(self, path: str, fmt: str, **kwargs) -> None:
+        export_ops.export(self._ordered().drop(ROW_ID), path, fmt, **kwargs)
+
+    def unpersist(self) -> None:
+        if self._filtered is not None:
+            self._filtered.unpersist()
+        self._base.unpersist()
+
+
+class Dataset:
+    """An opened file (or directory/glob of files): the ``data`` relation."""
+
+    def __init__(self, engine: "Engine", path: str, fmt: str | None = None, **options):
+        self.engine = engine
+        self.path = registry.normalize_path(path)
+        self.format = fmt or registry.format_for_path(self.path)
+        self.df = registry.read(engine.spark, self.path, self.format, **options)
+        self.df.createOrReplaceTempView("data")
+        self._result: ResultSet | None = None
+
+    # -- row count: footer fast path for parquet (A6) ---------------------
+    def row_count(self) -> int:
+        if self.format == "parquet" and not self.path.startswith("s3a://"):
+            try:
+                return parquet_num_rows(self.path)
+            except Exception:
+                pass
+        return self.df.count()
+
+    # -- data tab: page directly against the file, no materialization -----
+    def page(self, page_number: int = 1, page_size: int = 20) -> list[dict[str, Any]]:
+        """Direct-from-file paging (readFromFile=true path, src/worker.ts:46):
+        opening a huge file never loads it fully — Catalyst pushes the
+        limit into the scan."""
+        pager = Paginator(_with_row_id(self.df), self.row_count(), page_size)
+        return serialize_rows(pager.goto(page_number).drop(ROW_ID).collect())
+
+    # -- query tab ---------------------------------------------------------
+    def query(self, sql: str = DEFAULT_QUERY, materialize: bool = True) -> ResultSet | DataFrame:
+        """Run SQL (DuckDB dialect accepted) with the ``data`` view bound.
+
+        Materialization is atomic: the new result is built and counted
+        before the old one is dropped, so a failing query keeps the
+        previous result (reference CREATE OR REPLACE rationale)."""
+        spark = self.engine.spark
+        rewritten = dialect.transpile(sql.rstrip().rstrip(";"))
+        t0 = time.perf_counter()
+        df = spark.sql(rewritten)
+        if not materialize:
+            return df
+        new_result = ResultSet(df)  # eager count happens here; raises on bad SQL
+        new_result.query_ms = (time.perf_counter() - t0) * 1000.0
+        if self._result is not None:
+            self._result.unpersist()
+        self._result = new_result
+        return new_result
+
+    @property
+    def result(self) -> ResultSet | None:
+        return self._result
+
+    # -- metadata tab (A11) -------------------------------------------------
+    def metadata(self) -> list[dict[str, Any]]:
+        if self.format != "parquet":
+            raise ValueError("footer metadata is a parquet-only concept")
+        return parquet_file_metadata(self.path)
+
+    def schema(self) -> list[dict[str, Any]]:
+        return schema_rows(self.df.schema)
+
+    def completions(self) -> list[dict[str, str]]:
+        return completions(self.df.schema)
+
+
+class Engine:
+    """One engine instance ≈ one SparkSession (the reference spawns one
+    DuckDB per worker thread; Spark multiplexes concurrent jobs in one
+    session — FAIR pools would give the query-tab/data-tab isolation)."""
+
+    def __init__(self, spark: SparkSession | None = None, **session_kwargs):
+        self.spark = spark or get_spark(**session_kwargs)
+
+    def open(self, path: str, fmt: str | None = None, **options) -> Dataset:
+        return Dataset(self, path, fmt=fmt, **options)
+
+    def sql(self, sql: str) -> DataFrame:
+        return self.spark.sql(dialect.transpile(sql.rstrip().rstrip(";")))
+
+    def stop(self) -> None:
+        self.spark.stop()

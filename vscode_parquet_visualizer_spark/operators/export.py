@@ -1,0 +1,127 @@
+"""Result export (SURVEY.md §2 A13-A18).
+
+Reference: ``COPY (<subquery with search+sort applied>) TO '<path>'`` in
+five formats (src/worker.ts:268-469): CSV (HEADER, ','), JSON array, ndJSON,
+Parquet, and Excel. Excel applies type rules first (src/worker.ts:327-424):
+drop LIST/ARRAY/DECIMAL columns, ``TO_JSON`` structs, ``CAST`` unsigned
+ints to BIGINT.
+
+Two modes:
+- **single-file** (reference parity): the export is one local file. The
+  result streams through the driver via ``toArrow()`` / ``toLocalIterator``
+  — correct for the interactive page-and-export use case, bounded by
+  driver memory like the reference is bounded by its single process.
+- **distributed** (scale path): ``df.write.*`` to a directory — the only
+  honest way to export a 100 TB result; executors write in parallel.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vscode_parquet_visualizer_spark.functions.serialization import (
+    safe_column_name,
+    serialize_value,
+)
+
+
+def _excel_projection(df: DataFrame) -> DataFrame:
+    """The reference's Excel type rules (src/worker.ts:347-387):
+    drop LIST/ARRAY and DECIMAL columns, TO_JSON structs and maps.
+    (Unsigned-int widening doesn't apply — Spark has no unsigned types.)"""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.DecimalType)):
+            continue
+        if isinstance(f.dataType, (T.StructType, T.MapType)):
+            cols.append(F.to_json(F.col(f"`{f.name}`")).alias(f.name))
+        else:
+            cols.append(F.col(f"`{f.name}`"))
+    return df.select(*cols)
+
+
+def export_csv(df: DataFrame, path: str, distributed: bool = False) -> None:
+    if distributed:
+        df.write.mode("overwrite").option("header", True).csv(path)
+        return
+    df.toPandas().to_csv(path, index=False)
+
+
+def export_parquet(df: DataFrame, path: str, distributed: bool = False) -> None:
+    if distributed:
+        df.write.mode("overwrite").parquet(path)
+        return
+    import pyarrow.parquet as pq
+
+    pq.write_table(df.toArrow(), path)
+
+
+def export_ndjson(df: DataFrame, path: str, distributed: bool = False) -> None:
+    if distributed:
+        df.write.mode("overwrite").json(path)
+        return
+    with open(path, "w") as fh:
+        for line in df.toJSON().toLocalIterator():
+            fh.write(line)
+            fh.write("\n")
+
+
+def export_json_array(df: DataFrame, path: str) -> None:
+    """One JSON array file (reference: COPY ... (FORMAT JSON, ARRAY true)).
+    Inherently single-file; streamed so the driver holds one row at a time."""
+    with open(path, "w") as fh:
+        fh.write("[")
+        first = True
+        for line in df.toJSON().toLocalIterator():
+            if not first:
+                fh.write(",\n")
+            fh.write(line)
+            first = False
+        fh.write("]")
+
+
+def export_excel(df: DataFrame, path: str) -> None:
+    """Excel with the reference's type-filtering rules. Needs openpyxl
+    (not in this container → NotImplementedError; the projection logic is
+    real and tested regardless)."""
+    pdf = _excel_projection(df).toPandas()
+    try:
+        pdf.to_excel(path, index=False)
+    except ImportError as exc:  # pragma: no cover - env dependent
+        raise NotImplementedError(
+            "Excel export requires openpyxl/xlsxwriter, not present in this "
+            "environment; projection rules are applied and tested — install "
+            "an Excel writer to produce the file."
+        ) from exc
+
+
+def export_rows_json_safe(df: DataFrame, limit: int | None = None) -> list[dict[str, Any]]:
+    """Collected JSON-safe rows (the webview/export row contract)."""
+    rows = df.limit(limit).collect() if limit is not None else df.collect()
+    return [
+        {safe_column_name(k): serialize_value(v) for k, v in r.asDict().items()}
+        for r in rows
+    ]
+
+
+EXPORTERS = {
+    "csv": export_csv,
+    "parquet": export_parquet,
+    "ndjson": export_ndjson,
+    "json": export_json_array,
+    "excel": export_excel,
+}
+
+
+def export(df: DataFrame, path: str, fmt: str, **kwargs) -> None:
+    """Dispatch on format name (reference's exportResults message types)."""
+    try:
+        fn = EXPORTERS[fmt.lower()]
+    except KeyError:
+        raise ValueError(f"unknown export format {fmt!r}; one of {sorted(EXPORTERS)}")
+    fn(df, path, **kwargs)

@@ -1,0 +1,74 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference sizes its embedded DuckDB with ``SET threads = 2×cores``
+(reference: src/duckdb-backend.ts:59-65). Spark's equivalent knobs are set
+here once: AQE (runtime re-planning, skew-join handling, partition
+coalescing), Arrow for any pandas exchange, and shuffle partitions sized to
+the local core count while remaining sane on a real cluster (AQE coalesces
+down, so a larger initial number only costs scheduling overhead).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # Runtime re-planning: coalesce post-shuffle partitions, convert
+    # sort-merge→broadcast when runtime stats allow, split skewed partitions.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batches for any toPandas / pandas_udf exchange (10-100× over
+    # row-at-a-time pickling).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Broadcast dimension tables aggressively; at 100 TB the fact table is
+    # huge but region/nation/part-style dims still fit on every executor.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Respect parquet min/max + dictionary filters at scan time.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # ANSI off: the reference's DuckDB surface is forgiving (try_cast etc.);
+    # oracle comparisons rely on null-on-overflow semantics.
+    "spark.sql.ansi.enabled": "false",
+    # Parquet TIMESTAMP(NANOS) columns (written by pandas/arrow defaults)
+    # are illegal for Spark's reader; read them as int64 nanos and let the
+    # source registry convert to microsecond TimestampType (truncating —
+    # Spark's type has no ns precision).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Session timezone pinned so timestamp formatting is deterministic
+    # across driver runs (reference formats UTC or local per setting,
+    # src/backend.ts:144-155; we pin UTC).
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "vscode-parquet-visualizer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores) so the same entry points run in tests and under the driver; on a
+    real cluster callers pass ``master=None`` with ``spark.master`` already
+    set in the environment, and this function leaves it untouched.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULTS)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,141 @@
+"""File-format routing and readers (SURVEY.md §2 A1-A4).
+
+Reference routing: selectors ``*.parquet *.parq *.pq *.csv *.avro``
+(reference package.json:118-140, src/constants.ts:23-27) dispatch to
+``read_parquet`` / ``read_csv`` (auto-detect) / ``read_avro``
+(src/duckdb-backend.ts:152-164); ``s3://`` URIs route the same reads over
+httpfs (src/duckdb-backend.ts:166-176).
+
+Spark-first: ``spark.read.parquet`` / ``.csv(header, inferSchema)`` /
+``format("avro")``; S3 is the same call with an ``s3a://`` path once the
+Hadoop S3A connector conf is applied (no separate code path — the
+distributed read, multipart ranges, and credential chain all live in the
+connector). Parquet and Avro are self-describing; CSV inference pays one
+extra pass, mirroring the reference's COUNT(*)-at-init cost for CSV
+(src/duckdb-backend.ts:86-95).
+
+At scale: a path here may be a directory of thousands of files —
+``spark.read`` handles splits/partition discovery natively, which is the
+point of not hand-rolling readers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# extension (lowercase, no dot) → spark format
+EXTENSION_FORMATS = {
+    "parquet": "parquet",
+    "parq": "parquet",
+    "pq": "parquet",
+    "csv": "csv",
+    "avro": "avro",
+    "json": "json",
+    "ndjson": "json",
+    "jsonl": "json",
+    "orc": "orc",
+}
+
+
+def format_for_path(path: str) -> str:
+    """Route a path to a Spark format by extension (mirrors the reference's
+    selector list; directories default to parquet, the lake-native case)."""
+    base = path.rstrip("/").rsplit("/", 1)[-1]
+    if "." in base:
+        ext = base.rsplit(".", 1)[-1].lower()
+        if ext in EXTENSION_FORMATS:
+            return EXTENSION_FORMATS[ext]
+    return "parquet"
+
+
+def read(spark: SparkSession, path: str, fmt: str | None = None, **options) -> DataFrame:
+    """Load ``path`` with the routed (or forced) format."""
+    fmt = fmt or format_for_path(path)
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", options.pop("header", True)).option(
+            "inferSchema", options.pop("inferSchema", True)
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if fmt == "parquet":
+        return _restore_nano_timestamps(reader.format(fmt).load(path), path)
+    if fmt == "avro":
+        # spark-avro is an external module; give an actionable error when
+        # the package isn't on the classpath (this container has none).
+        try:
+            return reader.format("avro").load(path)
+        except Exception as exc:  # pragma: no cover - classpath dependent
+            raise RuntimeError(
+                "Avro support needs the spark-avro package "
+                "(--packages org.apache.spark:spark-avro_2.13:<spark version>)"
+            ) from exc
+    return reader.format(fmt).load(path)
+
+
+def _nano_timestamp_columns(path: str) -> list[str]:
+    """Top-level TIMESTAMP(NANOS) column names, from one file's footer
+    (O(footer) driver-side read; local paths only — on object stores the
+    conversion is skipped and nanos surface as int64, documented)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    if os.path.isdir(path):
+        cands = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        if not cands:
+            return []
+        path = os.path.join(path, cands[0])
+    try:
+        schema = pq.ParquetFile(path).schema_arrow
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def _restore_nano_timestamps(df: DataFrame, path: str) -> DataFrame:
+    """With nanosAsLong=true, ns-timestamp columns load as int64 nanos;
+    convert to microsecond TimestampType (truncation — Spark's maximum
+    precision). No-op when the footer isn't locally readable."""
+    if path.startswith(("s3a://", "s3://", "hdfs://", "abfs://", "gs://")):
+        return df
+    for name in _nano_timestamp_columns(path):
+        df = df.withColumn(
+            name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+        )
+    return df
+
+
+def configure_s3(
+    spark: SparkSession,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    region: str | None = None,
+    endpoint: str | None = None,
+) -> None:
+    """Apply S3A connector conf so ``s3a://`` paths read like local ones
+    (reference: the disabled CREATE SECRET block, src/duckdb-backend.ts:66-80).
+    Credentials default to the standard provider chain (env/instance role)."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    if access_key:
+        hconf.set("fs.s3a.access.key", access_key)
+    if secret_key:
+        hconf.set("fs.s3a.secret.key", secret_key)
+    if region:
+        hconf.set("fs.s3a.endpoint.region", region)
+    if endpoint:
+        hconf.set("fs.s3a.endpoint", endpoint)
+    hconf.set("fs.s3a.impl", "org.apache.hadoop.fs.s3a.S3AFileSystem")
+
+
+def normalize_path(path: str) -> str:
+    """``s3://`` → ``s3a://`` (Hadoop's S3 client); expand user dirs."""
+    if path.startswith("s3://"):
+        return "s3a://" + path[len("s3://"):]
+    return os.path.expanduser(path)
