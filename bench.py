@@ -1,0 +1,58 @@
+"""Benchmark: run the workload's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
+"sf"}.
+
+Execution is measured with the noop sink (full plan runs, nothing collected
+to the driver) — the honest analogue of "query wall time" for a distributed
+engine. Session startup is excluded; a tiny warmup query primes the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vscode_parquet_visualizer_spark import workload  # noqa: E402
+from vscode_parquet_visualizer_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up JVM/codegen paths outside the measurement.
+    workload.load_tables(spark, sf_dir)
+    spark.sql("SELECT count(*) FROM lineitem").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(workload.QUERIES.items()):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # a failing query must not kill the bench
+            timings[name] = -1.0
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    out = {
+        "metric": "workload_wall_time",
+        "value": round(sum(ok.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

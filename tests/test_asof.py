@@ -1,0 +1,88 @@
+"""As-of join semantics: vs hand-computed truth and vs pandas merge_asof."""
+
+import pandas as pd
+import pytest
+
+from vscode_parquet_visualizer_spark.operators.asof import (
+    asof_join,
+    asof_join_pandas,
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d"), (3, 1, "e")],
+        ["k", "t", "payload"],
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 7, 300.0), (4, 1, 400.0)],
+        ["k", "t", "price"],
+    )
+    return left, right
+
+
+def test_backward(frames):
+    left, right = frames
+    out = asof_join(left, right, on="t", by=["k"]).collect()
+    got = {(r["k"], r["t"]): r["price"] for r in out}
+    assert got == {
+        (1, 10): 100.0,   # latest right.t <= 10 is 8
+        (1, 20): 200.0,   # 15
+        (1, 5): None,     # nothing at or before 5
+        (2, 7): 300.0,    # tie: <= matches equal timestamps
+        (3, 1): None,     # key has no right rows
+    }
+
+
+def test_forward(frames):
+    left, right = frames
+    out = asof_join(left, right, on="t", by=["k"], direction="forward").collect()
+    got = {(r["k"], r["t"]): r["price"] for r in out}
+    assert got[(1, 10)] == 200.0  # earliest right.t >= 10 is 15
+    assert got[(1, 20)] is None
+    assert got[(1, 5)] == 100.0
+
+
+def test_row_count_preserved(frames):
+    left, right = frames
+    assert asof_join(left, right, on="t", by=["k"]).count() == left.count()
+
+
+def test_matches_pandas_merge_asof(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vscode_parquet_visualizer_spark.sources import registry
+
+    ev = registry.read(spark, f"{sf_dir}/events.parquet", "parquet")
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("t"), "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("vid"), F.unix_micros("ts").alias("t")
+    )
+    got = (
+        asof_join(purchases, views, on="t", by=["user_id"])
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    lp = purchases.toPandas().sort_values("t")
+    rp = views.toPandas().sort_values("t")
+    want = pd.merge_asof(lp, rp, on="t", by="user_id", direction="backward")
+    want = want.sort_values("event_id").reset_index(drop=True)
+    assert got["vid"].fillna(-1).tolist() == want["vid"].fillna(-1).tolist()
+
+
+def test_pandas_variant_matches_native(frames):
+    left, right = frames
+    native = {
+        (r["k"], r["t"]): r["price"]
+        for r in asof_join(left, right, on="t", by=["k"]).collect()
+    }
+    pandas_out = {
+        (r["k"], r["t"]): r["price"]
+        for r in asof_join_pandas(left, right, on="t", by=["k"]).collect()
+    }
+    assert native == pandas_out

@@ -1,0 +1,85 @@
+"""Dedup operators: exact, minhash LSH, n-gram Jaccard, simhash."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vscode_parquet_visualizer_spark.operators import dedup as dd
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill in the afternoon sun light"
+)
+NEAR_DOC = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill in the evening sun light"
+)
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar storage formats for analytical workloads at scale"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, DOC),
+        (1, DOC),                  # exact dup of 0
+        (2, DOC.upper()),          # case-normalized dup of 0
+        (3, NEAR_DOC),             # near-dup of 0
+        (4, OTHER),
+        (5, "  " + DOC + "  "),    # whitespace-normalized dup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r["dup_count"] for r in dd.exact_dedup(docs).collect()}
+    assert out[0] == 4  # 0,1,2,5 collapse
+    assert out[3] == 1
+    assert out[4] == 1
+
+
+def test_shingle_values(spark):
+    df = spark.createDataFrame([("a b c d",)], ["text"])
+    out = df.select(dd.shingles(F.col("text"), n=2).alias("sh")).first()["sh"]
+    assert sorted(out) == ["a b", "b c", "c d"]
+
+
+def test_shingle_short_doc(spark):
+    df = spark.createDataFrame([("solo",)], ["text"])
+    out = df.select(dd.shingles(F.col("text"), n=3).alias("sh")).first()["sh"]
+    assert out == ["solo"]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(docs, num_hashes=64, bands=16).collect()
+    }
+    # exact dups always collide; the near-dup pair should too (high jaccard)
+    assert (0, 1) in pairs
+    assert (0, 3) in pairs or (1, 3) in pairs
+    # unrelated doc never pairs with the rest
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_values(docs):
+    out = dd.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.5)
+    vals = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert vals[(0, 1)] == 1.0
+    pair_03 = vals.get((0, 3))
+    assert pair_03 is not None and 0.7 < pair_03 < 1.0
+
+
+def test_simhash_identical_distance_zero(docs):
+    pairs = dd.simhash_dedup(docs).collect()
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert ham[(0, 1)] == 0
+    if (0, 3) in ham:  # near dup: closer than random (~32 expected bits)
+        assert ham[(0, 3)] <= 20
+
+
+def test_simhash_column_deterministic(spark):
+    df = spark.createDataFrame([(DOC,), (DOC,)], ["text"])
+    vals = [r["h"] for r in df.select(dd.simhash(F.col("text")).alias("h")).collect()]
+    assert vals[0] == vals[1]

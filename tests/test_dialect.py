@@ -1,0 +1,93 @@
+"""DuckDB→Spark dialect rewrites (plans/dialect.py)."""
+
+from vscode_parquet_visualizer_spark.plans.dialect import (
+    rewrite_exclude,
+    rewrite_from_data,
+    rewrite_json_arrows,
+    rewrite_pg_cast,
+    rewrite_qualify,
+    translate_strftime_pattern,
+    transpile,
+)
+
+
+def test_pg_cast_simple():
+    assert rewrite_pg_cast("SELECT a::INT FROM t") == "SELECT CAST(a AS INT) FROM t"
+    assert (
+        rewrite_pg_cast("SELECT '1'::DECIMAL(10,2)")
+        == "SELECT CAST('1' AS DECIMAL(10,2))"
+    )
+
+
+def test_pg_cast_multiple():
+    out = rewrite_pg_cast("SELECT a::INT, b::VARCHAR FROM t")
+    assert out == "SELECT CAST(a AS INT), CAST(b AS VARCHAR) FROM t"
+
+
+def test_json_arrows():
+    assert (
+        rewrite_json_arrows("SELECT props ->> 'k' FROM e")
+        == "SELECT get_json_object(props, '$.k') FROM e"
+    )
+    assert (
+        rewrite_json_arrows("SELECT props -> 'k' FROM e")
+        == "SELECT get_json_object(props, '$.k') FROM e"
+    )
+
+
+def test_exclude():
+    assert (
+        rewrite_exclude("SELECT * EXCLUDE (a, b) FROM t")
+        == "SELECT * EXCEPT (a, b) FROM t"
+    )
+    assert rewrite_exclude("SELECT * EXCLUDE a FROM t") == "SELECT * EXCEPT (a) FROM t"
+
+
+def test_qualify():
+    out = rewrite_qualify(
+        "SELECT a, row_number() OVER (ORDER BY b) AS rn FROM t QUALIFY rn <= 3"
+    )
+    assert out.startswith("SELECT * FROM (")
+    assert out.endswith("WHERE rn <= 3")
+
+
+def test_qualify_with_order_limit():
+    out = rewrite_qualify("SELECT a, n FROM t QUALIFY n > 1 ORDER BY n LIMIT 5")
+    assert "WHERE n > 1 ORDER BY n LIMIT 5" in out
+
+
+def test_from_data_table_functions():
+    assert (
+        rewrite_from_data("SELECT * FROM read_parquet('/x/y.parquet')")
+        == "SELECT * FROM data"
+    )
+    assert (
+        rewrite_from_data("SELECT * FROM READ_CSV('/x/y.csv')")
+        == "SELECT * FROM data"
+    )
+
+
+def test_strftime_translation():
+    assert translate_strftime_pattern("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
+
+
+def test_transpile_chain():
+    out = transpile(
+        "SELECT a::INT AS x, props ->> 'k' AS k FROM read_parquet('f.parquet') "
+        "QUALIFY x > 1"
+    )
+    assert "CAST(a AS INT)" in out
+    assert "get_json_object(props, '$.k')" in out
+    assert "FROM data" in out
+    assert out.startswith("SELECT * FROM (")
+
+
+def test_transpile_on_spark(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("data")
+    out = spark.sql(
+        transpile(
+            "SELECT event_type, count(*)::BIGINT AS n FROM data "
+            "GROUP BY event_type QUALIFY n > 0"
+        )
+    )
+    assert out.count() == 5

@@ -1,0 +1,111 @@
+"""Engine lifecycle tests mirroring the reference's observable contract
+(SURVEY.md §3: open → default query → page → sort → search → export)."""
+
+import pytest
+
+from vscode_parquet_visualizer_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark=spark)
+
+
+@pytest.fixture(scope="module")
+def dataset(engine, sf_dir):
+    return engine.open(f"{sf_dir}/orders.parquet")
+
+
+def test_open_registers_data_view(dataset, spark):
+    assert spark.sql("SELECT count(*) AS n FROM data").first()["n"] == 1500
+
+
+def test_row_count_uses_footer(dataset):
+    assert dataset.row_count() == 1500
+
+
+def test_default_query(dataset):
+    rs = dataset.query()
+    assert rs.row_count == 1000  # LIMIT 1000 default template
+
+
+def test_page_deterministic(dataset):
+    rs = dataset.query("SELECT * FROM data")
+    p1 = rs.page(2, 10)
+    p2 = rs.page(2, 10)
+    assert [r["o_orderkey"] for r in p1] == [r["o_orderkey"] for r in p2]
+    assert len(p1) == 10
+
+
+def test_page_preserves_file_order_when_unsorted(dataset):
+    rs = dataset.query("SELECT * FROM data")
+    keys = [r["o_orderkey"] for r in rs.page(1, 5)]
+    assert keys == [0, 1, 2, 3, 4]
+
+
+def test_sort_then_page(dataset):
+    rs = dataset.query("SELECT * FROM data")
+    rs.sort("o_totalprice", "desc")
+    prices = [r["o_totalprice"] for r in rs.page(1, 20)]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_search_counts_and_reset(dataset):
+    rs = dataset.query("SELECT * FROM data")
+    n = rs.search("URGENT")
+    assert 0 < n < rs.row_count
+    assert rs.search("") == rs.row_count
+
+
+def test_search_matches_any_column(dataset):
+    rs = dataset.query("SELECT * FROM data")
+    # numeric column match via cast-to-string (reference A9 cast rule)
+    n = rs.search("499705.05")
+    assert n >= 1
+
+
+def test_failed_query_keeps_previous_result(dataset):
+    rs = dataset.query("SELECT o_orderkey FROM data LIMIT 7")
+    with pytest.raises(Exception):
+        dataset.query("SELECT no_such_column FROM data")
+    assert dataset.result is rs
+    assert dataset.result.row_count == 7
+
+
+def test_query_after_failure_still_works(dataset):
+    rs = dataset.query("SELECT count(*) AS n FROM data")
+    assert rs.page(1, 1)[0]["n"] == 1500
+
+
+def test_metadata(dataset):
+    md = dataset.metadata()
+    assert md[0]["num_rows"] == 1500
+    assert md[0]["num_row_groups"] >= 1
+
+
+def test_schema_rows(dataset):
+    rows = dataset.schema()
+    names = [r["column_name"] for r in rows]
+    assert "o_orderkey" in names and "o_orderdate" in names
+    types = {r["column_name"]: r["column_type"] for r in rows}
+    assert types["o_orderkey"] == "BIGINT"
+    assert types["o_orderstatus"] == "VARCHAR"
+    assert types["o_orderdate"] == "TIMESTAMP"
+
+
+def test_dialect_queries_through_engine(dataset):
+    rs = dataset.query(
+        "SELECT o_orderstatus, count(*)::BIGINT AS n FROM data "
+        "GROUP BY o_orderstatus QUALIFY n > 0 ORDER BY n DESC"
+    )
+    assert rs.row_count >= 1
+
+
+def test_csv_roundtrip(engine, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n3,z\n")
+    ds = engine.open(str(p))
+    assert ds.format == "csv"
+    assert ds.row_count() == 3
+    rs = ds.query("SELECT sum(a) AS s FROM data")
+    assert rs.page(1, 1)[0]["s"] == 6

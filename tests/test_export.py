@@ -1,0 +1,92 @@
+"""Export round-trips (SURVEY.md §2 A13-A18) incl. Excel projection rules."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vscode_parquet_visualizer_spark.operators.export import (
+    _excel_projection,
+    export,
+    export_csv,
+    export_json_array,
+    export_ndjson,
+    export_parquet,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/nation.parquet").orderBy("n_nationkey")
+
+
+def test_csv_roundtrip(df, spark, tmp_path):
+    p = str(tmp_path / "out.csv")
+    export_csv(df, p)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(p)
+    assert back.count() == 25
+    assert set(back.columns) == set(df.columns)
+
+
+def test_parquet_roundtrip(df, spark, tmp_path):
+    p = str(tmp_path / "out.parquet")
+    export_parquet(df, p)
+    back = spark.read.parquet(p)
+    assert back.count() == 25
+    assert back.schema == df.schema
+
+
+def test_ndjson_roundtrip(df, tmp_path):
+    p = str(tmp_path / "out.ndjson")
+    export_ndjson(df, p)
+    lines = [json.loads(line) for line in open(p)]
+    assert len(lines) == 25
+    assert lines[0]["n_nationkey"] == 0
+
+
+def test_json_array(df, tmp_path):
+    p = str(tmp_path / "out.json")
+    export_json_array(df, p)
+    arr = json.load(open(p))
+    assert isinstance(arr, list) and len(arr) == 25
+
+
+def test_distributed_writes(df, spark, tmp_path):
+    p = str(tmp_path / "dist_csv")
+    export_csv(df, p, distributed=True)
+    assert spark.read.option("header", True).csv(p).count() == 25
+
+
+def test_export_dispatch_unknown(df, tmp_path):
+    with pytest.raises(ValueError, match="unknown export format"):
+        export(df, str(tmp_path / "x"), "tsv")
+
+
+def test_excel_projection_rules(spark):
+    """Reference rules (src/worker.ts:347-387): drop LIST/ARRAY + DECIMAL,
+    TO_JSON structs/maps, keep scalars."""
+    df = spark.createDataFrame(
+        [(1, [1, 2], {"k": 1}, (1, "a"))],
+        T.StructType(
+            [
+                T.StructField("i", T.LongType()),
+                T.StructField("arr", T.ArrayType(T.LongType())),
+                T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+                T.StructField(
+                    "st",
+                    T.StructType(
+                        [
+                            T.StructField("x", T.LongType()),
+                            T.StructField("y", T.StringType()),
+                        ]
+                    ),
+                ),
+            ]
+        ),
+    ).withColumn("dec", F.lit("1.5").cast("decimal(10,2)"))
+    out = _excel_projection(df)
+    assert set(out.columns) == {"i", "m", "st"}  # arr + dec dropped
+    row = out.first()
+    assert json.loads(row["st"]) == {"x": 1, "y": "a"}
+    assert json.loads(row["m"]) == {"k": 1}

@@ -1,0 +1,75 @@
+"""Schema formatter incl. nested types and the single-field-struct unwrap
+quirk (reference src/duckdb-schema-converter.ts:168-181 — SURVEY.md §1.3)."""
+
+from pyspark.sql import types as T
+
+from vscode_parquet_visualizer_spark.functions.completions import completions
+from vscode_parquet_visualizer_spark.functions.schema_format import (
+    arrow_type,
+    duckdb_type_string,
+    schema_rows,
+)
+
+NESTED = T.StructType(
+    [
+        T.StructField("i", T.IntegerType(), False),
+        T.StructField("s", T.StringType()),
+        T.StructField("d", T.DecimalType(18, 3)),
+        T.StructField("arr", T.ArrayType(T.DoubleType())),
+        T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        T.StructField(
+            "st",
+            T.StructType(
+                [
+                    T.StructField("x", T.IntegerType()),
+                    T.StructField("y", T.ArrayType(T.StringType())),
+                ]
+            ),
+        ),
+        T.StructField(
+            "single", T.StructType([T.StructField("only", T.BooleanType())])
+        ),
+    ]
+)
+
+
+def test_duckdb_type_strings():
+    by_name = {f.name: duckdb_type_string(f.dataType) for f in NESTED.fields}
+    assert by_name["i"] == "INTEGER"
+    assert by_name["s"] == "VARCHAR"
+    assert by_name["d"] == "DECIMAL(18,3)"
+    assert by_name["arr"] == "DOUBLE[]"
+    assert by_name["m"] == "MAP(VARCHAR, BIGINT)"
+    assert by_name["st"] == "STRUCT(x INTEGER, y VARCHAR[])"
+
+
+def test_arrow_types_nested():
+    assert arrow_type(NESTED["arr"].dataType) == ["Float64"]
+    assert arrow_type(NESTED["m"].dataType) == "<String, Int64>"
+    assert arrow_type(NESTED["st"].dataType) == {"x": "Int32", "y": ["String"]}
+    assert arrow_type(NESTED["d"].dataType) == "Decimal128(18, 3)"
+
+
+def test_single_field_struct_unwraps():
+    # reference quirk: STRUCT with one field displays as the field's type
+    assert arrow_type(NESTED["single"].dataType) == "Bool"
+
+
+def test_schema_rows_shape():
+    rows = schema_rows(NESTED)
+    assert rows[0] == {
+        "column_name": "i",
+        "column_type": "INTEGER",
+        "arrow_column_type": "Int32",
+        "null": "NO",
+        "key": None,
+        "default": None,
+        "extra": None,
+    }
+
+
+def test_completions_flatten_nested():
+    comp = completions(NESTED)
+    names = [c["name"] for c in comp]
+    assert "st" in names and "st.x" in names and "st.y" in names
+    assert "single.only" in names

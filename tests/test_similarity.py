@@ -1,0 +1,71 @@
+"""Similarity search: exact brute-force and LSH-approximate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vscode_parquet_visualizer_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_cosine_self_similarity(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], ["v"])
+    out = df.select(
+        sim.cosine_similarity(F.col("v"), F.col("v")).alias("c")
+    ).first()["c"]
+    assert abs(out - 1.0) < 1e-12
+
+
+def test_cosine_orthogonal(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], ["a", "b"])
+    out = df.select(sim.cosine_similarity(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    assert abs(out) < 1e-12
+
+
+def test_brute_force_topk_self_first(embeddings):
+    queries = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.brute_force_topk(embeddings, queries, k=5).collect()
+    assert len(out) == 5
+    top = [r for r in out if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 0  # self-match first
+    assert abs(top["score"] - 1.0) < 1e-5
+    scores = [r["score"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_topk_includes_self(embeddings):
+    queries = embeddings.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.lsh_topk(embeddings, queries, k=5, dim=64, bits=6, tables=4)
+    rows = out.collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    # self vector always lands in its own bucket → rank 1 with score 1
+    for qid, rs in by_query.items():
+        top = min(rs, key=lambda r: r["rank"])
+        assert top["neighbor_id"] == qid
+
+
+def test_embedding_near_dup_finds_planted_dup(spark):
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.gauss(0, 1) for _ in range(16)]
+    near = [x + 0.001 for x in base]
+    far = [rnd.gauss(0, 1) for _ in range(16)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)],
+        ["vec_id", "embedding"],
+    )
+    pairs = sim.embedding_near_dup_pairs(
+        df, threshold=0.999, dim=16, bits=4, tables=4
+    ).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
+    assert not any(r["id_b"] == 2 or r["id_a"] == 2 for r in pairs)

@@ -1,0 +1,78 @@
+"""Structured Streaming over events: stream results must equal batch."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vscode_parquet_visualizer_spark.streaming import events as se
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    from vscode_parquet_visualizer_spark.sources import registry
+
+    return registry.read(spark, f"{sf_dir}/events.parquet", "parquet")
+
+
+@pytest.fixture(scope="module")
+def stream(spark, sf_dir):
+    return se.read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+
+def test_stream_is_streaming(stream):
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_windowed_counts_match_batch(spark, stream, batch_events):
+    agg = se.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory").queryName("t_win")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("t_win").collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch_events.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_sessionize_runs(spark, stream):
+    q = (
+        se.sessionize(stream, gap="30 minutes")
+        .writeStream.format("memory").queryName("t_sess")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_sess").collect()
+    assert len(rows) > 0
+    assert all(r["session_start"] <= r["session_end"] for r in rows)
+
+
+def test_stateful_running_value_matches_batch(spark, stream, batch_events):
+    out = se.stateful_running_value(stream)
+    q = (
+        out.writeStream.format("memory").queryName("t_state")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # last update per user == batch totals
+    got = {
+        r["user_id"]: (round(r["running_total"], 4), r["running_n"])
+        for r in spark.table("t_state").collect()
+    }
+    want = {
+        r["user_id"]: (round(r["t"], 4), r["n"])
+        for r in batch_events.groupBy("user_id")
+        .agg(F.sum("value").alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

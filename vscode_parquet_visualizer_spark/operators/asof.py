@@ -1,0 +1,137 @@
+"""As-of join (SURVEY.md §2B joins row: DuckDB ``ASOF JOIN``).
+
+For each left row, match the single right row with the greatest ``right.on``
+that is ``<= left.on`` (backward direction; ``>=`` for forward), optionally
+within equality ``by`` keys — the standard time-series alignment operator.
+
+Spark has no ASOF JOIN. Two implementations:
+
+- ``asof_join``: **union + window** — tag both sides, union on (by, on),
+  and carry the last non-null right row forward with
+  ``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+  One shuffle (the window's partitionBy), no row explosion, no Python.
+  This is the scale path: at 100 TB it's a single sort-based window per
+  ``by`` partition; skewed ``by`` keys hit the same limits any windowed
+  plan does (AQE skew handling does not apply to windows — salt upstream
+  if a single key dominates).
+
+- ``asof_join_pandas``: per-group ``pandas.merge_asof`` via
+  ``applyInPandas`` (cogroup). Simpler semantics (tolerance support),
+  Arrow-batched, but pays Python serialization; kept for tolerance
+  queries and as a cross-check of the native plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Union+window as-of join. Right value columns come back suffixed when
+    they collide with left names. ``direction``: backward | forward."""
+    by = by or []
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    left_cols = [c for c in left.columns]
+    right_vals = [c for c in right.columns if c != on and c not in by]
+    renamed = {
+        c: (c + suffix if c in left_cols else c) for c in right_vals
+    }
+
+    # Tag and align the two sides on a common shape.
+    lhs = left.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__on"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left_cols]).alias("__lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c).alias(renamed[c]) for c in right_vals])).schema[0].dataType
+        ).alias("__rrow"),
+    )
+    rhs = right.select(
+        *[F.col(c) for c in by],
+        F.col(on).alias("__on"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left_cols])).schema[0].dataType
+        ).alias("__lrow"),
+        F.struct(*[F.col(c).alias(renamed[c]) for c in right_vals]).alias("__rrow"),
+    )
+    unioned = lhs.unionByName(rhs)
+
+    # Backward: right rows sort before left rows at equal timestamps so a
+    # tie matches (asof uses <=); carry last right row forward.
+    order = [F.col("__on").asc(), F.col("__is_left").asc()]
+    if direction == "forward":
+        order = [F.col("__on").desc(), F.col("__is_left").asc()]
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "__match", F.last("__rrow", ignorenulls=True).over(w)
+    ).filter(F.col("__is_left") == 1)
+
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left_cols]
+    out_cols += [
+        F.col(f"__match.{renamed[c]}").alias(renamed[c]) for c in right_vals
+    ]
+    return matched.select(*out_cols)
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    direction: str = "backward",
+    tolerance=None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """merge_asof-based variant (supports tolerance). Cogroups both sides
+    by ``by`` keys and runs pandas.merge_asof per group (Arrow-batched)."""
+    import pandas as pd
+
+    by = by or []
+    if not by:
+        raise ValueError("asof_join_pandas requires at least one 'by' key")
+    left_cols = list(left.columns)
+    right_vals = [c for c in right.columns if c != on and c not in by]
+    renamed = {c: (c + suffix if c in left_cols else c) for c in right_vals}
+
+    out_schema = left.schema
+    right_schema = right.schema
+    from pyspark.sql import types as T
+
+    fields = list(out_schema.fields)
+    for c in right_vals:
+        f = right_schema[c]
+        fields.append(T.StructField(renamed[c], f.dataType, True))
+    result_schema = T.StructType(fields)
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=[f.name for f in fields])
+        l = l.sort_values(on)
+        r = r.sort_values(on)[[on, *by, *right_vals]].rename(columns=renamed)
+        merged = pd.merge_asof(
+            l, r, on=on, by=by, direction=direction, tolerance=tolerance,
+            suffixes=("", suffix),
+        )
+        return merged[[f.name for f in fields]]
+
+    return (
+        left.groupBy(*by)
+        .cogroup(right.groupBy(*by))
+        .applyInPandas(merge, schema=result_schema)
+    )

@@ -1,0 +1,155 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The Spark-side shape is real and tested — schema contract, Arrow-batched
+``mapInPandas`` pipelines, partition sizing — while the actual codec work
+(Pillow/librosa/ffmpeg are not in this container) is stubbed behind
+``decode_fn`` injection points with a deterministic fake for tests.
+
+Schema contract for a multimodal table:
+    id: long, media: binary, media_type: string ('image'|'audio'|'video'),
+    meta: struct<width:int, height:int, sample_rate:int, duration_ms:long>
+
+Design notes for 100 TB:
+- binary payloads dominate partition size → callers should set
+  ``spark.sql.files.maxPartitionBytes`` low (e.g. 32 MB) for media tables
+  so one task holds few payloads.
+- decode/feature-extract runs in ``mapInPandas`` so each Arrow batch is
+  processed without per-row Python overhead; ``batch_rows`` caps memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("media", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def deterministic_fake_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Stand-in for a real decoder: a deterministic byte-histogram feature.
+    Replace with a real image/audio decode where codec libs exist."""
+    if payload is None:
+        return [0.0] * dim
+    buckets = [0] * dim
+    for b in payload:
+        buckets[b % dim] += 1
+    total = max(1, len(payload))
+    return [round(c / total, 6) for c in buckets]
+
+
+def real_decode_stub(payload: bytes) -> Any:  # pragma: no cover - by design
+    """The codec integration point. Image: bytes→HWC array (Pillow);
+    audio: bytes→waveform (soundfile/librosa); video: frame sample
+    (ffmpeg). None of those libraries ship in this container."""
+    raise NotImplementedError(
+        "media decoding requires codec libraries (Pillow/librosa/ffmpeg) "
+        "not present in this environment; inject decode_fn instead"
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    decode_fn: Callable[[bytes], list[float]] = deterministic_fake_decode,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary media columns.
+
+    ``mapInPandas`` keeps each partition streaming (iterator of batches,
+    bounded memory even when payloads are large); the UDF touches only
+    (id, media, media_type) thanks to an explicit upstream projection, so
+    Parquet column pruning skips any other columns entirely.
+    """
+    import pandas as pd
+
+    projected = df.select("id", "media", "media_type")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    {
+                        "id": chunk["id"],
+                        "media_type": chunk["media_type"],
+                        "n_bytes": chunk["media"].map(
+                            lambda b: 0 if b is None else len(b)
+                        ),
+                        "feature": chunk["media"].map(decode_fn),
+                    }
+                )
+
+    return projected.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image resize pipeline shape: binary→binary with updated meta.
+    Without a real codec, ``resize_fn`` defaults to a marked stub."""
+    import pandas as pd
+
+    if resize_fn is None:
+        def resize_fn(payload: bytes, w: int, h: int) -> bytes:  # noqa: ARG001
+            raise NotImplementedError(
+                "image resize requires Pillow; inject resize_fn"
+            )
+
+    out_schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["media"] = pdf["media"].map(lambda b: resize_fn(b, width, height))
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def synthetic_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table for tests (binary payloads derived
+    from the row id — no randomness, no codec)."""
+    rows = []
+    for i in range(n):
+        payload = bytes(((i * 131 + j * 17) % 251) for j in range((i % 7 + 1) * 32))
+        mtype = ["image", "audio", "video"][i % 3]
+        meta = (
+            (64, 48, None, None)
+            if mtype == "image"
+            else (None, None, 16000, 1500) if mtype == "audio" else (320, 240, None, 4000)
+        )
+        rows.append((i, payload, mtype, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,1080 @@
+"""Query workload: every operator from SURVEY.md §2 (plus the
+training-data pipeline extensions) as a named (spark_fn, oracle_sql) pair.
+
+``QUERIES[name]`` is a callable ``(spark, sf_dir) -> DataFrame``; most are
+idiomatic DataFrame plans, some are Spark SQL where the SQL surface itself
+is the thing under test (CTEs, grouping sets, correlated subqueries…).
+``ORACLES[name]`` is the DuckDB-runnable ANSI SQL producing the same rows
+(column names aligned; omitted for ops that aren't SQL-expressible —
+those get the driver's weaker rows-only check).
+
+Determinism rules applied throughout (why hash-matching works):
+- every float that is *computed* (not read raw) is rounded at a precision
+  far below the engines' accumulation noise;
+- every LIMIT/top-k has a total order (unique tiebreaker column);
+- timestamps are compared at ≥ millisecond granularity via epoch_ms
+  (events.parquet carries ns, Spark truncates to µs — SURVEY.md §1.3);
+- rank/row_number cast to BIGINT (DuckDB window fns return BIGINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vscode_parquet_visualizer_spark.operators import dedup as dd
+from vscode_parquet_visualizer_spark.operators import multimodal as mm
+from vscode_parquet_visualizer_spark.operators import search as search_ops
+from vscode_parquet_visualizer_spark.operators import similarity as sim
+from vscode_parquet_visualizer_spark.operators import text as tx
+from vscode_parquet_visualizer_spark.operators.asof import asof_join
+from vscode_parquet_visualizer_spark.sources import registry
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_loaded_dir: dict[int, str] = {}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read all testdata tables and register them as temp views (cached per
+    session+dir so repeated queries() calls don't re-plan the reads)."""
+    out = {}
+    for t in TABLES:
+        df = registry.read(spark, f"{sf_dir}/{t}.parquet", "parquet")
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    _loaded_dir[id(spark)] = sf_dir
+    return out
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def sql_query(name: str, sql: str, oracle: str | None = None) -> None:
+    """Register a query whose Spark side is the same (or adjusted) SQL."""
+    def fn(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        load_tables(spark, sf_dir)
+        return spark.sql(_sql)
+    fn.__name__ = name
+    QUERIES[name] = fn
+    ORACLES[name] = oracle if oracle is not None else sql
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY.md §2B): aggregation, joins, windows, set ops …
+# ---------------------------------------------------------------------------
+
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-aggregate. Filter pushes to the parquet
+    scan; partial aggregation map-side — the shuffle carries 6 groups."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_rev() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q02_regional_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q02(spark, sf_dir):
+    """Star join: fact tables shuffle on join keys; nation/region are
+    broadcast explicitly (they'd qualify by size anyway — being explicit
+    documents the intent and survives stats loss at 100 TB)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+@q(
+    "q03_shipping_priority",
+    """
+    SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate > TIMESTAMP '1997-06-01'
+    GROUP BY o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter + top-k. The LIMIT has a
+    unique tiebreaker so the top-10 set is deterministic."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp"))
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("orderdate"),
+        )
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "q04_order_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04(spark, sf_dir):
+    """Semi join (EXISTS): left_semi keeps orders unduplicated without a
+    distinct — the plan Catalyst would decorrelate EXISTS into anyway."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = t["lineitem"]
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@q(
+    "q05_top_customers",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q05(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            t["lineitem"].filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "q06_revenue_forecast",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q06(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + predicate + scalar agg. All three
+    predicates push to parquet (min/max row-group skipping)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@q(
+    "q07_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q07(spark, sf_dir):
+    """Anti join (NOT EXISTS)."""
+    t = load_tables(spark, sf_dir)
+    return t["customer"].join(
+        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "q08_topk_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q08(spark, sf_dir):
+    """Top-k per group: the row_number window idiom (one shuffle on the
+    partition key; rank filter prunes before anything wide happens)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@q(
+    "q09_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q09(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@q(
+    "q10_lag_lead",
+    """
+    SELECT event_id,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
+    FROM events
+    """,
+)
+def q10(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return t["events"].select(
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@q(
+    "q11_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q11(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "q12_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q12(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+sql_query(
+    "q13_grouping_sets",
+    """
+    SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS day,
+           count(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING)),
+                            (event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING)))
+    """,
+)
+
+sql_query(
+    "q14_setop_except",
+    """
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+    EXCEPT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+)
+
+sql_query(
+    "q15_setop_intersect",
+    """
+    SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    """,
+)
+
+sql_query(
+    "q16_cte",
+    """
+    WITH big_orders AS (
+      SELECT * FROM orders WHERE o_totalprice > 400000
+    )
+    SELECT n_name, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM big_orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+
+sql_query(
+    "q17_correlated_subquery",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l1
+    WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+
+sql_query(
+    "q18_filtered_distinct_agg",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_rev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+sql_query(
+    "q19_case_when",
+    """
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(sum(CASE WHEN o_orderpriority LIKE '5-%' THEN 1 ELSE 0 END) AS BIGINT) AS low,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+sql_query(
+    "q20_string_functions",
+    """
+    SELECT upper(substr(c_name, 1, 8)) AS prefix,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           concat(c_name, '-', c_mktsegment) AS tagged,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS cust_num
+    FROM customer WHERE c_custkey <= 100
+    """,
+)
+
+sql_query(
+    "q21_date_functions",
+    """
+    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) AS month,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+
+sql_query(
+    "q22_math_functions",
+    """
+    SELECT l_linenumber,
+           round(avg(sqrt(l_extendedprice)), 4) AS avg_sqrt,
+           round(sum(abs(l_discount - 0.05)), 4) AS sum_absdev,
+           round(max(power(l_quantity, 1.5)), 4) AS max_pow,
+           round(min(ln(l_extendedprice)), 6) AS min_ln,
+           CAST(sum(CAST(ceil(l_tax * 100) AS BIGINT)) AS BIGINT) AS sum_ceil,
+           CAST(sum(CAST(floor(l_tax * 100) AS BIGINT)) AS BIGINT) AS sum_floor
+    FROM lineitem GROUP BY l_linenumber
+    """,
+)
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@q(
+    "q23_pivot",
+    """
+    SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS day,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q23(spark, sf_dir):
+    """Pivot with an explicit value list (never let pivot scan for distinct
+    values at scale — that's an extra job over the whole input)."""
+    t = load_tables(spark, sf_dir)
+    out = (
+        t["events"]
+        .groupBy(F.date_trunc("day", "ts").cast("date").cast("string").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0, subset=_EVENT_TYPES)
+
+
+@q(
+    "q24_unpivot",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS qty,
+             round(sum(l_extendedprice), 2) AS price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty' AS metric, qty AS val FROM s
+    UNION ALL
+    SELECT l_returnflag, 'price' AS metric, price AS val FROM s
+    """,
+)
+def q24(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        )
+    )
+    return s.unpivot(
+        ids=["l_returnflag"], values=["qty", "price"],
+        variableColumnName="metric", valueColumnName="val",
+    )
+
+
+sql_query(
+    "q25_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+
+sql_query(
+    "q26_predicates",
+    """
+    SELECT count(*) AS n_total,
+           count(*) FILTER (WHERE p_type ILIKE '%eco%') AS n_ilike,
+           count(*) FILTER (WHERE p_size IN (1, 5, 9)) AS n_in,
+           count(*) FILTER (WHERE p_retailprice BETWEEN 500 AND 1000) AS n_between,
+           count(*) FILTER (WHERE p_brand IS NOT DISTINCT FROM 'Brand#1') AS n_nds
+    FROM part
+    """,
+)
+
+sql_query(
+    "q30_values_inline",
+    """
+    SELECT w.weight, count(*) AS n
+    FROM orders
+    JOIN (VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+                 ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS w(priority, weight)
+      ON o_orderpriority = w.priority
+    GROUP BY w.weight
+    """,
+)
+
+sql_query(
+    "q31_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(get_json_object(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           max(CAST(get_json_object(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+
+
+@q(
+    "q32_array_functions",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def q32(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+    )
+
+
+@q(
+    "q29_positional_join",
+    """
+    WITH a AS (SELECT n_name, row_number() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+         b AS (SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS rn FROM region)
+    SELECT CAST(a.rn AS BIGINT) AS rn, n_name, r_name
+    FROM a JOIN b ON a.rn = b.rn
+    """,
+)
+def q29(spark, sf_dir):
+    """POSITIONAL JOIN equivalent: zip by row_number over an explicit
+    order (Spark has no stable implicit row order — nor does any
+    distributed engine; the explicit key is the honest version)."""
+    t = load_tables(spark, sf_dir)
+    a = t["nation"].select(
+        "n_name",
+        F.row_number().over(Window.orderBy("n_nationkey")).cast("bigint").alias("rn"),
+    )
+    b = t["region"].select(
+        "r_name",
+        F.row_number().over(Window.orderBy("r_regionkey")).cast("bigint").alias("rn"),
+    )
+    return a.join(b, "rn").select("rn", "n_name", "r_name")
+
+
+@q(
+    "q28_asof_join",
+    """
+    WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, event_id AS view_event_id, epoch_ms(ts) AS ms,
+                      value AS view_value
+               FROM events WHERE event_type = 'view')
+    SELECT p.user_id, p.event_id, p.value, v.view_event_id, v.view_value
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ms >= v.ms
+    """,
+)
+def q28(spark, sf_dir):
+    """AS-OF join (DuckDB ASOF JOIN parity): each purchase matched to the
+    latest prior view of the same user. Uses the union+window operator —
+    one shuffle, no Python (operators/asof.py)."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ms"), "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        F.unix_millis("ts").alias("ms"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(purchases, views, on="ms", by=["user_id"])
+    return out.select("user_id", "event_id", "value", "view_event_id", "view_value")
+
+
+# ---------------------------------------------------------------------------
+# Engine-constructed operators (SURVEY.md §2A) surfaced as queries
+# ---------------------------------------------------------------------------
+
+@q(
+    "q26_search_cross_column",
+    """
+    SELECT * FROM part
+    WHERE CAST(p_partkey AS VARCHAR) LIKE '%widget%'
+       OR p_name LIKE '%widget%'
+       OR p_brand LIKE '%widget%'
+       OR p_type LIKE '%widget%'
+       OR CAST(p_size AS VARCHAR) LIKE '%widget%'
+       OR CAST(p_retailprice AS VARCHAR) LIKE '%widget%'
+    """,
+)
+def q26s(spark, sf_dir):
+    """The reference's cross-column search (A9): OR of LIKE over every
+    column, non-strings cast to text (src/worker.ts:158-166)."""
+    t = load_tables(spark, sf_dir)
+    return search_ops.search(t["part"], "widget")
+
+
+@q(
+    "q27_sort_page",
+    """
+    SELECT p_partkey, p_name, p_retailprice FROM part
+    ORDER BY p_retailprice DESC, p_partkey
+    LIMIT 50
+    """,
+)
+def q27(spark, sf_dir):
+    """Sort + first page (A7+A8): deterministic under ties via unique key."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"]
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / text / similarity / multimodal / streaming
+# ---------------------------------------------------------------------------
+
+@q(
+    "q33_dedup_exact",
+    """
+    SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents
+    GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    """,
+)
+def q33(spark, sf_dir):
+    """Exact dedup on normalized text (operators/dedup.py). The group key
+    shuffled is an 8-byte hash, not the document."""
+    t = load_tables(spark, sf_dir)
+    return dd.exact_dedup(t["documents"])
+
+
+@q(
+    "q34_ngram_jaccard",
+    """
+    WITH norm AS (
+      SELECT doc_id, lang,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents WHERE doc_id < 200
+    ), grams AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1) + 1),
+               i -> array_to_string(toks[i:i+1], ' '))) AS sh
+      FROM norm
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM grams a JOIN grams b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.05
+    """,
+)
+def q34(spark, sf_dir):
+    """Exact bigram-Jaccard near-dup pairs, blocked by lang (the verify
+    stage of the dedup pipeline; candidates from LSH in the scale path —
+    here the candidate set is the lang-block so the oracle can mirror it).
+    Jaccard is a ratio of integers → bit-identical across engines."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].filter(F.col("doc_id") < 200)
+    cand = (
+        docs.alias("a")
+        .join(docs.alias("b"), (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return dd.ngram_jaccard_pairs(
+        docs, shingle_n=2, threshold=0.05, candidates=cand
+    ).select("id_a", "id_b", "jaccard")
+
+
+@q("q35_minhash_lsh")  # no SQL oracle: hash-permutation family isn't SQL
+def q35(spark, sf_dir):
+    """MinHash+LSH candidate pairs (64 hashes, 16 bands) joined back to
+    exact Jaccard — the full scale-path dedup pipeline."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = dd.minhash_lsh_pairs(docs, num_hashes=64, bands=16, shingle_n=2)
+    return dd.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.5, candidates=pairs)
+
+
+@q("q36_simhash")  # no SQL oracle
+def q36(spark, sf_dir):
+    """SimHash near-dup candidates within Hamming blocking."""
+    t = load_tables(spark, sf_dir)
+    return dd.simhash_dedup(t["documents"].filter(F.col("doc_id") < 200))
+
+
+@q(
+    "q37_text_stats",
+    """
+    WITH base AS (
+      SELECT doc_id, text, trim(text) AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, text, t,
+             CASE WHEN length(t) = 0 THEN 0
+                  ELSE len(string_split_regex(t, '\\s+')) END AS n_tokens,
+             length(regexp_replace(t, '\\s+', '', 'g')) AS n_nonspace
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           length(text) AS n_chars_computed,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS digit_ratio,
+           round(CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE CAST(n_nonspace AS DOUBLE) / n_tokens END, 4) AS mean_word_len
+    FROM tok
+    """,
+)
+def q37(spark, sf_dir):
+    """Token/char/punct/digit stats — all JVM-side column expressions with
+    SQL-portable formulas (operators/text.py)."""
+    t = load_tables(spark, sf_dir)
+    c = F.col("text")
+    return t["documents"].select(
+        "doc_id",
+        tx.token_count(c).cast("bigint").alias("n_tokens"),
+        tx.char_count(c).cast("bigint").alias("n_chars_computed"),
+        F.round(tx.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(tx.digit_ratio(c), 6).alias("digit_ratio"),
+        F.round(tx.mean_word_length(c), 4).alias("mean_word_len"),
+    )
+
+
+@q(
+    "q38_lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+        (CASE WHEN regexp_matches(lower(text), '\\bder\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bund\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bdie\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bnicht\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bdas\\b') THEN 1 ELSE 0 END) AS s_de,
+        (CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bis\\b') THEN 1 ELSE 0 END) AS s_en,
+        (CASE WHEN regexp_matches(lower(text), '\\bel\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bque\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\blos\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\buna\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bpor\\b') THEN 1 ELSE 0 END) AS s_es,
+        (CASE WHEN regexp_matches(lower(text), '\\ble\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bla\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bet\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bles\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bdes\\b') THEN 1 ELSE 0 END) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+)
+def q38(spark, sf_dir):
+    """Marker-word language ID (operators/text.py) vs the ground-truth
+    lang column; the oracle mirrors the scoring exactly."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@q(
+    "q39_quality_score",
+    """
+    WITH tok AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonspace,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS dr
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CASE WHEN n >= 10 AND n <= 5000 THEN 1.0 WHEN n = 0 THEN 0.0 ELSE 0.5 END AS length_ok,
+             CASE WHEN n = 0 THEN 0.5
+                  WHEN CAST(nonspace AS DOUBLE) / n >= 3.0 AND CAST(nonspace AS DOUBLE) / n <= 12.0 THEN 1.0
+                  ELSE 0.5 END AS word_ok,
+             CASE WHEN pr + dr < 0.2 THEN 1.0 WHEN pr + dr < 0.4 THEN 0.5 ELSE 0.0 END AS noise_ok
+      FROM tok
+    )
+    SELECT doc_id, round((length_ok + word_ok + noise_ok) / 3.0, 4) AS quality
+    FROM m
+    """,
+)
+def q39(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", tx.quality_score(F.col("text")).alias("quality")
+    )
+
+
+@q(
+    "q40_similarity_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+      FROM embeddings e CROSS JOIN q
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q40(spark, sf_dir):
+    """Exact cosine top-k: broadcast queries, one corpus scan, window rank
+    (operators/similarity.py — the ANN baseline)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.brute_force_topk(e, queries, k=10, query_id_col="query_id")
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+@q("q41_similarity_lsh")  # no SQL oracle: hyperplane family isn't SQL
+def q41(spark, sf_dir):
+    """Approximate ANN via random-hyperplane LSH (scale path)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.lsh_topk(e, queries, k=10, dim=64, bits=8, tables=4)
+
+
+@q("q42_embedding_near_dup")  # no SQL oracle
+def q42(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via LSH self-join."""
+    t = load_tables(spark, sf_dir)
+    return sim.embedding_near_dup_pairs(t["embeddings"], threshold=0.95, dim=64)
+
+
+@q(
+    "q43_streaming_hourly",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q43(spark, sf_dir):
+    """Structured Streaming tumbling-window agg, driven availableNow over
+    the parquet dir and landed in a memory sink; oracle is the batch
+    equivalent (hour buckets align with window starts)."""
+    from vscode_parquet_visualizer_spark.streaming import events as stream_ops
+
+    t = load_tables(spark, sf_dir)
+    stream = stream_ops.read_events_stream(
+        spark, f"{sf_dir}/events.parquet", schema=t["events"].schema
+    )
+    agg = stream_ops.windowed_counts(stream, window="1 hour", watermark="2 hours")
+    name = "q43_stream_sink"
+    q_handle = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q_handle.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_start_epoch"),
+        "event_type", "n", "total_value",
+    )
+
+
+@q("q44_multimodal_features")  # no SQL oracle: synthetic media table
+def q44(spark, sf_dir):
+    """Multimodal plumbing: binary media column → Arrow-batched feature
+    extraction (deterministic fake decode; real codecs are stubbed —
+    operators/multimodal.py)."""
+    media = mm.synthetic_media_table(spark, n=64)
+    feats = mm.extract_features(media)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.sum(F.element_at("feature", 1)), 4).alias("sum_f0"),
+    )
+
+
+@q(
+    "q45_engine_lifecycle",
+    """
+    SELECT l_returnflag, count(*) AS n, round(avg(l_quantity), 4) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q45(spark, sf_dir):
+    """Through the Engine API itself: open → query → materialized result
+    (exercises the reference's startQuery lifecycle, SURVEY.md §3.1)."""
+    from vscode_parquet_visualizer_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    ds = eng.open(f"{sf_dir}/lineitem.parquet")
+    rs = ds.query(
+        "SELECT l_returnflag, count(*) AS n, round(avg(l_quantity), 4) AS avg_qty "
+        "FROM data GROUP BY l_returnflag"
+    )
+    return rs.df
+
+
+@q(
+    "q46_engine_pagination",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey DESC
+    LIMIT 25 OFFSET 50
+    """,
+)
+def q46(spark, sf_dir):
+    """Engine pagination protocol (A7/A8): sort desc on a unique key, page
+    3 at size 25 — deterministic page boundaries by construction."""
+    from vscode_parquet_visualizer_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    ds = eng.open(f"{sf_dir}/orders.parquet")
+    rs = ds.query("SELECT o_orderkey, o_totalprice FROM data")
+    rs.sort("o_orderkey", "desc")
+    return rs.page_df(3, 25)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)
