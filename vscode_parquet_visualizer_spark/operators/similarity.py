@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -105,6 +107,48 @@ def random_hyperplane_bucket(
     return acc
 
 
+def _bucketize_all_tables(
+    df: DataFrame,
+    idc: str,
+    out_id: str,
+    vec_col: str,
+    dim: int,
+    bits: int,
+    tables: int,
+    seed: int,
+) -> DataFrame:
+    """(id, vec, table, bucket) for every hash table in ONE pass.
+
+    The projection is a (tables·bits)×dim matrix multiply — the one spot
+    where a vectorized pandas UDF beats built-in expressions: the
+    column-expression version is thousands of literal nodes (slow to
+    analyze/codegen, scalar evaluation), while Arrow-batched numpy does
+    the whole batch with one BLAS GEMM. Signs → bucket ids per table,
+    then posexplode to (table, bucket) rows.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = np.array(
+        [p for t in range(tables) for p in _hyperplanes(dim, bits, t, seed)]
+    )  # (tables*bits, dim)
+    powers = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])  # n×dim
+        signs = (X @ planes.T) > 0  # n×(tables*bits)
+        out = np.empty((len(v), tables), dtype=np.int64)
+        for t in range(tables):
+            out[:, t] = signs[:, t * bits : (t + 1) * bits] @ powers
+        return pd.Series(list(out))
+
+    return df.select(
+        F.col(idc).alias(out_id),
+        F.col(vec_col),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -124,28 +168,13 @@ def lsh_topk(
     if dim is None:
         dim = len(queries.select(vec_col).first()[0])
 
-    def bucketize(df: DataFrame, idc: str, out_id: str) -> DataFrame:
-        parts = []
-        vec = F.col(vec_col).cast("array<double>")
-        for t in range(tables):
-            parts.append(
-                df.select(
-                    F.col(idc).alias(out_id),
-                    F.col(vec_col),
-                    F.lit(t).alias("table"),
-                    random_hyperplane_bucket(vec, dim, bits, t, seed).alias("bucket"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    cb = bucketize(corpus, id_col, "neighbor_id")
+    cb = _bucketize_all_tables(
+        corpus, id_col, "neighbor_id", vec_col, dim, bits, tables, seed
+    )
     qb = F.broadcast(
-        bucketize(queries, query_id_col, "query_id").withColumnRenamed(
-            vec_col, "__qvec"
-        )
+        _bucketize_all_tables(
+            queries, query_id_col, "query_id", vec_col, dim, bits, tables, seed
+        ).withColumnRenamed(vec_col, "__qvec")
     )
     cand = cb.join(qb, ["table", "bucket"]).select(
         "query_id",
@@ -180,20 +209,7 @@ def embedding_near_dup_pairs(
     the same bucket (any table) are scored; pairs above threshold kept."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    vec = F.col(vec_col).cast("array<double>")
-    parts = []
-    for t in range(tables):
-        parts.append(
-            df.select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col),
-                F.lit(t).alias("table"),
-                random_hyperplane_bucket(vec, dim, bits, t, seed).alias("bucket"),
-            )
-        )
-    b = parts[0]
-    for p in parts[1:]:
-        b = b.unionByName(p)
+    b = _bucketize_all_tables(df, id_col, "id", vec_col, dim, bits, tables, seed)
     a, c = b.alias("a"), b.alias("b")
     pairs = (
         a.join(

@@ -37,18 +37,32 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-_loaded_dir: dict[int, str] = {}
+_table_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+# Tables worth keeping hot across the workload run. At sf0.1 this is a few
+# hundred MB; on a cluster persist() spills per-executor — the same
+# run-once-read-many shape the reference gets from its CTAS result table.
+_HOT = {"lineitem", "orders", "customer", "events", "documents", "embeddings"}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Read all testdata tables and register them as temp views (cached per
-    session+dir so repeated queries() calls don't re-plan the reads)."""
+    """Read all testdata tables, register temp views, and keep one shared
+    (persisted) DataFrame per table so the ~47-query workload scans each
+    parquet file once instead of once per query."""
+    key = (id(spark), sf_dir)
+    cached = _table_cache.get(key)
+    if cached is not None:
+        return cached
+    from pyspark import StorageLevel
+
     out = {}
     for t in TABLES:
         df = registry.read(spark, f"{sf_dir}/{t}.parquet", "parquet")
+        if t in _HOT:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
         df.createOrReplaceTempView(t)
         out[t] = df
-    _loaded_dir[id(spark)] = sf_dir
+    _table_cache[key] = out
     return out
 
 
