@@ -1086,6 +1086,93 @@ def q46(spark, sf_dir):
     return rs.page_df(3, 25)
 
 
+# ---------------------------------------------------------------------------
+# SQL-surface tail (SURVEY.md §2B gap rows): GROUP BY ALL, WITH RECURSIVE,
+# LATERAL, arg_max, ordered string_agg, EXCEPT/INTERSECT ALL, IN-subquery
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "q47_group_by_all",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ALL
+    """,
+)
+
+sql_query(
+    "q48_with_recursive",
+    """
+    WITH RECURSIVE seq(x) AS (
+      SELECT 1
+      UNION ALL
+      SELECT x + 1 FROM seq WHERE x < 10
+    )
+    SELECT x, n_name FROM seq JOIN nation ON n_nationkey = x
+    """,
+)
+
+sql_query(
+    "q49_lateral_join",
+    """
+    SELECT r.n_regionkey, t.cnt
+    FROM (SELECT DISTINCT n_regionkey FROM nation) r,
+         LATERAL (SELECT count(*) AS cnt FROM nation n
+                  WHERE n.n_regionkey = r.n_regionkey) t
+    """,
+)
+
+sql_query(
+    "q50_arg_max",
+    """
+    SELECT o_orderstatus,
+           max_by(o_orderkey, o_totalprice) AS best_order,
+           min_by(o_orderkey, o_totalprice) AS worst_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice) AS best_order,
+           arg_min(o_orderkey, o_totalprice) AS worst_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+sql_query(
+    "q51_string_agg",
+    """
+    SELECT n_regionkey,
+           concat_ws(',', sort_array(collect_list(n_name))) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+
+sql_query(
+    "q52_setop_all",
+    """
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS k FROM supplier
+    """,
+)
+
+sql_query(
+    "q53_in_subquery",
+    """
+    SELECT count(*) AS n
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+      AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size > 45)
+    """,
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
