@@ -109,3 +109,27 @@ def test_csv_roundtrip(engine, tmp_path):
     assert ds.row_count() == 3
     rs = ds.query("SELECT sum(a) AS s FROM data")
     assert rs.page(1, 1)[0]["s"] == 6
+
+
+def test_two_datasets_are_isolated(engine, sf_dir):
+    """Reference parity: one engine instance per document — two open files
+    must not see each other's `data` relation."""
+    ds_orders = engine.open(f"{sf_dir}/orders.parquet")
+    ds_nation = engine.open(f"{sf_dir}/nation.parquet")  # opened later
+    rs = ds_orders.query("SELECT count(*) AS n FROM data")
+    assert rs.page(1, 1)[0]["n"] == 1500  # orders, not nation
+    rs2 = ds_nation.query("SELECT count(*) AS n FROM data")
+    assert rs2.page(1, 1)[0]["n"] == 25
+
+
+def test_json_and_orc_roundtrip(engine, spark, tmp_path):
+    src = spark.range(10).selectExpr("id", "id * 2 AS dbl")
+    jp = str(tmp_path / "t.jsonl")
+    src.toPandas().to_json(jp, orient="records", lines=True)
+    dsj = engine.open(jp)
+    assert dsj.format == "json"
+    assert dsj.query("SELECT count(*) AS n FROM data").page(1, 1)[0]["n"] == 10
+    op = str(tmp_path / "t_orc")
+    src.write.orc(op)
+    dso = engine.open(op, fmt="orc")
+    assert dso.query("SELECT sum(dbl) AS s FROM data").page(1, 1)[0]["s"] == 90

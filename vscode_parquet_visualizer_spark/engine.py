@@ -146,14 +146,27 @@ class ResultSet:
         self._base.unpersist()
 
 
+_dataset_counter = 0
+
+
 class Dataset:
-    """An opened file (or directory/glob of files): the ``data`` relation."""
+    """An opened file (or directory/glob of files): the ``data`` relation.
+
+    Each Dataset owns a unique temp view (``data`` queries are rewritten to
+    it), mirroring the reference's one-DuckDB-per-document isolation
+    (src/tabular-document-editor.ts:154-186): two open files never see each
+    other's ``data``. The plain ``data`` view additionally tracks the most
+    recently opened dataset as a convenience for ad-hoc engine.sql()."""
 
     def __init__(self, engine: "Engine", path: str, fmt: str | None = None, **options):
+        global _dataset_counter
+        _dataset_counter += 1
+        self.view = f"data_{_dataset_counter}"
         self.engine = engine
         self.path = registry.normalize_path(path)
         self.format = fmt or registry.format_for_path(self.path)
         self.df = registry.read(engine.spark, self.path, self.format, **options)
+        self.df.createOrReplaceTempView(self.view)
         self.df.createOrReplaceTempView("data")
         self._result: ResultSet | None = None
 
@@ -182,7 +195,7 @@ class Dataset:
         before the old one is dropped, so a failing query keeps the
         previous result (reference CREATE OR REPLACE rationale)."""
         spark = self.engine.spark
-        rewritten = dialect.transpile(sql.rstrip().rstrip(";"))
+        rewritten = dialect.transpile(sql.rstrip().rstrip(";"), view=self.view)
         t0 = time.perf_counter()
         df = spark.sql(rewritten)
         if not materialize:

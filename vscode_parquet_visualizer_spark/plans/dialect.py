@@ -60,15 +60,24 @@ def translate_strftime_pattern(pattern: str) -> str:
 
 
 def rewrite_from_data(sql: str, view: str = "data") -> str:
-    """``FROM data`` already works (we register the view); rewrite the
-    explicit table-function forms ``read_parquet('p')`` etc. to the view,
-    mirroring src/worker.ts:247-266 in reverse."""
-    return re.sub(
+    """Bind the ``data`` placeholder relation to this dataset's unique view
+    (the reference's regex substitution, src/worker.ts:247-266: each
+    document worker rewrites ``FROM data`` to its own file read — here each
+    Dataset rewrites to its own temp view so two open files can't cross).
+    Also rewrites explicit ``read_parquet('p')``-style table functions."""
+    sql = re.sub(
         r"read_(?:parquet|csv|csv_auto|avro|json|json_auto)\s*\(\s*'[^']*'\s*\)",
         view,
         sql,
         flags=re.IGNORECASE,
     )
+    if view != "data":
+        # FROM/JOIN data (optionally followed by alias/clause) — same
+        # word-boundary regex idea as the reference's formatQueryString
+        sql = re.sub(
+            r"\b(FROM|JOIN)\s+data\b", rf"\1 {view}", sql, flags=re.IGNORECASE
+        )
+    return sql
 
 
 def rewrite_pg_cast(sql: str) -> str:
