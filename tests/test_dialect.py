@@ -91,3 +91,16 @@ def test_transpile_on_spark(spark, sf_dir):
         )
     )
     assert out.count() == 5
+
+
+def test_sample_rewrite():
+    from vscode_parquet_visualizer_spark.plans.dialect import rewrite_sample
+
+    assert (
+        rewrite_sample("SELECT * FROM t USING SAMPLE 10%")
+        == "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    )
+    assert (
+        rewrite_sample("SELECT * FROM t USING SAMPLE 100 ROWS")
+        == "SELECT * FROM t TABLESAMPLE (100 ROWS)"
+    )

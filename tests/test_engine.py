@@ -133,3 +133,22 @@ def test_json_and_orc_roundtrip(engine, spark, tmp_path):
     src.write.orc(op)
     dso = engine.open(op, fmt="orc")
     assert dso.query("SELECT sum(dbl) AS s FROM data").page(1, 1)[0]["s"] == 90
+
+
+def test_schema_export_and_search(engine, sf_dir, tmp_path):
+    import csv as _csv
+
+    ds = engine.open(f"{sf_dir}/lineitem.parquet")
+    p = str(tmp_path / "schema.csv")
+    ds.export_schema(p, "csv")
+    rows = list(_csv.DictReader(open(p)))
+    assert len(rows) == 11
+    assert rows[0]["column_name"] == "l_orderkey"
+    hits = ds.search_schema("timestamp")
+    assert [r["column_name"] for r in hits] == ["l_shipdate"]
+
+
+def test_sample_dialect(engine, sf_dir):
+    ds = engine.open(f"{sf_dir}/orders.parquet")
+    rs = ds.query("SELECT * FROM data USING SAMPLE 10%")
+    assert 0 < rs.row_count < 1500

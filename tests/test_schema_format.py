@@ -73,3 +73,28 @@ def test_completions_flatten_nested():
     names = [c["name"] for c in comp]
     assert "st" in names and "st.x" in names and "st.y" in names
     assert "single.only" in names
+
+
+def test_mso_number_format():
+    from vscode_parquet_visualizer_spark.functions.schema_format import (
+        mso_number_format,
+    )
+
+    assert mso_number_format("BIGINT") == "0"
+    assert mso_number_format("DOUBLE") == "0\\.00"
+    assert mso_number_format("DECIMAL(18,3)") == "0\\.00"
+    assert mso_number_format("VARCHAR") == "\\@"
+    assert mso_number_format("TIMESTAMP") == "yyyy\\-mm\\-dd\\ hh\\:mm\\:ss"
+
+
+def test_search_schema_rows():
+    from vscode_parquet_visualizer_spark.functions.schema_format import (
+        search_schema_rows,
+        schema_rows,
+    )
+
+    rows = schema_rows(NESTED)
+    assert search_schema_rows(rows, "") == rows
+    hits = search_schema_rows(rows, "decimal")
+    assert [r["column_name"] for r in hits] == ["d"]
+    assert search_schema_rows(rows, "zzz") == []

@@ -220,6 +220,32 @@ class Dataset:
     def schema(self) -> list[dict[str, Any]]:
         return schema_rows(self.df.schema)
 
+    def search_schema(self, term: str) -> list[dict[str, Any]]:
+        """Driver-side schema-tab search (A23) — small relation, no job."""
+        from vscode_parquet_visualizer_spark.functions.schema_format import (
+            search_schema_rows,
+        )
+
+        return search_schema_rows(self.schema(), term)
+
+    def export_schema(self, path: str, fmt: str) -> None:
+        """Schema-tab export (A18): DESCRIBE-shaped rows through the same
+        writers (reference: CTAS schema_result then COPY,
+        src/worker.ts:274-284). Arrow-type column serialized to a string
+        so every export format can carry it."""
+        import json as _json
+
+        rows = [
+            {**r, "arrow_column_type": _json.dumps(r["arrow_column_type"])}
+            for r in self.schema()
+        ]
+        cols = list(rows[0].keys())
+        schema_ddl = ", ".join(f"`{c}` string" for c in cols)
+        df = self.engine.spark.createDataFrame(
+            [tuple(r[c] for c in cols) for r in rows], schema_ddl
+        )
+        export_ops.export(df, path, fmt)
+
     def completions(self) -> list[dict[str, str]]:
         return completions(self.df.schema)
 

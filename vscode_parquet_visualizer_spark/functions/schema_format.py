@@ -99,6 +99,42 @@ def arrow_type(dtype: T.DataType) -> Any:
     return _ARROW_NAMES.get(dtype.simpleString(), dtype.simpleString())
 
 
+# DuckDB-type → Excel mso-number-format class used by the reference's
+# copy-to-clipboard HTML (media/scripts/table-wrapper.js:58-136 — A24):
+# the presentation-side mapping is a pure type→format table.
+_MSO_FORMATS = [
+    (("TINYINT", "SMALLINT", "INTEGER", "BIGINT"), "0"),
+    (("FLOAT", "DOUBLE", "DECIMAL"), "0\\.00"),
+    (("DATE",), "yyyy\\-mm\\-dd"),
+    (("TIMESTAMP", "TIME"), "yyyy\\-mm\\-dd\\ hh\\:mm\\:ss"),
+]
+
+
+def mso_number_format(type_string: str) -> str:
+    """Excel paste format class for a column type (default: text)."""
+    upper = type_string.upper()
+    for prefixes, fmt in _MSO_FORMATS:
+        if any(upper.startswith(p) for p in prefixes):
+            return fmt
+    return "\\@"  # text
+
+
+def search_schema_rows(
+    rows: list[dict[str, Any]], term: str
+) -> list[dict[str, Any]]:
+    """Driver-side search over already-collected schema rows — the
+    reference's client-side (in-browser) search path for small relations
+    (media/scripts/search-box.js:76-104 — A23)."""
+    if term == "":
+        return rows
+    needle = term.lower()
+    return [
+        r
+        for r in rows
+        if any(needle in str(v).lower() for v in r.values() if v is not None)
+    ]
+
+
 def schema_rows(schema: T.StructType) -> list[dict[str, Any]]:
     """DESCRIBE-shaped rows for a DataFrame schema (the reference's schema
     tab contract: column_name, column_type, null, key, default, extra)."""

@@ -153,11 +153,30 @@ def rewrite_qualify(sql: str) -> str:
     return f"SELECT * FROM ({head}) __q WHERE {tail}{trail}"
 
 
+def rewrite_sample(sql: str) -> str:
+    """``USING SAMPLE 10%`` / ``USING SAMPLE 100 ROWS`` →
+    ``TABLESAMPLE (10 PERCENT)`` / ``TABLESAMPLE (100 ROWS)``."""
+    sql = re.sub(
+        r"USING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*%",
+        r"TABLESAMPLE (\1 PERCENT)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"USING\s+SAMPLE\s+(\d+)(\s+ROWS)?\b",
+        r"TABLESAMPLE (\1 ROWS)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    return sql
+
+
 def transpile(sql: str, view: str = "data") -> str:
     """Full DuckDB-dialect → Spark SQL rewrite chain."""
     sql = rewrite_from_data(sql, view=view)
     sql = rewrite_pg_cast(sql)
     sql = rewrite_json_arrows(sql)
     sql = rewrite_exclude(sql)
+    sql = rewrite_sample(sql)
     sql = rewrite_qualify(sql)
     return sql
