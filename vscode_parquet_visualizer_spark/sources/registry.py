@@ -56,8 +56,15 @@ def read(spark: SparkSession, path: str, fmt: str | None = None, **options) -> D
     fmt = fmt or format_for_path(path)
     reader = spark.read
     if fmt == "csv":
-        reader = reader.option("header", options.pop("header", True)).option(
-            "inferSchema", options.pop("inferSchema", True)
+        # multiLine: quoted fields may contain newlines (DuckDB's sniffer
+        # handles these natively — parity requires it). Costs intra-file
+        # split parallelism; a many-file lake layout keeps per-file
+        # parallelism, so the 100 TB story is unchanged.
+        reader = (
+            reader.option("header", options.pop("header", True))
+            .option("inferSchema", options.pop("inferSchema", True))
+            .option("multiLine", options.pop("multiLine", True))
+            .option("escape", options.pop("escape", '"'))
         )
     for k, v in options.items():
         reader = reader.option(k, v)
