@@ -1,0 +1,92 @@
+"""Scale operators: salted join/aggregate correctness, bucketed joins
+actually eliminating the shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vscode_parquet_visualizer_spark.operators import scale
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 10k rows of one hot key + a tail
+    hot = spark.range(10000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    tail = spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    return hot.unionByName(tail)
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    rows = [("hot", "HOT")] + [(f"k{i}", f"D{i}") for i in range(100)]
+    return spark.createDataFrame(rows, ["k", "label"])
+
+
+def test_salted_join_matches_plain_join(skewed, dim):
+    plain = skewed.join(dim, "k").groupBy("label").count()
+    salted = scale.salted_join(skewed, dim, "k").groupBy("label").count()
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_salted_join_left(skewed, dim, spark):
+    extra = skewed.unionByName(
+        spark.createDataFrame([("orphan", 1)], ["k", "v"])
+    )
+    out = scale.salted_join(extra, dim, "k", how="left")
+    assert out.filter(F.col("k") == "orphan").first()["label"] is None
+    assert out.count() == extra.count()
+
+
+def test_salted_aggregate_matches_plain(skewed):
+    plain = {
+        r["k"]: (r["s"], r["n"])
+        for r in skewed.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["sum_v"], r["count_v"])
+        for r in scale.salted_aggregate(
+            skewed, ["k"], {"v": "sum"} | {}, salts=8
+        )
+        .join(
+            scale.salted_aggregate(skewed, ["k"], {"v": "count"}, salts=8), "k"
+        )
+        .collect()
+    }
+    assert plain == salted
+
+
+def test_salted_aggregate_rejects_avg(skewed):
+    with pytest.raises(ValueError, match="non-associative"):
+        scale.salted_aggregate(skewed, ["k"], {"v": "avg"})
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    import shutil
+
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"/tmp/spark-warehouse-tests/{t}", ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    scale.write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "key"), "b_orders", "key", 8
+    )
+    scale.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "key"), "b_lineitem", "key", 8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = scale.colocated_join(spark, "b_orders", "b_lineitem", "key")
+        assert not scale.has_exchange(joined)
+        # same join on raw (unbucketed) frames must shuffle both sides
+        raw = orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        assert scale.has_exchange(raw)
+        assert joined.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
