@@ -53,6 +53,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     cached = _table_cache.get(key)
     if cached is not None:
         return cached
+    # Defensive for sessions not built by session.get_spark: date_trunc /
+    # CAST-to-DATE bucketing on tz-aware timestamps must agree with the
+    # (tz-naive) DuckDB oracle, so pin the session to UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from pyspark import StorageLevel
 
     out = {}
