@@ -27,6 +27,21 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Size-aware execution profile: AQE's stage-by-stage re-planning costs
+    # ~0.2 s/query — indispensable at 100 TB (skew splits, runtime
+    # broadcast), pure overhead on a sub-GB interactive dataset where the
+    # plan is knowable upfront. Mirror of the reference sizing its engine
+    # to the machine (SET threads, duckdb-backend.ts:59-65).
+    input_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    if input_bytes < 2 * 1024**3:
+        # keep AQE (the LSH self-joins want runtime coalescing) but start
+        # from few shuffle partitions so there's less for it to coalesce
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
     # Warm up one-time machinery outside the measurement: JVM/codegen,
     # the shared table cache (each parquet is scanned once for the whole
     # 47-query run), and the Python UDF worker pool (mapInPandas spawns

@@ -1177,6 +1177,100 @@ sql_query(
 )
 
 
+@q(
+    "q54_training_pipeline",
+    """
+    WITH survivors AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    ), docs AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+    ), tok AS (
+      SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+             length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonspace,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS dr
+      FROM docs
+    ), scored AS (
+      SELECT doc_id, text, n,
+             round((
+               (CASE WHEN n >= 10 AND n <= 5000 THEN 1.0 WHEN n = 0 THEN 0.0 ELSE 0.5 END) +
+               (CASE WHEN n = 0 THEN 0.5
+                     WHEN CAST(nonspace AS DOUBLE) / n >= 3.0 AND CAST(nonspace AS DOUBLE) / n <= 12.0 THEN 1.0
+                     ELSE 0.5 END) +
+               (CASE WHEN pr + dr < 0.2 THEN 1.0 WHEN pr + dr < 0.4 THEN 0.5 ELSE 0.0 END)
+             ) / 3.0, 4) AS quality
+      FROM tok
+    ), lang AS (
+      SELECT doc_id, n, quality,
+        (CASE WHEN regexp_matches(lower(text), '\\bder\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bund\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bdie\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bnicht\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bdas\\b') THEN 1 ELSE 0 END) AS s_de,
+        (CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bis\\b') THEN 1 ELSE 0 END) AS s_en,
+        (CASE WHEN regexp_matches(lower(text), '\\bel\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bque\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\blos\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\buna\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bpor\\b') THEN 1 ELSE 0 END) AS s_es,
+        (CASE WHEN regexp_matches(lower(text), '\\ble\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bla\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bet\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bles\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bdes\\b') THEN 1 ELSE 0 END) AS s_fr
+      FROM scored
+    )
+    SELECT CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           count(*) AS n_docs,
+           round(avg(CAST(n AS DOUBLE)), 4) AS avg_tokens,
+           round(avg(quality), 4) AS avg_quality
+    FROM lang
+    WHERE quality >= 0.6
+    GROUP BY 1
+    """,
+)
+def q54(spark, sf_dir):
+    """End-to-end training-data pipeline: exact dedup → quality filter →
+    per-language corpus stats — the composition the individual operators
+    exist for, oracle-verified as a whole. Plan shape: one fingerprint
+    shuffle (dedup), everything after is a narrow projection + one final
+    tiny aggregation."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    survivors = dd.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(survivors, "doc_id")
+    c = F.col("text")
+    enriched = kept.select(
+        "doc_id",
+        tx.token_count(c).cast("double").alias("n"),
+        tx.quality_score(c).alias("quality"),
+        tx.lang_id(c).alias("lang_pred"),
+    )
+    return (
+        enriched.filter(F.col("quality") >= 0.6)
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n"), 4).alias("avg_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
