@@ -38,6 +38,7 @@ TABLES = [
 ]
 
 _table_cache: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_current_views: dict[int, str] = {}
 
 # Tables worth keeping hot across the workload run. At sf0.1 this is a few
 # hundred MB; on a cluster persist() spills per-executor — the same
@@ -52,6 +53,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (id(spark), sf_dir)
     cached = _table_cache.get(key)
     if cached is not None:
+        # Re-bind the temp views if another sf_dir was loaded on this
+        # session in between (SQL-based queries resolve by view name).
+        if _current_views.get(id(spark)) != sf_dir:
+            for t, df in cached.items():
+                df.createOrReplaceTempView(t)
+            _current_views[id(spark)] = sf_dir
         return cached
     # Defensive for sessions not built by session.get_spark: date_trunc /
     # CAST-to-DATE bucketing on tz-aware timestamps must agree with the
@@ -67,6 +74,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(t)
         out[t] = df
     _table_cache[key] = out
+    _current_views[id(spark)] = sf_dir
     return out
 
 
@@ -1269,6 +1277,40 @@ def q54(spark, sf_dir):
             F.round(F.avg("quality"), 4).alias("avg_quality"),
         )
     )
+
+
+sql_query(
+    "q55_levenshtein",
+    """
+    SELECT p_brand,
+           CAST(min(levenshtein(p_name, 'green widget')) AS BIGINT) AS closest,
+           CAST(max(levenshtein(p_type, 'ECONOMY')) AS BIGINT) AS furthest
+    FROM part GROUP BY p_brand
+    """,
+)
+
+sql_query(
+    "q56_interval_arithmetic",
+    """
+    SELECT count(*) AS n_shipped_late,
+           CAST(min(CAST(l_shipdate + INTERVAL 30 DAY AS DATE)) AS STRING) AS min_due,
+           CAST(max(CAST(l_shipdate - INTERVAL 7 DAY AS DATE)) AS STRING) AS max_grace
+    FROM lineitem
+    WHERE l_shipdate + INTERVAL 30 DAY > TIMESTAMP '2001-11-01'
+    """,
+)
+
+sql_query(
+    "q57_conditional_functions",
+    """
+    SELECT o_orderstatus,
+           round(sum(coalesce(nullif(o_totalprice, 0.0), 1.0)), 2) AS s,
+           round(max(greatest(o_totalprice, 100000.0)), 2) AS g,
+           round(min(least(o_totalprice, 100000.0)), 2) AS l,
+           count(if(o_totalprice > 200000, 1, NULL)) AS n_big
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
