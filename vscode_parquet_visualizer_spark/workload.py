@@ -1313,6 +1313,35 @@ sql_query(
 )
 
 
+sql_query(
+    "q58_window_frames",
+    """
+    SELECT o_orderkey,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING), 2) AS range_sum
+    FROM orders WHERE o_custkey < 50
+    """,
+)
+
+sql_query(
+    "q59_rank_functions",
+    """
+    SELECT o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           first_value(o_orderkey) OVER w AS first_in_status,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
