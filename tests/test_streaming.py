@@ -76,3 +76,17 @@ def test_stateful_running_value_matches_batch(spark, stream, batch_events):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_equals_batch(spark, sf_dir, batch_events):
+    from vscode_parquet_visualizer_spark import workload
+
+    out = workload.QUERIES["q61_streaming_dedup"](spark, sf_dir)
+    got = {r["event_type"]: r["n"] for r in out.collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in batch_events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want  # self-unioned stream deduped back to original counts

@@ -1342,6 +1342,43 @@ sql_query(
 )
 
 
+sql_query(
+    "q60_try_cast_extract",
+    """
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+           count(*) AS n,
+           CAST(count(TRY_CAST(o_orderpriority AS DOUBLE)) AS BIGINT) AS n_numeric_prio,
+           CAST(count(TRY_CAST(o_orderstatus AS INTEGER)) AS BIGINT) AS n_numeric_status
+    FROM orders GROUP BY 1
+    """,
+)
+
+
+@q("q61_streaming_dedup")  # rows-only: stateful streaming op
+def q61(spark, sf_dir):
+    """Streaming exact dedup: dropDuplicates over a keyed stream with a
+    watermark bounding the dedup state — the streaming counterpart of
+    q33's batch dedup (state is dropped for keys older than the watermark,
+    so memory is bounded at any input volume)."""
+    from vscode_parquet_visualizer_spark.streaming import events as stream_ops
+
+    t = load_tables(spark, sf_dir)
+    stream = stream_ops.read_events_stream(
+        spark, f"{sf_dir}/events.parquet", schema=t["events"].schema
+    )
+    # duplicate the stream (union with itself) then dedup on event_id
+    dup = stream.unionByName(stream)
+    deduped = dup.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    name = "q61_stream_sink"
+    agg = deduped.groupBy("event_type").count()
+    handle = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    handle.awaitTermination()
+    return spark.table(name).withColumnsRenamed({"count": "n"})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
