@@ -69,3 +69,24 @@ def test_embedding_near_dup_finds_planted_dup(spark):
     ).collect()
     assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
     assert not any(r["id_b"] == 2 or r["id_a"] == 2 for r in pairs)
+
+
+def test_ivf_topk_recall(embeddings):
+    """IVF with nprobe=4/16 cells should recover most of the exact top-10
+    (self-match always, majority overall)."""
+    queries = embeddings.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = sim.brute_force_topk(embeddings, queries, k=10)
+    approx = sim.ivf_topk(embeddings, queries, k=10, n_centroids=8, nprobe=3)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid, want in exact_sets.items():
+        got = approx_sets.get(qid, set())
+        assert qid in got  # self-match always lands in its own cell
+        recall = len(got & want) / len(want)
+        assert recall >= 0.5, (qid, recall)

@@ -195,6 +195,70 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer (Spark ML), corpus rows
+    assigned to their nearest centroid once, each query probes its
+    ``nprobe`` nearest centroids and scores only those cells.
+
+    Scale shape: the fit runs on a sample (k-means over 100 TB of vectors
+    is never the plan — fit on ≤``fit_sample_rows``), assignment is one
+    narrow pass, and the probe join touches nprobe/n_centroids of the
+    corpus per query — the classic recall/throughput dial.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__features", predictionCol="__cell")
+    model = km.fit(vecs.select("__features"))
+    assigned = model.transform(vecs).select("neighbor_id", vec_col, "__cell")
+
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    @F.udf("array<int>")
+    def _probe_cells(v):
+        x = np.asarray(v, dtype=np.float64)
+        d = ((centroids - x) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d)[:nprobe]]
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(_probe_cells(F.col(vec_col).cast("array<double>"))).alias("__cell"),
+        )
+    )
+    cand = assigned.join(q, "__cell").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine_similarity(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__qvec").cast("array<double>"),
+            ),
+            6,
+        ).alias("score"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.98,

@@ -1379,6 +1379,40 @@ def q61(spark, sf_dir):
     return spark.table(name).withColumnsRenamed({"count": "n"})
 
 
+@q("q62_similarity_ivf")  # rows-only: k-means fit isn't SQL
+def q62(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer + nprobe cell probing — the
+    trained-index scale path next to q41's hash-based LSH."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    queries_df = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivf_topk(e, queries_df, k=10, n_centroids=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+sql_query(
+    "q63_percentiles",
+    """
+    SELECT o_orderstatus,
+           round(percentile(o_totalprice, 0.5), 4) AS med,
+           round(percentile(o_totalprice, 0.9), 4) AS p90,
+           round(percentile(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS med,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
