@@ -62,3 +62,42 @@ def test_safe_column_name():
 def test_serialize_rows_renames_dotted():
     rows = serialize_rows([Row(**{"a.b": 1, "c": None})])
     assert rows == [{"a_b": 1, "c": None}]
+
+
+def test_datetime_format_settings():
+    import datetime as dt
+
+    from vscode_parquet_visualizer_spark.functions.settings import (
+        RFC2822,
+        Settings,
+        format_datetime,
+    )
+
+    v = dt.datetime(2024, 3, 5, 14, 30, 45)
+    assert format_datetime(v) == "2024-03-05 14:30:45"
+    assert (
+        format_datetime(v, Settings(datetime_format=RFC2822))
+        == "Tue, 05 Mar 2024 14:30:45 +0000"
+    )
+    assert (
+        format_datetime(v, Settings(datetime_format="YYYY/MM/DD HH:mm"))
+        == "2024/03/05 14:30"
+    )
+
+
+def test_settings_flow_through_page(spark):
+    import datetime as dt
+
+    from vscode_parquet_visualizer_spark.engine import Engine
+    from vscode_parquet_visualizer_spark.functions.settings import Settings
+
+    eng = Engine(spark=spark, settings=Settings(datetime_format="DD.MM.YYYY HH:mm:ss"))
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 3, 5, 14, 30, 45))], ["id", "ts"]
+    )
+    import tempfile, os
+    p = os.path.join(tempfile.mkdtemp(), "t.parquet")
+    df.write.mode("overwrite").parquet(p)
+    d = eng.open(p)
+    rows = d.query("SELECT * FROM data").page(1, 1)
+    assert rows[0]["ts"] == "05.03.2024 14:30:45"

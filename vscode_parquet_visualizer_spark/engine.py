@@ -38,6 +38,7 @@ from vscode_parquet_visualizer_spark.functions.metadata import (
 )
 from vscode_parquet_visualizer_spark.functions.schema_format import schema_rows
 from vscode_parquet_visualizer_spark.functions.serialization import serialize_rows
+from vscode_parquet_visualizer_spark.functions.settings import Settings
 from vscode_parquet_visualizer_spark.operators import export as export_ops
 from vscode_parquet_visualizer_spark.operators import search as search_ops
 from vscode_parquet_visualizer_spark.operators import sort as sort_ops
@@ -68,7 +69,8 @@ class ResultSet:
     cached DataFrames; sort and page state mirror the paginator protocol.
     """
 
-    def __init__(self, df: DataFrame, name: str = "query_result"):
+    def __init__(self, df: DataFrame, name: str = "query_result", settings: Settings | None = None):
+        self.settings = settings or Settings()
         self._base = _with_row_id(df).persist(StorageLevel.MEMORY_AND_DISK)
         self.row_count = self._base.count()  # eager: the CTAS moment
         self.name = name
@@ -124,7 +126,7 @@ class ResultSet:
         """One page of JSON-safe rows — the webview row contract."""
         pager = self.paginator(page_size)
         rows = pager.goto(page_number).drop(ROW_ID).collect()
-        return serialize_rows(rows)
+        return serialize_rows(rows, settings=self.settings)
 
     def page_df(self, page_number: int = 1, page_size: int = 20) -> DataFrame:
         return self.paginator(page_size).goto(page_number).drop(ROW_ID)
@@ -185,22 +187,27 @@ class Dataset:
         opening a huge file never loads it fully — Catalyst pushes the
         limit into the scan."""
         pager = Paginator(_with_row_id(self.df), self.row_count(), page_size)
-        return serialize_rows(pager.goto(page_number).drop(ROW_ID).collect())
+        return serialize_rows(
+            pager.goto(page_number).drop(ROW_ID).collect(),
+            settings=self.engine.settings,
+        )
 
     # -- query tab ---------------------------------------------------------
-    def query(self, sql: str = DEFAULT_QUERY, materialize: bool = True) -> ResultSet | DataFrame:
+    def query(self, sql: str | None = None, materialize: bool = True) -> ResultSet | DataFrame:
         """Run SQL (DuckDB dialect accepted) with the ``data`` view bound.
 
         Materialization is atomic: the new result is built and counted
         before the old one is dropped, so a failing query keeps the
         previous result (reference CREATE OR REPLACE rationale)."""
         spark = self.engine.spark
+        if sql is None:
+            sql = self.engine.settings.default_query
         rewritten = dialect.transpile(sql.rstrip().rstrip(";"), view=self.view)
         t0 = time.perf_counter()
         df = spark.sql(rewritten)
         if not materialize:
             return df
-        new_result = ResultSet(df)  # eager count happens here; raises on bad SQL
+        new_result = ResultSet(df, settings=self.engine.settings)  # eager count; raises on bad SQL
         new_result.query_ms = (time.perf_counter() - t0) * 1000.0
         if self._result is not None:
             self._result.unpersist()
@@ -255,11 +262,21 @@ class Engine:
     DuckDB per worker thread; Spark multiplexes concurrent jobs in one
     session — FAIR pools would give the query-tab/data-tab isolation)."""
 
-    def __init__(self, spark: SparkSession | None = None, **session_kwargs):
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        settings: Settings | None = None,
+        **session_kwargs,
+    ):
         self.spark = spark or get_spark(**session_kwargs)
+        self.settings = settings or Settings()
 
     def open(self, path: str, fmt: str | None = None, **options) -> Dataset:
-        return Dataset(self, path, fmt=fmt, **options)
+        ds = Dataset(self, path, fmt=fmt, **options)
+        if self.settings.run_query_on_startup:
+            # reference runs the default query on open (src/settings.ts:76-82)
+            ds.query()
+        return ds
 
     def sql(self, sql: str) -> DataFrame:
         return self.spark.sql(dialect.transpile(sql.rstrip().rstrip(";")))

@@ -38,15 +38,20 @@ def _json_default(v: Any) -> Any:
     return str(v)
 
 
-def _format_temporal(v: dt.date | dt.datetime) -> str:
+def _format_temporal(v: dt.date | dt.datetime, settings=None) -> str:
+    from vscode_parquet_visualizer_spark.functions.settings import (
+        format_date,
+        format_datetime,
+    )
+
     if isinstance(v, dt.datetime):
-        # ISO8601, UTC-naive values rendered as-is (session tz is pinned UTC)
-        return v.isoformat(sep=" ")
-    return v.isoformat()
+        return format_datetime(v, settings)
+    return format_date(v)
 
 
-def serialize_value(v: Any, nested: bool = False) -> Any:
-    """One cell → JSON-safe scalar, per the reference's rules."""
+def serialize_value(v: Any, nested: bool = False, settings=None) -> Any:
+    """One cell → JSON-safe scalar, per the reference's rules. ``settings``
+    controls timestamp rendering (functions/settings.py)."""
     if v is None:
         return None
     if isinstance(v, bool):
@@ -61,17 +66,23 @@ def serialize_value(v: Any, nested: bool = False) -> Any:
     if isinstance(v, Decimal):
         return str(v)
     if isinstance(v, (dt.datetime, dt.date)):
-        return _format_temporal(v)
+        return _format_temporal(v, settings)
     if isinstance(v, (bytes, bytearray)):
         return list(v)
     if isinstance(v, Row):
-        obj = {k: serialize_value(x, nested=True) for k, x in v.asDict().items()}
+        obj = {
+            k: serialize_value(x, nested=True, settings=settings)
+            for k, x in v.asDict().items()
+        }
         return obj if nested else json.dumps(obj, default=_json_default)
     if isinstance(v, dict):
-        obj = {str(k): serialize_value(x, nested=True) for k, x in v.items()}
+        obj = {
+            str(k): serialize_value(x, nested=True, settings=settings)
+            for k, x in v.items()
+        }
         return obj if nested else json.dumps(obj, default=_json_default)
     if isinstance(v, (list, tuple)):
-        arr = [serialize_value(x, nested=True) for x in v]
+        arr = [serialize_value(x, nested=True, settings=settings) for x in v]
         return arr if nested else json.dumps(arr, default=_json_default)
     return str(v)
 
@@ -82,10 +93,15 @@ def safe_column_name(name: str) -> str:
     return name.replace(".", "_")
 
 
-def serialize_rows(rows: list[Row]) -> list[dict[str, Any]]:
+def serialize_rows(rows: list[Row], settings=None) -> list[dict[str, Any]]:
     """Collected page → list of JSON-safe dicts (the webview row contract)."""
     out = []
     for row in rows:
         d = row.asDict()
-        out.append({safe_column_name(k): serialize_value(v) for k, v in d.items()})
+        out.append(
+            {
+                safe_column_name(k): serialize_value(v, settings=settings)
+                for k, v in d.items()
+            }
+        )
     return out

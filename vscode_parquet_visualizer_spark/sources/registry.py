@@ -116,10 +116,16 @@ def _restore_nano_timestamps(df: DataFrame, path: str) -> DataFrame:
     precision). No-op when the footer isn't locally readable."""
     if path.startswith(("s3a://", "s3://", "hdfs://", "abfs://", "gs://")):
         return df
+    from pyspark.sql import types as T
+
     for name in _nano_timestamp_columns(path):
-        df = df.withColumn(
-            name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
-        )
+        # Only convert when the column actually surfaced as int64 nanos —
+        # INT96 timestamps also read as ns in the pyarrow footer view but
+        # Spark loads them natively as TimestampType.
+        if isinstance(df.schema[name].dataType, T.LongType):
+            df = df.withColumn(
+                name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+            )
     return df
 
 
