@@ -90,3 +90,47 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         assert joined.count() == raw.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_range_join_matches_naive(spark):
+    from vscode_parquet_visualizer_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [(i, i * 7 % 100) for i in range(50)], ["pid", "t"]
+    )
+    ivs = spark.createDataFrame(
+        [(0, 5, 20), (1, 18, 42), (2, 90, 99), (3, 42, 42)],
+        ["iid", "lo", "hi"],
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(pts, ivs, "t", "lo", "hi", bucket_width=10).collect()
+    }
+    want = {
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(ivs)
+        .filter("t BETWEEN lo AND hi")
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_hypertable_rollup_resolutions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vscode_parquet_visualizer_spark.operators.range_join import (
+        hypertable_rollup,
+    )
+    from vscode_parquet_visualizer_spark.sources import registry
+
+    ev = registry.read(spark, f"{sf_dir}/events.parquet", "parquet")
+    out = hypertable_rollup(
+        ev, "ts", [3600, 86400], ["event_type"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+    day = out.filter(F.col("width") == 86400)
+    hour = out.filter(F.col("width") == 3600)
+    # hour buckets must sum to the day totals
+    tot_day = day.agg(F.sum("n")).first()[0]
+    tot_hour = hour.agg(F.sum("n")).first()[0]
+    assert tot_day == tot_hour == ev.count()

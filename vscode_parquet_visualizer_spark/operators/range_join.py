@@ -1,0 +1,95 @@
+"""Range (interval) join: match left points to right intervals
+(``left.t BETWEEN right.lo AND right.hi``).
+
+Spark executes a raw BETWEEN theta join as BroadcastNestedLoopJoin —
+O(|L|·|R|) and only viable when one side broadcasts. The scalable plan
+(same idea DuckDB/TimescaleDB use internally for range joins) buckets the
+domain: points land in one bucket, intervals explode to every bucket they
+overlap, and the join becomes an equi-join on the bucket key followed by
+an exact BETWEEN filter. Cost: |L| + Σ interval_span/bucket_width rows
+shuffled on a well-distributed key, instead of a cross product.
+
+``bucket_width`` tunes replication vs selectivity: ~median interval width
+is a good default (each interval explodes to ~2 buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    extra_on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-bucketed interval join. Numeric/epoch domains (cast timestamps
+    to ``unix_millis``/``unix_micros`` first). ``extra_on``: additional
+    equality keys (joined before the range filter — they also co-locate
+    the shuffle)."""
+    extra_on = extra_on or []
+    pt = points.withColumn(
+        "__bucket", (F.col(point_col) / bucket_width).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(lo_col) / bucket_width).cast("long"),
+                (F.col(hi_col) / bucket_width).cast("long"),
+            )
+        ),
+    )
+    joined = pt.join(iv, ["__bucket", *extra_on], how).filter(
+        F.col(point_col).between(F.col(lo_col), F.col(hi_col))
+        if how == "inner"
+        else (
+            F.col(lo_col).isNull()
+            | F.col(point_col).between(F.col(lo_col), F.col(hi_col))
+        )
+    )
+    return joined.drop("__bucket")
+
+
+def time_bucket(ts: Column, width_seconds: int) -> Column:
+    """Timescale-style time_bucket: epoch floored to the bucket start,
+    returned as epoch seconds (deterministic, tz-free)."""
+    return (F.unix_timestamp(ts) / width_seconds).cast("long") * width_seconds
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    widths_seconds: list[int],
+    group_cols: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Multi-resolution time rollup in ONE pass: every row is exploded to
+    its (width, bucket) pairs and aggregated grouped by (width, bucket,
+    group_cols) — the continuous-aggregate table serving any of the
+    requested resolutions. One shuffle total instead of one per
+    resolution; rows grow |widths|× before the (partial) aggregation
+    collapses them map-side."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(w).alias("width"),
+                time_bucket(F.col(ts_col), w).alias("bucket_epoch"),
+            )
+            for w in widths_seconds
+        ]
+    )
+    exploded = df.withColumn("__wb", F.explode(pairs))
+    return (
+        exploded.groupBy(
+            F.col("__wb.width").alias("width"),
+            F.col("__wb.bucket_epoch").alias("bucket_epoch"),
+            *group_cols,
+        ).agg(*aggs)
+    )

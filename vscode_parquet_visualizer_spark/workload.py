@@ -1413,6 +1413,80 @@ sql_query(
 )
 
 
+@q(
+    "q64_range_join",
+    """
+    WITH iv AS (
+      SELECT o_orderkey, o_custkey,
+             epoch_ms(o_orderdate) AS lo,
+             epoch_ms(o_orderdate + INTERVAL 30 DAY) AS hi
+      FROM orders WHERE o_orderkey < 1000
+    ), pt AS (
+      SELECT l_orderkey, l_linenumber, epoch_ms(l_shipdate) AS t
+      FROM lineitem
+    )
+    SELECT o_orderkey, count(*) AS n_in_window
+    FROM pt JOIN iv ON pt.t BETWEEN iv.lo AND iv.hi
+    GROUP BY o_orderkey
+    """,
+)
+def q64(spark, sf_dir):
+    """Range join via bucketed equi-join (operators/range_join.py) — the
+    plan that replaces Spark's O(n·m) BroadcastNestedLoopJoin for interval
+    predicates."""
+    from vscode_parquet_visualizer_spark.operators.range_join import range_join
+
+    t = load_tables(spark, sf_dir)
+    day_ms = 86400000
+    ms = lambda c: F.unix_millis(F.col(c).cast("timestamp"))  # NTZ→TZ (UTC session)
+    iv = (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            ms("o_orderdate").alias("lo"),
+            (ms("o_orderdate") + 30 * day_ms).alias("hi"),
+        )
+    )
+    pt = t["lineitem"].select(ms("l_shipdate").alias("t"))
+    joined = range_join(pt, iv, "t", "lo", "hi", bucket_width=30 * day_ms)
+    return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_in_window"))
+
+
+@q(
+    "q65_hypertable_rollup",
+    """
+    WITH widths AS (SELECT unnest([3600, 86400]) AS width)
+    SELECT width,
+           CAST(floor(epoch_ms(ts) / 1000.0) AS BIGINT) // width * width AS bucket_epoch,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM events CROSS JOIN widths
+    GROUP BY 1, 2, 3
+    """,
+)
+def q65(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: hour + day continuous
+    aggregates produced in one pass / one shuffle
+    (operators/range_join.hypertable_rollup)."""
+    from vscode_parquet_visualizer_spark.operators.range_join import (
+        hypertable_rollup,
+    )
+
+    t = load_tables(spark, sf_dir)
+    return hypertable_rollup(
+        t["events"],
+        "ts",
+        widths_seconds=[3600, 86400],
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
