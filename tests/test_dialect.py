@@ -104,3 +104,22 @@ def test_sample_rewrite():
         rewrite_sample("SELECT * FROM t USING SAMPLE 100 ROWS")
         == "SELECT * FROM t TABLESAMPLE (100 ROWS)"
     )
+
+
+def test_regex_operator_rewrites():
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        rewrite_regex_operators,
+    )
+
+    assert (
+        rewrite_regex_operators("SELECT * FROM t WHERE name ~ '^a.*b$'")
+        == "SELECT * FROM t WHERE name RLIKE '^a.*b$'"
+    )
+    assert (
+        rewrite_regex_operators("SELECT * FROM t WHERE name !~ 'x'")
+        == "SELECT * FROM t WHERE name NOT RLIKE 'x'"
+    )
+    assert (
+        rewrite_regex_operators("SELECT * FROM t WHERE a SIMILAR TO 'p'")
+        == "SELECT * FROM t WHERE a RLIKE 'p'"
+    )

@@ -42,3 +42,19 @@ def test_resize_stub_raises(media):
     out = mm.resize_images(media.filter(F.col("media_type") == "image"), 32, 32)
     with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
         out.collect()
+
+
+def test_sample_frames_shape(media):
+    out = mm.sample_frames(media, every_nth=1, max_frames=4)
+    assert out.schema == mm.FRAME_SCHEMA
+    rows = out.collect()
+    assert len(rows) > 0
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r["frame_index"])
+    for idxs in by_id.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # contiguous indices
+        assert len(idxs) <= 4
+    # only video rows produce frames
+    video_ids = {r["id"] for r in media.filter("media_type = 'video'").collect()}
+    assert set(by_id) <= video_ids

@@ -139,6 +139,59 @@ def resize_images(
     return df.mapInPandas(run, schema=out_schema)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), True),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth: int = 10,
+    max_frames: int = 8,
+    frame_fn: Callable[[bytes, int], list[bytes]] | None = None,
+) -> DataFrame:
+    """Video frame sampling pipeline shape: one binary video payload →
+    N frame rows (id, frame_index, frame). ``frame_fn(payload, stride)``
+    is the ffmpeg integration point; the default deterministic fake slices
+    the payload so the Spark-side plumbing (explode shape, batch memory,
+    row growth) is real and testable without codecs.
+
+    Scale note: frame explosion multiplies rows but each output row is one
+    frame, not the whole video — downstream feature extraction parallelizes
+    per frame. Keep ``maxPartitionBytes`` low for video tables so a task
+    holds few payloads pre-explosion."""
+    import pandas as pd
+
+    if frame_fn is None:
+        def frame_fn(payload: bytes, stride: int) -> list[bytes]:
+            if payload is None:
+                return []
+            # fake: fixed-size chunks standing in for decoded frames
+            chunk = max(1, len(payload) // max(1, max_frames))
+            frames = [
+                payload[i : i + chunk] for i in range(0, len(payload), chunk)
+            ]
+            return frames[::stride][:max_frames] if stride > 1 else frames[:max_frames]
+
+    projected = df.filter(F.col("media_type") == "video").select("id", "media")
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for _, row in pdf.iterrows():
+                for i, fr in enumerate(frame_fn(row["media"], every_nth)):
+                    ids.append(row["id"])
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({"id": ids, "frame_index": idxs, "frame": frames})
+
+    return projected.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def synthetic_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests (binary payloads derived
     from the row id — no randomness, no codec)."""

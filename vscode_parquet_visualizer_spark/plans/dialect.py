@@ -153,6 +153,18 @@ def rewrite_qualify(sql: str) -> str:
     return f"SELECT * FROM ({head}) __q WHERE {tail}{trail}"
 
 
+def rewrite_regex_operators(sql: str) -> str:
+    """DuckDB's ``expr ~ 'pattern'`` / ``!~`` → RLIKE / NOT RLIKE, and
+    ``SIMILAR TO`` → RLIKE (note: SIMILAR TO is anchored in DuckDB; the
+    rewrite preserves the pattern verbatim — anchor explicitly if needed)."""
+    ident = r"([A-Za-z_][A-Za-z0-9_.]*|\"[^\"]+\"|\))"
+    sql = re.sub(ident + r"\s*!~\s*", r"\1 NOT RLIKE ", sql)
+    sql = re.sub(ident + r"\s*~\s*(?=')", r"\1 RLIKE ", sql)
+    sql = re.sub(r"\bNOT\s+SIMILAR\s+TO\b", "NOT RLIKE", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bSIMILAR\s+TO\b", "RLIKE", sql, flags=re.IGNORECASE)
+    return sql
+
+
 def rewrite_sample(sql: str) -> str:
     """``USING SAMPLE 10%`` / ``USING SAMPLE 100 ROWS`` →
     ``TABLESAMPLE (10 PERCENT)`` / ``TABLESAMPLE (100 ROWS)``."""
@@ -177,6 +189,7 @@ def transpile(sql: str, view: str = "data") -> str:
     sql = rewrite_pg_cast(sql)
     sql = rewrite_json_arrows(sql)
     sql = rewrite_exclude(sql)
+    sql = rewrite_regex_operators(sql)
     sql = rewrite_sample(sql)
     sql = rewrite_qualify(sql)
     return sql
