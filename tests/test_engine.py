@@ -152,3 +152,46 @@ def test_sample_dialect(engine, sf_dir):
     ds = engine.open(f"{sf_dir}/orders.parquet")
     rs = ds.query("SELECT * FROM data USING SAMPLE 10%")
     assert 0 < rs.row_count < 1500
+
+
+def test_directory_dataset(engine, spark, sf_dir, tmp_path):
+    """A dataset may be a directory of many parquet files — the lake-native
+    layout. Row counts aggregate, metadata lists every footer, pagination
+    stays deterministic across file/partition boundaries."""
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = str(tmp_path / "orders_dir")
+    src.repartition(4).write.mode("overwrite").parquet(d)
+    ds = engine.open(d)
+    assert ds.format == "parquet"
+    assert ds.row_count() == 1500
+    md = ds.metadata()
+    assert len(md) == 4 and sum(m["num_rows"] for m in md) == 1500
+    rs = ds.query("SELECT * FROM data")
+    p1 = rs.page(3, 50)
+    p2 = rs.page(3, 50)
+    assert [r["o_orderkey"] for r in p1] == [r["o_orderkey"] for r in p2]
+    assert len({r["o_orderkey"] for r in p1}) == 50
+
+
+def test_concurrent_queries_two_datasets(engine, sf_dir):
+    """Two datasets queried from two threads concurrently (the reference
+    isolates its query/data tabs in separate workers; Spark multiplexes
+    concurrent jobs in one session)."""
+    import threading
+
+    ds_a = engine.open(f"{sf_dir}/lineitem.parquet")
+    ds_b = engine.open(f"{sf_dir}/events.parquet")
+    results = {}
+
+    def run(name, ds, sql):
+        results[name] = ds.query(sql).row_count
+
+    t1 = threading.Thread(
+        target=run, args=("a", ds_a, "SELECT l_orderkey, count(*) AS n FROM data GROUP BY l_orderkey")
+    )
+    t2 = threading.Thread(
+        target=run, args=("b", ds_b, "SELECT user_id, count(*) AS n FROM data GROUP BY user_id")
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert results["a"] == 1473  # distinct l_orderkey present in lineitem
+    assert results["b"] == 150
