@@ -190,3 +190,33 @@ def test_one_row_parquet(engine, fixture_dir):
     assert rs.row_count == 1
     assert rs.paginator(20).total_pages == 1
     assert len(rs.page(1, 20)) == 1
+
+
+def test_unsigned_widening(engine, tmp_path):
+    """SURVEY §1.3: unsigned parquet types widen u8→SMALLINT, u16→INT,
+    u32→BIGINT, u64→DECIMAL(20,0) (Spark's native mapping matches the
+    prescription); u64 max serializes losslessly as a string."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "u8": pa.array([0, 255, None], type=pa.uint8()),
+            "u16": pa.array([0, 65535, None], type=pa.uint16()),
+            "u32": pa.array([0, 2**32 - 1, None], type=pa.uint32()),
+            "u64": pa.array([0, 2**64 - 1, None], type=pa.uint64()),
+        }
+    )
+    p = str(tmp_path / "u.parquet")
+    pq.write_table(t, p)
+    ds = engine.open(p)
+    types = {r["column_name"]: r["column_type"] for r in ds.schema()}
+    assert types == {
+        "u8": "SMALLINT",
+        "u16": "INTEGER",
+        "u32": "BIGINT",
+        "u64": "DECIMAL(20,0)",
+    }
+    rows = ds.query("SELECT * FROM data").page(1, 3)
+    assert rows[1]["u64"] == str(2**64 - 1)  # exact, stringified decimal
+    assert rows[1]["u32"] == 2**32 - 1
