@@ -83,3 +83,33 @@ def test_simhash_column_deterministic(spark):
     df = spark.createDataFrame([(DOC,), (DOC,)], ["text"])
     vals = [r["h"] for r in df.select(dd.simhash(F.col("text")).alias("h")).collect()]
     assert vals[0] == vals[1]
+
+
+def test_dup_clusters(spark):
+    """Chain 1-2-3 plus pair (5,6) and isolated via pairs only: components
+    resolve to min-id labels in O(diameter) label-propagation rounds."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)],
+        ["id_a", "id_b"],
+    )
+    out = {r["id"]: r["cluster_id"] for r in dd.dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8, 11: 8}
+
+
+def test_dup_clusters_survivorship(docs):
+    """End-to-end: LSH pairs -> clusters -> survivors (keep min id)."""
+    pairs = dd.minhash_lsh_pairs(docs, num_hashes=64, bands=16)
+    clusters = dd.dup_clusters(pairs)
+    # doc ids 0,1,2,5 are dups of each other (cluster 0); 3 near-dup may join
+    labels = {r["id"]: r["cluster_id"] for r in clusters.collect()}
+    assert labels[1] == 0 and labels[2] == 0 and labels[5] == 0
+
+
+def test_approx_distinct_tolerance(spark, sf_dir):
+    from vscode_parquet_visualizer_spark import workload
+
+    out = workload.QUERIES["q66_approx_distinct"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(1, r["exact_parts"])
+        assert rel_err < 0.05, (r["l_returnflag"], rel_err)

@@ -256,6 +256,20 @@ class Dataset:
     def completions(self) -> list[dict[str, str]]:
         return completions(self.df.schema)
 
+    def close(self) -> None:
+        """Release this dataset: unpersist any materialized result and drop
+        the temp views (the reference terminates the document's workers on
+        editor close, src/tabular-document-editor.ts)."""
+        if self._result is not None:
+            self._result.unpersist()
+            self._result = None
+        catalog = self.engine.spark.catalog
+        for view in (self.view,):
+            try:
+                catalog.dropTempView(view)
+            except Exception:
+                pass
+
 
 class Engine:
     """One engine instance ≈ one SparkSession (the reference spawns one

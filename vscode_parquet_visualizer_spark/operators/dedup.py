@@ -315,3 +315,58 @@ def simhash_dedup(
 
 def _hamming64(x: F.Column, y: F.Column) -> F.Column:
     return F.bit_count(x.bitwiseXOR(y))
+
+
+def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id) with
+    cluster_id = min id in the component (the survivorship key: keep the
+    row whose id == cluster_id, drop the rest).
+
+    Distributed label propagation: every id starts labeled with itself;
+    each round, labels flow across edges and every node takes the min
+    label seen; stop when no label changes. Converges in O(diameter)
+    rounds — near-dup components are tiny (pairs of near-identical docs),
+    so 2-3 rounds in practice; ``max_iterations`` bounds pathological
+    chains. Each round is two shuffles (join + min-agg) — no driver-side
+    union-find, so it holds at any pair count.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        # labels flowing across edges: neighbor's current label
+        propagated = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "cluster_id")
+        )
+        new_labels = (
+            labels.select("id", "cluster_id")
+            .unionByName(propagated)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

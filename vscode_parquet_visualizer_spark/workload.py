@@ -1487,6 +1487,31 @@ def q65(spark, sf_dir):
     )
 
 
+@q("q66_approx_distinct")  # rows-only: engines use different HLL sketches
+def q66(spark, sf_dir):
+    """approx_count_distinct (HLL) beside the exact count — sketch values
+    are engine-specific by design, so this is a rows-only entry; the pytest
+    suite asserts <5% relative error vs exact."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+@q("q67_dedup_clusters")  # rows-only: iterative algorithm
+def q67(spark, sf_dir):
+    """Full dedup survivorship: LSH candidate pairs → connected components
+    (distributed label propagation) → one cluster id per involved doc."""
+    t = load_tables(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(t["documents"], num_hashes=64, bands=16, shingle_n=2)
+    return dd.dup_clusters(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
