@@ -338,11 +338,15 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .distinct()
         .persist()
     )
+    # localCheckpoint (not persist): iterative plans grow their lineage
+    # every round — by round N the logical plan is exponential and the JVM
+    # OOMs just *rendering* it. Checkpointing truncates lineage to the
+    # materialized data each round.
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         # labels flowing across edges: neighbor's current label
@@ -355,7 +359,7 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .unionByName(propagated)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -364,7 +368,6 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
