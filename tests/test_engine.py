@@ -195,3 +195,47 @@ def test_concurrent_queries_two_datasets(engine, sf_dir):
     t1.start(); t2.start(); t1.join(); t2.join()
     assert results["a"] == 1473  # distinct l_orderkey present in lineitem
     assert results["b"] == 15  # distinct users at sf0.001
+
+
+def test_partitioned_dataset_prunes(engine, spark, sf_dir, tmp_path):
+    """Hive-partitioned layout (key=value dirs): the partition column comes
+    back as a real column and filters on it prune at plan time."""
+    import io
+    from contextlib import redirect_stdout
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = str(tmp_path / "orders_part")
+    src.write.mode("overwrite").partitionBy("o_orderstatus").parquet(d)
+    ds = engine.open(d)
+    assert "o_orderstatus" in ds.df.columns
+    rs = ds.query("SELECT count(*) AS n FROM data WHERE o_orderstatus = 'F'")
+    want = src.filter("o_orderstatus = 'F'").count()
+    assert rs.page(1, 1)[0]["n"] == want
+    # plan-level: the filter lands in PartitionFilters, not a post-scan filter
+    flt = ds.df.filter("o_orderstatus = 'F'")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        flt.explain("formatted")
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in buf.getvalue()
+
+
+def test_time_type_schema(spark):
+    from pyspark.sql import types as T
+
+    from vscode_parquet_visualizer_spark.functions.schema_format import (
+        arrow_type,
+        duckdb_type_string,
+    )
+
+    assert duckdb_type_string(T.TimeType()) == "TIME"
+    assert arrow_type(T.TimeType()) == "Time64"
+
+
+def test_time_value_serialization():
+    import datetime as dt
+
+    from vscode_parquet_visualizer_spark.functions.serialization import (
+        serialize_value,
+    )
+
+    assert serialize_value(dt.time(14, 30, 45)) == "14:30:45"

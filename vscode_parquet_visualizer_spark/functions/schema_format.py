@@ -35,6 +35,7 @@ _DUCK_NAMES = {
     "string": "VARCHAR",
     "binary": "BLOB",
     "date": "DATE",
+    "time": "TIME",  # Spark ≥4.1 TimeType closes the SURVEY §1.3 TIME gap
     "timestamp": "TIMESTAMP",
     "timestamp_ntz": "TIMESTAMP",
     "void": "NULL",
@@ -53,6 +54,7 @@ _ARROW_NAMES = {
     "string": "String",
     "binary": "Binary",
     "date": "Date32",
+    "time": "Time64",
     "timestamp": "Timestamp",
     "timestamp_ntz": "Timestamp",
     "void": "Null",
@@ -63,6 +65,8 @@ def duckdb_type_string(dtype: T.DataType) -> str:
     """Spark type → DuckDB DESCRIBE-style type string."""
     if isinstance(dtype, T.DecimalType):
         return f"DECIMAL({dtype.precision},{dtype.scale})"
+    if isinstance(dtype, T.TimeType):
+        return "TIME"
     if isinstance(dtype, T.ArrayType):
         return f"{duckdb_type_string(dtype.elementType)}[]"
     if isinstance(dtype, T.MapType):
@@ -84,6 +88,8 @@ def arrow_type(dtype: T.DataType) -> Any:
     """Spark type → the reference converter's Arrow-style display form."""
     if isinstance(dtype, T.DecimalType):
         return f"Decimal128({dtype.precision}, {dtype.scale})"
+    if isinstance(dtype, T.TimeType):
+        return "Time64"
     if isinstance(dtype, T.ArrayType):
         return [arrow_type(dtype.elementType)]
     if isinstance(dtype, T.MapType):

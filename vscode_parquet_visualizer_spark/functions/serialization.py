@@ -67,6 +67,8 @@ def serialize_value(v: Any, nested: bool = False, settings=None) -> Any:
         return str(v)
     if isinstance(v, (dt.datetime, dt.date)):
         return _format_temporal(v, settings)
+    if isinstance(v, dt.time):
+        return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return list(v)
     if isinstance(v, Row):
