@@ -90,3 +90,15 @@ def test_excel_projection_rules(spark):
     row = out.first()
     assert json.loads(row["st"]) == {"x": 1, "y": "a"}
     assert json.loads(row["m"]) == {"k": 1}
+
+
+def test_partitioned_parquet_export(spark, sf_dir, tmp_path):
+    import os
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = str(tmp_path / "part_out")
+    export_parquet(src, d, partition_by=["o_orderstatus"])
+    subdirs = {p for p in os.listdir(d) if p.startswith("o_orderstatus=")}
+    assert len(subdirs) == 3  # F / O / P
+    back = spark.read.parquet(d)
+    assert back.count() == 1500

@@ -45,16 +45,31 @@ def _excel_projection(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
-def export_csv(df: DataFrame, path: str, distributed: bool = False) -> None:
-    if distributed:
-        df.write.mode("overwrite").option("header", True).csv(path)
+def export_csv(
+    df: DataFrame, path: str, distributed: bool = False,
+    partition_by: list[str] | None = None,
+) -> None:
+    if distributed or partition_by:
+        w = df.write.mode("overwrite").option("header", True)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.csv(path)
         return
     df.toPandas().to_csv(path, index=False)
 
 
-def export_parquet(df: DataFrame, path: str, distributed: bool = False) -> None:
-    if distributed:
-        df.write.mode("overwrite").parquet(path)
+def export_parquet(
+    df: DataFrame, path: str, distributed: bool = False,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet export: single file (reference parity) or distributed dir,
+    optionally hive-partitioned (``partition_by``) — the layout downstream
+    Spark/DuckDB readers partition-prune on."""
+    if distributed or partition_by:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         return
     import pyarrow.parquet as pq
 
