@@ -86,3 +86,34 @@ def test_pandas_variant_matches_native(frames):
         for r in asof_join_pandas(left, right, on="t", by=["k"]).collect()
     }
     assert native == pandas_out
+
+
+def test_nearest(frames):
+    left, right = frames
+    out = asof_join(left, right, on="t", by=["k"], direction="nearest").collect()
+    got = {(r["k"], r["t"]): r["price"] for r in out}
+    # k=1,t=10: backward 8 (d=2) vs forward 15 (d=5) -> 100.0
+    assert got[(1, 10)] == 100.0
+    # k=1,t=5: backward none, forward 8 -> 100.0
+    assert got[(1, 5)] == 100.0
+    # k=1,t=20: backward 15 (d=5), no forward -> 200.0
+    assert got[(1, 20)] == 200.0
+    # exact tie at equal distance prefers backward
+    assert got[(2, 7)] == 300.0
+
+
+def test_nearest_matches_pandas(spark, frames):
+    import pandas as pd
+
+    left, right = frames
+    got = (
+        asof_join(left, right, on="t", by=["k"], direction="nearest")
+        .toPandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    lp = left.toPandas().sort_values("t")
+    rp = right.toPandas().sort_values("t")
+    want = (
+        pd.merge_asof(lp, rp, on="t", by="k", direction="nearest")
+        .sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    assert got["price"].fillna(-1).tolist() == want["price"].fillna(-1).tolist()

@@ -36,10 +36,11 @@ def asof_join(
     suffix: str = "_right",
 ) -> DataFrame:
     """Union+window as-of join. Right value columns come back suffixed when
-    they collide with left names. ``direction``: backward | forward."""
+    they collide with left names. ``direction``: backward | forward |
+    nearest (ties prefer backward, pandas semantics)."""
     by = by or []
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
 
     left_cols = [c for c in left.columns]
     right_vals = [c for c in right.columns if c != on and c not in by]
@@ -47,14 +48,18 @@ def asof_join(
         c: (c + suffix if c in left_cols else c) for c in right_vals
     }
 
-    # Tag and align the two sides on a common shape.
+    # Tag and align the two sides on a common shape. The right-row struct
+    # carries its own `on` value (__r_on) so `nearest` can compare distances.
+    rrow_fields = [F.col(on).alias("__r_on")] + [
+        F.col(c).alias(renamed[c]) for c in right_vals
+    ]
     lhs = left.select(
         *[F.col(c) for c in by],
         F.col(on).alias("__on"),
         F.lit(1).alias("__is_left"),
         F.struct(*[F.col(c) for c in left_cols]).alias("__lrow"),
         F.lit(None).cast(
-            right.select(F.struct(*[F.col(c).alias(renamed[c]) for c in right_vals])).schema[0].dataType
+            right.select(F.struct(*rrow_fields)).schema[0].dataType
         ).alias("__rrow"),
     )
     rhs = right.select(
@@ -64,23 +69,46 @@ def asof_join(
         F.lit(None).cast(
             left.select(F.struct(*[F.col(c) for c in left_cols])).schema[0].dataType
         ).alias("__lrow"),
-        F.struct(*[F.col(c).alias(renamed[c]) for c in right_vals]).alias("__rrow"),
+        F.struct(*rrow_fields).alias("__rrow"),
     )
     unioned = lhs.unionByName(rhs)
 
+    part = [F.col(c) for c in by]
     # Backward: right rows sort before left rows at equal timestamps so a
-    # tie matches (asof uses <=); carry last right row forward.
-    order = [F.col("__on").asc(), F.col("__is_left").asc()]
-    if direction == "forward":
-        order = [F.col("__on").desc(), F.col("__is_left").asc()]
-    w = (
-        Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(*order)
+    # tie matches (asof uses <=); carry last right row forward. Forward is
+    # the mirror image; nearest computes both over the same union and
+    # picks the closer match per row.
+    w_back = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("__on").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = unioned.withColumn(
-        "__match", F.last("__rrow", ignorenulls=True).over(w)
-    ).filter(F.col("__is_left") == 1)
+    w_fwd = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("__on").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if direction == "backward":
+        matched = unioned.withColumn(
+            "__match", F.last("__rrow", ignorenulls=True).over(w_back)
+        )
+    elif direction == "forward":
+        matched = unioned.withColumn(
+            "__match", F.last("__rrow", ignorenulls=True).over(w_fwd)
+        )
+    else:  # nearest
+        b = F.last("__rrow", ignorenulls=True).over(w_back)
+        f = F.last("__rrow", ignorenulls=True).over(w_fwd)
+        dist_b = F.abs(F.col("__on") - b["__r_on"])
+        dist_f = F.abs(F.col("__on") - f["__r_on"])
+        matched = unioned.withColumn(
+            "__match",
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when(dist_f < dist_b, f)
+            .otherwise(b),  # ties → backward
+        )
+    matched = matched.filter(F.col("__is_left") == 1)
 
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left_cols]
     out_cols += [
