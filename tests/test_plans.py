@@ -1,0 +1,93 @@
+"""Plan-property regression tests: the scale claims of PLANS.md asserted
+so a refactor can't silently regress them."""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from vscode_parquet_visualizer_spark.operators.scale import has_exchange
+from vscode_parquet_visualizer_spark.sources import registry
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return registry.read(spark, f"{sf_dir}/lineitem.parquet", "parquet")
+
+
+def test_filters_push_to_scan(lineitem):
+    df = lineitem.filter(
+        (F.col("l_quantity") < 24) & (F.col("l_discount") > 0.05)
+    ).select("l_extendedprice")
+    plan = plan_of(df)
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "GreaterThan(l_discount,0.05)" in plan
+
+
+def test_column_pruning_reaches_scan(lineitem):
+    df = lineitem.select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(m.group(1).split(",")) == {
+        "l_orderkey:bigint", "l_quantity:double"
+    }
+
+
+def test_dim_join_broadcasts(spark, sf_dir, lineitem):
+    nation = registry.read(spark, f"{sf_dir}/nation.parquet", "parquet")
+    supplier = registry.read(spark, f"{sf_dir}/supplier.parquet", "parquet")
+    df = lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey")).join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir, lineitem):
+    from vscode_parquet_visualizer_spark.operators.range_join import range_join
+
+    orders = registry.read(spark, f"{sf_dir}/orders.parquet", "parquet")
+    iv = orders.select(
+        "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("lo"),
+        (F.unix_millis(F.col("o_orderdate").cast("timestamp")) + 86400000).alias("hi"),
+    )
+    pt = lineitem.select(
+        F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("t")
+    )
+    plan = plan_of(range_join(pt, iv, "t", "lo", "hi", bucket_width=86400000))
+    assert "NestedLoop" not in plan
+    # the naive BETWEEN theta join IS a nested loop — prove the contrast
+    naive = pt.join(iv, F.col("t").between(F.col("lo"), F.col("hi")))
+    assert "NestedLoop" in plan_of(naive)
+
+
+def test_limit_pushes_into_scan(lineitem):
+    plan = plan_of(lineitem.limit(20))
+    assert re.search(r"(GlobalLimit|CollectLimit)", plan)
+
+
+def test_asof_join_is_single_window_shuffle(spark, sf_dir):
+    from vscode_parquet_visualizer_spark.operators.asof import asof_join
+
+    ev = registry.read(spark, f"{sf_dir}/events.parquet", "parquet")
+    p = ev.filter("event_type = 'purchase'").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ms")
+    )
+    v = ev.filter("event_type = 'view'").select(
+        "user_id", F.col("event_id").alias("vid"), F.unix_millis("ts").alias("ms")
+    )
+    plan = plan_of(asof_join(p, v, on="ms", by=["user_id"]))
+    # one shuffle for the window partitioning, no join operators at all
+    assert "Join" not in plan.replace("Window", "")
+    assert plan.count("Exchange") <= 2  # union sides coalesce into one shuffle

@@ -46,6 +46,19 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_mismatches(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Column-width/type divergences that survive the value comparison but
+    could trip a stricter schema gate (int32 vs int64 etc.)."""
+    out = []
+    for c in spark_pdf.columns:
+        if c not in duck_pdf.columns:
+            continue
+        s, d = str(spark_pdf[c].dtype), str(duck_pdf[c].dtype)
+        if s != d:
+            out.append(f"{c}: spark={s} duck={d}")
+    return out
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -109,7 +122,9 @@ def main() -> int:
             failures += 1
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
         else:
-            print(f"ok    {name}: rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
+            dtw = dtype_mismatches(spark_pdf, duck_pdf)
+            note = f" dtypes⚠ {dtw}" if dtw else ""
+            print(f"ok    {name}: rows={len(spark_pdf)}{note} [{time.time()-t0:.1f}s]")
     print(f"\n{failures} failures / {len(only) if only else len(qs)} queries")
     return 1 if failures else 0
 
