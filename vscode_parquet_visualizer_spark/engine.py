@@ -171,15 +171,22 @@ class Dataset:
         self.df.createOrReplaceTempView(self.view)
         self.df.createOrReplaceTempView("data")
         self._result: ResultSet | None = None
+        self._row_count: int | None = None
 
     # -- row count: footer fast path for parquet (A6) ---------------------
     def row_count(self) -> int:
-        if self.format == "parquet" and not self.path.startswith("s3a://"):
-            try:
-                return parquet_num_rows(self.path)
-            except Exception:
-                pass
-        return self.df.count()
+        """Cached: parquet reads footers (O(1)); CSV/JSON pay one COUNT(*)
+        once, mirroring the reference's init-time count for non-parquet
+        (src/duckdb-backend.ts:86-95)."""
+        if self._row_count is None:
+            if self.format == "parquet" and not self.path.startswith("s3a://"):
+                try:
+                    self._row_count = parquet_num_rows(self.path)
+                except Exception:
+                    pass
+            if self._row_count is None:
+                self._row_count = self.df.count()
+        return self._row_count
 
     # -- data tab: page directly against the file, no materialization -----
     def page(self, page_number: int = 1, page_size: int = 20) -> list[dict[str, Any]]:
