@@ -21,6 +21,10 @@ def plan_of(df) -> str:
 
 @pytest.fixture(scope="module")
 def lineitem(spark, sf_dir):
+    # other modules persist these tables (workload.load_tables); cached
+    # plans substitute InMemoryRelation for identical scans, which hides
+    # the scan-level properties these tests assert
+    spark.catalog.clearCache()
     return registry.read(spark, f"{sf_dir}/lineitem.parquet", "parquet")
 
 
