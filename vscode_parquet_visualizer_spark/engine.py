@@ -291,6 +291,9 @@ class Engine:
     ):
         self.spark = spark or get_spark(**session_kwargs)
         self.settings = settings or Settings()
+        from vscode_parquet_visualizer_spark.session import ship_package
+
+        ship_package(self.spark)
 
     def open(self, path: str, fmt: str | None = None, **options) -> Dataset:
         ds = Dataset(self, path, fmt=fmt, **options)

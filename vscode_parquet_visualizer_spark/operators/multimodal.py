@@ -92,6 +92,9 @@ def extract_features(
     """
     import pandas as pd
 
+    from vscode_parquet_visualizer_spark.session import ship_package
+
+    ship_package(df.sparkSession)  # workers must import this module
     projected = df.select("id", "media", "media_type")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -166,6 +169,9 @@ def sample_frames(
     holds few payloads pre-explosion."""
     import pandas as pd
 
+    from vscode_parquet_visualizer_spark.session import ship_package
+
+    ship_package(df.sparkSession)
     if frame_fn is None:
         def frame_fn(payload: bytes, stride: int) -> list[bytes]:
             if payload is None:

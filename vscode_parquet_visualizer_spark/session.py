@@ -14,6 +14,36 @@ import os
 
 from pyspark.sql import SparkSession
 
+_shipped: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside Python workers regardless of the
+    driver's cwd/sys.path (module-level functions crossing into pandas
+    UDFs are pickled by reference and re-imported worker-side). Zips the
+    package once and distributes via addPyFile; idempotent per session."""
+    if id(spark) in _shipped:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(
+        tempfile.gettempdir(), "vscode_parquet_visualizer_spark_pkg"
+    )
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(
+            zip_base, "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir),
+        )
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added in this context
+    _shipped.add(id(spark))
+
 _DEFAULTS = {
     # Runtime re-planning: coalesce post-shuffle partitions, convert
     # sort-merge→broadcast when runtime stats allow, split skewed partitions.

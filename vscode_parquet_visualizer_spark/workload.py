@@ -62,8 +62,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         return cached
     # Defensive for sessions not built by session.get_spark: date_trunc /
     # CAST-to-DATE bucketing on tz-aware timestamps must agree with the
-    # (tz-naive) DuckDB oracle, so pin the session to UTC.
+    # (tz-naive) DuckDB oracle, so pin the session to UTC; and ship the
+    # package so Python workers can unpickle our UDF closures whatever the
+    # driver's cwd is.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from vscode_parquet_visualizer_spark.session import ship_package
+
+    ship_package(spark)
     from pyspark import StorageLevel
 
     out = {}
