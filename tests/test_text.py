@@ -63,3 +63,16 @@ def test_with_text_stats_columns(spark, sf_dir):
     for c in ["n_tokens", "quality", "lang_pred", "fingerprint"]:
         assert c in out.columns
     assert out.count() == 10
+
+
+def test_token_count_bpe(spark):
+    vals = {
+        "hello world": 2,
+        "don't stop": 4,          # don + ' + t + stop
+        "abc123 x-y": 5,          # abc, 123, x, -, y
+        "": 0,
+        "  ": 0,
+    }
+    for text, want in vals.items():
+        got = one(spark, text, tx.token_count_bpe(F.col("text")))
+        assert got == want, (text, got, want)

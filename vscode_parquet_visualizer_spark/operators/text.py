@@ -32,6 +32,19 @@ def token_count(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer, simplified to the ASCII classes that matter
+# for counting: letter runs, digit runs, runs of other non-space symbols.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: the number of pre-tokenizer matches — the
+    cheap proxy for LLM token budgeting when a real tokenizer isn't on the
+    executors. Pure regexp_extract_all, JVM-side, and expressible in
+    DuckDB with the same RE2-compatible pattern (oracle-verified)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 

@@ -1535,6 +1535,23 @@ sql_query(
 )
 
 
+@q(
+    "q69_bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q69(spark, sf_dir):
+    """BPE-ish token budgeting (operators/text.token_count_bpe): identical
+    RE2 pattern runs in both engines."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", tx.token_count_bpe(F.col("text")).cast("bigint").alias("n_bpe_tokens")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
