@@ -119,9 +119,9 @@ def _rev() -> F.Column:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(sum(l_extendedprice) / 1000.0, 2) AS sum_base_price_k,
+           round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 2) AS sum_disc_price_k,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) / 1000.0, 2) AS sum_charge_k,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
@@ -141,9 +141,9 @@ def q01(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
-            F.round(F.sum(_rev() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum("l_extendedprice") / 1000.0, 2).alias("sum_base_price_k"),
+            F.round(F.sum(_rev()) / 1000.0, 2).alias("sum_disc_price_k"),
+            F.round(F.sum(_rev() * (1 + F.col("l_tax"))) / 1000.0, 2).alias("sum_charge_k"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -155,7 +155,7 @@ def q01(spark, sf_dir):
 @q(
     "q02_regional_revenue",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 2) AS revenue_k
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -181,7 +181,7 @@ def q02(spark, sf_dir):
             & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()) / 1000.0, 2).alias("revenue_k"))
     )
 
 
@@ -470,7 +470,7 @@ sql_query(
     WITH big_orders AS (
       SELECT * FROM orders WHERE o_totalprice > 400000
     )
-    SELECT n_name, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    SELECT n_name, count(*) AS n, round(sum(o_totalprice) / 1000.0, 2) AS total_k
     FROM big_orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -494,7 +494,7 @@ sql_query(
     SELECT l_returnflag,
            count(DISTINCT l_suppkey) AS n_supp,
            count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
-           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS disc_rev
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05) / 1000.0, 2) AS disc_rev_k
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -527,7 +527,7 @@ sql_query(
     SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) AS month,
            CAST(year(o_orderdate) AS BIGINT) AS yr,
            CAST(month(o_orderdate) AS BIGINT) AS mo,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n, round(sum(o_totalprice) / 1000.0, 2) AS total_k
     FROM orders GROUP BY 1, 2, 3
     """,
 )
@@ -1112,7 +1112,7 @@ sql_query(
     "q47_group_by_all",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           round(sum(o_totalprice) / 1000.0, 2) AS total_k
     FROM orders GROUP BY ALL
     """,
 )
@@ -1309,7 +1309,7 @@ sql_query(
     "q57_conditional_functions",
     """
     SELECT o_orderstatus,
-           round(sum(coalesce(nullif(o_totalprice, 0.0), 1.0)), 2) AS s,
+           round(sum(coalesce(nullif(o_totalprice, 0.0), 1.0)) / 1000.0, 2) AS s_k,
            round(max(greatest(o_totalprice, 100000.0)), 2) AS g,
            round(min(least(o_totalprice, 100000.0)), 2) AS l,
            count(if(o_totalprice > 200000, 1, NULL)) AS n_big
