@@ -580,12 +580,12 @@ def q23(spark, sf_dir):
     WITH s AS (
       SELECT l_returnflag,
              round(sum(l_quantity), 2) AS qty,
-             round(sum(l_extendedprice), 2) AS price
+             round(sum(l_extendedprice) / 1000.0, 2) AS price_k
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, 'qty' AS metric, qty AS val FROM s
     UNION ALL
-    SELECT l_returnflag, 'price' AS metric, price AS val FROM s
+    SELECT l_returnflag, 'price_k' AS metric, price_k AS val FROM s
     """,
 )
 def q24(spark, sf_dir):
@@ -595,11 +595,11 @@ def q24(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("price"),
+            F.round(F.sum("l_extendedprice") / 1000.0, 2).alias("price_k"),
         )
     )
     return s.unpivot(
-        ids=["l_returnflag"], values=["qty", "price"],
+        ids=["l_returnflag"], values=["qty", "price_k"],
         variableColumnName="metric", valueColumnName="val",
     )
 
