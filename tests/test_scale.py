@@ -134,3 +134,47 @@ def test_hypertable_rollup_resolutions(spark, sf_dir):
     tot_day = day.agg(F.sum("n")).first()[0]
     tot_hour = hour.agg(F.sum("n")).first()[0]
     assert tot_day == tot_hour == ev.count()
+
+
+def test_zorder_layout_clusters_both_columns(spark, tmp_path):
+    """After z-ordering on (a, b) and splitting into files, per-file
+    min/max ranges of BOTH columns must be much narrower than the global
+    range (the property row-group pruning exploits)."""
+    import random
+
+    rnd = random.Random(3)
+    rows = [(rnd.randrange(10**6), rnd.randrange(10**6)) for _ in range(20000)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    z = scale.zorder_layout(df, ["a", "b"], bits=10, partitions=8)
+    out = str(tmp_path / "zorder")
+    z.write.mode("overwrite").parquet(out)
+
+    import pyarrow.parquet as pq
+    import os
+
+    spans_a, spans_b = [], []
+    for fname in os.listdir(out):
+        if not fname.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(out, fname))
+        if t.num_rows == 0:
+            continue
+        a = t["a"].to_pylist(); b = t["b"].to_pylist()
+        spans_a.append(max(a) - min(a)); spans_b.append(max(b) - min(b))
+    assert len(spans_a) >= 4
+    # each file covers a fraction of the domain on BOTH dimensions
+    assert sum(spans_a) / len(spans_a) < 10**6 * 0.6
+    assert sum(spans_b) / len(spans_b) < 10**6 * 0.6
+    assert z.count() == 20000  # no rows lost
+
+
+def test_profile(spark, sf_dir):
+    from vscode_parquet_visualizer_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    ds = eng.open(f"{sf_dir}/orders.parquet")
+    prof = {p["column_name"]: p for p in ds.profile()}
+    assert prof["o_orderkey"]["rows"] == 1500
+    assert prof["o_orderkey"]["nulls"] == 0
+    assert prof["o_orderkey"]["min"] == 0 and prof["o_orderkey"]["max"] == 1499
+    assert abs(prof["o_orderkey"]["approx_distinct"] - 1500) <= 150

@@ -37,7 +37,10 @@ from vscode_parquet_visualizer_spark.functions.metadata import (
     parquet_num_rows,
 )
 from vscode_parquet_visualizer_spark.functions.schema_format import schema_rows
-from vscode_parquet_visualizer_spark.functions.serialization import serialize_rows
+from vscode_parquet_visualizer_spark.functions.serialization import (
+    serialize_rows,
+    serialize_value,
+)
 from vscode_parquet_visualizer_spark.functions.settings import Settings
 from vscode_parquet_visualizer_spark.operators import export as export_ops
 from vscode_parquet_visualizer_spark.operators import search as search_ops
@@ -262,6 +265,37 @@ class Dataset:
 
     def completions(self) -> list[dict[str, str]]:
         return completions(self.df.schema)
+
+    def profile(self) -> list[dict[str, Any]]:
+        """Per-column stats in ONE distributed pass: count, nulls, distinct
+        (approx), min/max (orderable types only). The data-viewer summary
+        the reference leaves to the user's own SQL."""
+        from pyspark.sql import types as T
+
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        cols = []
+        for f in self.df.schema.fields:
+            c = f.name
+            cols.append((c, f.dataType))
+            aggs.append(F.sum(F.col(f"`{c}`").isNull().cast("long")).alias(f"{c}__nulls"))
+            aggs.append(F.approx_count_distinct(f"`{c}`").alias(f"{c}__distinct"))
+            if not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
+                aggs.append(F.min(f"`{c}`").alias(f"{c}__min"))
+                aggs.append(F.max(f"`{c}`").alias(f"{c}__max"))
+        row = self.df.agg(*aggs).first().asDict()
+        out = []
+        for c, dtype in cols:
+            out.append(
+                {
+                    "column_name": c,
+                    "rows": row["__rows"],
+                    "nulls": row[f"{c}__nulls"],
+                    "approx_distinct": row[f"{c}__distinct"],
+                    "min": serialize_value(row.get(f"{c}__min")),
+                    "max": serialize_value(row.get(f"{c}__max")),
+                }
+            )
+        return out
 
     def close(self) -> None:
         """Release this dataset: unpersist any materialized result and drop

@@ -20,7 +20,7 @@ AQE can't:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -104,6 +104,37 @@ def colocated_join(
 ) -> DataFrame:
     """Join two same-bucketed tables (see write_bucketed)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], bits: int = 16, partitions: int | None = None
+) -> DataFrame:
+    """Sort rows along a Z-order (Morton) curve over ``cols`` so a
+    subsequent parquet write clusters values of ALL the listed columns
+    into few row groups — multi-column min/max pruning where a plain sort
+    only serves its leading column.
+
+    Each column is rank-normalized to ``bits`` bits via percent_rank
+    (robust to skew/outliers, no domain knowledge needed), then the bit
+    planes are interleaved into one sort key. Two window passes + one
+    range partitioned sort — a layout-time cost paid once per write.
+    """
+    keys = []
+    for c in cols:
+        w = Window.orderBy(F.col(c))
+        rank = F.percent_rank().over(w)
+        keys.append((F.round(rank * ((1 << bits) - 1)).cast("long")).alias(f"__z_{c}"))
+    tmp = df.select("*", *keys)
+    z = F.lit(0).cast("long")
+    for bit in range(bits - 1, -1, -1):
+        for i, c in enumerate(cols):
+            z = F.shiftleft(z, 1) + F.shiftright(F.col(f"__z_{c}"), bit).bitwiseAND(F.lit(1))
+    out = tmp.withColumn("__zorder", z)
+    if partitions:
+        out = out.repartitionByRange(partitions, "__zorder")
+    return out.sortWithinPartitions("__zorder").drop(
+        "__zorder", *[f"__z_{c}" for c in cols]
+    )
 
 
 def has_exchange(df: DataFrame) -> bool:
