@@ -205,9 +205,14 @@ def ngram_jaccard_pairs(
         candidates = minhash_lsh_pairs(
             df, text_col=text_col, id_col=id_col, shingle_n=shingle_n
         )
+    # Hash the shingle set: |∩|/|∪| over distinct xxhash64 values equals
+    # the string-set Jaccard (collision probability ~n²/2⁶⁴), and 8-byte
+    # longs shuffle ~10× lighter than shingle strings in the pair joins.
     sh = df.select(
         F.col(id_col).alias("id"),
-        shingles(F.col(text_col), n=shingle_n).alias("sh"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), n=shingle_n), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
     from pyspark import StorageLevel
 
