@@ -123,3 +123,16 @@ def test_regex_operator_rewrites():
         rewrite_regex_operators("SELECT * FROM t WHERE a SIMILAR TO 'p'")
         == "SELECT * FROM t WHERE a RLIKE 'p'"
     )
+
+
+def test_columns_regex_rewrite():
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        rewrite_columns_regex,
+    )
+
+    cols = ["l_orderkey", "l_quantity", "o_custkey"]
+    out = rewrite_columns_regex("SELECT COLUMNS('^l_') FROM t", cols)
+    assert out == "SELECT `l_orderkey`, `l_quantity` FROM t"
+    # no columns supplied -> untouched
+    assert rewrite_columns_regex("SELECT COLUMNS('x') FROM t", None).count("COLUMNS") == 1
+

@@ -239,3 +239,9 @@ def test_time_value_serialization():
     )
 
     assert serialize_value(dt.time(14, 30, 45)) == "14:30:45"
+
+
+def test_columns_regex_query(engine, sf_dir):
+    ds = engine.open(f"{sf_dir}/lineitem.parquet")
+    rs = ds.query("SELECT COLUMNS('^l_q|^l_e') FROM data LIMIT 5")
+    assert set(rs.df.columns) == {"l_quantity", "l_extendedprice"}

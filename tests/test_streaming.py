@@ -90,3 +90,36 @@ def test_streaming_dedup_equals_batch(spark, sf_dir, batch_events):
         .collect()
     }
     assert got == want  # self-unioned stream deduped back to original counts
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, stream, batch_events):
+    from vscode_parquet_visualizer_spark.streaming.joins import (
+        purchases_with_prior_views,
+    )
+
+    out = purchases_with_prior_views(stream, lookback="30 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("t_ssjoin")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.table("t_ssjoin").collect()
+    }
+    p = batch_events.filter("event_type = 'purchase'").selectExpr(
+        "user_id pu", "event_id pid", "ts pts"
+    )
+    v = batch_events.filter("event_type = 'view'").selectExpr(
+        "user_id vu", "event_id vid", "ts vts"
+    )
+    want = {
+        (r["pid"], r["vid"])
+        for r in p.join(
+            v,
+            (F.col("pu") == F.col("vu"))
+            & (F.col("vts") <= F.col("pts"))
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0

@@ -212,7 +212,9 @@ class Dataset:
         spark = self.engine.spark
         if sql is None:
             sql = self.engine.settings.default_query
-        rewritten = dialect.transpile(sql.rstrip().rstrip(";"), view=self.view)
+        rewritten = dialect.transpile(
+            sql.rstrip().rstrip(";"), view=self.view, columns=self.df.columns
+        )
         t0 = time.perf_counter()
         df = spark.sql(rewritten)
         if not materialize:

@@ -165,6 +165,21 @@ def rewrite_regex_operators(sql: str) -> str:
     return sql
 
 
+def rewrite_columns_regex(sql: str, columns: list[str] | None) -> str:
+    """DuckDB's ``COLUMNS('regex')`` star-expansion → explicit column list.
+    Schema-aware: only possible when the caller supplies the relation's
+    columns (Dataset.query does); left untouched otherwise."""
+    if columns is None:
+        return sql
+
+    def expand(m: re.Match) -> str:
+        pat = re.compile(m.group(1))
+        hits = [f"`{c}`" for c in columns if pat.search(c)]
+        return ", ".join(hits) if hits else m.group(0)
+
+    return re.sub(r"COLUMNS\s*\(\s*'([^']*)'\s*\)", expand, sql, flags=re.IGNORECASE)
+
+
 def rewrite_sample(sql: str) -> str:
     """``USING SAMPLE 10%`` / ``USING SAMPLE 100 ROWS`` →
     ``TABLESAMPLE (10 PERCENT)`` / ``TABLESAMPLE (100 ROWS)``."""
@@ -183,9 +198,11 @@ def rewrite_sample(sql: str) -> str:
     return sql
 
 
-def transpile(sql: str, view: str = "data") -> str:
-    """Full DuckDB-dialect → Spark SQL rewrite chain."""
+def transpile(sql: str, view: str = "data", columns: list[str] | None = None) -> str:
+    """Full DuckDB-dialect → Spark SQL rewrite chain. ``columns`` enables
+    the schema-aware rewrites (COLUMNS('regex'))."""
     sql = rewrite_from_data(sql, view=view)
+    sql = rewrite_columns_regex(sql, columns)
     sql = rewrite_pg_cast(sql)
     sql = rewrite_json_arrows(sql)
     sql = rewrite_exclude(sql)

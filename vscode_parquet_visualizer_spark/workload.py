@@ -1552,6 +1552,41 @@ def q69(spark, sf_dir):
     )
 
 
+@q(
+    "q70_stream_stream_join",
+    """
+    WITH p AS (SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS pms
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, event_id AS view_id, epoch_ms(ts) AS vms
+               FROM events WHERE event_type = 'view')
+    SELECT p.user_id, purchase_id, view_id
+    FROM p JOIN v ON p.user_id = v.user_id
+                 AND vms <= pms AND vms >= pms - 1800000
+    """,
+)
+def q70(spark, sf_dir):
+    """Stream-stream interval join (watermark-bounded state) driven
+    availableNow; oracle is the batch interval join — the gate proves the
+    streaming plan computes exactly the batch semantics."""
+    from vscode_parquet_visualizer_spark.streaming import events as stream_ops
+    from vscode_parquet_visualizer_spark.streaming.joins import (
+        purchases_with_prior_views,
+    )
+
+    t = load_tables(spark, sf_dir)
+    stream = stream_ops.read_events_stream(
+        spark, f"{sf_dir}/events.parquet", schema=t["events"].schema
+    )
+    out = purchases_with_prior_views(stream, lookback="30 minutes")
+    name = "q70_stream_sink"
+    handle = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    handle.awaitTermination()
+    return spark.table(name).select("user_id", "purchase_id", "view_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
