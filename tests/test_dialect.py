@@ -57,13 +57,26 @@ def test_qualify_with_order_limit():
 
 
 def test_from_data_table_functions():
+    # 'path' placeholder or the dataset's own path bind to the view ...
     assert (
-        rewrite_from_data("SELECT * FROM read_parquet('/x/y.parquet')")
+        rewrite_from_data("SELECT * FROM read_parquet('path')")
         == "SELECT * FROM data"
     )
     assert (
-        rewrite_from_data("SELECT * FROM READ_CSV('/x/y.csv')")
+        rewrite_from_data(
+            "SELECT * FROM read_parquet('/x/y.parquet')",
+            dataset_path="/x/y.parquet",
+        )
         == "SELECT * FROM data"
+    )
+    # ... any other path becomes a direct file query of THAT file.
+    assert (
+        rewrite_from_data("SELECT * FROM read_parquet('/x/y.parquet')")
+        == "SELECT * FROM parquet.`/x/y.parquet`"
+    )
+    assert (
+        rewrite_from_data("SELECT * FROM READ_CSV('/x/y.csv')")
+        == "SELECT * FROM csv.`/x/y.csv`"
     )
 
 
@@ -74,7 +87,8 @@ def test_strftime_translation():
 def test_transpile_chain():
     out = transpile(
         "SELECT a::INT AS x, props ->> 'k' AS k FROM read_parquet('f.parquet') "
-        "QUALIFY x > 1"
+        "QUALIFY x > 1",
+        dataset_path="f.parquet",
     )
     assert "CAST(a AS INT)" in out
     assert "get_json_object(props, '$.k')" in out
@@ -91,6 +105,46 @@ def test_transpile_on_spark(spark, sf_dir):
         )
     )
     assert out.count() == 5
+
+
+def test_qualify_inline_window():
+    # raw window call in QUALIFY (no alias) — Spark forbids windows in
+    # WHERE, so it must be lifted into a projection and dropped again
+    out = transpile(
+        "SELECT * FROM data QUALIFY row_number() OVER (ORDER BY x DESC) <= 3 "
+        "ORDER BY y LIMIT 5"
+    )
+    assert out == (
+        "SELECT * EXCEPT (__qw0) FROM (SELECT *, row_number() OVER "
+        "(ORDER BY x DESC) AS __qw0 FROM data) __q WHERE __qw0 <= 3 "
+        "ORDER BY y LIMIT 5"
+    )
+    # alias-only predicate keeps the simple subquery+WHERE form
+    out = transpile("SELECT x, rank() OVER (ORDER BY x) AS r FROM data QUALIFY r = 1")
+    assert out == (
+        "SELECT * FROM (SELECT x, rank() OVER (ORDER BY x) AS r FROM data) "
+        "__q WHERE r = 1"
+    )
+
+
+def test_qualify_inline_window_on_spark(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("data")
+    # window references a base column the projection drops
+    out = spark.sql(
+        transpile(
+            "SELECT o_orderkey::BIGINT AS k FROM data "
+            "QUALIFY row_number() OVER (ORDER BY o_totalprice DESC) <= 3"
+        )
+    )
+    assert out.count() == 3 and out.columns == ["k"]
+    out = spark.sql(
+        transpile(
+            "SELECT o_custkey, o_totalprice AS p FROM data "
+            "QUALIFY rank() OVER (PARTITION BY o_orderpriority "
+            "ORDER BY o_totalprice DESC) = 1 AND p > 0"
+        )
+    )
+    assert out.columns == ["o_custkey", "p"] and out.count() >= 1
 
 
 def test_sample_rewrite():

@@ -194,9 +194,11 @@ class Dataset:
     # -- data tab: page directly against the file, no materialization -----
     def page(self, page_number: int = 1, page_size: int = 20) -> list[dict[str, Any]]:
         """Direct-from-file paging (readFromFile=true path, src/worker.ts:46):
-        opening a huge file never loads it fully — Catalyst pushes the
-        limit into the scan."""
-        pager = Paginator(_with_row_id(self.df), self.row_count(), page_size)
+        opening a huge file never loads it fully — sort-by-row-id + limit
+        plans as TakeOrdered (top-k), so early pages stay cheap while page
+        boundaries survive file-listing/split changes between calls."""
+        anchored = _with_row_id(self.df).orderBy(ROW_ID)
+        pager = Paginator(anchored, self.row_count(), page_size)
         return serialize_rows(
             pager.goto(page_number).drop(ROW_ID).collect(),
             settings=self.engine.settings,
@@ -213,7 +215,10 @@ class Dataset:
         if sql is None:
             sql = self.engine.settings.default_query
         rewritten = dialect.transpile(
-            sql.rstrip().rstrip(";"), view=self.view, columns=self.df.columns
+            sql.rstrip().rstrip(";"),
+            view=self.view,
+            columns=self.df.columns,
+            dataset_path=self.path,
         )
         t0 = time.perf_counter()
         df = spark.sql(rewritten)

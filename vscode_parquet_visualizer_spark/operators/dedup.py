@@ -108,9 +108,12 @@ def minhash_from_hashed(
     def sig(h: pd.Series) -> pd.Series:
         out = []
         for row in h:
+            if row is None or len(row) == 0:
+                out.append(None)  # null/empty text → no signature
+                continue
             hv = np.mod(np.asarray(row, dtype=np.int64), _MERSENNE)[None, :]
-            out.append((A * hv + B) % _MERSENNE)
-        return pd.Series([o.min(axis=1) for o in out])
+            out.append(((A * hv + B) % _MERSENNE).min(axis=1))
+        return pd.Series(out)
 
     return sig(hashed)
 
@@ -142,15 +145,23 @@ def minhash_lsh_pairs(
     # us). The persisted frames are (id, hashes) / (id, 64×long) ≈
     # 0.5 KB/doc: tiny relative to the corpus, spill to disk if not.
     # (Measured: 405 s → seconds at sf0.1.)
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            shingles(F.col(text_col), n=shingle_n), lambda s: F.abs(F.xxhash64(s))
-        ).alias("h"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = hashed.select(
-        "id", minhash_from_hashed(F.col("h"), num_hashes, seed).alias("sig")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hashed = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0))
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                shingles(F.col(text_col), n=shingle_n), lambda s: F.abs(F.xxhash64(s))
+            ).alias("h"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = (
+        hashed.select(
+            "id", minhash_from_hashed(F.col("h"), num_hashes, seed).alias("sig")
+        )
+        .filter(F.col("sig").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     banded = sig.select(
         "id",
         F.explode(
@@ -208,6 +219,9 @@ def ngram_jaccard_pairs(
     # Hash the shingle set: |∩|/|∪| over distinct xxhash64 values equals
     # the string-set Jaccard (collision probability ~n²/2⁶⁴), and 8-byte
     # longs shuffle ~10× lighter than shingle strings in the pair joins.
+    df = df.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    )
     sh = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
@@ -278,6 +292,9 @@ def simhash_dedup(
     # hashes once, (2) the 64-aggregate simhash over them once — otherwise
     # each bit (and then each of the 4 block projections) re-inlines the
     # full upstream expression.
+    df = df.filter(
+        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    )
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(shingles(F.col(text_col)), lambda s: F.xxhash64(s)).alias("h"),

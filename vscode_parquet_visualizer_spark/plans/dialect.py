@@ -27,19 +27,20 @@ import re
 
 _TYPE = r"[A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
 
-# DuckDB function name → Spark function name (same arg shape)
+# DuckDB function name → Spark function name. Only functions whose
+# argument shapes match exactly are renamed (applied by transpile);
+# ambiguous ones (DuckDB len() on both strings and lists, list_aggregate's
+# name-string argument) are deliberately left for the SQL parser to
+# reject loudly rather than silently misinterpret.
 FUNCTION_RENAMES = {
     "list_contains": "array_contains",
     "list_sort": "sort_array",
     "list_transform": "transform",
     "list_filter": "filter",
-    "list_aggregate": "aggregate",
-    "len": "length",
-    "string_agg": "string_agg",  # supported in Spark 4 (listagg alias)
     "array_length": "size",
-    "regexp_matches": "rlike",
-    "strip_accents": "translate",  # approximation; documented gap
+    "regexp_matches": "regexp_like",
     "epoch_ms": "unix_millis",
+    "list_distinct": "array_distinct",
 }
 
 _STRFTIME_MAP = [
@@ -59,15 +60,41 @@ def translate_strftime_pattern(pattern: str) -> str:
     return out
 
 
-def rewrite_from_data(sql: str, view: str = "data") -> str:
+_READ_FN_FORMATS = {
+    "read_parquet": "parquet",
+    "read_csv": "csv",
+    "read_csv_auto": "csv",
+    "read_json": "json",
+    "read_json_auto": "json",
+    "read_avro": "avro",
+    "read_orc": "orc",
+}
+
+
+def rewrite_from_data(
+    sql: str, view: str = "data", dataset_path: str | None = None
+) -> str:
     """Bind the ``data`` placeholder relation to this dataset's unique view
     (the reference's regex substitution, src/worker.ts:247-266: each
     document worker rewrites ``FROM data`` to its own file read — here each
     Dataset rewrites to its own temp view so two open files can't cross).
-    Also rewrites explicit ``read_parquet('p')``-style table functions."""
+
+    ``read_parquet('p')``-style table functions: the literal ``'path'``
+    placeholder (reference package.json:62-63) or the dataset's own path
+    binds to the view; any OTHER path becomes Spark's direct file-query
+    form ``parquet.`/that/path``` so querying a different file reads that
+    file instead of silently returning this dataset's rows."""
+
+    def sub(m: re.Match) -> str:
+        fn, path = m.group(1).lower(), m.group(2)
+        if path == "path" or (dataset_path and path == dataset_path):
+            return view
+        fmt = _READ_FN_FORMATS.get(fn, "parquet")
+        return f"{fmt}.`{path}`"
+
     sql = re.sub(
-        r"read_(?:parquet|csv|csv_auto|avro|json|json_auto)\s*\(\s*'[^']*'\s*\)",
-        view,
+        r"\b(read_(?:parquet|csv|csv_auto|avro|json|json_auto|orc))\s*\(\s*'([^']*)'\s*\)",
+        sub,
         sql,
         flags=re.IGNORECASE,
     )
@@ -80,11 +107,55 @@ def rewrite_from_data(sql: str, view: str = "data") -> str:
     return sql
 
 
+def rewrite_function_renames(sql: str) -> str:
+    """Apply the safe DuckDB→Spark function-name map (call sites only)."""
+    for duck, spark in FUNCTION_RENAMES.items():
+        sql = re.sub(rf"\b{duck}\s*\(", f"{spark}(", sql, flags=re.IGNORECASE)
+    return sql
+
+
+def rewrite_strftime(sql: str) -> str:
+    """``strftime(expr, '%Y-%m-%d')`` → ``date_format(expr, 'yyyy-MM-dd')``
+    (literal-format calls only; same argument order in both dialects)."""
+
+    def sub(m: re.Match) -> str:
+        return f"date_format({m.group(1)}, '{translate_strftime_pattern(m.group(2))}')"
+
+    return re.sub(
+        r"\bstrftime\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)",
+        sub,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+_LITERAL = re.compile(r"'(?:[^']|'')*'")
+
+
+def _protect_literals(sql: str) -> tuple[str, list[str]]:
+    """Swap string literals for placeholders so regex rewrites can't
+    corrupt their contents (e.g. '::' inside a URL literal)."""
+    stash: list[str] = []
+
+    def keep(m: re.Match) -> str:
+        stash.append(m.group(0))
+        return f"\x00LIT{len(stash) - 1}\x00"
+
+    return _LITERAL.sub(keep, sql), stash
+
+
+def _restore_literals(sql: str, stash: list[str]) -> str:
+    for i, lit in enumerate(stash):
+        sql = sql.replace(f"\x00LIT{i}\x00", lit)
+    return sql
+
+
 def rewrite_pg_cast(sql: str) -> str:
     """``expr::TYPE`` → ``CAST(expr AS TYPE)`` for simple operands
     (identifier, quoted identifier, literal, or parenthesized expr)."""
     operand = r"""(
         '(?:[^']|'')*'              # string literal
+      | \x00LIT\d+\x00              # protected string literal
       | "[^"]+"                     # quoted identifier
       | \([^()]*\)                  # parenthesized (non-nested)
       | [A-Za-z_][A-Za-z0-9_.]*\([^()]*\)   # simple call
@@ -134,23 +205,88 @@ def rewrite_exclude(sql: str) -> str:
     return sql
 
 
+def _window_expr_spans(pred: str) -> list[tuple[int, int]]:
+    """Spans of ``fn(args) OVER (spec)`` calls in ``pred``. Assumes string
+    literals are already placeholder-protected (no parens inside them)."""
+
+    def balance(i: int, step: int) -> int:
+        # i indexes a paren; walk to its match, return index past it.
+        depth = 0
+        while 0 <= i < len(pred):
+            if pred[i] == "(":
+                depth += 1
+            elif pred[i] == ")":
+                depth -= 1
+            if depth == 0:
+                return i
+            i += step
+        return i
+
+    spans = []
+    for m in re.finditer(r"\bOVER\s*\(", pred, flags=re.IGNORECASE):
+        end = balance(m.end() - 1, 1) + 1
+        # walk back over whitespace to the window function's closing paren
+        j = m.start() - 1
+        while j >= 0 and pred[j].isspace():
+            j -= 1
+        if j < 0 or pred[j] != ")":
+            continue
+        open_paren = balance(j, -1)
+        im = re.search(r"[A-Za-z_][A-Za-z0-9_]*\s*$", pred[:open_paren])
+        if im:
+            spans.append((im.start(), end))
+    return spans
+
+
 def rewrite_qualify(sql: str) -> str:
     """``SELECT ... QUALIFY pred [ORDER BY ...] [LIMIT n]`` →
     subquery + WHERE. Only handles a top-level QUALIFY (the
-    reference-reachable case); window aliases referenced in pred must be
-    projected, which QUALIFY queries do by construction."""
+    reference-reachable case). Window aliases referenced in pred are
+    projected by construction; *inline* window calls in pred (DuckDB
+    allows ``QUALIFY row_number() OVER (...) <= k``) are lifted into an
+    aliased projection — Spark forbids window functions in WHERE — and
+    the helper columns dropped again via ``* EXCEPT``."""
     m = re.search(r"\bQUALIFY\b", sql, flags=re.IGNORECASE)
     if not m:
         return sql
     head = sql[: m.start()].rstrip()
     tail = sql[m.end():].strip().rstrip(";")
-    # split trailing ORDER BY / LIMIT off the qualify predicate
+    # split trailing ORDER BY / LIMIT off the qualify predicate —
+    # only at paren depth 0 (an ORDER BY inside OVER (...) is part of
+    # the window spec, not the outer query)
     trail = ""
-    tm = re.search(r"\b(ORDER\s+BY|LIMIT)\b", tail, flags=re.IGNORECASE)
-    if tm:
-        trail = " " + tail[tm.start():]
-        tail = tail[: tm.start()].strip()
-    return f"SELECT * FROM ({head}) __q WHERE {tail}{trail}"
+    for tm in re.finditer(r"\b(ORDER\s+BY|LIMIT)\b", tail, flags=re.IGNORECASE):
+        before = tail[: tm.start()]
+        if before.count("(") == before.count(")"):
+            trail = " " + tail[tm.start():]
+            tail = before.strip()
+            break
+    spans = _window_expr_spans(tail)
+    if not spans:
+        return f"SELECT * FROM ({head}) __q WHERE {tail}{trail}"
+    # Inject each window expr into the head's own select list (it may
+    # reference base columns the projection drops), filter on the alias,
+    # and strip the helper columns in the outer select.
+    fm = None
+    for fm_cand in re.finditer(r"\bFROM\b", head, flags=re.IGNORECASE):
+        before = head[: fm_cand.start()]
+        if before.count("(") == before.count(")"):
+            fm = fm_cand
+            break
+    if fm is None:  # no top-level FROM — leave predicate as-is
+        return f"SELECT * FROM ({head}) __q WHERE {tail}{trail}"
+    projected, pred, last = [], [], 0
+    for i, (s, e) in enumerate(spans):
+        projected.append(f"{tail[s:e]} AS __qw{i}")
+        pred.append(tail[last:s] + f"__qw{i}")
+        last = e
+    pred.append(tail[last:])
+    inner = f"{head[: fm.start()].rstrip()}, {', '.join(projected)} {head[fm.start():]}"
+    drop = ", ".join(f"__qw{i}" for i in range(len(spans)))
+    return (
+        f"SELECT * EXCEPT ({drop}) FROM ({inner}) __q "
+        f"WHERE {''.join(pred)}{trail}"
+    )
 
 
 def rewrite_regex_operators(sql: str) -> str:
@@ -159,7 +295,7 @@ def rewrite_regex_operators(sql: str) -> str:
     rewrite preserves the pattern verbatim — anchor explicitly if needed)."""
     ident = r"([A-Za-z_][A-Za-z0-9_.]*|\"[^\"]+\"|\))"
     sql = re.sub(ident + r"\s*!~\s*", r"\1 NOT RLIKE ", sql)
-    sql = re.sub(ident + r"\s*~\s*(?=')", r"\1 RLIKE ", sql)
+    sql = re.sub(ident + r"\s*~\s*(?='|\x00)", r"\1 RLIKE ", sql)
     sql = re.sub(r"\bNOT\s+SIMILAR\s+TO\b", "NOT RLIKE", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bSIMILAR\s+TO\b", "RLIKE", sql, flags=re.IGNORECASE)
     return sql
@@ -198,15 +334,30 @@ def rewrite_sample(sql: str) -> str:
     return sql
 
 
-def transpile(sql: str, view: str = "data", columns: list[str] | None = None) -> str:
+def transpile(
+    sql: str,
+    view: str = "data",
+    columns: list[str] | None = None,
+    dataset_path: str | None = None,
+) -> str:
     """Full DuckDB-dialect → Spark SQL rewrite chain. ``columns`` enables
-    the schema-aware rewrites (COLUMNS('regex'))."""
-    sql = rewrite_from_data(sql, view=view)
+    the schema-aware rewrites (COLUMNS('regex')); ``dataset_path`` lets
+    read_parquet('<this dataset>') bind to the view.
+
+    Rewrites that *consume* literal contents (file paths, JSON keys,
+    strftime formats, COLUMNS patterns) run first; then string literals
+    are replaced by placeholders so the structural rewrites (::, ~,
+    EXCLUDE, QUALIFY, renames) can't corrupt literal text like
+    'http://a::b'."""
+    sql = rewrite_from_data(sql, view=view, dataset_path=dataset_path)
     sql = rewrite_columns_regex(sql, columns)
-    sql = rewrite_pg_cast(sql)
     sql = rewrite_json_arrows(sql)
+    sql = rewrite_strftime(sql)
+    sql, stash = _protect_literals(sql)
+    sql = rewrite_pg_cast(sql)
     sql = rewrite_exclude(sql)
     sql = rewrite_regex_operators(sql)
     sql = rewrite_sample(sql)
+    sql = rewrite_function_renames(sql)
     sql = rewrite_qualify(sql)
-    return sql
+    return _restore_literals(sql, stash)

@@ -28,8 +28,16 @@ def ship_package(spark: SparkSession) -> None:
     import tempfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # Content-stamped zip name: a stale cached zip from an older code
+    # version would make executors silently run old logic (workers import
+    # the module by reference from the shipped zip).
+    stamp = 0
+    for root, _, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                stamp = max(stamp, int(os.path.getmtime(os.path.join(root, f))))
     zip_base = os.path.join(
-        tempfile.gettempdir(), "vscode_parquet_visualizer_spark_pkg"
+        tempfile.gettempdir(), f"vscode_parquet_visualizer_spark_pkg_{stamp}"
     )
     zip_path = zip_base + ".zip"
     if not os.path.exists(zip_path):
