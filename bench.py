@@ -54,6 +54,18 @@ def main() -> None:
     spark.range(4).mapInPandas(
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
+    # ... and the package import inside those workers: the first pandas UDF
+    # whose closure references package modules makes every worker import
+    # the shipped zip (~1-2 s each, all cores at once). 2×cores tasks so
+    # every worker slot pays it here, not inside a measured query.
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from vscode_parquet_visualizer_spark.operators import dedup as _dedup
+
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(2 * cores).repartition(2 * cores).select(
+        _dedup.minhash_from_hashed(F.array("id"), 4, 1).alias("s")
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(workload.QUERIES.items()):

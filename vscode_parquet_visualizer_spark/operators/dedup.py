@@ -58,16 +58,38 @@ def exact_dedup(
 
 
 def shingles(text: F.Column, n: int = 3) -> F.Column:
-    """Word n-gram shingle set (distinct), built from split + transform —
-    no UDF. Short docs yield their full token tuple as a single shingle."""
+    """Word n-gram shingle set (distinct), built from split + zip of
+    shifted slices — no UDF. Short docs yield their full token tuple as a
+    single shingle.
+
+    Shape matters: an index-based ``transform(idx, i -> slice(toks, ...))``
+    re-evaluates the whole ``toks`` expression (regex normalize + split)
+    per shingle because HOF lambdas inline their free expressions — ~50×
+    per row. ``arrays_zip`` of n shifted slices evaluates ``toks`` only as
+    a direct argument (a handful of times per row), and the lambda then
+    touches only its own element."""
     toks = F.split(normalized(text), " ")
-    k = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, k) for i in range(n)])
+    # arrays_zip names unnamed inputs positionally ("0".."n-1");
+    # concat_ws skips the nulls zip-padding adds for short docs.
     grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
     )
     return F.array_distinct(grams)
+
+
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Raise parallelism to the cluster's when the scan yields fewer
+    partitions (one small parquet file reads as a single split and would
+    run the whole shingle/hash stage on one core). The round-robin
+    repartition moves only the filtered projection input once; at real
+    scale the scan already produces >= defaultParallelism splits and this
+    is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
@@ -104,16 +126,39 @@ def minhash_from_hashed(
     B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
     from pyspark.sql.pandas.functions import pandas_udf
 
+    # Whole-batch vectorization: flatten every row's shingle hashes into
+    # one array, apply all K permutations in one broadcast op, and take
+    # per-row minima with minimum.reduceat — no per-row Python loop.
+    # Chunked so the (K, flat) temporary stays ~128 MB per worker.
+    chunk_flat = max(1, (16 * 1024 * 1024) // num_hashes)
+
     @pandas_udf("array<long>")
     def sig(h: pd.Series) -> pd.Series:
-        out = []
-        for row in h:
-            if row is None or len(row) == 0:
-                out.append(None)  # null/empty text → no signature
-                continue
-            hv = np.mod(np.asarray(row, dtype=np.int64), _MERSENNE)[None, :]
-            out.append(((A * hv + B) % _MERSENNE).min(axis=1))
-        return pd.Series(out)
+        rows = [
+            None if r is None or len(r) == 0 else np.asarray(r, dtype=np.int64)
+            for r in h
+        ]
+        valid = [r for r in rows if r is not None]
+        if not valid:
+            return pd.Series([None] * len(rows))
+        lens = np.array([len(r) for r in valid], dtype=np.int64)
+        flat = np.mod(np.concatenate(valid), _MERSENNE)
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        mins = np.empty((len(valid), num_hashes), dtype=np.int64)
+        i = 0
+        while i < len(valid):
+            j = i
+            while j < len(valid) and bounds[j + 1] - bounds[i] <= chunk_flat:
+                j += 1
+            j = max(j, i + 1)  # a single row larger than the chunk still goes
+            seg = flat[bounds[i] : bounds[j]][None, :]
+            perm = (A * seg + B) % _MERSENNE
+            mins[i:j] = np.minimum.reduceat(
+                perm, bounds[i:j] - bounds[i], axis=1
+            ).T
+            i = j
+        it = iter(mins)
+        return pd.Series([None if r is None else next(it) for r in rows])
 
     return sig(hashed)
 
@@ -146,7 +191,12 @@ def minhash_lsh_pairs(
     # 0.5 KB/doc: tiny relative to the corpus, spill to disk if not.
     # (Measured: 405 s → seconds at sf0.1.)
     hashed = (
-        df.filter(F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0))
+        _parallelize(
+            df.filter(
+                F.col(text_col).isNotNull()
+                & (F.length(F.trim(F.col(text_col))) > 0)
+            )
+        )
         .select(
             F.col(id_col).alias("id"),
             F.transform(
@@ -219,8 +269,10 @@ def ngram_jaccard_pairs(
     # Hash the shingle set: |∩|/|∪| over distinct xxhash64 values equals
     # the string-set Jaccard (collision probability ~n²/2⁶⁴), and 8-byte
     # longs shuffle ~10× lighter than shingle strings in the pair joins.
-    df = df.filter(
-        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    df = _parallelize(
+        df.filter(
+            F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+        )
     )
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -292,8 +344,10 @@ def simhash_dedup(
     # hashes once, (2) the 64-aggregate simhash over them once — otherwise
     # each bit (and then each of the 4 block projections) re-inlines the
     # full upstream expression.
-    df = df.filter(
-        F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+    df = _parallelize(
+        df.filter(
+            F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0)
+        )
     )
     hashed = df.select(
         F.col(id_col).alias("id"),
