@@ -211,4 +211,8 @@ def synthetic_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
             else (None, None, 16000, 1500) if mtype == "audio" else (320, 240, None, 4000)
         )
         rows.append((i, payload, mtype, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # a local 64-row collection otherwise parallelizes to defaultParallelism
+    # slices — 32 near-empty tasks per action; cap at ~8 rows/partition
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(
+        max(1, min(8, n // 8))
+    )
