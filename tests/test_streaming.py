@@ -57,6 +57,35 @@ def test_sessionize_runs(spark, stream):
     assert all(r["session_start"] <= r["session_end"] for r in rows)
 
 
+def test_sessionize_matches_batch(spark, stream, batch_events):
+    """Streaming session windows == batch F.session_window, row for row."""
+    q = (
+        se.sessionize(stream, gap="30 minutes")
+        .writeStream.format("memory").queryName("t_sess_eq")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.table("t_sess_eq")
+        .select("session_start", "user_id", "n_events", "session_value")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in batch_events.groupBy(
+            F.session_window("ts", "30 minutes").alias("sess"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(F.col("sess.start").alias("session_start"), "user_id", "n_events", "session_value")
+        .collect()
+    }
+    assert got == want
+
+
 def test_stateful_running_value_matches_batch(spark, stream, batch_events):
     out = se.stateful_running_value(stream)
     q = (

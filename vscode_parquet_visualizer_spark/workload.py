@@ -1587,6 +1587,78 @@ def q70(spark, sf_dir):
     return spark.table(name).select("user_id", "purchase_id", "view_id")
 
 
+# Session semantics, both engines: a session extends while the next event
+# arrives strictly within the gap of the previous one (Spark merges windows
+# when next.ts < prev.ts + gap, so the island break is diff >= gap).
+_SESSION_ORACLE = """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT epoch_ms(min(ts)) AS start_ms, user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS session_value
+    FROM sess GROUP BY user_id, sid
+"""
+
+
+@q("q71_session_window", _SESSION_ORACLE)
+def q71(spark, sf_dir):
+    """Gap-based session windows, batch: built-in ``F.session_window``
+    (one shuffle on user_id, windows merged inside the agg — no
+    self-join, no window-function sort pass). The gaps-and-islands oracle
+    proves the gap semantics event-for-event."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            F.unix_millis(F.col("sess.start")).alias("start_ms"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@q("q72_streaming_sessions", _SESSION_ORACLE)
+def q72(spark, sf_dir):
+    """Streaming session windows (streaming/events.sessionize) driven
+    availableNow into a memory sink; same oracle as q71 — the gate proves
+    the stateful streaming sessionization computes exactly the batch
+    (and DuckDB) semantics."""
+    from vscode_parquet_visualizer_spark.streaming import events as stream_ops
+
+    t = load_tables(spark, sf_dir)
+    stream = stream_ops.read_events_stream(
+        spark, f"{sf_dir}/events.parquet", schema=t["events"].schema
+    )
+    sess = stream_ops.sessionize(stream, gap="30 minutes", watermark="2 hours")
+    name = "q72_stream_sink"
+    handle = (
+        sess.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    handle.awaitTermination()
+    return spark.table(name).select(
+        F.unix_millis("session_start").alias("start_ms"),
+        "user_id",
+        "n_events",
+        "session_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
