@@ -147,6 +147,48 @@ def test_qualify_inline_window_on_spark(spark, sf_dir):
     assert out.columns == ["o_custkey", "p"] and out.count() >= 1
 
 
+def test_distinct_on():
+    out = transpile(
+        "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC LIMIT 5"
+    )
+    assert out == (
+        "SELECT * EXCEPT (__don) FROM (SELECT k, v, row_number() OVER "
+        "(PARTITION BY k ORDER BY k, v DESC) AS __don FROM t) __d "
+        "WHERE __don = 1 ORDER BY k, v DESC LIMIT 5"
+    )
+    # no ORDER BY: group representative ordered by the ON exprs themselves
+    out = transpile("SELECT DISTINCT ON (k) k, v FROM t")
+    assert "PARTITION BY k ORDER BY k" in out and out.endswith("WHERE __don = 1")
+    # LIMIT without ORDER BY survives
+    out = transpile("SELECT DISTINCT ON (k) k, v FROM t LIMIT 3")
+    assert out.endswith("WHERE __don = 1 LIMIT 3")
+
+
+def test_distinct_on_on_spark(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("data")
+    out = spark.sql(
+        transpile(
+            "SELECT DISTINCT ON (o_orderpriority) o_orderpriority, o_orderkey, "
+            "o_totalprice FROM data "
+            "ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"
+        )
+    )
+    rows = out.collect()
+    assert out.columns == ["o_orderpriority", "o_orderkey", "o_totalprice"]
+    assert len(rows) == len({r["o_orderpriority"] for r in rows})
+    # per group, the kept row carries that group's max total price
+    import pyspark.sql.functions as SF
+
+    want = {
+        (r["o_orderpriority"], r["mx"])
+        for r in spark.table("data")
+        .groupBy("o_orderpriority")
+        .agg(SF.max("o_totalprice").alias("mx"))
+        .collect()
+    }
+    assert {(r["o_orderpriority"], r["o_totalprice"]) for r in rows} == want
+
+
 def test_sample_rewrite():
     from vscode_parquet_visualizer_spark.plans.dialect import rewrite_sample
 

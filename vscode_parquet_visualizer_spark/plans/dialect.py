@@ -289,6 +289,68 @@ def rewrite_qualify(sql: str) -> str:
     )
 
 
+def rewrite_distinct_on(sql: str) -> str:
+    """DuckDB's ``SELECT DISTINCT ON (exprs) list FROM ... ORDER BY o`` →
+    keep the first row per exprs-group in o-order, via ``row_number()``
+    partitioned on the exprs (one shuffle, no self-join), dropping the
+    helper column with ``* EXCEPT``. The outer ORDER BY is preserved —
+    in DuckDB it both picks the group representative and orders output.
+
+    Known gap: DuckDB resolves ORDER BY terms against the base relation
+    even when the projection drops them; after the rewrite the outer sort
+    only sees the projected columns, so such queries fail analysis loudly
+    (project the ordering columns to keep them). The representative-row
+    choice is unaffected — the window ORDER BY runs pre-projection."""
+    m = re.search(r"\bSELECT\s+DISTINCT\s+ON\s*\(", sql, flags=re.IGNORECASE)
+    if not m:
+        return sql
+    # balanced scan for the ON (...) expression list
+    i, depth = m.end() - 1, 0
+    while i < len(sql):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    on_exprs = sql[m.end() : i].strip()
+    rest = sql[i + 1 :]
+    # split trailing ORDER BY / LIMIT at paren depth 0
+    order, limit = "", ""
+    for tm in re.finditer(r"\b(ORDER\s+BY|LIMIT)\b", rest, flags=re.IGNORECASE):
+        before = rest[: tm.start()]
+        if before.count("(") == before.count(")"):
+            tail = rest[tm.start() :].rstrip().rstrip(";")
+            rest = before.rstrip()
+            lm = re.search(r"\bLIMIT\b", tail, flags=re.IGNORECASE)
+            if lm and not tail.upper().startswith("LIMIT"):
+                order, limit = tail[: lm.start()].rstrip(), " " + tail[lm.start() :]
+            elif tail.upper().startswith("LIMIT"):
+                limit = " " + tail
+            else:
+                order = tail
+            break
+    win_order = re.sub(r"^ORDER\s+BY\s+", "", order, flags=re.IGNORECASE) or on_exprs
+    fm = None
+    for fm_cand in re.finditer(r"\bFROM\b", rest, flags=re.IGNORECASE):
+        before = rest[: fm_cand.start()]
+        if before.count("(") == before.count(")"):
+            fm = fm_cand
+            break
+    if fm is None:
+        return sql
+    inner = (
+        f"SELECT {rest[: fm.start()].strip()}, row_number() OVER "
+        f"(PARTITION BY {on_exprs} ORDER BY {win_order}) AS __don "
+        f"{rest[fm.start() :].strip()}"
+    )
+    return (
+        f"SELECT * EXCEPT (__don) FROM ({inner}) __d WHERE __don = 1"
+        f"{(' ' + order) if order else ''}{limit}"
+    )
+
+
 def rewrite_regex_operators(sql: str) -> str:
     """DuckDB's ``expr ~ 'pattern'`` / ``!~`` → RLIKE / NOT RLIKE, and
     ``SIMILAR TO`` → RLIKE (note: SIMILAR TO is anchored in DuckDB; the
@@ -355,6 +417,7 @@ def transpile(
     sql = rewrite_strftime(sql)
     sql, stash = _protect_literals(sql)
     sql = rewrite_pg_cast(sql)
+    sql = rewrite_distinct_on(sql)
     sql = rewrite_exclude(sql)
     sql = rewrite_regex_operators(sql)
     sql = rewrite_sample(sql)

@@ -1659,6 +1659,28 @@ def q72(spark, sf_dir):
     )
 
 
+# DuckDB-dialect SQL, executed on Spark THROUGH the transpiler (the oracle
+# runs the identical text natively) — the gate exercises plans/dialect.py
+# end-to-end, not just the operator the rewrite lowers to.
+_DISTINCT_ON_SQL = """
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+@q("q73_distinct_on", _DISTINCT_ON_SQL)
+def q73(spark, sf_dir):
+    """DuckDB ``DISTINCT ON`` run via the dialect transpiler: lowered to
+    row_number() partitioned on the ON exprs (one shuffle, no self-join)
+    with the helper column dropped by ``* EXCEPT``. o_orderkey tiebreak
+    makes the representative row (and the hash gate) deterministic."""
+    from vscode_parquet_visualizer_spark.plans import dialect
+
+    load_tables(spark, sf_dir)
+    return spark.sql(dialect.transpile(_DISTINCT_ON_SQL))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
