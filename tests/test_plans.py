@@ -95,3 +95,47 @@ def test_asof_join_is_single_window_shuffle(spark, sf_dir):
     # one shuffle for the window partitioning, no join operators at all
     assert "Join" not in plan.replace("Window", "")
     assert plan.count("Exchange") <= 2  # union sides coalesce into one shuffle
+
+
+def test_session_window_is_single_shuffle_no_sort_pass(spark, sf_dir):
+    """q71's shape: session merging happens inside the aggregate after ONE
+    shuffle on the grouping key — no self-join and no window-function
+    operator (the gaps-and-islands formulation would need a sort + running
+    sum + second aggregate)."""
+    ev = registry.read(spark, f"{sf_dir}/events.parquet", "parquet")
+    df = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("sess.start").alias("s"), "user_id", "n_events")
+    )
+    plan = plan_of(df)
+    assert "Join" not in plan
+    # formatted output names each node twice (tree + details): count nodes
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "MergingSessions" in plan  # merge inside the agg, no window op
+    # only (ts, user_id) leave the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
+        "ts", "user_id"
+    }
+
+
+def test_distinct_on_is_window_not_join(spark, sf_dir):
+    """q73's lowering: one window pass over one shuffle — not the
+    groupBy+self-join a naive DISTINCT ON translation would produce."""
+    from vscode_parquet_visualizer_spark.plans import dialect
+
+    spark.catalog.clearCache()
+    registry.read(spark, f"{sf_dir}/orders.parquet", "parquet").createOrReplaceTempView(
+        "plans_orders"
+    )
+    plan = plan_of(
+        spark.sql(
+            dialect.transpile(
+                "SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice "
+                "FROM plans_orders ORDER BY o_custkey, o_totalprice DESC, o_orderkey"
+            )
+        )
+    )
+    assert "Join" not in plan
+    assert "Window" in plan
