@@ -80,6 +80,28 @@ def test_from_data_table_functions():
     )
 
 
+def test_from_data_comma_join_rewrites_to_view():
+    # comma-separated relation lists bind to the per-dataset view too
+    assert (
+        rewrite_from_data("SELECT * FROM orders, data WHERE a = b", view="data_7")
+        == "SELECT * FROM orders, data_7 WHERE a = b"
+    )
+    assert (
+        rewrite_from_data("SELECT * FROM data, orders, data", view="data_7")
+        == "SELECT * FROM data_7, orders, data_7"
+    )
+    # a column named data after a clause keyword is NOT a relation
+    assert (
+        rewrite_from_data("SELECT * FROM t GROUP BY x, data", view="data_7")
+        == "SELECT * FROM t GROUP BY x, data"
+    )
+    # function args don't count as relation positions
+    assert (
+        rewrite_from_data("SELECT coalesce(x, data) FROM t", view="data_7")
+        == "SELECT coalesce(x, data) FROM t"
+    )
+
+
 def test_strftime_translation():
     assert translate_strftime_pattern("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss"
 

@@ -245,3 +245,35 @@ def test_columns_regex_query(engine, sf_dir):
     ds = engine.open(f"{sf_dir}/lineitem.parquet")
     rs = ds.query("SELECT COLUMNS('^l_q|^l_e') FROM data LIMIT 5")
     assert set(rs.df.columns) == {"l_quantity", "l_extendedprice"}
+
+
+def test_two_datasets_result_views_isolated(engine, sf_dir):
+    """Per-dataset query_result_N views: a second dataset's query must not
+    clobber the first's result view (plain query_result stays a
+    most-recent alias, mirroring the data/data_N scheme)."""
+    ds_a = engine.open(f"{sf_dir}/region.parquet")
+    ds_b = engine.open(f"{sf_dir}/nation.parquet")
+    rs_a = ds_a.query("SELECT r_regionkey FROM data")
+    rs_b = ds_b.query("SELECT n_nationkey FROM data")
+    spark = engine.spark
+    a_rows = spark.table(rs_a.name).count()
+    b_rows = spark.table(rs_b.name).count()
+    assert rs_a.name != rs_b.name
+    assert (a_rows, b_rows) == (5, 25)
+    # plain alias tracks the most recent query
+    assert spark.table("query_result").columns == ["n_nationkey"]
+
+
+def test_sort_desc_nulls_last(engine, spark, tmp_path):
+    """DuckDB defaults to NULLS LAST in both sort directions; a DESC sort
+    over a nullable column must put nulls at the end, not page 1."""
+    d = str(tmp_path / "nulls.parquet")
+    spark.createDataFrame(
+        [(1, None), (2, 10.0), (3, None), (4, 30.0), (5, 20.0)],
+        "id INT, v DOUBLE",
+    ).write.mode("overwrite").parquet(d)
+    ds = engine.open(d)
+    rs = ds.query("SELECT * FROM data")
+    rs.sort("v", "desc")
+    vals = [r["v"] for r in rs.page(1, 5)]
+    assert vals == [30.0, 20.0, 10.0, None, None]

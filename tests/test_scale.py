@@ -115,6 +115,29 @@ def test_range_join_matches_naive(spark):
     assert got == want and len(want) > 0
 
 
+def test_range_join_left_keeps_unmatched_points(spark):
+    from vscode_parquet_visualizer_spark.operators.range_join import range_join
+
+    pts = spark.createDataFrame(
+        [(0, 10), (1, 30), (2, 95)], ["pid", "t"]
+    )
+    # pid=1 (t=30): its bucket overlaps the (5,20)-interval's exploded
+    # buckets? no — pick an interval set where a point's bucket matches
+    # interval rows but the BETWEEN fails: t=30 shares bucket 3 with
+    # hi=35's explosion while 30 NOT BETWEEN 31 AND 35.
+    ivs = spark.createDataFrame(
+        [(0, 5, 12), (1, 31, 35)], ["iid", "lo", "hi"]
+    )
+    out = range_join(pts, ivs, "t", "lo", "hi", bucket_width=10, how="left")
+    rows = {(r["pid"], r["iid"]) for r in out.collect()}
+    # matched: pid0→iid0; unmatched pid1 and pid2 survive with null iid
+    assert rows == {(0, 0), (1, None), (2, None)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        range_join(pts, ivs, "t", "lo", "hi", bucket_width=10, how="full")
+
+
 def test_hypertable_rollup_resolutions(spark, sf_dir):
     from pyspark.sql import functions as F
 

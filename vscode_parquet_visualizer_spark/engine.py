@@ -84,6 +84,11 @@ class ResultSet:
         self._sort_dir: str = sort_ops.ASC
         self.query_ms: float | None = None
         self._base.drop(ROW_ID).createOrReplaceTempView(name)
+        # Per-dataset result views (query_result_N) keep two open datasets
+        # from clobbering each other, mirroring the data_N scheme; the
+        # plain name stays registered as a most-recent convenience alias.
+        if name != "query_result":
+            self._base.drop(ROW_ID).createOrReplaceTempView("query_result")
 
     # -- state ---------------------------------------------------------
     @property
@@ -224,7 +229,11 @@ class Dataset:
         df = spark.sql(rewritten)
         if not materialize:
             return df
-        new_result = ResultSet(df, settings=self.engine.settings)  # eager count; raises on bad SQL
+        new_result = ResultSet(
+            df,
+            name=f"query_result_{self.view.removeprefix('data_')}",
+            settings=self.engine.settings,
+        )  # eager count; raises on bad SQL
         new_result.query_ms = (time.perf_counter() - t0) * 1000.0
         if self._result is not None:
             self._result.unpersist()

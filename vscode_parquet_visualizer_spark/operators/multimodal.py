@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 from typing import Any
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -61,11 +62,10 @@ def deterministic_fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     Replace with a real image/audio decode where codec libs exist."""
     if payload is None:
         return [0.0] * dim
-    buckets = [0] * dim
-    for b in payload:
-        buckets[b % dim] += 1
+    x = np.frombuffer(payload, dtype=np.uint8)
+    buckets = np.bincount(x % dim, minlength=dim)
     total = max(1, len(payload))
-    return [round(c / total, 6) for c in buckets]
+    return [round(float(c) / total, 6) for c in buckets]
 
 
 def real_decode_stub(payload: bytes) -> Any:  # pragma: no cover - by design

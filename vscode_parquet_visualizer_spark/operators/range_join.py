@@ -32,11 +32,24 @@ def range_join(
     """Equi-bucketed interval join. Numeric/epoch domains (cast timestamps
     to ``unix_millis``/``unix_micros`` first). ``extra_on``: additional
     equality keys (joined before the range filter — they also co-locate
-    the shuffle)."""
+    the shuffle).
+
+    ``how``: ``inner`` or ``left``. A naive ``left`` bucketed join + BETWEEN
+    filter would silently drop a point whose bucket matched interval rows
+    but none satisfied the range predicate; true left semantics are built
+    as inner matches ∪ (anti-joined unmatched points with null interval
+    columns).
+    """
     extra_on = extra_on or []
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left', got {how!r}"
+        )
     pt = points.withColumn(
         "__bucket", (F.col(point_col) / bucket_width).cast("long")
     )
+    if how == "left":
+        pt = pt.withColumn("__pt_id", F.monotonically_increasing_id())
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
@@ -46,15 +59,18 @@ def range_join(
             )
         ),
     )
-    joined = pt.join(iv, ["__bucket", *extra_on], how).filter(
+    matched = pt.join(iv, ["__bucket", *extra_on], "inner").filter(
         F.col(point_col).between(F.col(lo_col), F.col(hi_col))
-        if how == "inner"
-        else (
-            F.col(lo_col).isNull()
-            | F.col(point_col).between(F.col(lo_col), F.col(hi_col))
-        )
     )
-    return joined.drop("__bucket")
+    if how == "inner":
+        return matched.drop("__bucket")
+    unmatched = pt.join(
+        matched.select("__pt_id"), "__pt_id", "left_anti"
+    )
+    return (
+        matched.unionByName(unmatched, allowMissingColumns=True)
+        .drop("__bucket", "__pt_id")
+    )
 
 
 def time_bucket(ts: Column, width_seconds: int) -> Column:

@@ -41,6 +41,49 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase per-query top-k over (query_id, neighbor_id, score) rows.
+
+    Phase 1 (``mapInPandas``): each input partition keeps at most k rows
+    per query per Arrow batch — a vectorized sort + group-head, no
+    shuffle. Phase 2: the global ``row_number`` window runs over the
+    bounded survivor set (≤ k · batches rows per query) instead of every
+    scored row. The naive single-phase window hash-shuffles
+    |queries|·|corpus| rows into |queries| partitions — with 3 queries
+    that is 3 straggler partitions doing all the sorting at 100 TB; here
+    the big data never leaves its partition and the final exchange moves
+    a k-bounded trickle. Ordering (score desc, neighbor_id asc) is a
+    total order, so batch-local top-k provably contains the global
+    top-k and the final ranks hash-match the single-phase plan.
+    """
+    schema = scored.schema
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.sort_values(
+                    ["query_id", "score", "neighbor_id"],
+                    ascending=[True, False, True],
+                    kind="mergesort",
+                    # Spark orders NaN as greatest; mirror it so a
+                    # NaN-scored row survives phase 1 identically.
+                    na_position="first",
+                )
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+
+    survivors = scored.mapInPandas(partial, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return survivors.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,10 +96,10 @@ def brute_force_topk(
 
     ``queries`` must be small (it is broadcast); the corpus is scanned
     once — a cross join that Catalyst executes as
-    BroadcastNestedLoopJoin, i.e. zero shuffle of the corpus. The only
-    shuffle is the final per-query top-k window over scored rows; with
-    |queries|·|corpus| intermediate rows, pre-filtering via
-    ``F.col("score")`` pruning happens in the rank window's partial sort.
+    BroadcastNestedLoopJoin, i.e. zero shuffle of the corpus. Ranking is
+    the two-phase partial-top-k (see ``_topk_per_query``), so the only
+    exchange carries ≤ k rows per (query, partition) — never the full
+    |queries|·|corpus| scored set.
     """
     q = F.broadcast(
         queries.select(
@@ -75,13 +118,7 @@ def brute_force_topk(
             6,
         ).alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 def _hyperplanes(dim: int, bits: int, table: int, seed: int = 42):
@@ -187,12 +224,7 @@ def lsh_topk(
             6,
         ).alias("score"),
     ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return cand.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _topk_per_query(cand, k)
 
 
 def ivf_topk(
@@ -205,18 +237,23 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    fit_sample_rows: int = 100_000,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer (Spark ML), corpus rows
     assigned to their nearest centroid once, each query probes its
     ``nprobe`` nearest centroids and scores only those cells.
 
-    Scale shape: the fit runs on a sample (k-means over 100 TB of vectors
-    is never the plan — fit on ≤``fit_sample_rows``), assignment is one
-    narrow pass, and the probe join touches nprobe/n_centroids of the
-    corpus per query — the classic recall/throughput dial.
+    Scale shape: the fit runs on ≤``fit_sample_rows`` vectors (k-means
+    over 100 TB of vectors is never the plan) taken via ``limit`` — a
+    LocalLimit that reads only enough leading partitions, not a full
+    pass; pass a pre-sampled corpus if the leading rows are known to be
+    unrepresentative. Assignment is one narrow pass, and the probe join
+    touches nprobe/n_centroids of the corpus per query — the classic
+    recall/throughput dial.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.pandas.functions import pandas_udf
 
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -235,16 +272,25 @@ def ivf_topk(
         featuresCol="__features",
         predictionCol="__cell",
     )
-    model = km.fit(vecs.select("__features"))
+    fit_input = vecs.select("__features")
+    if fit_sample_rows:
+        fit_input = fit_input.limit(fit_sample_rows)
+    model = km.fit(fit_input)
     assigned = model.transform(vecs).select("neighbor_id", vec_col, "__cell")
 
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
 
-    @F.udf("array<int>")
-    def _probe_cells(v):
-        x = np.asarray(v, dtype=np.float64)
-        d = ((centroids - x) ** 2).sum(axis=1)
-        return [int(i) for i in np.argsort(d)[:nprobe]]
+    # Runs only over the broadcast query set, but batch it anyway: one
+    # (batch × centroids) distance matrix per Arrow batch instead of a
+    # per-row Python call — keeps the repo free of row-at-a-time UDFs.
+    @pandas_udf("array<int>")
+    def _probe_cells(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([[int(i) for i in row] for row in idx])
 
     q = F.broadcast(
         queries.select(
@@ -264,10 +310,7 @@ def ivf_topk(
             6,
         ).alias("score"),
     ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk_per_query(cand, k)
 
 
 def embedding_near_dup_pairs(

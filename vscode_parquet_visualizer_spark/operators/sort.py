@@ -20,13 +20,15 @@ DESC = "desc"
 
 
 def sort(df: DataFrame, field: str | None, direction: str = ASC) -> DataFrame:
-    """Order by one column (nulls last, like DuckDB's default ASC NULLS LAST
-    / DESC NULLS FIRST ordering), tiebroken by __row_id when present."""
+    """Order by one column, tiebroken by __row_id when present. DuckDB —
+    the engine whose injected ``ORDER BY "<field>" ASC|DESC`` this mirrors
+    — defaults to NULLS LAST in *both* directions (its
+    ``default_null_order`` setting), so both branches pin nulls last."""
     keys = []
     if field is not None:
         col = F.col(f"`{field}`")
         if direction.lower() == DESC:
-            keys.append(col.desc_nulls_first())
+            keys.append(col.desc_nulls_last())
         else:
             keys.append(col.asc_nulls_last())
     if ROW_ID in df.columns:

@@ -104,6 +104,20 @@ def rewrite_from_data(
         sql = re.sub(
             r"\b(FROM|JOIN)\s+data\b", rf"\1 {view}", sql, flags=re.IGNORECASE
         )
+        # comma-separated relation lists: ``FROM orders, data`` must bind
+        # to this dataset's view too, not the shared most-recently-opened
+        # ``data`` alias (two-open-files isolation). Tempered scan stops at
+        # clause keywords so ``GROUP BY x, data`` (a column) is untouched.
+        comma_data = re.compile(
+            r"(\bFROM\b(?:(?!\b(?:WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW"
+            r"|QUALIFY|SELECT|UNION|EXCEPT|INTERSECT|JOIN|ON)\b)[^()])*?"
+            r",\s*)data\b(?!\s*[(.])",
+            re.IGNORECASE,
+        )
+        prev = None
+        while prev != sql:
+            prev = sql
+            sql = comma_data.sub(rf"\g<1>{view}", sql, count=1)
     return sql
 
 

@@ -157,12 +157,23 @@ def stateful_running_value(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, once: bool = True):
-    """Drive a streaming DF into a memory sink (test/bench harness)."""
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    once: bool = True,
+    output_mode: str = "append",
+):
+    """Drive a streaming DF into a memory sink (test/bench harness).
+
+    ``output_mode`` defaults to ``append`` — the only mode every
+    streaming plan supports; pass ``complete`` explicitly for full
+    aggregations (inferring ``complete`` from ``isStreaming`` raised
+    AnalysisException for watermarked dedup / stream-stream joins /
+    update-mode stateful ops)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -1012,9 +1012,25 @@ def q41(spark, sf_dir):
 
 @q("q42_embedding_near_dup")  # no SQL oracle
 def q42(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via LSH self-join."""
+    """Embedding-cosine near-duplicate pairs via LSH self-join.
+
+    The raw synthetic embeddings contain no pairs above the threshold at
+    small sf, which made the gate vacuous (0 rows asserts nothing). Plant
+    five scaled copies (vec_id + 10M, embedding × 1.05): scaling preserves
+    every projection sign, so each planted pair shares all LSH buckets
+    and scores cosine 1.0 — the gate now proves bucket-join + scoring +
+    threshold end-to-end at every sf."""
     t = load_tables(spark, sf_dir)
-    return sim.embedding_near_dup_pairs(t["embeddings"], threshold=0.95, dim=64)
+    base = t["embeddings"].select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.05)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return sim.embedding_near_dup_pairs(
+        base.unionByName(planted), threshold=0.95, dim=64
+    )
 
 
 @q(
