@@ -102,3 +102,69 @@ def test_partitioned_parquet_export(spark, sf_dir, tmp_path):
     assert len(subdirs) == 3  # F / O / P
     back = spark.read.parquet(d)
     assert back.count() == 1500
+
+
+def test_excel_writes_real_xlsx(spark, tmp_path):
+    """The stdlib OOXML writer produces a file that plain zipfile +
+    xml.etree can re-read: header row, typed cells, nulls omitted,
+    projection rules applied (array column dropped, struct JSON'd)."""
+    import datetime as dt
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from vscode_parquet_visualizer_spark.operators.export import export_excel
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "hello <&> 'quote'", True, dt.date(2024, 1, 31), [1, 2], (7,)),
+            (2, None, None, False, None, [3], (8,)),
+        ],
+        "i LONG, f DOUBLE, s STRING, b BOOLEAN, d DATE, arr ARRAY<LONG>, st STRUCT<x: LONG>",
+    )
+    p = str(tmp_path / "out.xlsx")
+    export_excel(df, p)
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(p) as zf:
+        names = set(zf.namelist())
+        assert {"[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+                "xl/_rels/workbook.xml.rels", "xl/worksheets/sheet1.xml"} <= names
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+
+    rows = sheet.findall(".//m:row", ns)
+    assert len(rows) == 3  # header + 2 data rows
+
+    def cells(row):
+        out = {}
+        for c in row.findall("m:c", ns):
+            ref = c.get("r")
+            col = "".join(ch for ch in ref if ch.isalpha())
+            if c.get("t") == "inlineStr":
+                out[col] = c.find("m:is/m:t", ns).text
+            else:
+                out[col] = c.find("m:v", ns).text
+        return out
+
+    header = cells(rows[0])
+    # arr dropped by projection; st JSON'd — column order preserved
+    assert list(header.values()) == ["i", "f", "s", "b", "d", "st"]
+    r1 = cells(rows[1])
+    assert r1["A"] == "1" and r1["B"] == "2.5"
+    assert r1["C"] == "hello <&> 'quote'"
+    assert r1["D"] == "1"
+    assert r1["E"] == "2024-01-31"
+    assert r1["F"] == '{"x":7}'
+    r2 = cells(rows[2])
+    # nulls omitted: only i, b, st present
+    assert set(r2) == {"A", "D", "F"}
+
+
+def test_excel_via_engine_dispatch(spark, sf_dir, tmp_path):
+    import zipfile
+
+    from vscode_parquet_visualizer_spark.operators.export import export
+
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    p = str(tmp_path / "region.xlsx")
+    export(df, p, "excel")
+    assert zipfile.is_zipfile(p)

@@ -101,18 +101,17 @@ def export_json_array(df: DataFrame, path: str) -> None:
 
 
 def export_excel(df: DataFrame, path: str) -> None:
-    """Excel with the reference's type-filtering rules. Needs openpyxl
-    (not in this container → NotImplementedError; the projection logic is
-    real and tested regardless)."""
-    pdf = _excel_projection(df).toPandas()
-    try:
-        pdf.to_excel(path, index=False)
-    except ImportError as exc:  # pragma: no cover - env dependent
-        raise NotImplementedError(
-            "Excel export requires openpyxl/xlsxwriter, not present in this "
-            "environment; projection rules are applied and tested — install "
-            "an Excel writer to produce the file."
-        ) from exc
+    """Excel with the reference's type-filtering rules (src/worker.ts:327-424)
+    through the stdlib OOXML writer (functions/xlsx.py) — no openpyxl
+    dependency. Rows stream through the driver one at a time."""
+    from vscode_parquet_visualizer_spark.functions.xlsx import write_xlsx
+
+    projected = _excel_projection(df)
+    write_xlsx(
+        path,
+        projected.columns,
+        (list(row) for row in projected.toLocalIterator()),
+    )
 
 
 def export_rows_json_safe(df: DataFrame, limit: int | None = None) -> list[dict[str, Any]]:
