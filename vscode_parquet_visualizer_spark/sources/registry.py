@@ -75,15 +75,22 @@ def read(spark: SparkSession, path: str, fmt: str | None = None, **options) -> D
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return _restore_nano_timestamps(reader.format(fmt).load(path), path)
     if fmt == "avro":
-        # spark-avro is an external module; give an actionable error when
-        # the package isn't on the classpath (this container has none).
+        # Prefer the spark-avro connector (splits large files on sync
+        # markers) when it's on the classpath; otherwise fall back to the
+        # pure-Python container-file reader (sources/avro.py — file-level
+        # parallelism via binaryFile + mapInPandas).
+        from pyspark.errors import AnalysisException
+
         try:
             return reader.format("avro").load(path)
-        except Exception as exc:  # pragma: no cover - classpath dependent
-            raise RuntimeError(
-                "Avro support needs the spark-avro package "
-                "(--packages org.apache.spark:spark-avro_2.13:<spark version>)"
-            ) from exc
+        except AnalysisException as exc:
+            if "Failed to find data source" not in str(exc):
+                raise
+            from vscode_parquet_visualizer_spark.sources.avro import (
+                read_avro_fallback,
+            )
+
+            return read_avro_fallback(spark, path)
     return reader.format(fmt).load(path)
 
 
