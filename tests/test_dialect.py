@@ -229,17 +229,23 @@ def test_regex_operator_rewrites():
         rewrite_regex_operators,
     )
 
+    # DuckDB ~ / !~ / SIMILAR TO are FULL matches: the pattern is anchored
     assert (
         rewrite_regex_operators("SELECT * FROM t WHERE name ~ '^a.*b$'")
-        == "SELECT * FROM t WHERE name RLIKE '^a.*b$'"
+        == "SELECT * FROM t WHERE name RLIKE '^(?:^a.*b$)$'"
     )
     assert (
         rewrite_regex_operators("SELECT * FROM t WHERE name !~ 'x'")
-        == "SELECT * FROM t WHERE name NOT RLIKE 'x'"
+        == "SELECT * FROM t WHERE name NOT RLIKE '^(?:x)$'"
     )
     assert (
         rewrite_regex_operators("SELECT * FROM t WHERE a SIMILAR TO 'p'")
-        == "SELECT * FROM t WHERE a RLIKE 'p'"
+        == "SELECT * FROM t WHERE a RLIKE '^(?:p)$'"
+    )
+    # non-literal pattern: operator mapping only (partial match)
+    assert (
+        rewrite_regex_operators("SELECT * FROM t WHERE a ~ b") ==
+        "SELECT * FROM t WHERE a ~ b"  # left for the parser — ambiguous
     )
 
 
@@ -254,3 +260,75 @@ def test_columns_regex_rewrite():
     # no columns supplied -> untouched
     assert rewrite_columns_regex("SELECT COLUMNS('x') FROM t", None).count("COLUMNS") == 1
 
+
+
+def test_chained_json_arrows():
+    from vscode_parquet_visualizer_spark.plans.dialect import rewrite_json_arrows
+
+    assert (
+        rewrite_json_arrows("SELECT j -> 'a' -> 'b' ->> 'c' FROM t")
+        == "SELECT get_json_object(j, '$.a.b.c') FROM t"
+    )
+    assert (
+        rewrite_json_arrows("SELECT j -> 'a' -> 0 ->> 'c' FROM t")
+        == "SELECT get_json_object(j, '$.a[0].c') FROM t"
+    )
+    # independent arrows stay independent
+    assert (
+        rewrite_json_arrows("SELECT a -> 'x' AS u, b ->> 'y' AS v FROM t")
+        == "SELECT get_json_object(a, '$.x') AS u, "
+        "get_json_object(b, '$.y') AS v FROM t"
+    )
+    # literal JSON operand; lambda arrows untouched
+    assert rewrite_json_arrows("SELECT transform(xs, x -> x + 1) FROM t") == (
+        "SELECT transform(xs, x -> x + 1) FROM t"
+    )
+
+
+def test_len_disambiguation():
+    from vscode_parquet_visualizer_spark.plans.dialect import rewrite_len
+
+    out = rewrite_len(
+        "SELECT len(name), len(tags), length(split(s, ' ')), len(f(x)) FROM t",
+        {"tags"},
+    )
+    assert out == (
+        "SELECT length(name), size(tags), size(split(s, ' ')), "
+        "length(f(x)) FROM t"
+    )
+
+
+def test_array_literals():
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        rewrite_array_literals,
+    )
+
+    out = rewrite_array_literals("SELECT [1, 2, [3, 4]], arr[1], f(x)[2] FROM t")
+    assert out == "SELECT array(1, 2, array(3, 4)), arr[1], f(x)[2] FROM t"
+
+
+def test_replace_projection():
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        rewrite_replace_projection,
+    )
+
+    # schema-aware: order preserved
+    assert (
+        rewrite_replace_projection("SELECT * REPLACE (a + 1 AS a) FROM t", ["a", "b"])
+        == "SELECT a + 1 AS `a`, `b` FROM t"
+    )
+    # schema-free fallback
+    assert (
+        rewrite_replace_projection("SELECT * REPLACE (a + 1 AS a) FROM t", None)
+        == "SELECT * EXCEPT (a), a + 1 AS `a` FROM t"
+    )
+
+
+def test_transpile_hardened_chain():
+    out = transpile(
+        "SELECT len(['x','y']) AS n, j -> 'a' ->> 'b' AS v, "
+        "* REPLACE (upper(c) AS c) FROM data"
+    )
+    assert "size(array('x','y')) AS n" in out
+    assert "get_json_object(j, '$.a.b') AS v" in out
+    assert "* EXCEPT (c), upper(c) AS `c`" in out

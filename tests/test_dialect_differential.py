@@ -1,0 +1,114 @@
+"""Dialect fuzz corpus: DuckDB-documentation-style queries run through
+``transpile`` on Spark AND natively on DuckDB over the same parquet
+tables; results compared as value multisets (column order/name agnostic —
+this is broader but looser than the driver's hash gate).
+
+Covers the syntax the round-1 verdict called out: chained ``->``/``->>``,
+len() on strings and lists, ``* REPLACE``, list literals — plus the
+previously-supported forms as regression anchors."""
+
+import datetime as dt
+import decimal
+import math
+
+import duckdb
+import pytest
+
+from vscode_parquet_visualizer_spark.plans.dialect import transpile
+
+TABLES = ["region", "nation", "orders", "lineitem", "customer"]
+
+# Each entry: DuckDB-dialect SQL, valid in BOTH engines after transpile.
+CORPUS = [
+    # chained JSON arrows with object keys and array index
+    """SELECT '{"a":{"b":[10,20,30]}}' -> 'a' -> 'b' ->> 1 AS v""",
+    # len() on string vs list literal vs split()
+    """SELECT r_name, CAST(len(r_name) AS BIGINT) AS name_len,
+              CAST(len(['a','b','c']) AS BIGINT) AS lit_len,
+              CAST(len(split(r_name, 'A')) AS BIGINT) AS segs
+       FROM region ORDER BY r_regionkey""",
+    # * REPLACE with expression, inside a subquery
+    """SELECT r_regionkey, r_name FROM
+       (SELECT * REPLACE (upper(r_name) AS r_name) FROM region) t
+       ORDER BY r_regionkey""",
+    # * EXCLUDE
+    """SELECT * EXCLUDE (r_name) FROM region ORDER BY r_regionkey""",
+    # pg cast + arithmetic (floor: DuckDB double→int casts ROUND while
+    # Spark truncates — an explicit floor is identical in both)
+    """SELECT CAST(floor(o_totalprice / 100000) AS BIGINT) AS bucket,
+              count(*) AS n
+       FROM orders GROUP BY 1 ORDER BY 1 LIMIT 20""",
+    # QUALIFY with inline window
+    """SELECT o_orderkey, o_totalprice FROM orders
+       QUALIFY row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) <= 5""",
+    # DISTINCT ON
+    """SELECT DISTINCT ON (o_orderpriority) o_orderpriority, o_totalprice
+       FROM orders ORDER BY o_orderpriority, o_totalprice DESC""",
+    # regex match operators — DuckDB ~ is a FULL match (regexp_full_match)
+    """SELECT count(*) AS n FROM region WHERE r_name ~ 'A.*'""",
+    """SELECT count(*) AS n FROM region WHERE r_name !~ 'A.*A'""",
+    """SELECT count(*) AS n FROM nation WHERE n_name SIMILAR TO '.*IA'""",
+    # ILIKE / BETWEEN / IN
+    """SELECT count(*) AS n FROM nation
+       WHERE n_name ILIKE '%an%' AND n_nationkey BETWEEN 3 AND 20
+         AND n_regionkey IN (1, 2)""",
+    # strftime with literal pattern
+    """SELECT strftime(DATE '2024-03-05', '%Y/%m/%d') AS s""",
+    # list literal + array function renames
+    """SELECT list_contains(['x','y'], 'y') AS has_y,
+              list_sort([3,1,2]) AS sorted_l""",
+    # GROUP BY ALL
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice)/1000, 2) AS s
+       FROM orders GROUP BY ALL ORDER BY o_orderstatus""",
+    # correlated scalar subquery
+    """SELECT r_name,
+              (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey) AS nn
+       FROM region ORDER BY r_regionkey""",
+    # string functions parity
+    """SELECT upper(r_name) AS u, substr(r_name, 2, 3) AS mid,
+              replace(r_name, 'A', '_') AS rep, trim('  x  ') AS t
+       FROM region ORDER BY r_regionkey""",
+    # CASE + coalesce + nullif
+    """SELECT o_orderstatus,
+              CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS sz,
+              coalesce(nullif(o_orderstatus, 'O'), 'open') AS st
+       FROM orders ORDER BY o_orderkey LIMIT 50""",
+]
+
+
+@pytest.fixture(scope="module")
+def engines(spark, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    yield spark, con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, (dt.date, dt.datetime)):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _rowset(rows):
+    return sorted(tuple(sorted((_norm(v) for v in r), key=repr)) for r in rows)
+
+
+@pytest.mark.parametrize("sql", CORPUS, ids=range(len(CORPUS)))
+def test_differential(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -219,11 +219,18 @@ class Dataset:
         spark = self.engine.spark
         if sql is None:
             sql = self.engine.settings.default_query
+        from pyspark.sql import types as T
+
         rewritten = dialect.transpile(
             sql.rstrip().rstrip(";"),
             view=self.view,
             columns=self.df.columns,
             dataset_path=self.path,
+            array_columns={
+                f.name
+                for f in self.df.schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.MapType))
+            },
         )
         t0 = time.perf_counter()
         df = spark.sql(rewritten)

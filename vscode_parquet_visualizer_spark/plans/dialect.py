@@ -29,9 +29,10 @@ _TYPE = r"[A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
 
 # DuckDB function name → Spark function name. Only functions whose
 # argument shapes match exactly are renamed (applied by transpile);
-# ambiguous ones (DuckDB len() on both strings and lists, list_aggregate's
-# name-string argument) are deliberately left for the SQL parser to
-# reject loudly rather than silently misinterpret.
+# len()/length() get their own schema-aware rewrite (rewrite_len), and
+# remaining ambiguous ones (list_aggregate's name-string argument) are
+# deliberately left for the SQL parser to reject loudly rather than
+# silently misinterpret.
 FUNCTION_RENAMES = {
     "list_contains": "array_contains",
     "list_sort": "sort_array",
@@ -185,23 +186,49 @@ def rewrite_pg_cast(sql: str) -> str:
 
 
 def rewrite_json_arrows(sql: str) -> str:
-    """``col -> 'k'`` / ``col ->> 'k'`` → ``get_json_object(col, '$.k')``.
+    """``col -> 'k'`` / ``col ->> 'k'`` → ``get_json_object(col, '$.k')``,
+    including *chained* paths and array indices:
+    ``j -> 'a' -> 0 ->> 'c'`` → ``get_json_object(j, '$.a[0].c')``.
 
     DuckDB's ``->`` returns JSON, ``->>`` returns text; Spark's
     get_json_object returns text in both cases — fine for the common
-    extract-then-compare usage; chained ``->`` should use a JSON path.
-    """
-    ident = r"([A-Za-z_][A-Za-z0-9_.]*|\"[^\"]+\")"
-    sql = re.sub(
-        ident + r"\s*->>\s*'([^']*)'",
-        lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')",
-        sql,
+    extract-then-compare usage. A chain is collapsed into one JSON path
+    (each pass merges ``get_json_object(x, '$.p') -> k`` into the path),
+    so a chain costs one JSON parse, not one per step. Lambda arrows
+    (``x -> x + 1``) are untouched: the right side here must be a string
+    literal or an integer index."""
+    ident = r"([A-Za-z_][A-Za-z0-9_.]*|\"[^\"]+\"|'(?:[^']|'')*')"
+    arrow = r"\s*->>?\s*(?:'([^']*)'|(\d+))"
+
+    def seg(key: str | None, idx: str | None) -> str:
+        return f".{key}" if key is not None else f"[{idx}]"
+
+    base = re.compile(ident + arrow)
+    chain = re.compile(
+        r"get_json_object\(\s*((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*?),"
+        r"\s*'\$([^']*)'\s*\)" + arrow
     )
-    sql = re.sub(
-        ident + r"\s*->\s*'([^']*)'",
-        lambda m: f"get_json_object({m.group(1)}, '$.{m.group(2)}')",
-        sql,
-    )
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = chain.sub(
+            lambda m: (
+                f"get_json_object({m.group(1)}, "
+                f"'${m.group(2)}{seg(m.group(3), m.group(4))}')"
+            ),
+            sql,
+        )
+        # one leftmost match per pass: a later quoted KEY ('b' in
+        # j -> 'a' -> 'b') must not be mistaken for a literal operand —
+        # the next pass's chain-collapse consumes it instead
+        sql = base.sub(
+            lambda m: (
+                f"get_json_object({m.group(1)}, "
+                f"'${seg(m.group(2), m.group(3))}')"
+            ),
+            sql,
+            count=1,
+        )
     return sql
 
 
@@ -217,6 +244,166 @@ def rewrite_exclude(sql: str) -> str:
         flags=re.IGNORECASE,
     )
     return sql
+
+
+def _balanced_span(sql: str, open_idx: int, open_ch: str = "(", close_ch: str = ")") -> int:
+    """Index of the bracket matching ``sql[open_idx]`` (-1 if unbalanced)."""
+    depth = 0
+    for i in range(open_idx, len(sql)):
+        if sql[i] == open_ch:
+            depth += 1
+        elif sql[i] == close_ch:
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _split_top_level(body: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/bracket depth 0."""
+    parts, depth, last = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(body[last:i])
+            last = i + 1
+    parts.append(body[last:])
+    return parts
+
+
+# Functions whose result is an array — used to sniff len()'s argument.
+_ARRAY_PRODUCING = {
+    "split", "array", "array_agg", "collect_list", "collect_set", "sequence",
+    "transform", "filter", "array_distinct", "sort_array", "slice", "flatten",
+    "array_repeat", "map_keys", "map_values", "array_union", "array_intersect",
+    "array_except", "arrays_zip", "list_transform", "list_filter", "list_sort",
+    "list_distinct", "string_to_array", "regexp_extract_all", "shuffle",
+    "array_compact", "array_append", "array_prepend", "array_insert",
+    "array_remove", "string_split", "split_part_all",
+}
+
+
+def _looks_like_array(arg: str, array_columns: set[str]) -> bool:
+    a = arg.strip()
+    if a.startswith("[") or a.lower().startswith("array"):
+        return True
+    fm = re.match(r"([A-Za-z_][A-Za-z0-9_]*)\s*\(", a)
+    if fm and fm.group(1).lower() in _ARRAY_PRODUCING:
+        return True
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", a):
+        return a.split(".")[-1].lower() in array_columns
+    return False
+
+
+def rewrite_len(sql: str, array_columns: set[str] | None = None) -> str:
+    """DuckDB's ``len()``/``length()`` work on strings AND lists; Spark
+    splits that into ``length`` (strings) vs ``size`` (arrays). Disambiguate
+    by argument sniffing: array literals, array-producing function calls,
+    and known array-typed columns (``array_columns``, supplied by
+    Dataset.query from the live schema) go to ``size``; everything else to
+    ``length``. Runs after literal protection, so a string-literal argument
+    is a placeholder (→ ``length``)."""
+    arr_cols = {c.lower() for c in (array_columns or set())}
+    pat = re.compile(r"\b(len|length)\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        close = _balanced_span(sql, m.end() - 1)
+        if close < 0:
+            return sql
+        arg = sql[m.end() : close]
+        fn = "size" if _looks_like_array(arg, arr_cols) else "length"
+        sql = sql[: m.start()] + fn + "(" + sql[m.end() :]
+        pos = m.start() + len(fn) + 1
+
+
+_SQL_KEYWORDS_BEFORE_EXPR = {
+    "select", "where", "and", "or", "not", "in", "then", "else", "when",
+    "as", "on", "by", "values", "union", "all", "distinct", "having",
+    "set", "from", "case", "end", "limit", "offset", "intersect", "except",
+    "join", "like", "rlike", "ilike", "between", "is", "return", "returns",
+}
+
+
+def rewrite_array_literals(sql: str) -> str:
+    """DuckDB list literals ``[e1, e2]`` → ``array(e1, e2)``.
+
+    A ``[`` is a literal only at expression position (start of input, or
+    after an operator, comma, open paren, or SQL keyword); after an
+    identifier or closing bracket it is a subscript and is left alone.
+    (Note DuckDB subscripts are 1-based vs Spark's 0-based ``element_at``
+    counting — subscripts are deliberately not rewritten.)"""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "[":
+            j = i - 1
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            if j < 0:
+                expr_pos = True
+            elif sql[j] in ")]\"'\x00":
+                expr_pos = False
+            elif re.match(r"[A-Za-z0-9_]", sql[j]):
+                wm = re.search(r"([A-Za-z_][A-Za-z0-9_]*)$", sql[: j + 1])
+                expr_pos = bool(
+                    wm and wm.group(1).lower() in _SQL_KEYWORDS_BEFORE_EXPR
+                )
+            else:
+                expr_pos = True  # operator, comma, open paren
+            if expr_pos:
+                close = _balanced_span(sql, i, "[", "]")
+                if close > 0:
+                    inner = rewrite_array_literals(sql[i + 1 : close])
+                    out.append(f"array({inner})")
+                    i = close + 1
+                    continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def rewrite_replace_projection(sql: str, columns: list[str] | None) -> str:
+    """DuckDB's ``* REPLACE (expr AS col, ...)`` star modifier.
+
+    Schema-aware (``columns`` known): expand to the full explicit column
+    list with the replaced entries in place — preserves DuckDB's column
+    order. Schema-free fallback: ``* EXCEPT (cols), expr AS col ...``
+    (replaced columns move to the end; same data)."""
+    pat = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql)
+        if not m:
+            return sql
+        close = _balanced_span(sql, m.end() - 1)
+        if close < 0:
+            return sql
+        repl: dict[str, tuple[str, str]] = {}
+        for item in _split_top_level(sql[m.end() : close]):
+            mm = re.match(
+                r"(?s)^\s*(.*?)\s+AS\s+(\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_]*)\s*$",
+                item,
+                re.IGNORECASE,
+            )
+            if not mm:
+                return sql  # malformed: leave for the parser to reject
+            col = mm.group(2).strip('"')
+            repl[col.lower()] = (mm.group(1).strip(), col)
+        if columns:
+            proj = ", ".join(
+                f"{repl[c.lower()][0]} AS `{c}`" if c.lower() in repl else f"`{c}`"
+                for c in columns
+            )
+        else:
+            names = ", ".join(col for _, col in repl.values())
+            exprs = ", ".join(f"{e} AS `{c}`" for e, c in repl.values())
+            proj = f"* EXCEPT ({names}), {exprs}"
+        sql = sql[: m.start()] + proj + sql[close + 1 :]
 
 
 def _window_expr_spans(pred: str) -> list[tuple[int, int]]:
@@ -366,12 +553,38 @@ def rewrite_distinct_on(sql: str) -> str:
 
 
 def rewrite_regex_operators(sql: str) -> str:
-    """DuckDB's ``expr ~ 'pattern'`` / ``!~`` → RLIKE / NOT RLIKE, and
-    ``SIMILAR TO`` → RLIKE (note: SIMILAR TO is anchored in DuckDB; the
-    rewrite preserves the pattern verbatim — anchor explicitly if needed)."""
+    """DuckDB's ``expr ~ 'p'`` / ``!~`` / ``SIMILAR TO 'p'`` are FULL
+    matches (``~`` is regexp_full_match, unlike Postgres's partial ``~``)
+    → RLIKE with the pattern literal anchored as ``'^(?:p)$'``. Runs
+    before literal protection so it can wrap the pattern. A non-literal
+    pattern (column/expr) falls back to plain RLIKE — partial match;
+    anchor explicitly in that rare case."""
     ident = r"([A-Za-z_][A-Za-z0-9_.]*|\"[^\"]+\"|\))"
+    lit = r"'((?:[^']|'')*)'"
+    sql = re.sub(
+        ident + r"\s*!~\s*" + lit,
+        lambda m: f"{m.group(1)} NOT RLIKE '^(?:{m.group(2)})$'",
+        sql,
+    )
+    sql = re.sub(
+        ident + r"\s*~\s*" + lit,
+        lambda m: f"{m.group(1)} RLIKE '^(?:{m.group(2)})$'",
+        sql,
+    )
+    sql = re.sub(
+        r"\bNOT\s+SIMILAR\s+TO\s+" + lit,
+        lambda m: f"NOT RLIKE '^(?:{m.group(1)})$'",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\bSIMILAR\s+TO\s+" + lit,
+        lambda m: f"RLIKE '^(?:{m.group(1)})$'",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # non-literal pattern fallback: operator mapping only
     sql = re.sub(ident + r"\s*!~\s*", r"\1 NOT RLIKE ", sql)
-    sql = re.sub(ident + r"\s*~\s*(?='|\x00)", r"\1 RLIKE ", sql)
     sql = re.sub(r"\bNOT\s+SIMILAR\s+TO\b", "NOT RLIKE", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bSIMILAR\s+TO\b", "RLIKE", sql, flags=re.IGNORECASE)
     return sql
@@ -415,25 +628,31 @@ def transpile(
     view: str = "data",
     columns: list[str] | None = None,
     dataset_path: str | None = None,
+    array_columns: set[str] | None = None,
 ) -> str:
     """Full DuckDB-dialect → Spark SQL rewrite chain. ``columns`` enables
-    the schema-aware rewrites (COLUMNS('regex')); ``dataset_path`` lets
+    the schema-aware rewrites (COLUMNS('regex'), ordered * REPLACE);
+    ``array_columns`` (array-typed column names from the live schema)
+    sharpens len()/length() disambiguation; ``dataset_path`` lets
     read_parquet('<this dataset>') bind to the view.
 
     Rewrites that *consume* literal contents (file paths, JSON keys,
     strftime formats, COLUMNS patterns) run first; then string literals
     are replaced by placeholders so the structural rewrites (::, ~,
-    EXCLUDE, QUALIFY, renames) can't corrupt literal text like
-    'http://a::b'."""
+    EXCLUDE, REPLACE, array literals, QUALIFY, renames) can't corrupt
+    literal text like 'http://a::b'."""
     sql = rewrite_from_data(sql, view=view, dataset_path=dataset_path)
     sql = rewrite_columns_regex(sql, columns)
     sql = rewrite_json_arrows(sql)
     sql = rewrite_strftime(sql)
+    sql = rewrite_regex_operators(sql)  # wraps pattern literals → pre-protection
     sql, stash = _protect_literals(sql)
     sql = rewrite_pg_cast(sql)
     sql = rewrite_distinct_on(sql)
     sql = rewrite_exclude(sql)
-    sql = rewrite_regex_operators(sql)
+    sql = rewrite_replace_projection(sql, columns)
+    sql = rewrite_array_literals(sql)
+    sql = rewrite_len(sql, array_columns)
     sql = rewrite_sample(sql)
     sql = rewrite_function_renames(sql)
     sql = rewrite_qualify(sql)

@@ -1697,6 +1697,34 @@ def q73(spark, sf_dir):
     return spark.sql(dialect.transpile(_DISTINCT_ON_SQL))
 
 
+# Round-2 dialect-hardening surface, end-to-end through the transpiler:
+# chained -> / ->> with an array index (one JSON path, one parse),
+# len() on a string vs a list literal (length/size disambiguation),
+# * REPLACE projection, and a DuckDB list literal. The oracle runs the
+# identical DuckDB-dialect text natively. Explicit BIGINT casts align
+# DuckDB's len() (BIGINT) with Spark's length/size (INT).
+_DIALECT_BREADTH_SQL = """
+SELECT r_regionkey,
+       r_name,
+       CAST(len(r_name) AS BIGINT) AS name_len,
+       CAST(len(['a','b','c']) AS BIGINT) AS lit_len,
+       '{"a":{"b":[10,20]}}' -> 'a' -> 'b' ->> 1 AS jchain
+FROM (SELECT * REPLACE (upper(r_name) AS r_name) FROM region) t
+ORDER BY r_regionkey
+"""
+
+
+@q("q74_dialect_breadth", _DIALECT_BREADTH_SQL)
+def q74(spark, sf_dir):
+    """Hardened DuckDB-isms (chained JSON arrows, len(), * REPLACE, list
+    literals) through plans/dialect.py — the gate proves the rewrites
+    against DuckDB running the same text natively."""
+    from vscode_parquet_visualizer_spark.plans import dialect
+
+    load_tables(spark, sf_dir)
+    return spark.sql(dialect.transpile(_DIALECT_BREADTH_SQL))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
