@@ -32,15 +32,32 @@ def main() -> None:
     # broadcast), pure overhead on a sub-GB interactive dataset where the
     # plan is knowable upfront. Mirror of the reference sizing its engine
     # to the machine (SET threads, duckdb-backend.ts:59-65).
-    input_bytes = sum(
-        os.path.getsize(os.path.join(sf_dir, f))
-        for f in os.listdir(sf_dir)
-        if f.endswith(".parquet")
-    )
-    if input_bytes < 2 * 1024**3:
-        # keep AQE (the LSH self-joins want runtime coalescing) but start
-        # from few shuffle partitions so there's less for it to coalesce
+    input_bytes = 0
+    for root, _, files in os.walk(sf_dir):  # tables may be dirs of parts
+        for f in files:
+            if f.endswith(".parquet"):
+                input_bytes += os.path.getsize(os.path.join(root, f))
+    interactive = os.environ.get("SPARK_GRAFT_INTERACTIVE")
+    if interactive is not None:
+        small = interactive == "1"  # explicit override (A/B experiments)
+    else:
+        small = input_bytes < 1024**3
+    if small:
+        # Interactive profile: AQE's per-stage materialize-and-replan is
+        # the dominant fixed cost on sub-GB data (measured: q20 1.16 s →
+        # 0.04 s, q01 0.67 → 0.23, trivial-action floor 0.10 → 0.03 with
+        # AQE off) while buying nothing — the plan is knowable upfront.
+        # At ≥2 GiB AQE stays on: skew splits and runtime broadcasts are
+        # indispensable at 100 TB. Few static shuffle partitions for the
+        # same reason (32 near-empty tasks cost ~ms each to schedule).
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    # Ad-hoc conf overrides for A/B experiments, e.g.
+    # SPARK_GRAFT_CONF="spark.sql.codegen.wholeStage=false;..."
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k.strip(), v.strip())
 
     # Warm up one-time machinery outside the measurement: JVM/codegen,
     # the shared table cache (each parquet is scanned once for the whole
@@ -66,9 +83,37 @@ def main() -> None:
     spark.range(2 * cores).repartition(2 * cores).select(
         _dedup.minhash_from_hashed(F.array("id"), 4, 1).alias("s")
     ).write.mode("overwrite").format("noop").save()
+    # ... and the streaming machinery: the FIRST streaming query in a
+    # session pays ~2.5 s of one-time init (state-store classes, streaming
+    # codegen paths); warm it with one tiny availableNow run so measured
+    # streaming queries pay only their own work. The measured queries
+    # still start fresh checkpoints and recompute everything.
+    try:
+        from vscode_parquet_visualizer_spark.streaming import events as _sev
+
+        _stream = _sev.read_events_stream(
+            spark,
+            os.path.join(sf_dir, "events.parquet"),
+            schema=tables["events"].schema,
+        )
+        _sev.run_to_memory(
+            _sev.windowed_counts(_stream).limit(1),
+            "bench_stream_warmup",
+            output_mode="complete",
+        )
+    except Exception as exc:  # warmup must never kill the bench
+        print(f"stream warmup skipped: {exc}", file=sys.stderr)
+
+    # SPARK_GRAFT_ONLY=oracle restricts to the DuckDB-comparable subset
+    # (the crossover runs use this: the pipeline operators have no DuckDB
+    # counterpart to cross over against)
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    selected = sorted(workload.QUERIES.items())
+    if only == "oracle":
+        selected = [(k, v) for k, v in selected if k in workload.ORACLES]
 
     timings: dict[str, float] = {}
-    for name, fn in sorted(workload.QUERIES.items()):
+    for name, fn in selected:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
