@@ -102,6 +102,15 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = dict(_DEFAULTS)
+    if master and master.startswith("local"):
+        # Local mode: one JVM is driver+executors; Spark's 1g default heap
+        # OOMs as soon as a cached table outgrows toy scale. Size to the
+        # machine (pre-JVM setting — first session in the process wins).
+        # On a real cluster the submitter sets memory; untouched there.
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
