@@ -83,23 +83,48 @@ def main() -> None:
     spark.range(2 * cores).repartition(2 * cores).select(
         _dedup.minhash_from_hashed(F.array("id"), 4, 1).alias("s")
     ).write.mode("overwrite").format("noop").save()
-    # ... and the streaming machinery: the FIRST streaming query in a
-    # session pays ~2.5 s of one-time init (state-store classes, streaming
-    # codegen paths); warm it with one tiny availableNow run so measured
-    # streaming queries pay only their own work. The measured queries
-    # still start fresh checkpoints and recompute everything.
+    # ... and the streaming machinery: the FIRST streaming query of each
+    # stateful shape pays one-time init (state-store classes, streaming
+    # codegen for that operator family). Warm the three families —
+    # windowed agg, watermarked dedup, stream-stream join — on a tiny
+    # 200-row slice so measured streaming queries pay only their own
+    # work. The measured queries still start fresh checkpoints and
+    # recompute everything.
     try:
-        from vscode_parquet_visualizer_spark.streaming import events as _sev
+        import tempfile
 
-        _stream = _sev.read_events_stream(
-            spark,
-            os.path.join(sf_dir, "events.parquet"),
-            schema=tables["events"].schema,
+        from pyspark.sql import functions as SF
+
+        from vscode_parquet_visualizer_spark.streaming import events as _sev
+        from vscode_parquet_visualizer_spark.streaming.joins import (
+            purchases_with_prior_views,
+        )
+
+        warm_dir = os.path.join(tempfile.gettempdir(), "bench_stream_warm")
+        tables["events"].limit(200).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(warm_dir)
+        schema = spark.read.parquet(warm_dir).schema
+
+        def _warm_stream():
+            return _sev.read_events_stream(spark, warm_dir, schema=schema)
+
+        _sev.run_to_memory(
+            _sev.windowed_counts(_warm_stream()),
+            "bench_warm_agg",
+            output_mode="complete",
         )
         _sev.run_to_memory(
-            _sev.windowed_counts(_stream).limit(1),
-            "bench_stream_warmup",
-            output_mode="complete",
+            _warm_stream()
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id"]),
+            "bench_warm_dedup",
+        )
+        _sev.run_to_memory(
+            purchases_with_prior_views(_warm_stream()), "bench_warm_join"
+        )
+        _sev.run_to_memory(
+            _sev.sessionize(_warm_stream()), "bench_warm_sess"
         )
     except Exception as exc:  # warmup must never kill the bench
         print(f"stream warmup skipped: {exc}", file=sys.stderr)

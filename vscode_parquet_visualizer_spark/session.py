@@ -75,6 +75,10 @@ _DEFAULTS = {
     # source registry convert to microsecond TimestampType (truncating —
     # Spark's type has no ns precision).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Write µs timestamps (the modern parquet encoding) instead of the
+    # deprecated INT96 default — also keeps our ns-column detection from
+    # misreading self-written files (pyarrow reports INT96 as ns).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Session timezone pinned so timestamp formatting is deterministic
     # across driver runs (reference formats UTC or local per setting,
     # src/backend.ts:144-155; we pin UTC).
