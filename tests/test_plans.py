@@ -139,3 +139,28 @@ def test_distinct_on_is_window_not_join(spark, sf_dir):
     )
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_topk_two_phase_no_full_set_shuffle(spark, sf_dir):
+    """brute_force_topk's exchange must carry only k-bounded survivors:
+    partial top-k (MapInPandas + WindowGroupLimit) runs BEFORE the
+    exchange feeding the final rank window."""
+    from pyspark.sql import functions as F
+
+    from vscode_parquet_visualizer_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from vscode_parquet_visualizer_spark.sources import registry
+
+    emb = registry.read(spark, f"{sf_dir}/embeddings.parquet", "parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = plan_of(brute_force_topk(emb, queries, k=10))
+    assert "MapInPandas" in plan
+    assert "WindowGroupLimit" in plan
+    # the partial top-k must appear upstream of the shuffle: in formatted
+    # explain the tree prints top-down, so MapInPandas sits BELOW the
+    # Exchange line feeding the Window
+    ex = plan.index("Exchange")
+    assert "MapInPandas" in plan[ex:]
