@@ -113,3 +113,26 @@ def test_approx_distinct_tolerance(spark, sf_dir):
     for r in out:
         rel_err = abs(r["approx_parts"] - r["exact_parts"]) / max(1, r["exact_parts"])
         assert rel_err < 0.05, (r["l_returnflag"], rel_err)
+
+
+def test_segment_dedup_first_occurrence(spark):
+    from vscode_parquet_visualizer_spark.operators.dedup import segment_dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog again"  # 10 words
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique one two three four five six seven eight nine"),
+            (2, boiler + " totally different tail words here padding out ten words"),
+            (3, "no shared segments in this document at all ok fine"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = segment_dedup(docs, words_per_segment=10).collect()
+    by_key = {(r["id"], r["seg_idx"]): r for r in out}
+    # doc1 seg0 is the first occurrence of the boilerplate -> kept
+    assert by_key[(1, 0)]["keep"] is True
+    # doc2 seg0 is the same segment, later doc -> dropped
+    assert by_key[(2, 0)]["segment"] == boiler
+    assert by_key[(2, 0)]["keep"] is False
+    # non-shared segments all kept
+    assert by_key[(1, 1)]["keep"] and by_key[(2, 1)]["keep"] and by_key[(3, 0)]["keep"]

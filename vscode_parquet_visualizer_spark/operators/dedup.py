@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime for the minhash permutation family
@@ -476,3 +476,57 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             break
     edges.unpersist()
     return labels
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_segment: int = 10,
+) -> DataFrame:
+    """Inter-document segment-level exact dedup — the C4/RefinedWeb
+    boilerplate-removal shape: split every document into fixed-size
+    non-overlapping word segments and keep only the globally FIRST
+    occurrence of each distinct segment (ordered by (doc, position)),
+    so repeated headers/footers/licence blocks are dropped from every
+    later document while the first document stays intact.
+
+    Returns (id, seg_idx, segment, keep) — downstream either filters
+    ``keep`` and reassembles with concat_ws over a seg_idx sort, or
+    aggregates keep-ratios per document (the q75 gate does the latter).
+
+    Scale shape: one explode (rows × segments/doc) and ONE shuffle,
+    partitioned by the segment text for the first-occurrence window.
+    At 100 TB partition by ``xxhash64(segment)`` instead so shuffle
+    payloads carry an 8-byte key (collisions then merge distinct
+    segments with probability ~n²/2⁶⁴ — acceptable for corpus cleaning,
+    not for this oracle-gated exact variant). The window is a
+    WindowGroupLimit-style rank, not an agg-join: no second shuffle.
+    """
+    wl = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(wl) / F.lit(words_per_segment)).cast("int")
+    segs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            wl.alias("__wl"),
+            F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("seg_idx"),
+        )
+        .select(
+            "id",
+            F.col("seg_idx").cast("long").alias("seg_idx"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "__wl",
+                    F.col("seg_idx") * words_per_segment + 1,
+                    words_per_segment,
+                ),
+            ).alias("segment"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("id").asc(), F.col("seg_idx").asc()
+    )
+    return segs.withColumn(
+        "keep", (F.row_number().over(w) == 1)
+    )

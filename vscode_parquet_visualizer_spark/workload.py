@@ -1740,6 +1740,45 @@ ORDER BY r_regionkey
 """
 
 
+# Segment-level dedup is fully SQL-expressible (explode + first-occurrence
+# window), so the oracle verifies values, not just rows. DuckDB list
+# slicing is 1-based inclusive, matching Spark's 1-based F.slice.
+_SEGMENT_DEDUP_SQL = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS wl FROM documents),
+    x AS (SELECT doc_id, wl,
+                 unnest(range((len(wl) + 9) // 10)) AS seg_idx FROM w),
+    segs AS (SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+                    array_to_string(wl[seg_idx*10+1 : seg_idx*10+10], ' ') AS seg
+             FROM x),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+               FROM segs)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(avg(CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END), 4) AS keep_ratio
+    FROM ranked GROUP BY doc_id
+"""
+
+
+@q("q75_segment_dedup", _SEGMENT_DEDUP_SQL)
+def q75(spark, sf_dir):
+    """Inter-document segment dedup (operators/dedup.py segment_dedup):
+    per-document keep statistics after dropping every globally-repeated
+    10-word segment except its first occurrence. One explode + one
+    segment-keyed shuffle; see the operator docstring for the
+    hash-the-key variant at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    segs = dd.segment_dedup(t["documents"], words_per_segment=10)
+    return segs.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.round(F.avg(F.when(F.col("keep"), 1.0).otherwise(0.0)), 4).alias(
+            "keep_ratio"
+        ),
+    )
+
+
 @q("q74_dialect_breadth", _DIALECT_BREADTH_SQL)
 def q74(spark, sf_dir):
     """Hardened DuckDB-isms (chained JSON arrows, len(), * REPLACE, list
