@@ -332,3 +332,28 @@ def test_transpile_hardened_chain():
     assert "size(array('x','y')) AS n" in out
     assert "get_json_object(j, '$.a.b') AS v" in out
     assert "* EXCEPT (c), upper(c) AS `c`" in out
+
+
+def test_arithmetic_operators():
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        rewrite_arithmetic_operators,
+    )
+
+    out = rewrite_arithmetic_operators("SELECT 7 // 2, a ** 2, b ^ 3 FROM t")
+    assert out == "SELECT 7 div 2, power(a, 2), power(b, 3) FROM t"
+    # ^ must NOT survive as Spark XOR; chains left-fold like Postgres
+    assert (
+        rewrite_arithmetic_operators("SELECT 2 ^ x ^ 2")
+        == "SELECT power(power(2, x), 2)"
+    )
+
+
+def test_bracket_slice():
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        rewrite_bracket_slice,
+    )
+
+    out = rewrite_bracket_slice("SELECT name[2:5], tags[1:2] FROM t", {"tags"})
+    assert out == "SELECT substring(name, 2, 4), slice(tags, 1, 2) FROM t"
+    # plain subscripts untouched (different 0/1-base semantics)
+    assert rewrite_bracket_slice("SELECT a[1] FROM t") == "SELECT a[1] FROM t"

@@ -112,3 +112,21 @@ def test_differential(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+ARITH_CORPUS = [
+    # // int division, ^ and ** power (Spark ^ would be XOR — must not leak)
+    """SELECT n_nationkey // 3 AS b, CAST(2 ** 3 AS BIGINT) AS p8,
+              CAST(n_regionkey ^ 2 AS DOUBLE) AS sq
+       FROM nation ORDER BY n_nationkey""",
+    # 1-based inclusive string slicing
+    """SELECT r_name[2:4] AS mid FROM region ORDER BY r_regionkey""",
+]
+
+
+@pytest.mark.parametrize("sql", ARITH_CORPUS, ids=range(len(ARITH_CORPUS)))
+def test_differential_arithmetic(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -552,6 +552,48 @@ def rewrite_distinct_on(sql: str) -> str:
     )
 
 
+def rewrite_arithmetic_operators(sql: str) -> str:
+    """DuckDB arithmetic spellings with different/absent Spark meanings:
+
+    - ``a // b`` integer division → ``a div b`` (Spark's ``/`` is always
+      fractional; ``//`` is a parse error).
+    - ``a ** b`` and ``a ^ b`` power → ``power(a, b)``. CRITICAL: Spark
+      parses ``^`` as bitwise XOR, so leaving it alone would silently
+      compute the wrong thing — the one class of dialect gap that can't
+      be allowed to fail loud-or-correct on its own.
+
+    Operand scope: simple operands (identifier/number/paren group), the
+    common case; anything fancier is left for the parser."""
+    operand = r"(\([^()]*\)|[A-Za-z_][A-Za-z0-9_.]*(?:\([^()]*\))?|\d+(?:\.\d+)?)"
+    sql = re.sub(operand + r"\s*//\s*", r"\1 div ", sql)
+    pow_pat = re.compile(operand + r"\s*(?:\*\*|\^)\s*" + operand)
+    prev = None
+    while prev != sql:  # left-fold chains: a^b^c -> power(power(a,b),c)
+        prev = sql
+        sql = pow_pat.sub(lambda m: f"power({m.group(1)}, {m.group(2)})", sql, count=1)
+    return sql
+
+
+def rewrite_bracket_slice(
+    sql: str, array_columns: set[str] | None = None
+) -> str:
+    """DuckDB slice subscripts ``x[a:b]`` (1-based, inclusive both ends,
+    strings AND lists) → ``substring(x, a, b-a+1)`` for strings,
+    ``slice(x, a, b-a+1)`` for known array columns. Only literal integer
+    bounds are rewritten; open-ended/negative slices are left to fail
+    loudly (their clamping semantics differ)."""
+    arr = {c.lower() for c in (array_columns or set())}
+
+    def sub(m: re.Match) -> str:
+        name, a, b = m.group(1), int(m.group(2)), int(m.group(3))
+        fn = "slice" if name.split(".")[-1].lower() in arr else "substring"
+        return f"{fn}({name}, {a}, {b - a + 1})"
+
+    return re.sub(
+        r"([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*(\d+)\s*:\s*(\d+)\s*\]", sub, sql
+    )
+
+
 def rewrite_regex_operators(sql: str) -> str:
     """DuckDB's ``expr ~ 'p'`` / ``!~`` / ``SIMILAR TO 'p'`` are FULL
     matches (``~`` is regexp_full_match, unlike Postgres's partial ``~``)
@@ -651,8 +693,10 @@ def transpile(
     sql = rewrite_distinct_on(sql)
     sql = rewrite_exclude(sql)
     sql = rewrite_replace_projection(sql, columns)
+    sql = rewrite_bracket_slice(sql, array_columns)  # before [..] literals
     sql = rewrite_array_literals(sql)
     sql = rewrite_len(sql, array_columns)
+    sql = rewrite_arithmetic_operators(sql)
     sql = rewrite_sample(sql)
     sql = rewrite_function_renames(sql)
     sql = rewrite_qualify(sql)
