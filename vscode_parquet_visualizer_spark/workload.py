@@ -192,20 +192,30 @@ def q01(spark, sf_dir):
     """,
 )
 def q02(spark, sf_dir):
-    """Star join: fact tables shuffle on join keys; nation/region are
-    broadcast explicitly (they'd qualify by size anyway — being explicit
-    documents the intent and survives stats loss at 100 TB)."""
+    """Star join, scale-shaped: the selective date filter and a 2-column
+    projection are applied to orders BEFORE any join, so the build side
+    of the fact join is ~16 bytes/row — small enough for AQE's runtime
+    broadcast conversion long past this sf (measured at the 100× dataset:
+    joining customer⋈orders first made a wide build side that stayed
+    sort-merge even at a 256 m threshold). lineitem then joins two
+    broadcastable narrow sides and never shuffles before the 25-group
+    agg. nation/region broadcast explicitly — documents intent and
+    survives stats loss at 100 TB; when orders outgrows broadcast at
+    true scale, AQE degrades this exact plan to a shuffled join with no
+    code change."""
     t = load_tables(spark, sf_dir)
+    orders_f = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = t["customer"].select("c_custkey", "c_nationkey")
     return (
-        t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        t["lineitem"]
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
-        .filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-        )
         .groupBy("n_name")
         .agg(F.round(F.sum(_rev()) / 1000.0, 2).alias("revenue_k"))
     )
