@@ -98,3 +98,30 @@ def test_search_schema_rows():
     hits = search_schema_rows(rows, "decimal")
     assert [r["column_name"] for r in hits] == ["d"]
     assert search_schema_rows(rows, "zzz") == []
+
+
+def test_union_type_rendering(spark, tmp_path):
+    """DuckDB UNION columns (SURVEY §1.3) arrive as a struct with an
+    unnamed small-int tag; the schema tab renders the logical UNION(...)
+    and pages show the active member's value, not the raw struct."""
+    import duckdb
+
+    from vscode_parquet_visualizer_spark.engine import Engine
+
+    p = str(tmp_path / "u.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE u AS "
+        "SELECT 1 AS id, union_value(num := 2)::UNION(num INTEGER, str VARCHAR) AS v "
+        "UNION ALL SELECT 2, union_value(str := 'x')::UNION(num INTEGER, str VARCHAR)"
+    )
+    con.execute(f"COPY u TO '{p}' (FORMAT parquet)")
+    con.close()
+
+    eng = Engine(spark=spark)
+    ds = eng.open(p)
+    types = {r["column_name"]: r["column_type"] for r in ds.schema()}
+    assert types["v"] == "UNION(num INTEGER, str VARCHAR)"
+    rows = sorted(ds.page(1, 10), key=lambda r: r["id"])
+    assert rows[0]["v"] == 2
+    assert rows[1]["v"] == "x"

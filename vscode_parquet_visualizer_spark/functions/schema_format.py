@@ -75,6 +75,12 @@ def duckdb_type_string(dtype: T.DataType) -> str:
             f"{duckdb_type_string(dtype.valueType)})"
         )
     if isinstance(dtype, T.StructType):
+        if is_union_struct(dtype):
+            inner = ", ".join(
+                f"{f.name} {duckdb_type_string(f.dataType)}"
+                for f in dtype.fields[1:]
+            )
+            return f"UNION({inner})"
         inner = ", ".join(
             f"{f.name} {duckdb_type_string(f.dataType)}" for f in dtype.fields
         )
@@ -82,6 +88,23 @@ def duckdb_type_string(dtype: T.DataType) -> str:
     if isinstance(dtype, (T.DayTimeIntervalType, T.YearMonthIntervalType)):
         return "INTERVAL"
     return _DUCK_NAMES.get(dtype.simpleString(), dtype.simpleString().upper())
+
+
+def is_union_struct(dtype: T.DataType) -> bool:
+    """DuckDB writes UNION columns to parquet as a struct whose first
+    field is an UNNAMED small-int tag followed by one field per member
+    (SURVEY §1.3). Spark reads that struct verbatim (empty field name,
+    ShortType tag); detect the shape so the schema tab can render the
+    logical UNION(...) type instead of the physical encoding."""
+    return (
+        isinstance(dtype, T.StructType)
+        and len(dtype.fields) >= 2
+        and dtype.fields[0].name == ""
+        and isinstance(
+            dtype.fields[0].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType),
+        )
+    )
 
 
 def arrow_type(dtype: T.DataType) -> Any:
@@ -95,6 +118,8 @@ def arrow_type(dtype: T.DataType) -> Any:
     if isinstance(dtype, T.MapType):
         return f"<{arrow_type(dtype.keyType)}, {arrow_type(dtype.valueType)}>"
     if isinstance(dtype, T.StructType):
+        if is_union_struct(dtype):
+            return f"DenseUnion<{', '.join(str(arrow_type(f.dataType)) for f in dtype.fields[1:])}>"
         # single-field struct unwraps to the field's type
         # (reference src/duckdb-schema-converter.ts:168-181)
         if len(dtype.fields) == 1:

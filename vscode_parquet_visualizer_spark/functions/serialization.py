@@ -72,9 +72,20 @@ def serialize_value(v: Any, nested: bool = False, settings=None) -> Any:
     if isinstance(v, (bytes, bytearray)):
         return list(v)
     if isinstance(v, Row):
+        d = v.asDict()
+        keys = list(d.keys())
+        # DuckDB UNION parquet encoding: unnamed int tag + member fields
+        # (schema_format.is_union_struct) — render the ACTIVE member's
+        # value, like DuckDB displays union cells, not the raw struct.
+        if len(keys) >= 2 and keys[0] == "" and isinstance(d[""], int):
+            members = keys[1:]
+            if 0 <= d[""] < len(members):
+                return serialize_value(
+                    d[members[d[""]]], nested=nested, settings=settings
+                )
         obj = {
             k: serialize_value(x, nested=True, settings=settings)
-            for k, x in v.asDict().items()
+            for k, x in d.items()
         }
         return obj if nested else json.dumps(obj, default=_json_default)
     if isinstance(v, dict):
