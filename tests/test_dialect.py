@@ -357,3 +357,16 @@ def test_bracket_slice():
     assert out == "SELECT substring(name, 2, 4), slice(tags, 1, 2) FROM t"
     # plain subscripts untouched (different 0/1-base semantics)
     assert rewrite_bracket_slice("SELECT a[1] FROM t") == "SELECT a[1] FROM t"
+
+
+def test_struct_literals():
+    out = transpile("SELECT {'a': 1, 'b': upper(x), 'c': {'d': 2}} AS s FROM data")
+    assert out == (
+        "SELECT named_struct('a', 1, 'b', upper(x), "
+        "'c', named_struct('d', 2)) AS s FROM data"
+    )
+    # cast inside a value: :: is rewritten first, colon split unaffected
+    assert (
+        transpile("SELECT {'n': x::INT} AS s FROM data")
+        == "SELECT named_struct('n', CAST(x AS INT)) AS s FROM data"
+    )

@@ -89,6 +89,10 @@ def engines(spark, sf_dir):
 
 
 def _norm(v):
+    if hasattr(v, "asDict"):  # Spark Row (struct cell)
+        v = v.asDict()
+    if isinstance(v, dict):
+        return tuple((k, _norm(x)) for k, x in sorted(v.items()))
     if isinstance(v, decimal.Decimal):
         v = float(v)
     if isinstance(v, float):
@@ -121,6 +125,9 @@ ARITH_CORPUS = [
        FROM nation ORDER BY n_nationkey""",
     # 1-based inclusive string slicing
     """SELECT r_name[2:4] AS mid FROM region ORDER BY r_regionkey""",
+    # struct literals -> named_struct
+    """SELECT {'key': r_regionkey, 'nm': upper(r_name)} AS s
+       FROM region ORDER BY r_regionkey""",
 ]
 
 

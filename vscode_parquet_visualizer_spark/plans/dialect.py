@@ -552,6 +552,35 @@ def rewrite_distinct_on(sql: str) -> str:
     )
 
 
+def rewrite_struct_literals(sql: str) -> str:
+    """DuckDB struct literals ``{'k': expr, ...}`` → ``named_struct('k',
+    expr, ...)``. Runs after literal protection (keys are placeholder
+    tokens that restore to quoted strings — exactly what named_struct
+    wants) and after the ``::`` cast rewrite (so remaining top-level
+    colons inside braces are key separators). Nested literals recurse."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "{":
+            close = _balanced_span(sql, i, "{", "}")
+            if close > 0:
+                body = rewrite_struct_literals(sql[i + 1 : close])
+                pairs = []
+                ok = True
+                for item in _split_top_level(body):
+                    key, sep, val = item.partition(":")
+                    if not sep or not key.strip() or not val.strip():
+                        ok = False
+                        break
+                    pairs.append(f"{key.strip()}, {val.strip()}")
+                if ok and pairs:
+                    out.append(f"named_struct({', '.join(pairs)})")
+                    i = close + 1
+                    continue
+        out.append(sql[i])
+        i += 1
+    return "".join(out)
+
+
 def rewrite_arithmetic_operators(sql: str) -> str:
     """DuckDB arithmetic spellings with different/absent Spark meanings:
 
@@ -694,6 +723,7 @@ def transpile(
     sql = rewrite_exclude(sql)
     sql = rewrite_replace_projection(sql, columns)
     sql = rewrite_bracket_slice(sql, array_columns)  # before [..] literals
+    sql = rewrite_struct_literals(sql)
     sql = rewrite_array_literals(sql)
     sql = rewrite_len(sql, array_columns)
     sql = rewrite_arithmetic_operators(sql)
