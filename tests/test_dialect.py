@@ -370,3 +370,17 @@ def test_struct_literals():
         transpile("SELECT {'n': x::INT} AS s FROM data")
         == "SELECT named_struct('n', CAST(x AS INT)) AS s FROM data"
     )
+
+
+def test_list_aggregate_safe_names():
+    out = transpile(
+        "SELECT list_aggregate(tags, 'min') AS mn, "
+        "list_aggregate([3,1], 'max') AS mx, "
+        "list_aggregate(tags, 'count') AS n, "
+        "list_aggregate(tags, 'sum') AS s FROM data"
+    )
+    assert "array_min(tags) AS mn" in out
+    assert "array_max(array(3,1)) AS mx" in out
+    assert "size(tags) AS n" in out
+    # 'sum' deliberately untouched (type-promotion drift) -> parser rejects
+    assert "list_aggregate(tags, 'sum')" in out

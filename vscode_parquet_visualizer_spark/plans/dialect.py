@@ -129,6 +129,32 @@ def rewrite_function_renames(sql: str) -> str:
     return sql
 
 
+# list_aggregate's second argument names the aggregate; only the
+# type-preserving ones map cleanly onto Spark array functions ('sum'/'avg'
+# would change result types vs DuckDB's HUGEINT promotion — left to fail
+# loudly rather than silently drift).
+_LIST_AGG_SAFE = {"min": "array_min", "max": "array_max", "count": "size"}
+
+
+def rewrite_list_aggregate(sql: str) -> str:
+    """``list_aggregate(l, 'min'|'max'|'count')`` → array_min/array_max/
+    size. Runs before literal protection (it reads the name literal);
+    other aggregate names pass through untouched and fail loudly."""
+
+    def la(m: re.Match) -> str:
+        fn = _LIST_AGG_SAFE.get(m.group(2).lower())
+        return f"{fn}({m.group(1)})" if fn else m.group(0)
+
+    return re.sub(
+        r"\blist_aggregate\s*\(\s*"
+        r"((?:[^(),'\[\]]|'[^']*'|\([^()]*\)|\[[^\[\]]*\])+?)"
+        r"\s*,\s*'(\w+)'\s*\)",
+        la,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def rewrite_strftime(sql: str) -> str:
     """``strftime(expr, '%Y-%m-%d')`` → ``date_format(expr, 'yyyy-MM-dd')``
     (literal-format calls only; same argument order in both dialects)."""
@@ -717,6 +743,7 @@ def transpile(
     sql = rewrite_json_arrows(sql)
     sql = rewrite_strftime(sql)
     sql = rewrite_regex_operators(sql)  # wraps pattern literals → pre-protection
+    sql = rewrite_list_aggregate(sql)  # reads the name literal → pre-protection
     sql, stash = _protect_literals(sql)
     sql = rewrite_pg_cast(sql)
     sql = rewrite_distinct_on(sql)
