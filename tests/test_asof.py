@@ -117,3 +117,62 @@ def test_nearest_matches_pandas(spark, frames):
         .sort_values(["k", "t"]).reset_index(drop=True)
     )
     assert got["price"].fillna(-1).tolist() == want["price"].fillna(-1).tolist()
+
+
+def test_asof_sql_routing(spark, sf_dir):
+    """DuckDB ASOF JOIN SQL parses, routes through asof_join, and splices
+    alias-qualified references onto the result view."""
+    from vscode_parquet_visualizer_spark.plans import dialect
+    from vscode_parquet_visualizer_spark.plans.asof_sql import try_rewrite_asof
+    from vscode_parquet_visualizer_spark.sources import registry
+
+    ev = registry.read(spark, f"{sf_dir}/events.parquet", "parquet")
+    ev.filter("event_type = 'purchase'").createOrReplaceTempView("p_t")
+    ev.filter("event_type = 'view'").createOrReplaceTempView("v_t")
+    routed = try_rewrite_asof(
+        spark,
+        "SELECT p.event_id, v.ts FROM p_t p ASOF JOIN v_t v "
+        "ON p.user_id = v.user_id AND p.ts >= v.ts",
+    )
+    assert routed is not None and "ASOF" not in routed.upper()
+    out = spark.sql(dialect.transpile(routed))
+    rows = out.collect()
+    assert len(rows) > 0
+    # inner semantics: every returned purchase has a matched view ts
+    assert all(r[1] is not None for r in rows)
+
+    # LEFT ASOF keeps unmatched purchases with null match
+    routed_left = try_rewrite_asof(
+        spark,
+        "SELECT p.event_id, v.ts FROM p_t p ASOF LEFT JOIN v_t v "
+        "ON p.user_id = v.user_id AND p.ts >= v.ts",
+    )
+    n_left = spark.sql(dialect.transpile(routed_left)).count()
+    n_purchases = spark.table("p_t").count()
+    assert n_left == n_purchases
+
+    # strict inequality raises loudly rather than silently including ties
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        try_rewrite_asof(
+            spark,
+            "SELECT p.event_id FROM p_t p ASOF JOIN v_t v "
+            "ON p.user_id = v.user_id AND p.ts > v.ts",
+        )
+
+
+def test_asof_sql_through_engine(spark, sf_dir):
+    from vscode_parquet_visualizer_spark.engine import Engine
+    from vscode_parquet_visualizer_spark.sources import registry
+
+    registry.read(spark, f"{sf_dir}/events.parquet", "parquet").filter(
+        "event_type = 'view'"
+    ).createOrReplaceTempView("view_events")
+    eng = Engine(spark=spark)
+    ds = eng.open(f"{sf_dir}/events.parquet")
+    rs = ds.query(
+        "SELECT d.event_id, v.ts FROM data d ASOF JOIN view_events v "
+        "ON d.user_id = v.user_id AND d.ts >= v.ts WHERE d.event_type = 'purchase'"
+    )
+    assert rs.row_count > 0

@@ -24,6 +24,7 @@ to the driver; everything else stays distributed.
 
 from __future__ import annotations
 
+import re
 import time
 from typing import Any
 
@@ -221,8 +222,23 @@ class Dataset:
             sql = self.engine.settings.default_query
         from pyspark.sql import types as T
 
+        cleaned = sql.rstrip().rstrip(";")
+        # ASOF JOIN has no Spark grammar: bind `data` first, then let the
+        # router execute the join via operators/asof.py and splice the
+        # query onto the result view (plans/asof_sql.py).
+        if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", cleaned, re.IGNORECASE):
+            from vscode_parquet_visualizer_spark.plans.asof_sql import (
+                try_rewrite_asof,
+            )
+
+            bound = dialect.rewrite_from_data(
+                cleaned, view=self.view, dataset_path=self.path
+            )
+            routed = try_rewrite_asof(spark, bound)
+            if routed is not None:
+                cleaned = routed
         rewritten = dialect.transpile(
-            sql.rstrip().rstrip(";"),
+            cleaned,
             view=self.view,
             columns=self.df.columns,
             dataset_path=self.path,

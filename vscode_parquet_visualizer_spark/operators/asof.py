@@ -34,13 +34,21 @@ def asof_join(
     by: list[str] | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    how: str = "left",
+    right_on_as: str | None = None,
 ) -> DataFrame:
     """Union+window as-of join. Right value columns come back suffixed when
     they collide with left names. ``direction``: backward | forward |
-    nearest (ties prefer backward, pandas semantics)."""
+    nearest (ties prefer backward, pandas semantics). ``how``: 'left'
+    keeps unmatched left rows with nulls; 'inner' drops them (DuckDB's
+    default ASOF JOIN semantics). ``right_on_as`` optionally exposes the
+    MATCHED right ``on`` value under that column name — deterministic
+    even when several right rows tie on the timestamp."""
     by = by or []
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
 
     left_cols = [c for c in left.columns]
     right_vals = [c for c in right.columns if c != on and c not in by]
@@ -109,11 +117,15 @@ def asof_join(
             .otherwise(b),  # ties → backward
         )
     matched = matched.filter(F.col("__is_left") == 1)
+    if how == "inner":
+        matched = matched.filter(F.col("__match").isNotNull())
 
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left_cols]
     out_cols += [
         F.col(f"__match.{renamed[c]}").alias(renamed[c]) for c in right_vals
     ]
+    if right_on_as:
+        out_cols.append(F.col("__match.__r_on").alias(right_on_as))
     return matched.select(*out_cols)
 
 

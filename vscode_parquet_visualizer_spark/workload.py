@@ -1733,6 +1733,49 @@ def q73(spark, sf_dir):
     return spark.sql(dialect.transpile(_DISTINCT_ON_SQL))
 
 
+# ASOF JOIN SQL surface: the identical DuckDB-dialect text runs natively
+# on the oracle and through plans/asof_sql.py routing on Spark. Outputs
+# only deterministic columns (ids + matched timestamp at second
+# granularity) — when several views tie on the matched timestamp the
+# engines may pick different view_ids, but the matched ts is unique.
+_ASOF_SQL = """
+    SELECT p.user_id, p.event_id AS purchase_id,
+           CAST(floor(epoch_ms(p.ts) / 1000.0) AS BIGINT) AS purchase_s,
+           CAST(floor(epoch_ms(v.ts) / 1000.0) AS BIGINT) AS matched_view_s
+    FROM purchases p ASOF JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+_ASOF_VIEW_SETUP = {
+    "purchases": "event_type = 'purchase'",
+    "views": "event_type = 'view'",
+}
+
+
+@q(
+    "q76_asof_sql",
+    """
+    WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         views AS (SELECT * FROM events WHERE event_type = 'view')
+    """
+    + _ASOF_SQL,
+)
+def q76(spark, sf_dir):
+    """DuckDB ``ASOF JOIN`` SQL executed by the engine: plans/asof_sql.py
+    parses the clause, runs operators/asof.py (union+window, one
+    shuffle), and splices the rest of the query over the result view.
+    The oracle runs the same ASOF JOIN natively in DuckDB."""
+    from vscode_parquet_visualizer_spark.plans import dialect
+    from vscode_parquet_visualizer_spark.plans.asof_sql import try_rewrite_asof
+
+    t = load_tables(spark, sf_dir)
+    for name, pred in _ASOF_VIEW_SETUP.items():
+        t["events"].filter(pred).createOrReplaceTempView(name)
+    routed = try_rewrite_asof(spark, _ASOF_SQL)
+    assert routed is not None
+    return spark.sql(dialect.transpile(routed))
+
+
 # Round-2 dialect-hardening surface, end-to-end through the transpiler:
 # chained -> / ->> with an array index (one JSON path, one parse),
 # len() on a string vs a list literal (length/size disambiguation),
