@@ -176,3 +176,21 @@ def test_asof_sql_through_engine(spark, sf_dir):
         "ON d.user_id = v.user_id AND d.ts >= v.ts WHERE d.event_type = 'purchase'"
     )
     assert rs.row_count > 0
+
+
+def test_positional_join_sql(spark, sf_dir):
+    """POSITIONAL JOIN zips by scan order, null-padding the longer side."""
+    from vscode_parquet_visualizer_spark.plans import dialect
+    from vscode_parquet_visualizer_spark.plans.asof_sql import (
+        try_rewrite_positional,
+    )
+    from vscode_parquet_visualizer_spark.sources import registry
+
+    registry.read(spark, f"{sf_dir}/nation.parquet", "parquet").createOrReplaceTempView("nation")
+    registry.read(spark, f"{sf_dir}/region.parquet", "parquet").createOrReplaceTempView("region")
+    routed = try_rewrite_positional(
+        spark, "SELECT n.n_name, r.r_name FROM nation n POSITIONAL JOIN region r"
+    )
+    rows = spark.sql(dialect.transpile(routed)).collect()
+    assert len(rows) == 25  # longer side wins
+    assert sum(1 for r in rows if r["r_name"] is not None) == 5

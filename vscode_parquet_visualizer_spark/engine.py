@@ -226,15 +226,20 @@ class Dataset:
         # ASOF JOIN has no Spark grammar: bind `data` first, then let the
         # router execute the join via operators/asof.py and splice the
         # query onto the result view (plans/asof_sql.py).
-        if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", cleaned, re.IGNORECASE):
+        if re.search(
+            r"\b(ASOF\s+(LEFT\s+)?|POSITIONAL\s+)JOIN\b", cleaned, re.IGNORECASE
+        ):
             from vscode_parquet_visualizer_spark.plans.asof_sql import (
                 try_rewrite_asof,
+                try_rewrite_positional,
             )
 
             bound = dialect.rewrite_from_data(
                 cleaned, view=self.view, dataset_path=self.path
             )
-            routed = try_rewrite_asof(spark, bound)
+            routed = try_rewrite_asof(spark, bound) or try_rewrite_positional(
+                spark, bound
+            )
             if routed is not None:
                 cleaned = routed
         rewritten = dialect.transpile(

@@ -40,7 +40,41 @@ _COND = re.compile(
     r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$"
 )
 
+_POSITIONAL = re.compile(
+    r"\bFROM\s+" + _REL + r"\s+POSITIONAL\s+JOIN\s+" + _REL + r"\s*" + _KW_STOP,
+    re.IGNORECASE | re.DOTALL,
+)
+
 _counter = 0
+
+
+def try_rewrite_positional(spark: SparkSession, sql: str) -> str | None:
+    """``FROM a [x] POSITIONAL JOIN b [y]`` → execute with
+    operators/positional.py and splice onto the result view (same
+    engine-routing pattern as ASOF JOIN; Spark has no positional
+    grammar). Alias-qualified references map to the joined columns."""
+    from vscode_parquet_visualizer_spark.operators.positional import (
+        positional_join,
+    )
+
+    m = _POSITIONAL.search(sql)
+    if not m:
+        return None
+    lrel, lali, rrel, rali = m.groups()
+    lali, rali = lali or lrel, rali or rrel
+    left, right = spark.table(lrel), spark.table(rrel)
+    joined = positional_join(left, right)
+    global _counter
+    _counter += 1
+    view = f"__pj_{_counter}"
+    joined.createOrReplaceTempView(view)
+    out = sql[: m.start()] + f"FROM {view} " + sql[m.end():]
+    left_cols = set(left.columns)
+    for c in right.columns:
+        tgt = c + "_right" if c in left_cols else c
+        out = re.sub(rf"\b{re.escape(rali)}\.{re.escape(c)}\b", tgt, out)
+    out = re.sub(rf"\b{re.escape(lali)}\.([A-Za-z_]\w*)\b", r"\1", out)
+    return out
 
 
 def try_rewrite_asof(spark: SparkSession, sql: str) -> str | None:

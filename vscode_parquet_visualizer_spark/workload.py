@@ -1776,6 +1776,32 @@ def q76(spark, sf_dir):
     return spark.sql(dialect.transpile(routed))
 
 
+# POSITIONAL JOIN SQL surface: identical DuckDB text runs natively on the
+# oracle; Spark routes through operators/positional.py (zipWithIndex —
+# no single-partition window). nation (25) zips region (5): the null
+# padding of the longer side is part of what's verified.
+_POSITIONAL_SQL = """
+    SELECT n.n_name, r.r_name
+    FROM nation n POSITIONAL JOIN region r
+"""
+
+
+@q("q77_positional_sql", _POSITIONAL_SQL)
+def q77(spark, sf_dir):
+    """DuckDB ``POSITIONAL JOIN`` SQL executed by the engine router
+    (plans/asof_sql.try_rewrite_positional); oracle runs the same text
+    natively. Scan order is the position contract on both engines."""
+    from vscode_parquet_visualizer_spark.plans import dialect
+    from vscode_parquet_visualizer_spark.plans.asof_sql import (
+        try_rewrite_positional,
+    )
+
+    load_tables(spark, sf_dir)
+    routed = try_rewrite_positional(spark, _POSITIONAL_SQL)
+    assert routed is not None
+    return spark.sql(dialect.transpile(routed))
+
+
 # Round-2 dialect-hardening surface, end-to-end through the transpiler:
 # chained -> / ->> with an array index (one JSON path, one parse),
 # len() on a string vs a list literal (length/size disambiguation),
