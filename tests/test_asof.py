@@ -194,3 +194,28 @@ def test_positional_join_sql(spark, sf_dir):
     rows = spark.sql(dialect.transpile(routed)).collect()
     assert len(rows) == 25  # longer side wins
     assert sum(1 for r in rows if r["r_name"] is not None) == 5
+
+
+def test_positional_join_stays_jvm_side(spark, sf_dir):
+    """The position key is built JVM-side: no Python RDD round-trip
+    (df.rdd would deserialize every row into Python and back — a
+    scale-killer on both relations)."""
+    from vscode_parquet_visualizer_spark.operators.positional import (
+        positional_join,
+    )
+
+    left = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    right = spark.read.parquet(f"{sf_dir}/region.parquet")
+    out = positional_join(left, right)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # localCheckpoint legitimately shows as a JVM ExistingRDD scan; what
+    # must NOT appear is any Python evaluation/serialization node
+    assert "PythonRDD" not in plan
+    assert "EvalPython" not in plan
+    assert "Scan ExistingRDD[__pos" not in plan  # the old rdd.zipWithIndex shape
+    # zip order matches scan order on both sides
+    rows = out.collect()
+    want_left = [r["n_name"] for r in left.collect()]
+    assert [r["n_name"] for r in rows] == want_left
+    want_right = [r["r_name"] for r in right.collect()]
+    assert [r["r_name"] for r in rows][: len(want_right)] == want_right

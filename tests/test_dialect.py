@@ -33,6 +33,49 @@ def test_json_arrows():
         rewrite_json_arrows("SELECT props -> 'k' FROM e")
         == "SELECT get_json_object(props, '$.k') FROM e"
     )
+    # chains collapse into ONE json path (one parse per chain)
+    assert (
+        rewrite_json_arrows("SELECT j -> 'a' -> 0 ->> 'c' FROM t")
+        == "SELECT get_json_object(j, '$.a[0].c') FROM t"
+    )
+    # a string-literal base operand (inline JSON text) still works
+    assert (
+        rewrite_json_arrows("SELECT '{\"a\":1}' -> 'a'")
+        == "SELECT get_json_object('{\"a\":1}', '$.a')"
+    )
+
+
+def test_json_arrows_literal_protection():
+    # arrow-like text INSIDE an ordinary string literal is never rewritten
+    assert rewrite_json_arrows("SELECT 'a -> 1'") == "SELECT 'a -> 1'"
+    assert rewrite_json_arrows("SELECT 'a -> ''b'''") == "SELECT 'a -> ''b'''"
+    assert (
+        rewrite_json_arrows("SELECT 'x ->> y' AS s, j ->> 'k' FROM t")
+        == "SELECT 'x ->> y' AS s, get_json_object(j, '$.k') FROM t"
+    )
+    # lambda arrows with non-literal bodies are untouched
+    assert (
+        rewrite_json_arrows("SELECT transform(a, x -> x + 1) FROM t")
+        == "SELECT transform(a, x -> x + 1) FROM t"
+    )
+    assert (
+        rewrite_json_arrows("SELECT transform(a, x -> 1) FROM t")
+        == "SELECT transform(a, x -> 1) FROM t"
+    )
+
+
+def test_strftime_literal_protection():
+    from vscode_parquet_visualizer_spark.plans.dialect import rewrite_strftime
+
+    assert (
+        rewrite_strftime("SELECT strftime(d, '%Y-%m') FROM t")
+        == "SELECT date_format(d, 'yyyy-MM') FROM t"
+    )
+    # strftime-like text inside an unrelated literal is untouched
+    assert (
+        rewrite_strftime("SELECT 'strftime(d, ''%Y'')' FROM t")
+        == "SELECT 'strftime(d, ''%Y'')' FROM t"
+    )
 
 
 def test_exclude():
@@ -186,6 +229,39 @@ def test_distinct_on():
     assert out.endswith("WHERE __don = 1 LIMIT 3")
 
 
+def test_distinct_on_nested_scope():
+    # DISTINCT ON inside a CTE body: the rewrite must stay inside the
+    # parenthesized scope — the outer query's shape is preserved
+    out = transpile(
+        "WITH w AS (SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC) "
+        "SELECT k, v FROM w ORDER BY k LIMIT 2"
+    )
+    assert out.startswith("WITH w AS (SELECT * EXCEPT (__don) FROM (")
+    assert out.endswith("SELECT k, v FROM w ORDER BY k LIMIT 2")
+    assert "PARTITION BY k ORDER BY k, v DESC" in out
+    # derived-table position
+    out = transpile(
+        "SELECT count(*) AS n FROM "
+        "(SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v) sub"
+    )
+    assert out.startswith("SELECT count(*) AS n FROM (SELECT * EXCEPT (__don)")
+    assert out.endswith("sub")
+
+
+def test_distinct_on_nested_on_spark(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("data")
+    rows = spark.sql(
+        transpile(
+            "WITH best AS (SELECT DISTINCT ON (o_orderpriority) "
+            "o_orderpriority, o_totalprice FROM data "
+            "ORDER BY o_orderpriority, o_totalprice DESC) "
+            "SELECT count(*) AS n FROM best"
+        )
+    ).collect()
+    want = spark.table("data").select("o_orderpriority").distinct().count()
+    assert rows[0]["n"] == want
+
+
 def test_distinct_on_on_spark(spark, sf_dir):
     spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("data")
     out = spark.sql(
@@ -242,10 +318,24 @@ def test_regex_operator_rewrites():
         rewrite_regex_operators("SELECT * FROM t WHERE a SIMILAR TO 'p'")
         == "SELECT * FROM t WHERE a RLIKE '^(?:p)$'"
     )
-    # non-literal pattern: operator mapping only (partial match)
+    # non-literal pattern: operator mapping only (partial match — the
+    # pattern can't be anchored without evaluating the expression)
     assert (
-        rewrite_regex_operators("SELECT * FROM t WHERE a ~ b") ==
-        "SELECT * FROM t WHERE a ~ b"  # left for the parser — ambiguous
+        rewrite_regex_operators("SELECT * FROM t WHERE a ~ b")
+        == "SELECT * FROM t WHERE a RLIKE b"
+    )
+    assert (
+        rewrite_regex_operators("SELECT * FROM t WHERE a !~ b")
+        == "SELECT * FROM t WHERE a NOT RLIKE b"
+    )
+    # operators spelled inside string literals are never touched
+    assert (
+        rewrite_regex_operators("SELECT * FROM t WHERE note = 'a!~b'")
+        == "SELECT * FROM t WHERE note = 'a!~b'"
+    )
+    assert (
+        rewrite_regex_operators("SELECT 'x ~ ' || 'y' FROM t")
+        == "SELECT 'x ~ ' || 'y' FROM t"
     )
 
 

@@ -25,6 +25,23 @@ def test_cosine_orthogonal(spark):
     assert abs(out) < 1e-12
 
 
+def test_topk_drops_null_scored_rows(spark):
+    # a zero-norm corpus vector scores NULL (undefined similarity): it
+    # must never evict a genuine candidate from phase 1 nor appear in
+    # the final top-k
+    rows = [(i, [float(i + 1), 1.0]) for i in range(6)] + [
+        (99, [0.0, 0.0])  # zero-norm → NULL score
+    ]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(0, [1.0, 1.0])], ["query_id", "embedding"]
+    )
+    out = sim.brute_force_topk(corpus, queries, k=6).collect()
+    assert len(out) == 6
+    assert 99 not in {r["neighbor_id"] for r in out}
+    assert all(r["score"] is not None for r in out)
+
+
 def test_brute_force_topk_self_first(embeddings):
     queries = embeddings.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -1,0 +1,111 @@
+"""SQL gateway: DuckDB PIVOT shorthand lowering + statement routing.
+
+The reference passes the query tab's text verbatim to DuckDB
+(src/worker.ts:516-541), so a DuckDB-habituated user writes
+``PIVOT t ON col USING agg`` — a statement with no Spark grammar.
+plans/pivot_sql.py lowers it to conditional aggregation; the gateway
+(plans/sql_gateway.py) routes every statement shape through one path.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vscode_parquet_visualizer_spark.plans.pivot_sql import try_rewrite_pivot
+from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+
+@pytest.fixture(scope="module")
+def orders_view(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df.createOrReplaceTempView("orders_gw")
+    return df
+
+
+def test_pivot_shorthand_counts(spark, orders_view):
+    out = run_sql(
+        spark,
+        "PIVOT orders_gw ON o_orderpriority USING count(*) "
+        "GROUP BY o_orderstatus",
+    )
+    prios = sorted(
+        r[0]
+        for r in orders_view.select("o_orderpriority").distinct().collect()
+    )
+    assert out.columns == ["o_orderstatus"] + prios
+    got = {r["o_orderstatus"]: r for r in out.collect()}
+    want = {
+        (r["o_orderstatus"], r["o_orderpriority"]): r["n"]
+        for r in orders_view.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for (status, prio), n in want.items():
+        assert got[status][prio] == n
+    # missing combination semantics: count() of an absent pair is 0, not null
+    for status in got:
+        for prio in prios:
+            if (status, prio) not in want:
+                assert got[status][prio] == 0
+
+
+def test_pivot_shorthand_sum_null_for_missing(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "x", 2), ("b", "y", 5)], ["g", "k", "v"]
+    )
+    df.createOrReplaceTempView("pv_t")
+    out = run_sql(spark, "PIVOT pv_t ON k USING sum(v) GROUP BY g")
+    rows = {r["g"]: r for r in out.collect()}
+    assert rows["a"]["x"] == 3 and rows["a"]["y"] is None
+    assert rows["b"]["y"] == 5 and rows["b"]["x"] is None
+
+
+def test_pivot_shorthand_subquery_dataset(spark, orders_view):
+    out = run_sql(
+        spark,
+        "PIVOT (SELECT o_orderstatus, o_orderpriority FROM orders_gw "
+        "WHERE o_orderstatus = 'F') ON o_orderpriority USING count(*)",
+    )
+    assert len(out.collect()) == 1  # no GROUP BY: one row of totals
+
+
+def test_pivot_rewrite_declines_non_pivot(spark):
+    assert try_rewrite_pivot(spark, "SELECT 1 AS x") is None
+    # multiple USING aggregates: not lowered — loud failure upstream
+    assert (
+        try_rewrite_pivot(
+            spark, "PIVOT t ON k USING sum(a), count(*) GROUP BY g"
+        )
+        is None
+    )
+
+
+def test_run_sql_plain_statement(spark, orders_view):
+    out = run_sql(
+        spark,
+        "SELECT o_orderstatus, count(*)::BIGINT AS n FROM orders_gw "
+        "GROUP BY o_orderstatus",
+    )
+    assert out.count() == orders_view.select("o_orderstatus").distinct().count()
+
+
+def test_run_sql_routes_asof(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.limit(100).createOrReplaceTempView("ev_gw_a")
+    ev.limit(50).createOrReplaceTempView("ev_gw_b")
+    out = run_sql(
+        spark,
+        "SELECT count(*) AS n FROM ev_gw_a a ASOF JOIN ev_gw_b b "
+        "ON a.user_id = b.user_id AND a.ts >= b.ts",
+    )
+    assert out.collect()[0]["n"] >= 0
+
+
+def test_engine_sql_runs_pivot(spark, sf_dir):
+    from vscode_parquet_visualizer_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders_eng"
+    )
+    out = eng.sql("PIVOT orders_eng ON o_orderstatus USING count(*)")
+    assert len(out.collect()) == 1

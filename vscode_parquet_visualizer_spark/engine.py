@@ -24,7 +24,6 @@ to the driver; everything else stays distributed.
 
 from __future__ import annotations
 
-import re
 import time
 from typing import Any
 
@@ -222,28 +221,14 @@ class Dataset:
             sql = self.engine.settings.default_query
         from pyspark.sql import types as T
 
-        cleaned = sql.rstrip().rstrip(";")
-        # ASOF JOIN has no Spark grammar: bind `data` first, then let the
-        # router execute the join via operators/asof.py and splice the
-        # query onto the result view (plans/asof_sql.py).
-        if re.search(
-            r"\b(ASOF\s+(LEFT\s+)?|POSITIONAL\s+)JOIN\b", cleaned, re.IGNORECASE
-        ):
-            from vscode_parquet_visualizer_spark.plans.asof_sql import (
-                try_rewrite_asof,
-                try_rewrite_positional,
-            )
+        from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
 
-            bound = dialect.rewrite_from_data(
-                cleaned, view=self.view, dataset_path=self.path
-            )
-            routed = try_rewrite_asof(spark, bound) or try_rewrite_positional(
-                spark, bound
-            )
-            if routed is not None:
-                cleaned = routed
-        rewritten = dialect.transpile(
-            cleaned,
+        t0 = time.perf_counter()
+        # one gateway for every statement shape: ASOF/POSITIONAL JOIN and
+        # dynamic PIVOT route onto operators; the rest transpiles
+        df = run_sql(
+            spark,
+            sql,
             view=self.view,
             columns=self.df.columns,
             dataset_path=self.path,
@@ -253,8 +238,6 @@ class Dataset:
                 if isinstance(f.dataType, (T.ArrayType, T.MapType))
             },
         )
-        t0 = time.perf_counter()
-        df = spark.sql(rewritten)
         if not materialize:
             return df
         new_result = ResultSet(
@@ -381,7 +364,9 @@ class Engine:
         return ds
 
     def sql(self, sql: str) -> DataFrame:
-        return self.spark.sql(dialect.transpile(sql.rstrip().rstrip(";")))
+        from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+        return run_sql(self.spark, sql)
 
     def stop(self) -> None:
         self.spark.stop()

@@ -3,28 +3,52 @@ side null-padded — reference surface via pass-through SQL,
 src/duckdb-backend.ts:142-146).
 
 No distributed engine has an implicit global row order, so the position
-key is materialized explicitly with ``rdd.zipWithIndex`` — the standard
-distributed enumeration: one count job to learn per-partition sizes,
-then each row gets cumulative-offset + local index. No single-partition
-window, no shuffle beyond the final position-keyed join. Scan order =
-(input split order, row order within split), which matches file order
-for parquet scans — the same contract DuckDB's positional semantics
-rely on.
+key is materialized explicitly — entirely JVM-side (no ``df.rdd``
+round-trip, which would deserialize every row into Python and back):
+``spark_partition_id`` + ``monotonically_increasing_id`` give each row
+its partition and a per-partition-consecutive local id; one small
+aggregation job learns per-partition (count, min id), and a broadcast
+prefix-sum join turns them into the global position
+``offset[pid] + (id - min_id[pid])``. No single-partition window, no
+shuffle beyond the final position-keyed join. Scan order = (input
+split order, row order within split), which matches file order for
+parquet scans — the same contract DuckDB's positional semantics rely
+on. The input is locally checkpointed before the stats job so both
+passes (stats, join) see the identical partitioning and id assignment
+even over nondeterministic upstreams.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def _with_pos(df: DataFrame) -> DataFrame:
-    schema = T.StructType(
-        [T.StructField("__pos", T.LongType(), False), *df.schema.fields]
+    spark = df.sparkSession
+    part = df.withColumns(
+        {
+            "__pid": F.spark_partition_id(),
+            "__mid": F.monotonically_increasing_id(),
+        }
+    ).localCheckpoint(eager=False)  # materialized by the stats job below
+    stats = (
+        part.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__m0"))
+        .collect()
     )
-    rdd = df.rdd.zipWithIndex().map(lambda t: (t[1], *t[0]))
-    return df.sparkSession.createDataFrame(rdd, schema)
+    rows, offset = [], 0
+    for r in sorted(stats, key=lambda r: r["__pid"]):
+        rows.append((r["__pid"], offset, r["__m0"]))
+        offset += r["__n"]
+    off = spark.createDataFrame(
+        rows, "__pid int, __off long, __m0 long"
+    ).coalesce(1)
+    return (
+        part.join(F.broadcast(off), "__pid")
+        .withColumn("__pos", F.col("__off") + (F.col("__mid") - F.col("__m0")))
+        .drop("__pid", "__mid", "__off", "__m0")
+    )
 
 
 def positional_join(

@@ -34,11 +34,13 @@ def range_join(
     equality keys (joined before the range filter — they also co-locate
     the shuffle).
 
-    ``how``: ``inner`` or ``left``. A naive ``left`` bucketed join + BETWEEN
-    filter would silently drop a point whose bucket matched interval rows
-    but none satisfied the range predicate; true left semantics are built
-    as inner matches ∪ (anti-joined unmatched points with null interval
-    columns).
+    ``how``: ``inner`` or ``left``. For ``left`` the BETWEEN predicate is
+    part of the JOIN CONDITION (not a post-join filter, which would
+    silently drop a point whose bucket matched interval rows but none
+    satisfied the range): each point lives in exactly ONE bucket, so a
+    single left outer join emits exactly one null-padded row per
+    unmatched point — deterministic, no row-id bookkeeping, one join
+    instead of inner ∪ anti.
     """
     extra_on = extra_on or []
     if how not in ("inner", "left"):
@@ -48,8 +50,6 @@ def range_join(
     pt = points.withColumn(
         "__bucket", (F.col(point_col) / bucket_width).cast("long")
     )
-    if how == "left":
-        pt = pt.withColumn("__pt_id", F.monotonically_increasing_id())
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
@@ -59,18 +59,23 @@ def range_join(
             )
         ),
     )
-    matched = pt.join(iv, ["__bucket", *extra_on], "inner").filter(
-        F.col(point_col).between(F.col(lo_col), F.col(hi_col))
-    )
     if how == "inner":
-        return matched.drop("__bucket")
-    unmatched = pt.join(
-        matched.select("__pt_id"), "__pt_id", "left_anti"
+        return (
+            pt.join(iv, ["__bucket", *extra_on], "inner")
+            .filter(F.col(point_col).between(F.col(lo_col), F.col(hi_col)))
+            .drop("__bucket")
+        )
+    p, i = pt.alias("__p"), iv.alias("__i")
+    cond = F.col("__p.__bucket") == F.col("__i.__bucket")
+    for k in extra_on:
+        cond = cond & (F.col(f"__p.{k}") == F.col(f"__i.{k}"))
+    cond = cond & F.col(f"__p.{point_col}").between(
+        F.col(f"__i.{lo_col}"), F.col(f"__i.{hi_col}")
     )
-    return (
-        matched.unionByName(unmatched, allowMissingColumns=True)
-        .drop("__bucket", "__pt_id")
-    )
+    out_cols = [F.col(f"__p.{c}") for c in points.columns] + [
+        F.col(f"__i.{c}") for c in intervals.columns if c not in extra_on
+    ]
+    return p.join(i, cond, "left").select(*out_cols)
 
 
 def time_bucket(ts: Column, width_seconds: int) -> Column:

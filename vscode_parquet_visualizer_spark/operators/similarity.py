@@ -55,7 +55,13 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     a k-bounded trickle. Ordering (score desc, neighbor_id asc) is a
     total order, so batch-local top-k provably contains the global
     top-k and the final ranks hash-match the single-phase plan.
-    """
+
+    NULL scores (a zero-norm vector: similarity is undefined — SQL NULL,
+    not NaN) are dropped up front: pandas cannot tell NULL from NaN, so
+    phase 1 would rank them greatest (evicting genuine top-k rows) while
+    the phase-2 window ranks them last. NaN scores survive and order
+    identically in both phases (greatest)."""
+    scored = scored.filter(F.col("score").isNotNull())
     schema = scored.schema
 
     def partial(batches):

@@ -136,34 +136,45 @@ def rewrite_function_renames(sql: str) -> str:
 _LIST_AGG_SAFE = {"min": "array_min", "max": "array_max", "count": "size"}
 
 
-def rewrite_list_aggregate(sql: str) -> str:
+def rewrite_list_aggregate(sql: str, stash: list[str] | None = None) -> str:
     """``list_aggregate(l, 'min'|'max'|'count')`` → array_min/array_max/
-    size. Runs before literal protection (it reads the name literal);
-    other aggregate names pass through untouched and fail loudly."""
+    size. Operates on literal-protected SQL (the name literal is resolved
+    through ``stash``); other aggregate names pass through untouched and
+    fail loudly."""
+    if stash is None:
+        sql, local = _protect_literals(sql)
+        return _restore_literals(rewrite_list_aggregate(sql, local), local)
 
     def la(m: re.Match) -> str:
-        fn = _LIST_AGG_SAFE.get(m.group(2).lower())
+        fn = _LIST_AGG_SAFE.get(_lit_text(stash, m.group(2)).lower())
         return f"{fn}({m.group(1)})" if fn else m.group(0)
 
     return re.sub(
         r"\blist_aggregate\s*\(\s*"
-        r"((?:[^(),'\[\]]|'[^']*'|\([^()]*\)|\[[^\[\]]*\])+?)"
-        r"\s*,\s*'(\w+)'\s*\)",
+        r"((?:[^(),\[\]]|\([^()]*\)|\[[^\[\]]*\])+?)"
+        r"\s*,\s*\x00LIT(\d+)\x00\s*\)",
         la,
         sql,
         flags=re.IGNORECASE,
     )
 
 
-def rewrite_strftime(sql: str) -> str:
+def rewrite_strftime(sql: str, stash: list[str] | None = None) -> str:
     """``strftime(expr, '%Y-%m-%d')`` → ``date_format(expr, 'yyyy-MM-dd')``
-    (literal-format calls only; same argument order in both dialects)."""
+    (literal-format calls only; same argument order in both dialects).
+    Operates on literal-protected SQL; the translated format is stashed
+    back as a fresh literal."""
+    if stash is None:
+        sql, local = _protect_literals(sql)
+        return _restore_literals(rewrite_strftime(sql, local), local)
 
     def sub(m: re.Match) -> str:
-        return f"date_format({m.group(1)}, '{translate_strftime_pattern(m.group(2))}')"
+        fmt = translate_strftime_pattern(_lit_text(stash, m.group(2)))
+        lit = "'" + fmt.replace("'", "''") + "'"
+        return f"date_format({m.group(1)}, {_stash_add(stash, lit)})"
 
     return re.sub(
-        r"\bstrftime\s*\(\s*([^,()]+)\s*,\s*'([^']*)'\s*\)",
+        r"\bstrftime\s*\(\s*([^,()]+?)\s*,\s*\x00LIT(\d+)\x00\s*\)",
         sub,
         sql,
         flags=re.IGNORECASE,
@@ -191,6 +202,18 @@ def _restore_literals(sql: str, stash: list[str]) -> str:
     return sql
 
 
+def _stash_add(stash: list[str], literal: str) -> str:
+    """Register a rewrite-generated literal (full quoted text) and return
+    its placeholder, so later structural rewrites can't corrupt it."""
+    stash.append(literal)
+    return f"\x00LIT{len(stash) - 1}\x00"
+
+
+def _lit_text(stash: list[str], idx: str | int) -> str:
+    """Unescaped contents of protected literal ``idx``."""
+    return stash[int(idx)][1:-1].replace("''", "'")
+
+
 def rewrite_pg_cast(sql: str) -> str:
     """``expr::TYPE`` → ``CAST(expr AS TYPE)`` for simple operands
     (identifier, quoted identifier, literal, or parenthesized expr)."""
@@ -211,7 +234,7 @@ def rewrite_pg_cast(sql: str) -> str:
     return sql
 
 
-def rewrite_json_arrows(sql: str) -> str:
+def rewrite_json_arrows(sql: str, stash: list[str] | None = None) -> str:
     """``col -> 'k'`` / ``col ->> 'k'`` → ``get_json_object(col, '$.k')``,
     including *chained* paths and array indices:
     ``j -> 'a' -> 0 ->> 'c'`` → ``get_json_object(j, '$.a[0].c')``.
@@ -220,41 +243,51 @@ def rewrite_json_arrows(sql: str) -> str:
     get_json_object returns text in both cases — fine for the common
     extract-then-compare usage. A chain is collapsed into one JSON path
     (each pass merges ``get_json_object(x, '$.p') -> k`` into the path),
-    so a chain costs one JSON parse, not one per step. Lambda arrows
-    (``x -> x + 1``) are untouched: the right side here must be a string
-    literal or an integer index."""
-    ident = r"([A-Za-z_][A-Za-z0-9_.]*|\"[^\"]+\"|'(?:[^']|'')*')"
-    arrow = r"\s*->>?\s*(?:'([^']*)'|(\d+))"
+    so a chain costs one JSON parse, not one per step.
 
-    def seg(key: str | None, idx: str | None) -> str:
-        return f".{key}" if key is not None else f"[{idx}]"
+    Operates on literal-protected SQL (keys are placeholder tokens
+    resolved through ``stash``; generated path literals are stashed
+    back), so arrow-like text *inside* an ordinary string literal —
+    ``SELECT 'a -> 1'`` — is never rewritten. Lambda arrows
+    (``x -> x + 1``) are untouched: the first hop's right side must be
+    a protected string literal (an integer there is more likely a
+    lambda constant body than a JSON root index); chained hops accept
+    integer indices."""
+    if stash is None:
+        sql, local = _protect_literals(sql)
+        return _restore_literals(rewrite_json_arrows(sql, local), local)
 
-    base = re.compile(ident + arrow)
+    ident = r"([A-Za-z_][A-Za-z0-9_.]*|\"[^\"]+\"|\x00LIT\d+\x00)"
+    arrow = r"\s*->>?\s*(?:\x00LIT(\d+)\x00|(\d+))"
+
+    def seg(key_idx: str | None, idx: str | None) -> str:
+        return f".{_lit_text(stash, key_idx)}" if key_idx is not None else f"[{idx}]"
+
+    base = re.compile(ident + r"\s*->>?\s*\x00LIT(\d+)\x00")
     chain = re.compile(
-        r"get_json_object\(\s*((?:[^()']|'(?:[^']|'')*'|\([^()]*\))*?),"
-        r"\s*'\$([^']*)'\s*\)" + arrow
+        r"get_json_object\(\s*((?:[^()]|\([^()]*\))*?),"
+        r"\s*\x00LIT(\d+)\x00\s*\)" + arrow
     )
+
+    def chain_sub(m: re.Match) -> str:
+        prefix = _lit_text(stash, m.group(2))
+        if not prefix.startswith("$"):  # second arg isn't a JSON path
+            return m.group(0)
+        lit = "'" + (prefix + seg(m.group(3), m.group(4))).replace("'", "''") + "'"
+        return f"get_json_object({m.group(1)}, {_stash_add(stash, lit)})"
+
+    def base_sub(m: re.Match) -> str:
+        lit = "'" + ("$" + seg(m.group(2), None)).replace("'", "''") + "'"
+        return f"get_json_object({m.group(1)}, {_stash_add(stash, lit)})"
+
     prev = None
     while prev != sql:
         prev = sql
-        sql = chain.sub(
-            lambda m: (
-                f"get_json_object({m.group(1)}, "
-                f"'${m.group(2)}{seg(m.group(3), m.group(4))}')"
-            ),
-            sql,
-        )
+        sql = chain.sub(chain_sub, sql)
         # one leftmost match per pass: a later quoted KEY ('b' in
         # j -> 'a' -> 'b') must not be mistaken for a literal operand —
         # the next pass's chain-collapse consumes it instead
-        sql = base.sub(
-            lambda m: (
-                f"get_json_object({m.group(1)}, "
-                f"'${seg(m.group(2), m.group(3))}')"
-            ),
-            sql,
-            count=1,
-        )
+        sql = base.sub(base_sub, sql, count=1)
     return sql
 
 
@@ -523,11 +556,48 @@ def rewrite_distinct_on(sql: str) -> str:
     helper column with ``* EXCEPT``. The outer ORDER BY is preserved —
     in DuckDB it both picks the group representative and orders output.
 
+    Handles DISTINCT ON at any paren depth (CTE bodies, derived tables):
+    each occurrence is rewritten within its own enclosing parenthesized
+    scope, so the ORDER BY / LIMIT splitting never escapes the subquery.
+    Runs post-literal-protection, so paren counting is reliable.
+
     Known gap: DuckDB resolves ORDER BY terms against the base relation
     even when the projection drops them; after the rewrite the outer sort
     only sees the projected columns, so such queries fail analysis loudly
     (project the ordering columns to keep them). The representative-row
     choice is unaffected — the window ORDER BY runs pre-projection."""
+    for _ in range(32):  # bounded: each pass eliminates one occurrence
+        m = re.search(r"\bSELECT\s+DISTINCT\s+ON\s*\(", sql, flags=re.IGNORECASE)
+        if m is None:
+            return sql
+        # Find the innermost paren scope enclosing the match, if any.
+        opens: list[int] = []
+        for i, ch in enumerate(sql[: m.start()]):
+            if ch == "(":
+                opens.append(i)
+            elif ch == ")" and opens:
+                opens.pop()
+        if opens:
+            o = opens[-1]
+            c = _balanced_span(sql, o)
+            if c < 0:
+                return sql
+            inner = sql[o + 1 : c]
+            new_inner = _rewrite_distinct_on_scope(inner)
+            if new_inner == inner:
+                return sql
+            sql = sql[: o + 1] + new_inner + sql[c:]
+        else:
+            rewritten = _rewrite_distinct_on_scope(sql)
+            if rewritten == sql:
+                return sql
+            sql = rewritten
+    return sql
+
+
+def _rewrite_distinct_on_scope(sql: str) -> str:
+    """Rewrite the first DISTINCT ON whose clause tail lies at this
+    string's top level (the original single-scope algorithm)."""
     m = re.search(r"\bSELECT\s+DISTINCT\s+ON\s*\(", sql, flags=re.IGNORECASE)
     if not m:
         return sql
@@ -649,39 +719,55 @@ def rewrite_bracket_slice(
     )
 
 
-def rewrite_regex_operators(sql: str) -> str:
+def rewrite_regex_operators(sql: str, stash: list[str] | None = None) -> str:
     """DuckDB's ``expr ~ 'p'`` / ``!~`` / ``SIMILAR TO 'p'`` are FULL
     matches (``~`` is regexp_full_match, unlike Postgres's partial ``~``)
-    → RLIKE with the pattern literal anchored as ``'^(?:p)$'``. Runs
-    before literal protection so it can wrap the pattern. A non-literal
-    pattern (column/expr) falls back to plain RLIKE — partial match;
-    anchor explicitly in that rare case."""
+    → RLIKE with the pattern literal anchored as ``'^(?:p)$'``.
+
+    Operates on literal-protected SQL: pattern literals are resolved
+    through ``stash`` and the anchored patterns stashed back, so an
+    operator spelled *inside* an ordinary string literal (``'a!~b'``)
+    is never touched. A non-literal pattern (column/expr) falls back to
+    a plain RLIKE operator mapping — partial match; anchor explicitly
+    in that rare case."""
+    if stash is None:
+        sql, local = _protect_literals(sql)
+        return _restore_literals(rewrite_regex_operators(sql, local), local)
+
     ident = r"([A-Za-z_][A-Za-z0-9_.]*|\"[^\"]+\"|\))"
-    lit = r"'((?:[^']|'')*)'"
+    ph = r"\x00LIT(\d+)\x00"
+
+    def anchored(idx: str) -> str:
+        pat = stash[int(idx)][1:-1]  # keep '' escapes verbatim
+        return _stash_add(stash, f"'^(?:{pat})$'")
+
     sql = re.sub(
-        ident + r"\s*!~\s*" + lit,
-        lambda m: f"{m.group(1)} NOT RLIKE '^(?:{m.group(2)})$'",
+        ident + r"\s*!~\s*" + ph,
+        lambda m: f"{m.group(1)} NOT RLIKE {anchored(m.group(2))}",
         sql,
     )
     sql = re.sub(
-        ident + r"\s*~\s*" + lit,
-        lambda m: f"{m.group(1)} RLIKE '^(?:{m.group(2)})$'",
+        ident + r"\s*~\s*" + ph,
+        lambda m: f"{m.group(1)} RLIKE {anchored(m.group(2))}",
         sql,
     )
     sql = re.sub(
-        r"\bNOT\s+SIMILAR\s+TO\s+" + lit,
-        lambda m: f"NOT RLIKE '^(?:{m.group(1)})$'",
+        r"\bNOT\s+SIMILAR\s+TO\s+" + ph,
+        lambda m: f"NOT RLIKE {anchored(m.group(1))}",
         sql,
         flags=re.IGNORECASE,
     )
     sql = re.sub(
-        r"\bSIMILAR\s+TO\s+" + lit,
-        lambda m: f"RLIKE '^(?:{m.group(1)})$'",
+        r"\bSIMILAR\s+TO\s+" + ph,
+        lambda m: f"RLIKE {anchored(m.group(1))}",
         sql,
         flags=re.IGNORECASE,
     )
-    # non-literal pattern fallback: operator mapping only
+    # non-literal pattern fallback: operator mapping only (partial match).
+    # ``!~`` first so the bare-``~`` pass only sees what's left; the
+    # ident guard keeps unary bitwise-style ``~x`` spellings untouched.
     sql = re.sub(ident + r"\s*!~\s*", r"\1 NOT RLIKE ", sql)
+    sql = re.sub(ident + r"\s*~\s*", r"\1 RLIKE ", sql)
     sql = re.sub(r"\bNOT\s+SIMILAR\s+TO\b", "NOT RLIKE", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bSIMILAR\s+TO\b", "RLIKE", sql, flags=re.IGNORECASE)
     return sql
@@ -733,18 +819,19 @@ def transpile(
     sharpens len()/length() disambiguation; ``dataset_path`` lets
     read_parquet('<this dataset>') bind to the view.
 
-    Rewrites that *consume* literal contents (file paths, JSON keys,
-    strftime formats, COLUMNS patterns) run first; then string literals
-    are replaced by placeholders so the structural rewrites (::, ~,
-    EXCLUDE, REPLACE, array literals, QUALIFY, renames) can't corrupt
-    literal text like 'http://a::b'."""
+    String literals are replaced by placeholders up front, so no rewrite
+    can corrupt literal text (``'http://a::b'``, ``'a -> 1'``,
+    ``'x!~y'``). Rewrites that *read* literal contents (JSON keys,
+    strftime formats, regex patterns, list_aggregate names) resolve
+    them through the stash and stash any literals they generate; the
+    purely structural rewrites never see a quote character at all."""
     sql = rewrite_from_data(sql, view=view, dataset_path=dataset_path)
     sql = rewrite_columns_regex(sql, columns)
-    sql = rewrite_json_arrows(sql)
-    sql = rewrite_strftime(sql)
-    sql = rewrite_regex_operators(sql)  # wraps pattern literals → pre-protection
-    sql = rewrite_list_aggregate(sql)  # reads the name literal → pre-protection
     sql, stash = _protect_literals(sql)
+    sql = rewrite_json_arrows(sql, stash)
+    sql = rewrite_strftime(sql, stash)
+    sql = rewrite_regex_operators(sql, stash)
+    sql = rewrite_list_aggregate(sql, stash)
     sql = rewrite_pg_cast(sql)
     sql = rewrite_distinct_on(sql)
     sql = rewrite_exclude(sql)

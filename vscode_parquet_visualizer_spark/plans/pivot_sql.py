@@ -1,0 +1,139 @@
+"""DuckDB ``PIVOT`` shorthand executed on Spark.
+
+DuckDB's dynamic pivot statement —
+
+    PIVOT <dataset> ON <col> USING <agg> [GROUP BY <cols>]
+
+(user SQL pass-through surface; reference runs any DuckDB statement the
+query tab receives, src/worker.ts:516-541) — has no Spark SQL grammar.
+Like DuckDB's own binder, the router first discovers the ON column's
+distinct values with one small job, then lowers the statement to
+``<agg> FILTER (WHERE <col> = <value>)`` output columns. The FILTER
+lowering reproduces DuckDB's missing-combination semantics exactly:
+``count`` → 0, ``sum``/``avg`` → NULL — no fill step, no special cases.
+
+Scale shape: the distinct-value discovery is an aggregation on one
+column (pushed-down scan, tiny shuffle) and is capped at
+``MAX_PIVOT_VALUES`` — a dynamic pivot wider than that is a modeling
+error at any scale. The lowered query itself is a single grouped
+aggregation: one shuffle on the GROUP BY keys, conditional aggregation
+map-side, identical to the hand-written FILTER form (q23).
+
+Supported: a table name or parenthesized subquery dataset, one ON
+column, one USING aggregate, optional GROUP BY list. DuckDB's further
+forms (multiple ON columns, ``IN (...)`` value lists, multiple USING
+aggregates) fall through with ``None`` — the caller surfaces Spark's
+loud parse error rather than guessing semantics.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+MAX_PIVOT_VALUES = 10_000
+
+_PIVOT_HEAD = re.compile(r"^\s*PIVOT\s+", re.IGNORECASE)
+_IDENT = re.compile(r"[A-Za-z_][\w.]*")
+_ON_USING = re.compile(
+    r"\s*ON\s+([A-Za-z_][\w]*)\s+USING\s+", re.IGNORECASE
+)
+_GROUP_BY = re.compile(r"\bGROUP\s+BY\b", re.IGNORECASE)
+
+
+def _balanced_close(s: str, open_idx: int) -> int:
+    depth = 0
+    for i in range(open_idx, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _value_literal(v) -> str | None:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    return None
+
+
+def try_rewrite_pivot(spark: SparkSession, sql: str) -> DataFrame | None:
+    """If ``sql`` is a full-statement DuckDB PIVOT shorthand, run it and
+    return the result DataFrame; otherwise return ``None``."""
+    s = sql.strip().rstrip(";").strip()
+    m = _PIVOT_HEAD.match(s)
+    if m is None:
+        return None
+    rest = s[m.end() :]
+    if rest.startswith("("):
+        close = _balanced_close(rest, 0)
+        if close < 0:
+            return None
+        src, rest = rest[: close + 1], rest[close + 1 :]
+        from_clause = f"{src} __pivot_src"
+    else:
+        mt = _IDENT.match(rest)
+        if mt is None:
+            return None
+        src, rest = mt.group(0), rest[mt.end() :]
+        from_clause = src
+    mo = _ON_USING.match(rest)
+    if mo is None:
+        return None  # multi-ON / IN-list forms not lowered — fail loud upstream
+    on_col = mo.group(1)
+    tail = rest[mo.end() :]
+    mg = _GROUP_BY.search(tail)
+    if mg is not None:
+        agg, group_by = tail[: mg.start()].strip(), tail[mg.end() :].strip()
+    else:
+        agg, group_by = tail.strip(), None
+    if "," in _strip_parens(agg):
+        return None  # multiple USING aggregates unsupported
+
+    from vscode_parquet_visualizer_spark.plans import dialect
+
+    vals_sql = dialect.transpile(
+        f"SELECT DISTINCT {on_col} AS __v FROM {from_clause} "
+        f"WHERE {on_col} IS NOT NULL LIMIT {MAX_PIVOT_VALUES + 1}"
+    )
+    values = sorted(r["__v"] for r in spark.sql(vals_sql).collect())
+    if len(values) > MAX_PIVOT_VALUES:
+        raise ValueError(
+            f"PIVOT ON {on_col} exceeds {MAX_PIVOT_VALUES} distinct values"
+        )
+    cols = []
+    for v in values:
+        lit = _value_literal(v)
+        if lit is None:
+            return None
+        name = str(v).replace("`", "``")
+        cols.append(f"{agg} FILTER (WHERE {on_col} = {lit}) AS `{name}`")
+    if group_by:
+        lowered = (
+            f"SELECT {group_by}, {', '.join(cols)} FROM {from_clause} "
+            f"GROUP BY {group_by}"
+        )
+    else:
+        lowered = f"SELECT {', '.join(cols)} FROM {from_clause}"
+    return spark.sql(dialect.transpile(lowered))
+
+
+def _strip_parens(s: str) -> str:
+    """Remove parenthesized spans so a top-level comma check ignores
+    commas inside function arguments."""
+    out, depth = [], 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            out.append(ch)
+    return "".join(out)

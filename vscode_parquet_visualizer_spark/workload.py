@@ -60,9 +60,11 @@ _PERSIST_MAX_BYTES = int(
 
 def _table_bytes(path: str) -> int:
     if os.path.isdir(path):
+        # recursive: partitioned tables nest files under key=value dirs
         return sum(
-            os.path.getsize(os.path.join(path, f))
-            for f in os.listdir(path)
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(path)
+            for f in files
             if f.endswith(".parquet")
         )
     try:
