@@ -196,6 +196,50 @@ def test_positional_join_sql(spark, sf_dir):
     assert sum(1 for r in rows if r["r_name"] is not None) == 5
 
 
+def test_asof_rewrite_literal_and_subquery_guards(spark):
+    from vscode_parquet_visualizer_spark.plans.asof_sql import (
+        try_rewrite_asof,
+        try_rewrite_positional,
+    )
+
+    # join-like text inside a string literal: not a join — no rewrite
+    assert (
+        try_rewrite_asof(spark, "SELECT 'a ASOF JOIN b ON x' AS s FROM t")
+        is None
+    )
+    assert (
+        try_rewrite_positional(
+            spark, "SELECT 'x POSITIONAL JOIN y' AS s FROM t"
+        )
+        is None
+    )
+    # ASOF inside a subquery: unsupported shape — decline (loud parse
+    # error upstream) rather than splicing the outer query wrongly
+    assert (
+        try_rewrite_asof(
+            spark,
+            "SELECT * FROM (SELECT a.x FROM ta a ASOF JOIN tb b "
+            "ON a.k = b.k AND a.t >= b.t) s",
+        )
+        is None
+    )
+    # a string literal elsewhere in a routed query survives verbatim
+    import pyspark.sql.functions as SF
+
+    spark.range(3).select(
+        SF.col("id"), SF.lit(5).alias("t")
+    ).createOrReplaceTempView("lit_a")
+    spark.range(2).select(
+        SF.col("id"), SF.lit(3).alias("t")
+    ).createOrReplaceTempView("lit_b")
+    routed = try_rewrite_asof(
+        spark,
+        "SELECT a.id, 'tag -> ok' AS tag FROM lit_a a ASOF JOIN lit_b b "
+        "ON a.id = b.id AND a.t >= b.t",
+    )
+    assert routed is not None and "'tag -> ok'" in routed
+
+
 def test_positional_join_stays_jvm_side(spark, sf_dir):
     """The position key is built JVM-side: no Python RDD round-trip
     (df.rdd would deserialize every row into Python and back — a

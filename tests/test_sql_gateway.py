@@ -100,6 +100,38 @@ def test_run_sql_routes_asof(spark, sf_dir):
     assert out.collect()[0]["n"] >= 0
 
 
+def test_parquet_schema_table_function(spark, sf_dir):
+    """SELECT * FROM parquet_schema('path') matches DuckDB's shape: same
+    11 columns, same (name, type, repetition, num_children,
+    converted_type) values row-for-row on a flat file."""
+    import duckdb
+
+    path = f"{sf_dir}/lineitem.parquet"
+    out = run_sql(spark, f"SELECT * FROM parquet_schema('{path}')")
+    assert out.columns == [
+        "file_name", "name", "type", "type_length", "repetition_type",
+        "num_children", "converted_type", "scale", "precision",
+        "field_id", "logical_type",
+    ]
+    got = [
+        (r["name"], r["type"], r["repetition_type"], r["num_children"],
+         r["converted_type"])
+        for r in out.collect()
+    ]
+    want = duckdb.connect().execute(
+        "SELECT name, type, repetition_type, num_children, converted_type "
+        f"FROM parquet_schema('{path}')"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+    # composes with ordinary SQL around it
+    n = run_sql(
+        spark,
+        f"SELECT count(*) AS n FROM parquet_schema('{path}') "
+        "WHERE type IS NOT NULL",
+    ).collect()[0]["n"]
+    assert n == len(want) - 1  # all leaves; only the root row has NULL type
+
+
 def test_engine_sql_runs_pivot(spark, sf_dir):
     from vscode_parquet_visualizer_spark.engine import Engine
 

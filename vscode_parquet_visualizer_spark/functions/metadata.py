@@ -43,6 +43,85 @@ def parquet_file_metadata(path: str) -> list[dict[str, Any]]:
     return [_one_file(path)]
 
 
+_LOGICAL_RENDER = {
+    "STRING": "StringType()",
+    "DATE": "DateType()",
+    "NONE": None,
+    "UNDEFINED": None,
+}
+
+
+def _schema_rows_one_file(path: str) -> list[dict[str, Any]]:
+    md = pq.ParquetFile(path).metadata
+    s = md.schema
+    rows: list[dict[str, Any]] = [
+        {
+            "file_name": path,
+            "name": "schema",
+            "type": None,
+            "type_length": None,
+            "repetition_type": "REQUIRED",
+            "num_children": len(s.to_arrow_schema()),
+            "converted_type": None,
+            "scale": None,
+            "precision": None,
+            "field_id": None,
+            "logical_type": None,
+        }
+    ]
+    for i in range(len(s)):
+        c = s.column(i)
+        conv = None if c.converted_type in (None, "NONE") else c.converted_type
+        lt = getattr(c.logical_type, "type", "NONE")
+        if lt == "TIMESTAMP" and conv is None:
+            # pyarrow only surfaces the logical form; DuckDB also shows
+            # the legacy converted type for ms/us units (ns has none)
+            import json as _json
+
+            unit = _json.loads(c.logical_type.to_json()).get("timeUnit")
+            conv = {
+                "milliseconds": "TIMESTAMP_MILLIS",
+                "microseconds": "TIMESTAMP_MICROS",
+            }.get(unit)
+        rows.append(
+            {
+                "file_name": path,
+                "name": c.name,
+                "type": c.physical_type,
+                "type_length": str(c.length) if c.length else None,
+                "repetition_type": (
+                    "REPEATED"
+                    if c.max_repetition_level > 0
+                    else ("OPTIONAL" if c.max_definition_level > 0 else "REQUIRED")
+                ),
+                "num_children": None,
+                "converted_type": conv,
+                "scale": c.scale if c.scale not in (-1,) else None,
+                "precision": c.precision if c.precision not in (-1,) else None,
+                "field_id": None,
+                "logical_type": _LOGICAL_RENDER.get(lt, f"{lt.title()}Type()"),
+            }
+        )
+    return rows
+
+
+def parquet_schema_rows(path: str) -> list[dict[str, Any]]:
+    """DuckDB ``parquet_schema('path')``-shaped rows (user-reachable
+    pass-through SQL, same 11 columns): the root group node followed by
+    one row per leaf column, driver-side from the footer — O(footer),
+    never a scan. Flat schemas match DuckDB row-for-row; intermediate
+    group nodes of nested schemas are not walked (leaves still listed),
+    and logical_type rendering covers the common types."""
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        return [r for f in files for r in _schema_rows_one_file(f)]
+    return _schema_rows_one_file(path)
+
+
 def parquet_num_rows(path: str) -> int:
     """O(1) row count from footers — the reference's fast path for Parquet
     (src/duckdb-backend.ts:97-98) vs a COUNT(*) scan for CSV/Avro."""

@@ -49,13 +49,25 @@ def export_csv(
     df: DataFrame, path: str, distributed: bool = False,
     partition_by: list[str] | None = None,
 ) -> None:
+    """CSV export. Single-file mode streams rows through the driver via
+    ``toLocalIterator`` (one partition resident at a time — never the
+    whole result, which the old ``toPandas`` path materialized), same
+    bounded-memory contract as the ndjson/excel exporters."""
     if distributed or partition_by:
         w = df.write.mode("overwrite").option("header", True)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.csv(path)
         return
-    df.toPandas().to_csv(path, index=False)
+    import csv
+
+    with open(path, "w", newline="") as fh:
+        writer = csv.writer(fh)
+        writer.writerow(df.columns)
+        for row in df.toLocalIterator():
+            writer.writerow(
+                ["" if v is None else v for v in row]
+            )
 
 
 def export_parquet(

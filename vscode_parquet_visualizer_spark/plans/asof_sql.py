@@ -13,8 +13,11 @@ qualifiers rewritten.
 Supported shape — the one DuckDB's docs teach: top-level two-relation
 ``FROM l [la] ASOF [LEFT] JOIN r [ra] ON <eq-conds AND one inequality>``
 with catalog/temp-view relation names. Strict ``>``/``<`` inequalities
-raise (the operator is ties-inclusive); anything else unparseable
-returns None and falls through to Spark's parser to fail loudly.
+raise (the operator is ties-inclusive); anything else unparseable —
+including an ASOF JOIN inside a subquery — returns None and falls
+through to Spark's parser to fail loudly. Clause matching runs on
+literal-protected text (dialect._protect_literals), so join-like text
+inside a string literal is never spliced.
 """
 
 from __future__ import annotations
@@ -24,6 +27,22 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from vscode_parquet_visualizer_spark.operators.asof import asof_join
+from vscode_parquet_visualizer_spark.plans.dialect import (
+    _protect_literals,
+    _restore_literals,
+)
+
+
+def _at_top_level(sql: str, idx: int) -> bool:
+    """True when ``sql[idx]`` sits at paren depth 0 (not in a subquery).
+    Assumes literals are already placeholder-protected."""
+    depth = 0
+    for ch in sql[:idx]:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+    return depth == 0
 
 _KW_STOP = r"(?=\bWHERE\b|\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|\bQUALIFY\b|\bWINDOW\b|$)"
 _REL = (
@@ -57,9 +76,11 @@ def try_rewrite_positional(spark: SparkSession, sql: str) -> str | None:
         positional_join,
     )
 
+    sql, stash = _protect_literals(sql)  # clause regexes can't match
+    # POSITIONAL-JOIN-like text inside string literals
     m = _POSITIONAL.search(sql)
-    if not m:
-        return None
+    if not m or not _at_top_level(sql, m.start()):
+        return None  # absent, or inside a subquery — fail loudly upstream
     lrel, lali, rrel, rali = m.groups()
     lali, rali = lali or lrel, rali or rrel
     left, right = spark.table(lrel), spark.table(rrel)
@@ -74,15 +95,17 @@ def try_rewrite_positional(spark: SparkSession, sql: str) -> str | None:
         tgt = c + "_right" if c in left_cols else c
         out = re.sub(rf"\b{re.escape(rali)}\.{re.escape(c)}\b", tgt, out)
     out = re.sub(rf"\b{re.escape(lali)}\.([A-Za-z_]\w*)\b", r"\1", out)
-    return out
+    return _restore_literals(out, stash)
 
 
 def try_rewrite_asof(spark: SparkSession, sql: str) -> str | None:
     """If ``sql`` contains a supported top-level ASOF JOIN, execute the
     join and return the query rewritten over the result view; else None."""
+    sql, stash = _protect_literals(sql)  # clause regexes can't match
+    # ASOF-JOIN-like text inside string literals
     m = _ASOF.search(sql)
-    if not m:
-        return None
+    if not m or not _at_top_level(sql, m.start()):
+        return None  # absent, or inside a subquery — fail loudly upstream
     lrel, lali, left_kw, rrel, rali, cond = m.groups()
     lali, rali = lali or lrel, rali or rrel
 
@@ -155,4 +178,4 @@ def try_rewrite_asof(spark: SparkSession, sql: str) -> str | None:
             tgt = c
         out = re.sub(rf"\b{re.escape(rali)}\.{re.escape(c)}\b", tgt, out)
     out = re.sub(rf"\b{re.escape(lali)}\.([A-Za-z_]\w*)\b", r"\1", out)
-    return out
+    return _restore_literals(out, stash)

@@ -25,6 +25,41 @@ _ROUTED_JOIN = re.compile(
     r"\b(ASOF\s+(LEFT\s+)?|POSITIONAL\s+)JOIN\b", re.IGNORECASE
 )
 
+_PARQUET_SCHEMA_FN = re.compile(
+    r"\bparquet_schema\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE
+)
+
+_PS_SCHEMA = (
+    "file_name string, name string, type string, type_length string, "
+    "repetition_type string, num_children int, converted_type string, "
+    "scale int, precision int, field_id int, logical_type string"
+)
+
+_ps_counter = 0
+
+
+def _route_parquet_schema(spark: SparkSession, sql: str) -> str:
+    """``FROM parquet_schema('path')`` → footer rows as a temp view
+    (functions/metadata.parquet_schema_rows — driver-side O(footer),
+    the same engine-table-function pattern as parquet_file_metadata)."""
+    from pyspark.sql import Row
+
+    from vscode_parquet_visualizer_spark.functions.metadata import (
+        parquet_schema_rows,
+    )
+
+    def sub(m: re.Match) -> str:
+        global _ps_counter
+        rows = parquet_schema_rows(m.group(1))
+        _ps_counter += 1
+        view = f"__parquet_schema_{_ps_counter}"
+        spark.createDataFrame(
+            [Row(**r) for r in rows], schema=_PS_SCHEMA
+        ).coalesce(1).createOrReplaceTempView(view)
+        return view
+
+    return _PARQUET_SCHEMA_FN.sub(sub, sql)
+
 
 def run_sql(
     spark: SparkSession,
@@ -45,6 +80,8 @@ def run_sql(
     bound = dialect.rewrite_from_data(
         sql.rstrip().rstrip(";"), view=view, dataset_path=dataset_path
     )
+    if _PARQUET_SCHEMA_FN.search(bound):
+        bound = _route_parquet_schema(spark, bound)
     if _ROUTED_JOIN.search(bound):
         routed = try_rewrite_asof(spark, bound) or try_rewrite_positional(
             spark, bound
