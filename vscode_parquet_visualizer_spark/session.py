@@ -83,6 +83,11 @@ _DEFAULTS = {
     # across driver runs (reference formats UTC or local per setting,
     # src/backend.ts:144-155; we pin UTC).
     "spark.sql.session.timeZone": "UTC",
+    # Read parquet TIMESTAMP(isAdjustedToUTC=false) as TimestampType, not
+    # TIMESTAMP_NTZ: with the UTC session above both carry the same wall
+    # clock DuckDB sees, and epoch fns (unix_millis/micros) stay valid on
+    # every source table regardless of how the writer flagged the column.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

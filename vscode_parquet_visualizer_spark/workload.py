@@ -93,6 +93,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # package so Python workers can unpickle our UDF closures whatever the
     # driver's cwd is.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # NTZ-flagged parquet timestamps (isAdjustedToUTC=false) must land as
+    # TimestampType so epoch functions resolve; same wall clock under UTC.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     from vscode_parquet_visualizer_spark.session import ship_package
 
     ship_package(spark)
