@@ -26,8 +26,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return workload.queries()
+    """The curated 50-entry driver registry (workload.DRIVER_KEYS): the
+    correctness driver records at most 50 sorted keys, so merged suite
+    gates (q80+) fold the fine-grained q50+ tail into this window. The
+    full fine-grained registry stays in workload.queries() and is run by
+    tools/oracle_check.py, pytest, and bench.py."""
+    return workload.driver_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return workload.oracle_sql()
+    return workload.driver_oracle_sql()

@@ -36,6 +36,36 @@ def test_workload_size():
     assert len(workload.oracle_sql()) >= 35
 
 
+# Non-SQL-expressible ops (hash families, k-means, iterative, streaming
+# state, synthetic media): rows-only by design — everything else in the
+# driver window must carry a value-hash oracle.
+ROWS_ONLY = {
+    "q35_minhash_lsh",
+    "q36_simhash",
+    "q41_similarity_lsh",
+    "q42_embedding_near_dup",
+    "q44_multimodal_features",
+    "q61_streaming_dedup",
+    "q62_similarity_ivf",
+    "q67_dedup_clusters",
+}
+
+
+def test_driver_window_contract():
+    """The correctness driver records at most 50 sorted keys; the curated
+    registry must fill that window exactly, with every entry registered
+    and oracle-gated unless it is a by-design rows-only operator."""
+    dq = workload.driver_queries()
+    do = workload.driver_oracle_sql()
+    assert len(dq) == 50
+    assert list(dq) == workload.DRIVER_KEYS
+    assert set(dq) <= set(workload.queries())
+    assert set(dq) - set(do) == ROWS_ONLY
+    # suite gates exist and are excluded from bench totals
+    assert workload.SUITE_KEYS == {k for k in workload.DRIVER_KEYS if k >= "q80"}
+    assert all(k in workload.ORACLES for k in workload.SUITE_KEYS - ROWS_ONLY)
+
+
 @pytest.mark.parametrize("name", SUBSET)
 def test_oracle_match(name, spark, sf_dir, duck):
     spark_pdf = workload.QUERIES[name](spark, sf_dir).toPandas()

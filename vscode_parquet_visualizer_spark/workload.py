@@ -1874,9 +1874,369 @@ def q74(spark, sf_dir):
     return spark.sql(dialect.transpile(_DIALECT_BREADTH_SQL))
 
 
+# ---------------------------------------------------------------------------
+# Driver-window suite gates. The correctness driver records at most 50
+# queries; these merged gates compose the fine-grained q50+ tail back into
+# that window so every SURVEY.md §2 operator keeps a driver-green row. The
+# fine-grained registry above stays intact for tools/oracle_check.py,
+# pytest, and bench.
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "q80_window_suite",
+    """
+    SELECT o_orderkey,
+           CAST(row_number() OVER w1 AS BIGINT) AS rn,
+           CAST(rank() OVER w1 AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w1 AS BIGINT) AS drnk,
+           round(percent_rank() OVER w1, 6) AS prnk,
+           CAST(ntile(4) OVER w1 AS BIGINT) AS quartile,
+           lag(o_totalprice) OVER w2 AS prev_price,
+           lead(o_totalprice) OVER w2 AS next_price,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING), 2) AS range_sum,
+           first_value(o_orderkey) OVER w1 AS best_order,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_best
+    FROM orders WHERE o_custkey < 100
+    WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+
+sql_query(
+    "q81_grouping_suite",
+    """
+    SELECT 'rollup' AS op, l_returnflag AS k1, l_linestatus AS k2,
+           count(*) AS n, round(sum(l_quantity), 2) AS agg_val
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube', o_orderstatus, o_orderpriority,
+           count(*), round(avg(o_totalprice), 4)
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'gsets', event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING),
+           count(*), CAST(NULL AS DOUBLE)
+    FROM events
+    GROUP BY GROUPING SETS ((event_type),
+                            (CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING)),
+                            (event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING)))
+    """,
+)
+
+sql_query(
+    "q82_setop_suite",
+    """
+    SELECT 'except' AS op, n_name AS val FROM (
+      SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+      EXCEPT
+      SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey) t
+    UNION ALL
+    SELECT 'intersect', n_name FROM (
+      SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+      INTERSECT
+      SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey) t
+    UNION ALL
+    SELECT 'except_all', CAST(k AS STRING) FROM (
+      SELECT c_nationkey AS k FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey AS k FROM supplier) t
+    UNION ALL
+    SELECT 'intersect_all', CAST(k AS STRING) FROM (
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS k FROM supplier) t
+    """,
+)
+
+sql_query(
+    "q83_subquery_suite",
+    """
+    WITH big_orders AS (SELECT * FROM orders WHERE o_totalprice > 400000)
+    SELECT
+      (SELECT count(*) FROM big_orders) AS n_big,
+      (SELECT round(sum(l_extendedprice) / 7.0, 2) FROM lineitem l1
+        WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)) AS avg_yearly,
+      (SELECT count(*) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+          AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size > 45)) AS n_in,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)) AS n_no_orders
+    """,
+)
+
+sql_query(
+    "q84_aggregate_suite",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           round(sum(o_totalprice) FILTER (WHERE o_orderpriority LIKE '1-%') / 1000.0, 2) AS urgent_k,
+           max_by(o_orderkey, o_totalprice) AS best_order,
+           min_by(o_orderkey, o_totalprice) AS worst_order,
+           round(percentile(o_totalprice, 0.5), 4) AS med,
+           round(percentile(o_totalprice, 0.9), 4) AS p90,
+           round(percentile(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           round(sum(o_totalprice) FILTER (WHERE o_orderpriority LIKE '1-%') / 1000.0, 2) AS urgent_k,
+           arg_max(o_orderkey, o_totalprice) AS best_order,
+           arg_min(o_orderkey, o_totalprice) AS worst_order,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS med,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+sql_query(
+    "q85_string_date_suite",
+    """
+    SELECT 'cust' AS src,
+           upper(substr(c_name, 1, 8)) AS a,
+           CAST(length(c_name) AS BIGINT) AS b,
+           concat(c_name, '-', c_mktsegment) AS c,
+           CAST(levenshtein(substr(c_name, 1, 10), 'Customer#0') AS BIGINT) AS d
+    FROM customer WHERE c_custkey <= 100
+    UNION ALL
+    SELECT 'ord',
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING),
+           CAST(year(o_orderdate) AS BIGINT),
+           CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS STRING),
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT)
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+
+sql_query(
+    "q86_math_conditional_suite",
+    """
+    SELECT l_linenumber,
+           round(avg(sqrt(l_extendedprice)), 4) AS avg_sqrt,
+           round(sum(abs(l_discount - 0.05)), 4) AS sum_absdev,
+           round(max(power(l_quantity, 1.5)), 4) AS max_pow,
+           round(min(ln(l_extendedprice)), 6) AS min_ln,
+           CAST(sum(CAST(ceil(l_tax * 100) AS BIGINT)) AS BIGINT) AS sum_ceil,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+           round(sum(coalesce(nullif(l_discount, 0.0), 0.01)), 4) AS s_disc,
+           round(max(greatest(l_quantity, 25.0)), 2) AS g,
+           round(min(least(l_quantity, 25.0)), 2) AS l,
+           count(if(l_quantity > 40, 1, NULL)) AS n_heavy,
+           CAST(count(TRY_CAST(l_returnflag AS INTEGER)) AS BIGINT) AS n_numeric_flag
+    FROM lineitem GROUP BY l_linenumber
+    """,
+)
+
+_TEXT_SUITE_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, lang, text, trim(text) AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, lang, text, t,
+             CASE WHEN length(t) = 0 THEN 0
+                  ELSE len(string_split_regex(t, '\\s+')) END AS n_tokens,
+             length(regexp_replace(t, '\\s+', '', 'g')) AS n_nonspace,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END AS dr
+      FROM base
+    ), scored AS (
+      SELECT *,
+        (CASE WHEN regexp_matches(lower(text), '\\bder\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bund\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bdie\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bnicht\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bdas\\b') THEN 1 ELSE 0 END) AS s_de,
+        (CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bis\\b') THEN 1 ELSE 0 END) AS s_en,
+        (CASE WHEN regexp_matches(lower(text), '\\bel\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bque\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\blos\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\buna\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bpor\\b') THEN 1 ELSE 0 END) AS s_es,
+        (CASE WHEN regexp_matches(lower(text), '\\ble\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bla\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bet\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bles\\b') THEN 1 ELSE 0 END +
+         CASE WHEN regexp_matches(lower(text), '\\bdes\\b') THEN 1 ELSE 0 END) AS s_fr
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           length(text) AS n_chars_computed,
+           round(pr, 6) AS punct_ratio,
+           round(dr, 6) AS digit_ratio,
+           round(CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE CAST(n_nonspace AS DOUBLE) / n_tokens END, 4) AS mean_word_len,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           round((
+             (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0 WHEN n_tokens = 0 THEN 0.0 ELSE 0.5 END) +
+             (CASE WHEN n_tokens = 0 THEN 0.5
+                   WHEN CAST(n_nonspace AS DOUBLE) / n_tokens >= 3.0 AND CAST(n_nonspace AS DOUBLE) / n_tokens <= 12.0 THEN 1.0
+                   ELSE 0.5 END) +
+             (CASE WHEN pr + dr < 0.2 THEN 1.0 WHEN pr + dr < 0.4 THEN 0.5 ELSE 0.0 END)
+           ) / 3.0, 4) AS quality,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens
+    FROM scored
+"""
+
+
+@q("q87_text_suite", _TEXT_SUITE_ORACLE)
+def q87(spark, sf_dir):
+    """One per-document projection gating the whole text-analysis family
+    (operators/text.py): stats, language ID, quality score, and BPE-ish
+    token budgeting — all JVM-side column expressions, one scan."""
+    t = load_tables(spark, sf_dir)
+    c = F.col("text")
+    return t["documents"].select(
+        "doc_id",
+        tx.token_count(c).cast("bigint").alias("n_tokens"),
+        tx.char_count(c).cast("bigint").alias("n_chars_computed"),
+        F.round(tx.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(tx.digit_ratio(c), 6).alias("digit_ratio"),
+        F.round(tx.mean_word_length(c), 4).alias("mean_word_len"),
+        tx.lang_id(c).alias("lang_pred"),
+        tx.quality_score(c).alias("quality"),
+        tx.token_count_bpe(c).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+_PIVOT_SHORTHAND = "PIVOT events ON event_type USING count(*) GROUP BY user_id"
+
+
+@q("q88_pivot_shorthand", _PIVOT_SHORTHAND)
+def q88(spark, sf_dir):
+    """DuckDB dynamic ``PIVOT`` shorthand: the identical statement text
+    runs natively on DuckDB and lowered (plans/pivot_sql.py) on Spark —
+    value-matched column for column."""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    load_tables(spark, sf_dir)
+    return run_sql(spark, _PIVOT_SHORTHAND)
+
+
+sql_query(
+    "q89_values_agg_page",
+    """
+    WITH w AS (SELECT * FROM (VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+                                     ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS t(priority, weight)),
+         j AS (SELECT weight, count(*) AS n FROM orders
+               JOIN w ON o_orderpriority = priority GROUP BY weight)
+    SELECT weight, n,
+           (SELECT concat_ws(',', sort_array(collect_list(priority))) FROM w) AS all_prios
+    FROM j ORDER BY weight LIMIT 3 OFFSET 1
+    """,
+    oracle="""
+    WITH w AS (SELECT * FROM (VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
+                                     ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS t(priority, weight)),
+         j AS (SELECT weight, count(*) AS n FROM orders
+               JOIN w ON o_orderpriority = priority GROUP BY weight)
+    SELECT weight, n,
+           (SELECT string_agg(priority, ',' ORDER BY priority) FROM w) AS all_prios
+    FROM j ORDER BY weight LIMIT 3 OFFSET 1
+    """,
+)
+
+
+# The 50 keys the correctness driver evaluates (its window records the
+# first 50 sorted entries — exactly this set). Everything outside this
+# list is still exercised by tools/oracle_check.py, pytest, and bench.
+DRIVER_KEYS: list[str] = [
+    "q01_pricing_summary",
+    "q02_regional_revenue",
+    "q03_shipping_priority",
+    "q23_pivot",
+    "q24_unpivot",
+    "q26_predicates",
+    "q26_search_cross_column",
+    "q27_sort_page",
+    "q28_asof_join",
+    "q29_positional_join",
+    "q31_json_extract",
+    "q32_array_functions",
+    "q33_dedup_exact",
+    "q34_ngram_jaccard",
+    "q35_minhash_lsh",
+    "q36_simhash",
+    "q40_similarity_bruteforce",
+    "q41_similarity_lsh",
+    "q42_embedding_near_dup",
+    "q43_streaming_hourly",
+    "q44_multimodal_features",
+    "q45_engine_lifecycle",
+    "q46_engine_pagination",
+    "q47_group_by_all",
+    "q48_with_recursive",
+    "q49_lateral_join",
+    "q54_training_pipeline",
+    "q61_streaming_dedup",
+    "q62_similarity_ivf",
+    "q64_range_join",
+    "q65_hypertable_rollup",
+    "q67_dedup_clusters",
+    "q70_stream_stream_join",
+    "q71_session_window",
+    "q72_streaming_sessions",
+    "q73_distinct_on",
+    "q74_dialect_breadth",
+    "q75_segment_dedup",
+    "q76_asof_sql",
+    "q77_positional_sql",
+    "q80_window_suite",
+    "q81_grouping_suite",
+    "q82_setop_suite",
+    "q83_subquery_suite",
+    "q84_aggregate_suite",
+    "q85_string_date_suite",
+    "q86_math_conditional_suite",
+    "q87_text_suite",
+    "q88_pivot_shorthand",
+    "q89_values_agg_page",
+]
+
+# Suite gates re-measure work already timed by their fine-grained
+# components — bench.py excludes them to keep totals comparable across
+# rounds (see bench.py selection).
+SUITE_KEYS: frozenset[str] = frozenset(k for k in DRIVER_KEYS if k >= "q80")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The curated 50-entry registry handed to the correctness driver."""
+    missing = [k for k in DRIVER_KEYS if k not in QUERIES]
+    if missing:
+        raise RuntimeError(f"DRIVER_KEYS not registered: {missing}")
+    return {k: QUERIES[k] for k in DRIVER_KEYS}
+
+
+def driver_oracle_sql() -> dict[str, str]:
+    return {k: ORACLES[k] for k in DRIVER_KEYS if k in ORACLES}
