@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 
 def _with_pos(df: DataFrame) -> DataFrame:
-    spark = df.sparkSession
     part = df.withColumns(
         {
             "__pid": F.spark_partition_id(),
@@ -37,17 +36,24 @@ def _with_pos(df: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__m0"))
         .collect()
     )
-    rows, offset = [], 0
+    # Fold the per-partition prefix-sum into a literal map expression:
+    # pos = mid + (global_offset[pid] - min_mid[pid]). One tiny collect
+    # (|partitions| rows — the same array zipWithIndex ships) and zero
+    # extra joins/broadcasts: a broadcast of a driver-built DataFrame
+    # costs a separate Python-RDD job per evaluation, measured ~6 s of
+    # pure overhead on a 25-row input.
+    entries, offset = [], 0
     for r in sorted(stats, key=lambda r: r["__pid"]):
-        rows.append((r["__pid"], offset, r["__m0"]))
+        entries.extend(
+            (F.lit(r["__pid"]), F.lit(offset - r["__m0"]))
+        )
         offset += r["__n"]
-    off = spark.createDataFrame(
-        rows, "__pid int, __off long, __m0 long"
-    ).coalesce(1)
+    if not entries:  # empty relation: no partitions reported
+        return part.withColumn("__pos", F.col("__mid")).drop("__pid", "__mid")
+    adjust = F.create_map(*entries)[F.col("__pid")]
     return (
-        part.join(F.broadcast(off), "__pid")
-        .withColumn("__pos", F.col("__off") + (F.col("__mid") - F.col("__m0")))
-        .drop("__pid", "__mid", "__off", "__m0")
+        part.withColumn("__pos", F.col("__mid") + adjust)
+        .drop("__pid", "__mid")
     )
 
 
