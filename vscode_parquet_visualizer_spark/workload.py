@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -139,6 +140,26 @@ def sql_query(name: str, sql: str, oracle: str | None = None) -> None:
 
 def _rev() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@contextmanager
+def _stream_profile(spark: SparkSession, sf_dir: str):
+    """Size the streaming state-store partition count to the input.
+
+    Every shuffle partition of a stateful streaming query carries its own
+    state-store instance whose init/commit cost dominates at interactive
+    scale (measured at sf0.1: q70 3.8 s @ 8 partitions → 2.4 s @ 2;
+    q72 2.9 → 1.4). Below ~256 MB of events the state fits a couple of
+    stores; at real scale the session's configured parallelism stands —
+    state volume there genuinely needs the partitions."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if _table_bytes(f"{sf_dir}/events.parquet") < 256 * 1024 * 1024:
+        spark.conf.set(key, "2")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 # ---------------------------------------------------------------------------
@@ -1094,11 +1115,12 @@ def q43(spark, sf_dir):
     )
     agg = stream_ops.windowed_counts(stream, window="1 hour", watermark="2 hours")
     name = "q43_stream_sink"
-    q_handle = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    q_handle.awaitTermination()
+    with _stream_profile(spark, sf_dir):
+        q_handle = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q_handle.awaitTermination()
     return spark.table(name).select(
         F.unix_timestamp("window_start").cast("bigint").alias("window_start_epoch"),
         "event_type", "n", "total_value",
@@ -1433,11 +1455,12 @@ def q61(spark, sf_dir):
     deduped = dup.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     name = "q61_stream_sink"
     agg = deduped.groupBy("event_type").count()
-    handle = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    handle.awaitTermination()
+    with _stream_profile(spark, sf_dir):
+        handle = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        handle.awaitTermination()
     return spark.table(name).withColumnsRenamed({"count": "n"})
 
 
@@ -1636,11 +1659,12 @@ def q70(spark, sf_dir):
     )
     out = purchases_with_prior_views(stream, lookback="30 minutes")
     name = "q70_stream_sink"
-    handle = (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    handle.awaitTermination()
+    with _stream_profile(spark, sf_dir):
+        handle = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        handle.awaitTermination()
     return spark.table(name).select("user_id", "purchase_id", "view_id")
 
 
@@ -1703,11 +1727,12 @@ def q72(spark, sf_dir):
     )
     sess = stream_ops.sessionize(stream, gap="30 minutes", watermark="2 hours")
     name = "q72_stream_sink"
-    handle = (
-        sess.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    handle.awaitTermination()
+    with _stream_profile(spark, sf_dir):
+        handle = (
+            sess.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        handle.awaitTermination()
     return spark.table(name).select(
         F.unix_millis("session_start").alias("start_ms"),
         "user_id",
