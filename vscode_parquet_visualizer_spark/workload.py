@@ -103,10 +103,21 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     from pyspark import StorageLevel
 
     out = {}
+    cores = spark.sparkContext.defaultParallelism
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         df = registry.read(spark, path, "parquet")
         if t in _HOT and _table_bytes(path) <= _PERSIST_MAX_BYTES:
+            # A small file scans as ONE split, so every expression over
+            # the cached table runs single-core (measured: lang_id over
+            # 5k docs 1.3 s → 0.36 s at 32-way). Rebalance once at
+            # persist time — the cache then serves parallel partitions
+            # to every query. Scan-order-sensitive gates (positional
+            # join) use nation/region, which are not _HOT, so their
+            # file order survives.
+            parts = df.rdd.getNumPartitions()
+            if parts < cores:
+                df = df.repartition(cores)
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
         df.createOrReplaceTempView(t)
         out[t] = df
@@ -1602,7 +1613,7 @@ sql_query(
     """
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            count(*) AS n,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))) AS DOUBLE), 2) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
