@@ -49,6 +49,92 @@ def test_row_count_preserved(frames):
     assert asof_join(left, right, on="t", by=["k"]).count() == left.count()
 
 
+def test_strict_backward(frames):
+    """Strict (``>``) excludes equal timestamps: (2,7) no longer matches
+    the right row at t=7; everything else is unchanged."""
+    left, right = frames
+    out = asof_join(left, right, on="t", by=["k"], strict=True).collect()
+    got = {(r["k"], r["t"]): r["price"] for r in out}
+    assert got == {
+        (1, 10): 100.0,
+        (1, 20): 200.0,
+        (1, 5): None,
+        (2, 7): None,    # tie excluded under strict
+        (3, 1): None,
+    }
+
+
+def test_strict_forward(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on="t", by=["k"], direction="forward", strict=True
+    ).collect()
+    got = {(r["k"], r["t"]): r["price"] for r in out}
+    assert got[(2, 7)] is None  # tie excluded
+    assert got[(1, 10)] == 200.0
+    assert got[(1, 5)] == 100.0
+
+
+def test_strict_matches_pandas(frames):
+    left, right = frames
+    got = {
+        (r["k"], r["t"]): r["price"]
+        for r in asof_join(left, right, on="t", by=["k"], strict=True).collect()
+    }
+    lp = left.toPandas().sort_values("t")
+    rp = right.toPandas().sort_values("t")
+    want_df = pd.merge_asof(
+        lp, rp, on="t", by="k", direction="backward", allow_exact_matches=False
+    )
+    want = {
+        (r.k, r.t): (None if pd.isna(r.price) else r.price)
+        for r in want_df.itertuples()
+    }
+    assert got == want
+
+
+def test_strict_nearest_rejected(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="strict"):
+        asof_join(left, right, on="t", by=["k"], direction="nearest", strict=True)
+
+
+def test_strict_asof_sql_matches_duckdb(spark, sf_dir):
+    """The ``ASOF JOIN ... ON a.ms > b.ms`` SQL surface routes through the
+    strict window plan and matches DuckDB running the identical text."""
+    import duckdb
+
+    from vscode_parquet_visualizer_spark.plans import dialect
+    from vscode_parquet_visualizer_spark.plans.asof_sql import try_rewrite_asof
+    from vscode_parquet_visualizer_spark.workload import load_tables
+
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    t["events"].filter(F.col("event_type") == "purchase").createOrReplaceTempView("sp")
+    t["events"].filter(F.col("event_type") == "view").createOrReplaceTempView("sv")
+    sql = """
+        SELECT p.event_id, v.event_id AS view_id
+        FROM sp p ASOF LEFT JOIN sv v
+          ON p.user_id = v.user_id AND p.ts > v.ts
+    """
+    routed = try_rewrite_asof(spark, sql)
+    assert routed is not None
+    got = {
+        (r["event_id"], r["view_id"])
+        for r in spark.sql(dialect.transpile(routed)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW sp AS SELECT * FROM '{sf_dir}/events.parquet' WHERE event_type = 'purchase'"
+    )
+    con.execute(
+        f"CREATE VIEW sv AS SELECT * FROM '{sf_dir}/events.parquet' WHERE event_type = 'view'"
+    )
+    want = set(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+
+
 def test_matches_pandas_merge_asof(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -151,15 +237,14 @@ def test_asof_sql_routing(spark, sf_dir):
     n_purchases = spark.table("p_t").count()
     assert n_left == n_purchases
 
-    # strict inequality raises loudly rather than silently including ties
-    import pytest
-
-    with pytest.raises(NotImplementedError):
-        try_rewrite_asof(
-            spark,
-            "SELECT p.event_id FROM p_t p ASOF JOIN v_t v "
-            "ON p.user_id = v.user_id AND p.ts > v.ts",
-        )
+    # strict inequality routes too (ties excluded — see
+    # test_strict_asof_sql_matches_duckdb for the value gate)
+    routed_strict = try_rewrite_asof(
+        spark,
+        "SELECT p.event_id FROM p_t p ASOF JOIN v_t v "
+        "ON p.user_id = v.user_id AND p.ts > v.ts",
+    )
+    assert routed_strict is not None and "ASOF" not in routed_strict.upper()
 
 
 def test_asof_sql_through_engine(spark, sf_dir):

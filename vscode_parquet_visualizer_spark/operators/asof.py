@@ -36,6 +36,7 @@ def asof_join(
     suffix: str = "_right",
     how: str = "left",
     right_on_as: str | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Union+window as-of join. Right value columns come back suffixed when
     they collide with left names. ``direction``: backward | forward |
@@ -43,12 +44,19 @@ def asof_join(
     keeps unmatched left rows with nulls; 'inner' drops them (DuckDB's
     default ASOF JOIN semantics). ``right_on_as`` optionally exposes the
     MATCHED right ``on`` value under that column name — deterministic
-    even when several right rows tie on the timestamp."""
+    even when several right rows tie on the timestamp. ``strict``
+    excludes equal timestamps (DuckDB ``>`` / ``<`` ASOF conditions vs
+    the ties-inclusive ``>=`` / ``<=``): in the union's window sort,
+    right rows move *after* left rows at equal ``on``, so the running
+    ``last`` at a left row has only strictly-earlier right rows in
+    scope — same one-shuffle plan."""
     by = by or []
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward' or 'nearest'")
     if how not in ("left", "inner"):
         raise ValueError("how must be 'left' or 'inner'")
+    if strict and direction == "nearest":
+        raise ValueError("strict is not defined for direction='nearest'")
 
     left_cols = [c for c in left.columns]
     right_vals = [c for c in right.columns if c != on and c not in by]
@@ -85,15 +93,17 @@ def asof_join(
     # Backward: right rows sort before left rows at equal timestamps so a
     # tie matches (asof uses <=); carry last right row forward. Forward is
     # the mirror image; nearest computes both over the same union and
-    # picks the closer match per row.
+    # picks the closer match per row. Strict flips the tiebreak so right
+    # rows at an equal timestamp fall outside the frame.
+    tiebreak = F.col("__is_left").desc() if strict else F.col("__is_left").asc()
     w_back = (
         Window.partitionBy(*part)
-        .orderBy(F.col("__on").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__on").asc(), tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_fwd = (
         Window.partitionBy(*part)
-        .orderBy(F.col("__on").desc(), F.col("__is_left").asc())
+        .orderBy(F.col("__on").desc(), tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     if direction == "backward":

@@ -122,18 +122,14 @@ def try_rewrite_asof(spark: SparkSession, sql: str) -> str | None:
         if op == "=":
             eq.append((acol, bcol) if left_first else (bcol, acol))
             continue
-        if op in (">", "<"):
-            raise NotImplementedError(
-                "strict ASOF JOIN (> / <) is not supported — the window "
-                "plan is ties-inclusive; use >= or <="
-            )
+        strict = op in (">", "<")
         if left_first:
-            ineq = (acol, bcol, "backward" if op == ">=" else "forward")
+            ineq = (acol, bcol, "backward" if op in (">=", ">") else "forward", strict)
         else:
-            ineq = (bcol, acol, "backward" if op == "<=" else "forward")
+            ineq = (bcol, acol, "backward" if op in ("<=", "<") else "forward", strict)
     if ineq is None:
         return None
-    lon, ron, direction = ineq
+    lon, ron, direction, strict = ineq
 
     left, right = spark.table(lrel), spark.table(rrel)
     r = right
@@ -154,6 +150,7 @@ def try_rewrite_asof(spark: SparkSession, sql: str) -> str | None:
         direction=direction,
         how="left" if left_kw else "inner",
         right_on_as=matched_on,
+        strict=strict,
     )
     global _counter
     _counter += 1
