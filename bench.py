@@ -193,6 +193,17 @@ def main() -> None:
     line_out["n_queries"] = len(timings)
     line_out["failed"] = sorted(k for k, v in timings.items() if v < 0)
     line_out["detail"] = "BENCH_DETAIL.json"
+    # Scale trend from the committed crossover artifact (min-of-runs
+    # Spark/DuckDB ratios at sf0.1/1/10 — see CROSSOVER_r03.json for the
+    # raw numbers and methodology).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "CROSSOVER_r03.json")
+        ) as fh:
+            line_out["crossover_r03"] = json.load(fh)["ratio_spark_over_duckdb"]
+    except (OSError, KeyError, ValueError):
+        pass
     slowest = sorted(ok, key=ok.get, reverse=True)
     keep = len(slowest)
     while keep > 0:
