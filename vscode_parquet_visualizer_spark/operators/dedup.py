@@ -203,7 +203,9 @@ def minhash_lsh_pairs(
                 shingles(F.col(text_col), n=shingle_n), lambda s: F.abs(F.xxhash64(s))
             ).alias("h"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # no persist: consumed exactly once (the minhash pandas UDF input
+        # is evaluated once per row — UDFs don't get expression-inlined),
+        # and sig below is the frame with two consumers
     )
     sig = (
         hashed.select(
