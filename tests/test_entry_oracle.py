@@ -16,6 +16,11 @@ SUBSET = [
     "q34_ngram_jaccard",
     "q37_text_stats",
     "q40_similarity_bruteforce",
+    # driver-window suite gates (full sweep covers the rest)
+    "q80_window_suite",
+    "q84_aggregate_suite",
+    "q87_text_suite",
+    "q89_values_agg_page",
 ]
 
 
