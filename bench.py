@@ -148,13 +148,24 @@ def main() -> None:
     if only == "oracle":
         selected = [(k, v) for k, v in selected if k in workload.ORACLES]
 
+    # Per-query time is the min over SPARK_GRAFT_REPS in-process
+    # executions (default 2) — the SAME protocol as the DuckDB baseline
+    # (tools/duck_bench.py, min-of-2 per query with an in-process warm
+    # second run). Rep 1 is cold (plan + codegen + run), rep 2 is the
+    # steady state an interactive session sees; symmetric with what the
+    # DuckDB side's second rep gets.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "2")))
     timings: dict[str, float] = {}
     for name, fn in selected:
-        t0 = time.perf_counter()
+        best = None
         try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 4)
         except Exception as exc:  # a failing query must not kill the bench
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)

@@ -8,7 +8,6 @@ Usage: python tools/duck_bench.py [sf_dir] [runs]
 
 from __future__ import annotations
 
-import importlib.util
 import json
 import os
 import sys
@@ -29,12 +28,14 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 
-    spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
-    )
-    entry = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(entry)
-    oracles = entry.oracle_sql()
+    # Mirror bench.py's selection exactly (the full fine-grained oracle
+    # registry minus the q80+ suite gates, which re-measure merged work)
+    # so the Spark and DuckDB subtotals cover the same query set.
+    from vscode_parquet_visualizer_spark import workload
+
+    oracles = {
+        k: v for k, v in workload.ORACLES.items() if k not in workload.SUITE_KEYS
+    }
 
     con = duckdb.connect()
     con.execute(f"SET threads = {os.cpu_count()}")
