@@ -41,6 +41,21 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality. Spark's ArrayType carries no length, so
+    prefer a ``dim`` entry in the column's schema metadata (writers can
+    stamp it); fall back to peeking one row — a LocalLimit(1) scan, one
+    row off one split, constant cost at any corpus size. Callers that
+    know ``dim`` should pass it explicitly and skip both."""
+    meta = df.schema[vec_col].metadata
+    if meta and "dim" in meta:
+        return int(meta["dim"])
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(f"cannot infer dim: {vec_col} has no rows")
+    return len(row[0])
+
+
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Two-phase per-query top-k over (query_id, neighbor_id, score) rows.
 
@@ -209,7 +224,7 @@ def lsh_topk(
     once per table (narrow projections), joined on (table, bucket) — a
     hash join whose build side is the tiny query set."""
     if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
+        dim = _vector_dim(queries, vec_col)
 
     cb = _bucketize_all_tables(
         corpus, id_col, "neighbor_id", vec_col, dim, bits, tables, seed
@@ -332,7 +347,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via LSH self-join: rows in
     the same bucket (any table) are scored; pairs above threshold kept."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _vector_dim(df, vec_col)
     b = _bucketize_all_tables(df, id_col, "id", vec_col, dim, bits, tables, seed)
     a, c = b.alias("a"), b.alias("b")
     pairs = (
