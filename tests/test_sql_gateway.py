@@ -141,3 +141,38 @@ def test_engine_sql_runs_pivot(spark, sf_dir):
     )
     out = eng.sql("PIVOT orders_eng ON o_orderstatus USING count(*)")
     assert len(out.collect()) == 1
+
+
+def test_unpivot_shorthand_matches_duckdb(spark, sf_dir):
+    """DuckDB ``UNPIVOT t ON cols INTO NAME n VALUE v`` shorthand: the
+    identical statement text runs natively on DuckDB and lowered
+    (DataFrame.unpivot + null-exclusion) on Spark, value-matched."""
+    import duckdb
+
+    spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_size", "p_retailprice"
+    ).createOrReplaceTempView("part_up")
+    text = "UNPIVOT part_up ON p_size, p_retailprice INTO NAME metric VALUE val"
+    out = run_sql(spark, text)
+    assert out.columns == ["p_partkey", "metric", "val"]
+    got = sorted((r["p_partkey"], r["metric"], float(r["val"])) for r in out.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part_up AS SELECT p_partkey, p_size, p_retailprice "
+        f"FROM '{sf_dir}/part.parquet'"
+    )
+    want = sorted((a, b, float(c)) for a, b, c in con.execute(text).fetchall())
+    assert got == want
+
+
+def test_unpivot_shorthand_rejects_unknown_column(spark, sf_dir):
+    import pytest
+
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView(
+        "part_up2"
+    )
+    with pytest.raises(ValueError, match="not in part_up2"):
+        run_sql(
+            spark,
+            "UNPIVOT part_up2 ON nope INTO NAME metric VALUE val",
+        )

@@ -125,6 +125,44 @@ def try_rewrite_pivot(spark: SparkSession, sql: str) -> DataFrame | None:
     return spark.sql(dialect.transpile(lowered))
 
 
+_UNPIVOT_STMT = re.compile(
+    r"^\s*UNPIVOT\s+([A-Za-z_][\w.]*)\s+ON\s+(.+?)\s+"
+    r"INTO\s+NAME\s+([A-Za-z_]\w*)\s+VALUE\s+([A-Za-z_]\w*)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def try_rewrite_unpivot(spark: SparkSession, sql: str) -> DataFrame | None:
+    """DuckDB ``UNPIVOT <tbl> ON c1, c2, ... INTO NAME n VALUE v``
+    shorthand → ``DataFrame.unpivot``. Every non-ON column becomes an id
+    column; NULL values are dropped (DuckDB's unpivot excludes them —
+    Spark's keeps them, so the filter restores parity). Stacked-column
+    ``(a, b) AS x`` forms and ``COLUMNS(*)`` are not lowered — they fall
+    through to a loud parse error rather than silent wrongness."""
+    s = sql.strip().rstrip(";").strip()
+    m = _UNPIVOT_STMT.match(s)
+    if m is None:
+        return None
+    src, on_list, name_col, value_col = m.groups()
+    cols = [c.strip() for c in on_list.split(",")]
+    if not all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols):
+        return None  # expression/stacked/COLUMNS() forms not lowered
+    df = spark.table(src)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"UNPIVOT ON columns not in {src}: {missing}")
+    ids = [c for c in df.columns if c not in cols]
+    out = df.unpivot(
+        ids=ids,
+        values=cols,
+        variableColumnName=name_col,
+        valueColumnName=value_col,
+    )
+    from pyspark.sql import functions as F
+
+    return out.filter(F.col(value_col).isNotNull())
+
+
 def _strip_parens(s: str) -> str:
     """Remove parenthesized spans so a top-level comma check ignores
     commas inside function arguments."""

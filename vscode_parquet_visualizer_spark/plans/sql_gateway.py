@@ -19,7 +19,10 @@ from vscode_parquet_visualizer_spark.plans.asof_sql import (
     try_rewrite_asof,
     try_rewrite_positional,
 )
-from vscode_parquet_visualizer_spark.plans.pivot_sql import try_rewrite_pivot
+from vscode_parquet_visualizer_spark.plans.pivot_sql import (
+    try_rewrite_pivot,
+    try_rewrite_unpivot,
+)
 
 _ROUTED_JOIN = re.compile(
     r"\b(ASOF\s+(LEFT\s+)?|POSITIONAL\s+)JOIN\b", re.IGNORECASE
@@ -91,6 +94,9 @@ def run_sql(
     pivoted = try_rewrite_pivot(spark, bound)
     if pivoted is not None:
         return pivoted
+    unpivoted = try_rewrite_unpivot(spark, bound)
+    if unpivoted is not None:
+        return unpivoted
     return spark.sql(
         dialect.transpile(
             bound,
