@@ -216,13 +216,17 @@ def main() -> None:
     except (OSError, KeyError, ValueError):
         pass
     slowest = sorted(ok, key=ok.get, reverse=True)
+    line_out["queries"] = {}
+    line = json.dumps(line_out)
     keep = len(slowest)
     while keep > 0:
-        line_out["queries"] = {
+        candidate = dict(line_out)
+        candidate["queries"] = {
             k: round(timings[k], 2) for k in sorted(slowest[:keep])
         }
-        line = json.dumps(line_out)
-        if len(line) <= 1800:
+        text = json.dumps(candidate)
+        if len(text) <= 1800:
+            line = text
             break
         keep -= max(1, keep // 10)
     print(line)
