@@ -73,6 +73,39 @@ CORPUS = [
               CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS sz,
               coalesce(nullif(o_orderstatus, 'O'), 'open') AS st
        FROM orders ORDER BY o_orderkey LIMIT 50""",
+    # round-3 additions ------------------------------------------------
+    # arithmetic spellings: // integer division, ** and ^ power
+    """SELECT CAST(o_orderkey // 100 AS BIGINT) AS grp, count(*) AS n
+       FROM orders GROUP BY 1 ORDER BY 1 LIMIT 10""",
+    """SELECT CAST(2 ** 10 AS BIGINT) AS p1, CAST(3 ^ 4 AS BIGINT) AS p2""",
+    # struct literal + dotted field access
+    """SELECT {'a': 1, 'b': 'x'}.a AS a_val""",
+    # string slicing (1-based inclusive) and list slicing
+    """SELECT r_name[1:3] AS head3 FROM region ORDER BY r_regionkey""",
+    # list transform/filter higher-order functions
+    """SELECT list_transform([1,2,3], x -> x * 10) AS t,
+              list_filter([1,2,3,4], x -> x % 2 = 0) AS f""",
+    # date_part / extract parity across fields
+    """SELECT CAST(date_part('year', DATE '2023-11-07') AS BIGINT) AS y,
+              CAST(extract(month FROM DATE '2023-11-07') AS BIGINT) AS m,
+              CAST(date_part('day', DATE '2023-11-07') AS BIGINT) AS d""",
+    # string_split + array_to_string round trip (literal-delimiter
+    # semantics: '.' and '|' are regex metachars Spark's split would
+    # otherwise misread)
+    """SELECT array_to_string(string_split('a,b,c', ','), '|') AS s""",
+    """SELECT string_split('a.b.c', '.') AS parts""",
+    """SELECT string_split('a|b|c', '|') AS parts""",
+    """SELECT string_split_regex('a1b22c', '[0-9]+') AS parts""",
+    # position / instr
+    """SELECT position('DON' IN 'LONDON') AS p,
+              CAST(instr('LONDON', 'DON') AS BIGINT) AS i""",
+    # greatest/least with mixed expressions
+    """SELECT greatest(o_totalprice, 150000.0) AS g, least(o_orderkey, 10) AS l
+       FROM orders ORDER BY o_orderkey LIMIT 20""",
+    # EXISTS / NOT EXISTS correlated predicates
+    """SELECT r_name FROM region r
+       WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey)
+       ORDER BY r_name""",
 ]
 
 

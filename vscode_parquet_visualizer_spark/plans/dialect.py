@@ -42,6 +42,10 @@ FUNCTION_RENAMES = {
     "regexp_matches": "regexp_like",
     "epoch_ms": "unix_millis",
     "list_distinct": "array_distinct",
+    "array_to_string": "array_join",  # both (array, delimiter)
+    "list_append": "array_append",
+    "list_prepend": "array_prepend",
+    "string_split_regex": "split",  # both regex-delimited
 }
 
 _STRFTIME_MAP = [
@@ -719,6 +723,54 @@ def rewrite_bracket_slice(
     )
 
 
+_STRING_SPLIT = re.compile(
+    r"\b(?:string_split|str_split|string_to_array)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def rewrite_string_split(sql: str, stash: list[str]) -> str:
+    """DuckDB ``string_split(s, d)`` (and aliases ``str_split`` /
+    ``string_to_array``) split on a LITERAL delimiter; Spark's ``split``
+    takes a regex — a bare rename silently corrupts delimiters like
+    ``'.'`` or ``'|'``. When the delimiter is a string literal, lower to
+    ``split(s, '\\Qd\\E')`` (Java regex literal quoting, safe for every
+    delimiter that doesn't itself contain ``\\E``); a non-literal
+    delimiter passes through un-renamed and fails loudly at the parser
+    rather than splitting on the wrong thing."""
+    out = []
+    pos = 0
+    for m in _STRING_SPLIT.finditer(sql):
+        close = _balanced_span(sql, m.end() - 1, "(", ")")
+        if close < 0:
+            continue
+        body = sql[m.end() : close]
+        parts = _split_top_level(body)
+        if len(parts) != 2:
+            continue
+        arg, delim = parts[0].strip(), parts[1].strip()
+        lm = re.fullmatch(r"\x00LIT(\d+)\x00", delim)
+        if not lm:
+            continue  # non-literal delimiter: leave for a loud failure
+        text = _lit_text(stash, lm.group(1))
+        # Quote every delimiter char as a regex bracket class: '[.]'
+        # matches a literal dot with NO backslashes, so the lowering is
+        # immune to Spark's string-literal escape processing (a \Q…\E
+        # form would need different backslash doubling per parser mode).
+        # ']', '^', '\\' can't be bracket-quoted without backslashes —
+        # those delimiters stay unrewritten and fail loudly at the
+        # parser instead of splitting on the wrong pattern.
+        if not text or any(c in "]^\\" for c in text):
+            continue
+        pattern = "".join(f"[{c}]" for c in text)
+        quoted = _stash_add(stash, "'" + pattern.replace("'", "''") + "'")
+        out.append(sql[pos : m.start()])
+        out.append(f"split({arg}, {quoted})")
+        pos = close + 1
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def rewrite_regex_operators(sql: str, stash: list[str] | None = None) -> str:
     """DuckDB's ``expr ~ 'p'`` / ``!~`` / ``SIMILAR TO 'p'`` are FULL
     matches (``~`` is regexp_full_match, unlike Postgres's partial ``~``)
@@ -831,6 +883,7 @@ def transpile(
     sql = rewrite_json_arrows(sql, stash)
     sql = rewrite_strftime(sql, stash)
     sql = rewrite_regex_operators(sql, stash)
+    sql = rewrite_string_split(sql, stash)
     sql = rewrite_list_aggregate(sql, stash)
     sql = rewrite_pg_cast(sql)
     sql = rewrite_distinct_on(sql)
