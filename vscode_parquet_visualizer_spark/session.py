@@ -88,6 +88,12 @@ _DEFAULTS = {
     # clock DuckDB sees, and epoch fns (unix_millis/micros) stay valid on
     # every source table regardless of how the writer flagged the column.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Standard-SQL string literals (no backslash escapes), matching
+    # DuckDB: without this, pass-through SQL like WHERE p = 'C:\temp'
+    # silently mangles \t (and \b, \n, octals) on the Spark side only.
+    # Dialect-generated literals avoid backslashes by construction
+    # (bracket-class regex quoting) so they are mode-independent.
+    "spark.sql.parser.escapedStringLiterals": "true",
 }
 
 

@@ -97,6 +97,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # NTZ-flagged parquet timestamps (isAdjustedToUTC=false) must land as
     # TimestampType so epoch functions resolve; same wall clock under UTC.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Standard-SQL (raw) string literals to match the DuckDB oracle's
+    # interpretation of identical query text.
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
     from vscode_parquet_visualizer_spark.session import ship_package
 
     ship_package(spark)
