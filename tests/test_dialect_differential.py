@@ -96,6 +96,9 @@ CORPUS = [
     """SELECT string_split('a.b.c', '.') AS parts""",
     """SELECT string_split('a|b|c', '|') AS parts""",
     """SELECT string_split_regex('a1b22c', '[0-9]+') AS parts""",
+    # list fn renames with matching shapes
+    """SELECT list_max([3,1,2]) AS mx, list_min([3,1,2]) AS mn,
+              list_reverse([1,2,3]) AS rev, list_concat([1], [2,3]) AS cc""",
     # position / instr
     """SELECT position('DON' IN 'LONDON') AS p,
               CAST(instr('LONDON', 'DON') AS BIGINT) AS i""",

@@ -46,6 +46,13 @@ FUNCTION_RENAMES = {
     "list_append": "array_append",
     "list_prepend": "array_prepend",
     "string_split_regex": "split",  # both regex-delimited
+    "list_max": "array_max",
+    "list_min": "array_min",
+    "list_reverse": "reverse",
+    "list_concat": "concat",
+    # NOT renamed on purpose: list_position (DuckDB returns NULL on
+    # missing, Spark array_position returns 0), list_unique (a count,
+    # not a dedup), string_agg (ORDER BY argument shape differs).
 }
 
 _STRFTIME_MAP = [
