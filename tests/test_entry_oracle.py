@@ -66,8 +66,10 @@ def test_driver_window_contract():
     assert list(dq) == workload.DRIVER_KEYS
     assert set(dq) <= set(workload.queries())
     assert set(dq) - set(do) == ROWS_ONLY
-    # suite gates exist and are excluded from bench totals
-    assert workload.SUITE_KEYS == {k for k in workload.DRIVER_KEYS if k >= "q80"}
+    # every q80+ key (driver suites + post-crossover gates) is excluded
+    # from bench totals so cross-round subtotals stay comparable
+    assert workload.SUITE_KEYS == {k for k in workload.QUERIES if k >= "q80"}
+    assert {k for k in workload.DRIVER_KEYS if k >= "q80"} <= workload.SUITE_KEYS
     assert all(k in workload.ORACLES for k in workload.SUITE_KEYS - ROWS_ONLY)
 
 

@@ -2199,6 +2199,75 @@ sql_query(
 )
 
 
+_UNPIVOT_SHORTHAND = (
+    "UNPIVOT unpivot_src ON qty, price_k INTO NAME metric VALUE val"
+)
+
+
+@q(
+    "q90_unpivot_shorthand",
+    """
+    WITH unpivot_src AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS qty,
+             round(sum(l_extendedprice) / 1000.0, 2) AS price_k
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """
+    + _UNPIVOT_SHORTHAND.replace("UNPIVOT unpivot_src", "SELECT * FROM (UNPIVOT unpivot_src")
+    + ")",
+)
+def q90(spark, sf_dir):
+    """DuckDB ``UNPIVOT`` statement shorthand through the SQL gateway
+    (plans/pivot_sql.try_rewrite_unpivot): lowered to DataFrame.unpivot
+    with NULL-exclusion parity; the oracle runs the shorthand natively
+    (wrapped in a CTE because the statement form takes a relation)."""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    t = load_tables(spark, sf_dir)
+    (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+            F.round(F.sum("l_extendedprice") / 1000.0, 2).alias("price_k"),
+        )
+        .createOrReplaceTempView("unpivot_src")
+    )
+    return run_sql(spark, _UNPIVOT_SHORTHAND)
+
+
+_STRICT_ASOF_SQL = """
+    SELECT p.event_id, p.value, v.event_id AS view_id
+    FROM strict_p p ASOF LEFT JOIN strict_v v
+      ON p.user_id = v.user_id AND p.ts > v.ts
+"""
+
+
+@q(
+    "q91_strict_asof_sql",
+    """
+    WITH strict_p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         strict_v AS (SELECT * FROM events WHERE event_type = 'view')
+    """
+    + _STRICT_ASOF_SQL,
+)
+def q91(spark, sf_dir):
+    """Strict-inequality ASOF JOIN SQL (``>`` — ties excluded): routed
+    through the strict window plan (operators/asof.py tiebreak flip);
+    the oracle runs the identical ASOF JOIN natively in DuckDB."""
+    from vscode_parquet_visualizer_spark.plans import dialect
+    from vscode_parquet_visualizer_spark.plans.asof_sql import try_rewrite_asof
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    ev.filter(F.col("event_type") == "purchase").createOrReplaceTempView("strict_p")
+    ev.filter(F.col("event_type") == "view").createOrReplaceTempView("strict_v")
+    routed = try_rewrite_asof(spark, _STRICT_ASOF_SQL)
+    assert routed is not None
+    return spark.sql(dialect.transpile(routed))
+
+
 # The 50 keys the correctness driver evaluates (its window records the
 # first 50 sorted entries — exactly this set). Everything outside this
 # list is still exercised by tools/oracle_check.py, pytest, and bench.
@@ -2255,10 +2324,12 @@ DRIVER_KEYS: list[str] = [
     "q89_values_agg_page",
 ]
 
-# Suite gates re-measure work already timed by their fine-grained
-# components — bench.py excludes them to keep totals comparable across
-# rounds (see bench.py selection).
-SUITE_KEYS: frozenset[str] = frozenset(k for k in DRIVER_KEYS if k >= "q80")
+# q80+ keys stay out of the bench totals: the driver-window suite gates
+# (q80-q89) re-measure work already timed by their fine-grained
+# components, and post-crossover additions (q90+) would silently shift
+# the oracle-subset subtotal the rounds are compared on. bench.py and
+# tools/duck_bench.py both select against this set.
+SUITE_KEYS: frozenset[str] = frozenset(k for k in QUERIES if k >= "q80")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
