@@ -157,6 +157,40 @@ def stateful_running_value(events: DataFrame) -> DataFrame:
     )
 
 
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    output_mode: str = "complete",
+):
+    """Drive a streaming DF to a parquet directory via ``foreachBatch`` —
+    the executors write the files, nothing is materialized on the driver.
+
+    The memory sink collects every output row into driver heap; fine for
+    a handful of aggregates, a scale-killer for large results (q72's
+    sessionization emits ~1 row per input event — ~1 M rows at sf1, and
+    at 100 TB no driver holds the output). ``complete`` mode overwrites
+    the directory with the full state each batch (the last batch leaves
+    the final result); ``append`` mode appends each batch's new rows.
+    Returns the output path for re-reading."""
+    import shutil
+
+    if output_mode == "append":
+        shutil.rmtree(path, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        mode = "overwrite" if output_mode == "complete" else "append"
+        batch_df.write.mode(mode).parquet(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return path
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

@@ -20,6 +20,7 @@ Determinism rules applied throughout (why hash-matching works):
 from __future__ import annotations
 
 import os
+import tempfile
 from collections.abc import Callable
 from contextlib import contextmanager
 
@@ -163,13 +164,24 @@ def _stream_profile(spark: SparkSession, sf_dir: str):
     Every shuffle partition of a stateful streaming query carries its own
     state-store instance whose init/commit cost dominates at interactive
     scale (measured at sf0.1: q70 3.8 s @ 8 partitions → 2.4 s @ 2;
-    q72 2.9 → 1.4). Below ~256 MB of events the state fits a couple of
-    stores; at real scale the session's configured parallelism stands —
-    state volume there genuinely needs the partitions."""
+    q72 2.9 → 1.4) — but starving a big input of partitions serializes
+    the state work (measured at sf1, 1 M events: q72 sessionize 16.2 s
+    @ 2 partitions → 9.8 s @ 8 → 8.4 s @ 32; the round-3 fixed 2-below-
+    256 MB rule cost q72 66 s at sf10). Graduate: one partition per
+    ~2 MiB of events, floored at 2 (store init is ~0.1-0.2 s each),
+    capped at the machine's cores. Beyond local mode the session's
+    configured parallelism already reflects cluster size and the cap
+    binds only there."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
-    if _table_bytes(f"{sf_dir}/events.parquet") < 256 * 1024 * 1024:
-        spark.conf.set(key, "2")
+    events_bytes = _table_bytes(f"{sf_dir}/events.parquet")
+    cores = spark.sparkContext.defaultParallelism
+    parts = max(2, min(cores, events_bytes // (2 * 1024 * 1024)))
+    if parts < int(old):
+        spark.conf.set(key, str(parts))
+    elif events_bytes >= 16 * 1024 * 1024:
+        # big enough that state-work parallelism beats per-store cost
+        spark.conf.set(key, str(parts))
     try:
         yield
     finally:
@@ -1740,14 +1752,14 @@ def q72(spark, sf_dir):
         spark, f"{sf_dir}/events.parquet", schema=t["events"].schema
     )
     sess = stream_ops.sessionize(stream, gap="30 minutes", watermark="2 hours")
-    name = "q72_stream_sink"
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"q72_stream_out_{os.path.basename(sf_dir)}"
+    )
     with _stream_profile(spark, sf_dir):
-        handle = (
-            sess.writeStream.format("memory").queryName(name)
-            .outputMode("complete").trigger(availableNow=True).start()
-        )
-        handle.awaitTermination()
-    return spark.table(name).select(
+        # foreachBatch → parquet: sessionization emits ~1 row per input
+        # event; a memory sink would collect them all into driver heap
+        stream_ops.run_to_parquet(sess, out_dir, output_mode="complete")
+    return spark.read.parquet(out_dir).select(
         F.unix_millis("session_start").alias("start_ms"),
         "user_id",
         "n_events",
