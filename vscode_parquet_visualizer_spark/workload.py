@@ -1452,7 +1452,7 @@ sql_query(
 )
 
 
-sql_query(
+@q(
     "q60_try_cast_extract",
     """
     SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
@@ -1462,6 +1462,29 @@ sql_query(
     FROM orders GROUP BY 1
     """,
 )
+def q60(spark, sf_dir):
+    """TRY_CAST probing of string columns, exception-free: plain
+    ``try_cast(str AS DOUBLE)`` pays a JVM exception per non-numeric row
+    (the dominant cost of this query — functions/casts.py), so the known
+    string columns parse through the RLIKE-guarded cast instead. The
+    oracle runs the literal TRY_CAST text; the gate proves the guarded
+    plan computes identical counts."""
+    from vscode_parquet_visualizer_spark.functions.casts import guarded_try_cast
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(guarded_try_cast(F.col("o_orderpriority"), "double"))
+            .cast("bigint")
+            .alias("n_numeric_prio"),
+            F.count(guarded_try_cast(F.col("o_orderstatus"), "int"))
+            .cast("bigint")
+            .alias("n_numeric_status"),
+        )
+    )
 
 
 @q("q61_streaming_dedup")  # rows-only: stateful streaming op
