@@ -141,10 +141,12 @@ def test_distinct_on_is_window_not_join(spark, sf_dir):
     assert "Window" in plan
 
 
-def test_topk_two_phase_no_full_set_shuffle(spark, sf_dir):
+def test_topk_partial_limit_before_shuffle(spark, sf_dir):
     """brute_force_topk's exchange must carry only k-bounded survivors:
-    partial top-k (MapInPandas + WindowGroupLimit) runs BEFORE the
-    exchange feeding the final rank window."""
+    Spark's rank-limit pushdown plants a PARTIAL WindowGroupLimit on the
+    map side, BELOW the exchange feeding the final rank window — so the
+    shuffle moves ≤ k rows per (query, partition), never the full scored
+    set."""
     from pyspark.sql import functions as F
 
     from vscode_parquet_visualizer_spark.operators.similarity import (
@@ -157,10 +159,11 @@ def test_topk_two_phase_no_full_set_shuffle(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     plan = plan_of(brute_force_topk(emb, queries, k=10))
-    assert "MapInPandas" in plan
-    assert "WindowGroupLimit" in plan
-    # the partial top-k must appear upstream of the shuffle: in formatted
-    # explain the tree prints top-down, so MapInPandas sits BELOW the
-    # Exchange line feeding the Window
+    # no Python round-trip in the ranking path
+    assert "MapInPandas" not in plan
+    # the partial group limit must appear upstream of the shuffle: in
+    # formatted explain the tree prints top-down, so the Partial
+    # WindowGroupLimit sits BELOW the Exchange line feeding the Window
     ex = plan.index("Exchange")
-    assert "MapInPandas" in plan[ex:]
+    assert "WindowGroupLimit" in plan[ex:]
+    assert "Partial" in plan[ex:]
