@@ -50,7 +50,16 @@ def shed_to_fit(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="bench")
+    # Headless run: the UI's event-bus listeners tax every one of the
+    # ~170 jobs this bench fires (measured ~7% of the trivial-action
+    # floor). The engine/session default keeps the UI for debugging.
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Size-aware execution profile: AQE's stage-by-stage re-planning costs

@@ -453,6 +453,18 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .withColumn("cluster_id", F.col("id"))
         .localCheckpoint(eager=True)
     )
+
+    def _label_sum(df: DataFrame):
+        # Min-propagation only ever LOWERS labels, so the label total is
+        # strictly decreasing until convergence — comparing sums detects
+        # "no change" with one shuffle-free scan of the checkpointed
+        # round result, instead of the old labels⨝new_labels diff join.
+        # DECIMAL(38): at 100 TB scale sum(int64 ids) overflows long.
+        return df.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iterations):
         # labels flowing across edges: neighbor's current label
         propagated = (
@@ -466,16 +478,11 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels
 
