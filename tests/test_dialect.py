@@ -474,3 +474,75 @@ def test_list_aggregate_safe_names():
     assert "size(tags) AS n" in out
     # 'sum' deliberately untouched (type-promotion drift) -> parser rejects
     assert "list_aggregate(tags, 'sum')" in out
+
+
+def test_from_first_insert_select_star():
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        rewrite_from_first,
+    )
+
+    # Spark can't parse FROM-first with clauses but no SELECT — insert *
+    assert (
+        rewrite_from_first("FROM t WHERE x > 1")
+        == "SELECT * FROM t WHERE x > 1"
+    )
+    # Spark handles these natively — untouched
+    assert rewrite_from_first("FROM t") == "SELECT * FROM t"
+    assert rewrite_from_first("FROM t SELECT x") == "FROM t SELECT x"
+    assert (
+        rewrite_from_first("SELECT * FROM t WHERE x > 1")
+        == "SELECT * FROM t WHERE x > 1"
+    )
+    # parenthesized FROM-first subquery
+    assert (
+        rewrite_from_first("SELECT * FROM (FROM t WHERE x > 1) s")
+        == "SELECT * FROM (SELECT * FROM t WHERE x > 1) s"
+    )
+    # derived-table SELECT is depth>0: still needs the star
+    assert (
+        rewrite_from_first("FROM (SELECT x FROM t) s WHERE x > 1")
+        == "SELECT * FROM (SELECT x FROM t) s WHERE x > 1"
+    )
+
+
+def test_order_by_all_nulls_parity():
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        rewrite_order_by_all,
+    )
+
+    # DuckDB defaults ORDER BY ALL to NULLS LAST; Spark ASC is NULLS FIRST
+    assert (
+        rewrite_order_by_all("SELECT * FROM t ORDER BY ALL")
+        == "SELECT * FROM t ORDER BY ALL NULLS LAST"
+    )
+    assert (
+        rewrite_order_by_all("SELECT * FROM t ORDER BY ALL DESC")
+        == "SELECT * FROM t ORDER BY ALL DESC NULLS LAST"
+    )
+    # explicit null order is respected
+    assert (
+        rewrite_order_by_all("SELECT * FROM t ORDER BY ALL NULLS FIRST")
+        == "SELECT * FROM t ORDER BY ALL NULLS FIRST"
+    )
+    assert (
+        rewrite_order_by_all("SELECT * FROM t ORDER BY ALL DESC NULLS FIRST")
+        == "SELECT * FROM t ORDER BY ALL DESC NULLS FIRST"
+    )
+    # ordinary column list untouched; identifiers starting with all too
+    assert (
+        rewrite_order_by_all("SELECT * FROM t ORDER BY allocation")
+        == "SELECT * FROM t ORDER BY allocation"
+    )
+
+
+def test_from_first_through_transpile(spark, sf_dir):
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+    from vscode_parquet_visualizer_spark.workload import load_tables
+
+    load_tables(spark, sf_dir)
+    rows = run_sql(
+        spark,
+        "FROM region WHERE r_regionkey < 3 ORDER BY ALL DESC",
+        view="region",
+    ).collect()
+    assert [r.r_regionkey for r in rows] == [2, 1, 0]

@@ -865,6 +865,68 @@ def rewrite_sample(sql: str) -> str:
     return sql
 
 
+def _depth_at(sql: str, idx: int) -> int:
+    """Paren/bracket depth of position ``idx``."""
+    depth = 0
+    for ch in sql[:idx]:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+    return depth
+
+
+def rewrite_from_first(sql: str) -> str:
+    """DuckDB FROM-first syntax (``FROM t WHERE …``, no SELECT clause).
+
+    Spark 4 natively parses ``FROM t`` and ``FROM t SELECT …`` but
+    rejects a FROM-first query whose remaining clauses carry no SELECT
+    (``FROM t WHERE x > 1``). Insert ``SELECT *`` into any scope — the
+    statement itself or a parenthesized subquery — that starts with FROM
+    and has no top-level SELECT; everything else is left to Spark's own
+    parser. Runs on literal-protected text. Reference surface: user SQL
+    pass-through (src/worker.ts:516-541 → duckdb-backend.ts:142-146).
+    CTE-headed statements (``WITH … FROM c WHERE …``) are out of scope;
+    parenthesized FROM-first subqueries inside CTEs are handled."""
+
+    def fix_scope(scope: str) -> str:
+        if not re.match(r"\s*FROM\b", scope, re.IGNORECASE):
+            return scope
+        for m in re.finditer(r"\bSELECT\b", scope, re.IGNORECASE):
+            if _depth_at(scope, m.start()) == 0:
+                return scope
+        lead = len(scope) - len(scope.lstrip())
+        return scope[:lead] + "SELECT * " + scope[lead:]
+
+    out: list[str] = []
+    i = 0
+    while i < len(sql):
+        if sql[i] == "(":
+            end = _balanced_span(sql, i)
+            if end != -1:
+                inner = rewrite_from_first(sql[i + 1 : end])
+                out.append("(" + fix_scope(inner) + ")")
+                i = end + 1
+                continue
+        out.append(sql[i])
+        i += 1
+    return fix_scope("".join(out))
+
+
+def rewrite_order_by_all(sql: str) -> str:
+    """``ORDER BY ALL`` null-order parity: DuckDB's default null order is
+    NULLS LAST for both directions, while Spark's ascending default is
+    NULLS FIRST — append an explicit NULLS LAST when the query doesn't
+    spell one. Spark 4 parses ``ORDER BY ALL [ASC|DESC] [NULLS …]``
+    natively, so this is the only adjustment needed."""
+    return re.sub(
+        r"(\bORDER\s+BY\s+ALL\b(?:\s+(?:ASC|DESC)\b)?)(?!\s*(?:ASC|DESC|NULLS)\b)",
+        r"\1 NULLS LAST",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def transpile(
     sql: str,
     view: str = "data",
@@ -902,6 +964,8 @@ def transpile(
     sql = rewrite_len(sql, array_columns)
     sql = rewrite_arithmetic_operators(sql)
     sql = rewrite_sample(sql)
+    sql = rewrite_from_first(sql)
+    sql = rewrite_order_by_all(sql)
     sql = rewrite_function_renames(sql)
     sql = rewrite_qualify(sql)
     return _restore_literals(sql, stash)
