@@ -176,3 +176,78 @@ def test_unpivot_shorthand_rejects_unknown_column(spark, sf_dir):
             spark,
             "UNPIVOT part_up2 ON nope INTO NAME metric VALUE val",
         )
+
+
+def test_describe_statement_matches_duckdb(spark, sf_dir):
+    """User-typed DESCRIBE routes to the DuckDB-shaped schema rows
+    (functions/summarize.describe_df) — every cell matches DuckDB running
+    the identical statement."""
+    import duckdb
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders_desc"
+    )
+    out = run_sql(spark, "DESCRIBE SELECT * FROM orders_desc")
+    assert out.columns == [
+        "column_name", "column_type", "null", "key", "default", "extra",
+    ]
+    got = [tuple(r) for r in out.collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders_desc AS SELECT * FROM '{sf_dir}/orders.parquet'"
+    )
+    want = con.execute("DESCRIBE SELECT * FROM orders_desc").fetchall()
+    assert got == want
+
+
+def test_describe_bare_table_name(spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(
+        "region_desc"
+    )
+    rows = run_sql(spark, "DESCRIBE region_desc").collect()
+    assert [r["column_name"] for r in rows] == ["r_regionkey", "r_name"]
+    assert [r["column_type"] for r in rows] == ["INTEGER", "VARCHAR"]
+
+
+def test_summarize_statement_shape_and_exact_columns(spark, sf_dir):
+    """SUMMARIZE produces DuckDB's 12-column profile; the deterministic
+    cells (min/max/count/null_percentage) match DuckDB exactly."""
+    import duckdb
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet").createOrReplaceTempView(
+        "cust_sum"
+    )
+    out = run_sql(spark, "SUMMARIZE SELECT c_custkey, c_name FROM cust_sum")
+    assert out.columns == [
+        "column_name", "column_type", "min", "max", "approx_unique",
+        "avg", "std", "q25", "q50", "q75", "count", "null_percentage",
+    ]
+    got = {
+        r["column_name"]: (
+            r["column_type"], r["min"], r["max"], r["count"],
+            float(r["null_percentage"]),
+        )
+        for r in out.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW cust_sum AS SELECT * FROM '{sf_dir}/customer.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[10], float(r[11]))
+        for r in con.execute(
+            "SUMMARIZE SELECT c_custkey, c_name FROM cust_sum"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_summarize_null_percentage(spark):
+    out = run_sql(
+        spark,
+        "SUMMARIZE SELECT * FROM VALUES (1), (2), (NULL), (NULL) v(x)",
+    ).collect()
+    assert len(out) == 1
+    assert float(out[0]["null_percentage"]) == 50.0
+    assert out[0]["count"] == 4
+    assert out[0]["min"] == "1" and out[0]["max"] == "2"

@@ -28,6 +28,16 @@ _ROUTED_JOIN = re.compile(
     r"\b(ASOF\s+(LEFT\s+)?|POSITIONAL\s+)JOIN\b", re.IGNORECASE
 )
 
+# DESCRIBE / SUMMARIZE statement heads (DuckDB introspection surfaces).
+# ``DESCRIBE [TABLE] <target>`` / ``SUMMARIZE <target>`` where target is a
+# relation name or a full query.
+_INTROSPECT = re.compile(
+    r"^\s*(DESCRIBE|SUMMARIZE)\s+(?:TABLE\s+)?(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_QUERY_HEAD = re.compile(r"^\s*(SELECT|FROM|WITH|VALUES)\b", re.IGNORECASE)
+
 _PARQUET_SCHEMA_FN = re.compile(
     r"\bparquet_schema\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE
 )
@@ -83,6 +93,28 @@ def run_sql(
     bound = dialect.rewrite_from_data(
         sql.rstrip().rstrip(";"), view=view, dataset_path=dataset_path
     )
+    intro = _INTROSPECT.match(bound)
+    if intro is not None:
+        from vscode_parquet_visualizer_spark.functions.summarize import (
+            describe_df,
+            summarize_df,
+        )
+
+        target = intro.group(2).strip()
+        rel = run_sql(
+            spark,
+            target if _QUERY_HEAD.match(target) else f"SELECT * FROM {target}",
+            view=view,
+            columns=columns,
+            dataset_path=dataset_path,
+            array_columns=array_columns,
+        )
+        fn = (
+            describe_df
+            if intro.group(1).upper() == "DESCRIBE"
+            else summarize_df
+        )
+        return fn(spark, rel)
     if _PARQUET_SCHEMA_FN.search(bound):
         bound = _route_parquet_schema(spark, bound)
     if _ROUTED_JOIN.search(bound):
