@@ -251,3 +251,32 @@ def test_summarize_null_percentage(spark):
     assert float(out[0]["null_percentage"]) == 50.0
     assert out[0]["count"] == 4
     assert out[0]["min"] == "1" and out[0]["max"] == "2"
+
+
+def test_union_by_name_matches_duckdb(spark, sf_dir):
+    """UNION ALL BY NAME: name-matched columns, right side's new columns
+    appended, NULL-filled gaps; trailing ORDER BY/LIMIT binds to the
+    union — identical text on both engines."""
+    import duckdb
+
+    text = (
+        "SELECT 1 AS a, 2 AS b UNION ALL BY NAME "
+        "SELECT 30 AS b, 40 AS c UNION ALL BY NAME "
+        "SELECT 500 AS a, 600 AS c ORDER BY b NULLS LAST LIMIT 3"
+    )
+    out = run_sql(spark, text)
+    assert out.columns == ["a", "b", "c"]
+    got = [tuple(r) for r in out.collect()]
+    want = duckdb.connect().execute(text).fetchall()
+    assert got == want
+
+
+def test_union_by_name_distinct_dedups(spark):
+    text = "SELECT 1 AS a UNION BY NAME SELECT 1 AS a UNION BY NAME SELECT 2 AS a"
+    got = sorted(r["a"] for r in run_sql(spark, text).collect())
+    assert got == [1, 2]
+
+
+def test_union_by_name_inside_literal_untouched(spark):
+    out = run_sql(spark, "SELECT 'x UNION BY NAME y' AS s").collect()
+    assert out[0]["s"] == "x UNION BY NAME y"

@@ -38,6 +38,89 @@ _INTROSPECT = re.compile(
 
 _QUERY_HEAD = re.compile(r"^\s*(SELECT|FROM|WITH|VALUES)\b", re.IGNORECASE)
 
+# DuckDB ``UNION [ALL] BY NAME`` — Spark SQL has no BY NAME set-op
+# syntax, but the DataFrame API has exactly its semantics
+# (unionByName(allowMissingColumns=True): match columns by name, append
+# the right side's new columns, NULL-fill the gaps).
+_UNION_BY_NAME = re.compile(r"\bUNION\s+(ALL\s+)?BY\s+NAME\b", re.IGNORECASE)
+
+_UBN_TAIL = re.compile(r"\b(ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
+
+_ubn_counter = 0
+
+
+def _strip_outer_parens(seg: str) -> str:
+    from vscode_parquet_visualizer_spark.plans.dialect import _balanced_span
+
+    s = seg.strip()
+    while s.startswith("(") and _balanced_span(s, 0) == len(s) - 1:
+        s = s[1:-1].strip()
+    return s
+
+
+def _try_union_by_name(
+    spark: SparkSession, bound: str, **kw
+) -> DataFrame | None:
+    """Route ``q1 UNION [ALL] BY NAME q2 [… ] [ORDER BY …] [LIMIT …]``:
+    each side runs recursively through run_sql (so FROM-first, dialect
+    rewrites, even nested routed joins work per side), the sides combine
+    left-associatively with unionByName — deduplicating after each
+    non-ALL step, DuckDB's set-op semantics — and a trailing top-level
+    ORDER BY/LIMIT/OFFSET binds to the union result."""
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        _depth_at,
+        _protect_literals,
+        _restore_literals,
+    )
+
+    if not _UNION_BY_NAME.search(bound):
+        return None
+    prot, stash = _protect_literals(bound)
+    seps = [
+        m
+        for m in _UNION_BY_NAME.finditer(prot)
+        if _depth_at(prot, m.start()) == 0
+    ]
+    if not seps:
+        return None  # only inside literals/subqueries — leave untouched
+    segments: list[str] = []
+    keep_dups: list[bool] = []
+    last = 0
+    for m in seps:
+        segments.append(prot[last : m.start()])
+        keep_dups.append(bool(m.group(1)))
+        last = m.end()
+    segments.append(prot[last:])
+    # a trailing top-level ORDER BY/LIMIT/OFFSET belongs to the union
+    tail = ""
+    for m in _UBN_TAIL.finditer(segments[-1]):
+        if _depth_at(segments[-1], m.start()) == 0:
+            tail = segments[-1][m.start() :]
+            segments[-1] = segments[-1][: m.start()]
+            break
+    sides = [
+        run_sql(
+            spark,
+            _strip_outer_parens(_restore_literals(seg, stash)),
+            **kw,
+        )
+        for seg in segments
+    ]
+    out = sides[0]
+    for df, keep in zip(sides[1:], keep_dups):
+        out = out.unionByName(df, allowMissingColumns=True)
+        if not keep:
+            out = out.dropDuplicates()
+    if tail.strip():
+        global _ubn_counter
+        _ubn_counter += 1
+        view = f"__union_by_name_{_ubn_counter}"
+        out.createOrReplaceTempView(view)
+        return run_sql(
+            spark, f"SELECT * FROM {view} {_restore_literals(tail, stash)}"
+        )
+    return out
+
 _PARQUET_SCHEMA_FN = re.compile(
     r"\bparquet_schema\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE
 )
@@ -115,6 +198,16 @@ def run_sql(
             else summarize_df
         )
         return fn(spark, rel)
+    ubn = _try_union_by_name(
+        spark,
+        bound,
+        view=view,
+        columns=columns,
+        dataset_path=dataset_path,
+        array_columns=array_columns,
+    )
+    if ubn is not None:
+        return ubn
     if _PARQUET_SCHEMA_FN.search(bound):
         bound = _route_parquet_schema(spark, bound)
     if _ROUTED_JOIN.search(bound):
