@@ -280,3 +280,27 @@ def test_union_by_name_distinct_dedups(spark):
 def test_union_by_name_inside_literal_untouched(spark):
     out = run_sql(spark, "SELECT 'x UNION BY NAME y' AS s").collect()
     assert out[0]["s"] == "x UNION BY NAME y"
+
+
+def test_bare_quoted_path_relation(spark, sf_dir):
+    """DuckDB ``FROM 'file.parquet'`` — the quoted path becomes a
+    registry-routed relation (same reader as opening the file)."""
+    out = run_sql(
+        spark,
+        f"SELECT count(*) AS n FROM '{sf_dir}/region.parquet'",
+    ).collect()
+    assert out[0]["n"] == 5
+
+
+def test_bare_quoted_csv_gets_header_sniffing(spark, tmp_path):
+    p = tmp_path / "people.csv"
+    p.write_text("name,age\nalice,30\nbob,41\n")
+    rows = run_sql(
+        spark, f"SELECT name, age FROM '{p}' ORDER BY age"
+    ).collect()
+    assert [(r["name"], r["age"]) for r in rows] == [("alice", 30), ("bob", 41)]
+
+
+def test_quoted_non_data_literal_untouched(spark):
+    out = run_sql(spark, "SELECT trim(BOTH 'x' FROM 'xhix') AS s").collect()
+    assert out[0]["s"] == "hi"

@@ -48,6 +48,32 @@ _UBN_TAIL = re.compile(r"\b(ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE)
 
 _ubn_counter = 0
 
+# DuckDB bare-path relations: ``FROM 'file.parquet'`` — route through the
+# sources registry (so CSV header sniffing and the Avro fallback reader
+# apply, same as opening the file), not Spark's format.`path` direct
+# query (which reads CSV headerless). Only quoted strings with a known
+# data-file extension are treated as relations.
+_FILE_REL = re.compile(
+    r"\b(FROM|JOIN)\s+'([^']+\.[A-Za-z0-9]+)'", re.IGNORECASE
+)
+
+
+def _route_file_relations(spark: SparkSession, sql: str) -> str:
+    import hashlib
+
+    from vscode_parquet_visualizer_spark.sources import registry
+
+    def sub(m: re.Match) -> str:
+        path = m.group(2)
+        ext = path.rsplit(".", 1)[-1].lower()
+        if ext not in registry.EXTENSION_FORMATS:
+            return m.group(0)
+        view = "__file_" + hashlib.md5(path.encode()).hexdigest()[:12]
+        registry.read(spark, path).createOrReplaceTempView(view)
+        return f"{m.group(1)} {view}"
+
+    return _FILE_REL.sub(sub, sql)
+
 
 def _strip_outer_parens(seg: str) -> str:
     from vscode_parquet_visualizer_spark.plans.dialect import _balanced_span
@@ -176,6 +202,8 @@ def run_sql(
     bound = dialect.rewrite_from_data(
         sql.rstrip().rstrip(";"), view=view, dataset_path=dataset_path
     )
+    if _FILE_REL.search(bound):
+        bound = _route_file_relations(spark, bound)
     intro = _INTROSPECT.match(bound)
     if intro is not None:
         from vscode_parquet_visualizer_spark.functions.summarize import (
