@@ -2391,6 +2391,45 @@ def q95(spark, sf_dir):
     return run_sql(spark, _UNION_BY_NAME_SQL)
 
 
+@q(
+    "q96_hash_split",
+    """
+    WITH b AS (
+      SELECT n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+               % 10000 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n, sum(n_chars) AS chars
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def q96(spark, sf_dir):
+    """Deterministic hash split (operators/split.hash_split): stable
+    md5-bucket train/val/test assignment — a pure narrow projection (no
+    shuffle; the one shuffle here is the gate's per-split aggregate).
+    The oracle computes the identical formula in DuckDB, proving the
+    assignment is engine-portable, which is the operator's contract."""
+    from vscode_parquet_visualizer_spark.operators.split import hash_split
+
+    t = load_tables(spark, sf_dir)
+    return (
+        hash_split(
+            t["documents"], "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("split")
+    )
+
+
 # The 50 keys the correctness driver evaluates (its window records the
 # first 50 sorted entries — exactly this set). Everything outside this
 # list is still exercised by tools/oracle_check.py, pytest, and bench.
