@@ -304,3 +304,80 @@ def test_bare_quoted_csv_gets_header_sniffing(spark, tmp_path):
 def test_quoted_non_data_literal_untouched(spark):
     out = run_sql(spark, "SELECT trim(BOTH 'x' FROM 'xhix') AS s").collect()
     assert out[0]["s"] == "hi"
+
+
+def test_create_table_as_and_show_tables(spark, sf_dir):
+    """CREATE OR REPLACE TABLE … AS materializes a session table (A5
+    semantics: eager count, atomic swap) and returns DuckDB's Count row."""
+    out = run_sql(
+        spark,
+        "CREATE OR REPLACE TABLE nation_copy AS "
+        f"SELECT * FROM '{sf_dir}/nation.parquet'",
+    ).collect()
+    assert out[0]["Count"] == 25
+    assert run_sql(spark, "SELECT count(*) AS n FROM nation_copy").collect()[0]["n"] == 25
+    names = [r["name"] for r in run_sql(spark, "SHOW TABLES").collect()]
+    assert "nation_copy" in names
+    # plain CREATE on an existing name fails like DuckDB
+    import pytest
+
+    with pytest.raises(ValueError, match="already exists"):
+        run_sql(spark, "CREATE TABLE nation_copy AS SELECT 1 AS x")
+    run_sql(spark, "DROP TABLE nation_copy")
+    assert "nation_copy" not in [
+        r["name"] for r in run_sql(spark, "SHOW TABLES").collect()
+    ]
+
+
+def test_create_view_lazy_and_drop_missing(spark):
+    import pytest
+
+    out = run_sql(spark, "CREATE OR REPLACE VIEW v_two AS SELECT 2 AS x")
+    assert out.columns == ["Count"] and out.collect() == []
+    assert run_sql(spark, "SELECT x FROM v_two").collect()[0]["x"] == 2
+    run_sql(spark, "DROP VIEW IF EXISTS v_two")
+    with pytest.raises(ValueError, match="does not exist"):
+        run_sql(spark, "DROP VIEW v_two")
+
+
+def test_copy_query_to_csv_roundtrip(spark, sf_dir, tmp_path):
+    """User-typed COPY (query) TO 'f.csv' (the reference's own export
+    SQL, src/worker.ts:319-326) routes to the A13 exporter."""
+    dest = str(tmp_path / "out.csv")
+    out = run_sql(
+        spark,
+        f"COPY (SELECT r_regionkey, r_name FROM '{sf_dir}/region.parquet' "
+        f"ORDER BY r_regionkey) TO '{dest}' (FORMAT CSV, HEADER)",
+    ).collect()
+    assert out[0]["Count"] == 5
+    back = spark.read.option("header", True).csv(dest).collect()
+    assert len(back) == 5
+    assert back[0]["r_name"] == "AFRICA"
+
+
+def test_copy_table_to_parquet(spark, sf_dir, tmp_path):
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(
+        "region_cp"
+    )
+    dest = str(tmp_path / "out.parquet")
+    out = run_sql(
+        spark, f"COPY region_cp TO '{dest}' (FORMAT PARQUET)"
+    ).collect()
+    assert out[0]["Count"] == 5
+    assert spark.read.parquet(dest).count() == 5
+
+
+def test_range_and_generate_series_table_functions(spark):
+    """DuckDB inline series: range() end-exclusive (column ``range``),
+    generate_series() end-inclusive (column ``generate_series``)."""
+    import duckdb
+
+    for text in [
+        "SELECT * FROM range(3)",
+        "SELECT * FROM range(2, 5)",
+        "SELECT * FROM generate_series(1, 5, 2)",
+        "SELECT generate_series(1, 3) AS g",
+    ]:
+        got = [tuple(r) for r in run_sql(spark, text).collect()]
+        want = duckdb.connect().execute(text).fetchall()
+        assert got == want, text

@@ -1,0 +1,180 @@
+"""User-typed session DDL and COPY statements (DuckDB shapes).
+
+The reference's query tab passes statements to DuckDB verbatim
+(src/duckdb-backend.ts:142-146), and the reference itself constructs
+``CREATE OR REPLACE TABLE … AS`` (src/worker.ts:83-90) and ``COPY (…) TO
+'…' (FORMAT …)`` (src/worker.ts:319-326) — so a user can type the same
+forms. Spark-side:
+
+- ``CREATE [OR REPLACE] [TEMP] TABLE name AS <query>`` → materialized
+  session table: run the query through the gateway, persist, eager
+  count (the same run-once-page-many contract as A5), bind a temp view.
+  Returns DuckDB's one-row ``Count`` shape.
+- ``CREATE [OR REPLACE] [TEMP] VIEW name AS <query>`` → lazy temp view
+  (no materialization). Returns the empty ``Count`` shape.
+- ``DROP TABLE|VIEW [IF EXISTS] name`` → unpersist + drop the view.
+  Returns the empty ``Success`` shape.
+- ``SHOW TABLES`` → one ``name`` column, sorted.
+- ``COPY <table|(query)> TO 'path' [(options)]`` → the A13-A17 export
+  operators (CSV/ndJSON/JSON-array/Parquet/Excel). Distributed-write
+  semantics live in operators/export.py; this layer only parses the
+  DuckDB option surface. Returns the one-row ``Count`` shape.
+
+Everything is session-scope (temp views + cached DataFrames) — no
+warehouse, mirroring the reference's in-memory DuckDB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_CTAS = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?:TEMP\s+|TEMPORARY\s+)?"
+    r"(?P<kind>TABLE|VIEW)\s+(?P<name>[A-Za-z_]\w*)\s+AS\s+(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_DROP = re.compile(
+    r"^\s*DROP\s+(?P<kind>TABLE|VIEW)\s+(?P<ifex>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+
+_SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+
+_COPY = re.compile(r"^\s*COPY\s+", re.IGNORECASE)
+
+_COUNT_SCHEMA = T.StructType([T.StructField("Count", T.LongType())])
+_SUCCESS_SCHEMA = T.StructType([T.StructField("Success", T.BooleanType())])
+
+# session tables created here, for unpersist-on-replace: (sparkId, name) → df
+_session_tables: dict[tuple[int, str], DataFrame] = {}
+
+
+def _count_df(spark: SparkSession, n: int | None) -> DataFrame:
+    rows = [] if n is None else [(n,)]
+    return spark.createDataFrame(rows, _COUNT_SCHEMA).coalesce(1)
+
+
+def try_rewrite_ddl(
+    spark: SparkSession, sql: str, run_sql, **kw
+) -> DataFrame | None:
+    """Route a DDL/COPY/SHOW statement; None if ``sql`` is none of them.
+    ``run_sql`` is the gateway entry point (passed in to avoid a module
+    cycle); ``kw`` carries its view/columns/dataset_path binding."""
+    if _SHOW_TABLES.match(sql):
+        names = sorted(
+            t.name for t in spark.catalog.listTables() if not t.name.startswith("__")
+        )
+        return spark.createDataFrame(
+            [(n,) for n in names],
+            T.StructType([T.StructField("name", T.StringType())]),
+        ).coalesce(1)
+
+    m = _DROP.match(sql)
+    if m is not None:
+        name = m.group("name")
+        existed = spark.catalog.dropTempView(name)
+        key = (id(spark), name.lower())
+        cached = _session_tables.pop(key, None)
+        if cached is not None:
+            cached.unpersist()
+        if not existed and not m.group("ifex"):
+            raise ValueError(
+                f'{m.group("kind").capitalize()} with name "{name}" does not exist'
+            )
+        return spark.createDataFrame([], _SUCCESS_SCHEMA).coalesce(1)
+
+    m = _CTAS.match(sql)
+    if m is not None:
+        name, kind = m.group("name"), m.group("kind").upper()
+        replace = bool(m.group("replace"))
+        if not replace and spark.catalog.tableExists(name):
+            raise ValueError(f'Table with name "{name}" already exists')
+        df = run_sql(spark, m.group("body"), **kw)
+        if kind == "VIEW":
+            df.createOrReplaceTempView(name)
+            return _count_df(spark, None)
+        # A5 semantics: materialize atomically — persist + eager count
+        # FIRST (a failing query surfaces here), then swap the binding.
+        df = df.persist()
+        n = df.count()
+        key = (id(spark), name.lower())
+        old = _session_tables.get(key)
+        df.createOrReplaceTempView(name)
+        _session_tables[key] = df
+        if old is not None:
+            old.unpersist()
+        return _count_df(spark, n)
+
+    if _COPY.match(sql):
+        return _run_copy(spark, sql, run_sql, **kw)
+    return None
+
+
+_COPY_PARTS = re.compile(
+    r"^\s*COPY\s+(?P<src>.+?)\s+TO\s+'(?P<path>[^']+)'\s*"
+    r"(?:\(|WITH\s*\()?(?P<opts>[^()]*)\)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _copy_format(path: str, opts: str) -> tuple[str, dict]:
+    """DuckDB COPY options → (exporter name, exporter kwargs)."""
+    o = opts.upper()
+    kwargs: dict = {}
+    if re.search(r"\bFORMAT\s+PARQUET\b", o):
+        return "parquet", kwargs
+    if re.search(r"\bFORMAT\s+GDAL\b", o) or path.lower().endswith(".xlsx"):
+        return "excel", kwargs
+    if re.search(r"\bFORMAT\s+JSON\b", o) or path.lower().endswith((".json", ".ndjson", ".jsonl")):
+        if re.search(r"\bARRAY\s+(TRUE|1)\b", o):
+            return "json", kwargs
+        return "ndjson", kwargs
+    if path.lower().endswith(".parquet") and not o.strip():
+        return "parquet", kwargs
+    return "csv", kwargs
+
+
+def _run_copy(
+    spark: SparkSession, sql: str, run_sql, **kw
+) -> DataFrame:
+    from vscode_parquet_visualizer_spark.operators.export import export
+
+    # parenthesized source = a full query; handle the balanced span
+    # directly so query-internal parens/literals can't confuse the split
+    m_head = re.match(r"^\s*COPY\s+", sql, re.IGNORECASE)
+    rest = sql[m_head.end():]
+    if rest.lstrip().startswith("("):
+        from vscode_parquet_visualizer_spark.plans.dialect import (
+            _balanced_span,
+        )
+
+        start = len(rest) - len(rest.lstrip())
+        end = _balanced_span(rest, start)
+        if end == -1:
+            raise ValueError("COPY: unbalanced parentheses in source query")
+        src_sql = rest[start + 1 : end]
+        tail = rest[end + 1 :]
+    else:
+        m_src = re.match(r"^\s*([A-Za-z_]\w*)", rest)
+        if m_src is None:
+            raise ValueError(f"COPY: cannot parse source in {sql!r}")
+        src_sql = f"SELECT * FROM {m_src.group(1)}"
+        tail = rest[m_src.end():]
+    m_to = re.match(
+        r"\s*TO\s+'(?P<path>[^']+)'\s*(?:\(|WITH\s*\()?(?P<opts>[^()]*)\)?\s*$",
+        tail,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m_to is None:
+        raise ValueError(f"COPY: expected TO '<path>' [(options)] in {sql!r}")
+    path, opts = m_to.group("path"), m_to.group("opts") or ""
+    df = run_sql(spark, src_sql, **kw)
+    fmt, kwargs = _copy_format(path, opts)
+    n = df.count()
+    export(df, path, fmt, **kwargs)
+    return _count_df(spark, n)

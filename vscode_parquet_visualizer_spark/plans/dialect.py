@@ -50,6 +50,10 @@ FUNCTION_RENAMES = {
     "list_min": "array_min",
     "list_reverse": "reverse",
     "list_concat": "concat",
+    # scalar generate_series returns a LIST (end-inclusive) — exactly
+    # Spark's sequence(); the FROM-position table form is lowered first
+    # by rewrite_series_table_functions.
+    "generate_series": "sequence",
     # NOT renamed on purpose: list_position (DuckDB returns NULL on
     # missing, Spark array_position returns 0), list_unique (a count,
     # not a dedup), string_agg (ORDER BY argument shape differs).
@@ -913,6 +917,54 @@ def rewrite_from_first(sql: str) -> str:
     return fix_scope("".join(out))
 
 
+def rewrite_series_table_functions(sql: str) -> str:
+    """DuckDB inline-series table functions (SURVEY §2B values/inline):
+
+    - ``FROM range(a[,b[,step]])`` — end-exclusive, column ``range`` →
+      Spark's native ``range()`` table function (scales: it's a
+      partitioned leaf, not a materialized array) with the column
+      renamed from ``id``.
+    - ``FROM generate_series(a,b[,step])`` — end-INCLUSIVE, column
+      ``generate_series`` → ``explode(sequence(...))`` (sequence is
+      inclusive, matching; bounded arrays by definition — inline tables,
+      not bulk ranges).
+
+    Scalar ``generate_series(a,b)`` (returns a LIST in DuckDB) maps to
+    ``sequence`` via rewrite_function_renames' table. Timestamp ranges
+    with INTERVAL steps lower through sequence() on both forms."""
+
+    def sub_range(m: re.Match) -> str:
+        args = m.group(2)
+        if "\x00" in args or re.search(r"\bINTERVAL\b", args, re.IGNORECASE):
+            # temporal range: Spark range() is numeric-only; sequence()
+            # handles timestamps and is end-inclusive — DuckDB's range
+            # is end-exclusive, so this stays unsupported loudly rather
+            # than silently off-by-one.
+            return m.group(0)
+        return (
+            f"{m.group(1)} (SELECT id AS range FROM range({args}))"
+        )
+
+    def sub_gs(m: re.Match) -> str:
+        return (
+            f"{m.group(1)} (SELECT explode(sequence({m.group(2)})) "
+            "AS generate_series)"
+        )
+
+    sql = re.sub(
+        r"\b(FROM|JOIN)\s+range\s*\(([^()]*)\)",
+        sub_range,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    return re.sub(
+        r"\b(FROM|JOIN)\s+generate_series\s*\(([^()]*)\)",
+        sub_gs,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def rewrite_order_by_all(sql: str) -> str:
     """``ORDER BY ALL`` null-order parity: DuckDB's default null order is
     NULLS LAST for both directions, while Spark's ascending default is
@@ -964,6 +1016,7 @@ def transpile(
     sql = rewrite_len(sql, array_columns)
     sql = rewrite_arithmetic_operators(sql)
     sql = rewrite_sample(sql)
+    sql = rewrite_series_table_functions(sql)
     sql = rewrite_from_first(sql)
     sql = rewrite_order_by_all(sql)
     sql = rewrite_function_renames(sql)

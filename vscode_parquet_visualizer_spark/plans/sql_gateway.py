@@ -226,6 +226,19 @@ def run_sql(
             else summarize_df
         )
         return fn(spark, rel)
+    from vscode_parquet_visualizer_spark.plans.ddl_sql import try_rewrite_ddl
+
+    ddl = try_rewrite_ddl(
+        spark,
+        bound,
+        run_sql,
+        view=view,
+        columns=columns,
+        dataset_path=dataset_path,
+        array_columns=array_columns,
+    )
+    if ddl is not None:
+        return ddl
     ubn = _try_union_by_name(
         spark,
         bound,

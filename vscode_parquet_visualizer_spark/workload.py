@@ -2430,6 +2430,26 @@ def q96(spark, sf_dir):
     )
 
 
+_INLINE_SERIES_SQL = """
+    SELECT r.range AS n, g.generate_series AS s
+    FROM range(0, 3) r CROSS JOIN generate_series(10, 14, 2) g
+    ORDER BY ALL
+"""
+
+
+@q("q97_inline_series", _INLINE_SERIES_SQL)
+def q97(spark, sf_dir):
+    """DuckDB inline-series table functions (SURVEY §2B values/inline):
+    ``range()`` (end-exclusive, column ``range``) lowers onto Spark's
+    partitioned native range(); ``generate_series()`` (end-inclusive)
+    onto explode(sequence()) — identical text on both engines
+    (plans/dialect.rewrite_series_table_functions)."""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    load_tables(spark, sf_dir)
+    return run_sql(spark, _INLINE_SERIES_SQL)
+
+
 # The 50 keys the correctness driver evaluates (its window records the
 # first 50 sorted entries — exactly this set). Everything outside this
 # list is still exercised by tools/oracle_check.py, pytest, and bench.
