@@ -546,3 +546,75 @@ def test_from_first_through_transpile(spark, sf_dir):
         view="region",
     ).collect()
     assert [r.r_regionkey for r in rows] == [2, 1, 0]
+
+
+def test_function_rename_arg_max_list_unnest(spark):
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW fr_t AS "
+        "SELECT * FROM VALUES (1,'a'),(2,'b'),(3,'a') v(x,y)"
+    )
+    r = run_sql(
+        spark,
+        "SELECT arg_max(y, x) AS am, arg_min(y, x) AS an, list(x) AS xs "
+        "FROM fr_t",
+    ).collect()[0]
+    assert (r["am"], r["an"], sorted(r["xs"])) == ("a", "a", [1, 2, 3])
+    u = run_sql(spark, "SELECT unnest([10, 20]) AS u FROM fr_t WHERE x = 1")
+    assert [row["u"] for row in u.collect()] == [10, 20]
+    # FROM-position unnest: DuckDB column name `unnest`
+    t = run_sql(spark, "SELECT * FROM unnest([7, 8]) ORDER BY unnest")
+    assert [row["unnest"] for row in t.collect()] == [7, 8]
+
+
+def test_ignore_nulls_placement(spark):
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        rewrite_ignore_nulls,
+    )
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    assert (
+        rewrite_ignore_nulls("SELECT last_value(y IGNORE NULLS) OVER (ORDER BY x) FROM t")
+        == "SELECT last_value(y) IGNORE NULLS OVER (ORDER BY x) FROM t"
+    )
+    # aggregate-level modifier at the end of a subquery stays put
+    kept = "SELECT (SELECT first(x) IGNORE NULLS) AS v"
+    assert rewrite_ignore_nulls(kept) == kept
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW in_t AS "
+        "SELECT * FROM VALUES (1,'a'),(2,NULL),(3,'c') v(x,y)"
+    )
+    rows = run_sql(
+        spark,
+        "SELECT x, last_value(y IGNORE NULLS) "
+        "OVER (ORDER BY x) AS lv FROM in_t ORDER BY x",
+    ).collect()
+    assert [r["lv"] for r in rows] == ["a", "a", "c"]
+
+
+def test_list_comprehension(spark):
+    import duckdb
+
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        rewrite_list_comprehension,
+    )
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    assert (
+        rewrite_list_comprehension("SELECT [v * 2 FOR v IN xs] FROM t")
+        == "SELECT transform(xs, v -> v * 2) FROM t"
+    )
+    assert (
+        rewrite_list_comprehension("SELECT [v FOR v IN xs IF v > 1] FROM t")
+        == "SELECT transform(filter(xs, v -> v > 1), v -> v) FROM t"
+    )
+    # plain array literals untouched
+    assert rewrite_list_comprehension("SELECT [1, 2, 3]") == "SELECT [1, 2, 3]"
+    for text in [
+        "SELECT [v * 2 FOR v IN [1,2,3]] AS doubled",
+        "SELECT [v FOR v IN [1,2,3,4] IF v % 2 = 0] AS evens",
+    ]:
+        got = run_sql(spark, text).collect()[0][0]
+        want = duckdb.connect().execute(text).fetchone()[0]
+        assert got == want, text

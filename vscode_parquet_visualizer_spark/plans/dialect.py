@@ -54,6 +54,15 @@ FUNCTION_RENAMES = {
     # Spark's sequence(); the FROM-position table form is lowered first
     # by rewrite_series_table_functions.
     "generate_series": "sequence",
+    "arg_max": "max_by",
+    "arg_min": "min_by",
+    # DuckDB list()/array_agg() keep NULL elements; Spark's array_agg
+    # drops them — documented divergence (null elements are rare in
+    # aggregation keys; the alternative is failing every list() query).
+    "list": "array_agg",
+    # SELECT-position unnest (one generator per select, Spark rule);
+    # FROM-position is lowered first by rewrite_series_table_functions.
+    "unnest": "explode",
     # NOT renamed on purpose: list_position (DuckDB returns NULL on
     # missing, Spark array_position returns 0), list_unique (a count,
     # not a dedup), string_agg (ORDER BY argument shape differs).
@@ -933,36 +942,136 @@ def rewrite_series_table_functions(sql: str) -> str:
     ``sequence`` via rewrite_function_renames' table. Timestamp ranges
     with INTERVAL steps lower through sequence() on both forms."""
 
-    def sub_range(m: re.Match) -> str:
-        args = m.group(2)
+    def render_range(kw: str, args: str) -> str:
         if "\x00" in args or re.search(r"\bINTERVAL\b", args, re.IGNORECASE):
             # temporal range: Spark range() is numeric-only; sequence()
             # handles timestamps and is end-inclusive — DuckDB's range
             # is end-exclusive, so this stays unsupported loudly rather
             # than silently off-by-one.
-            return m.group(0)
-        return (
-            f"{m.group(1)} (SELECT id AS range FROM range({args}))"
-        )
+            return f"{kw} range({args})"
+        return f"{kw} (SELECT id AS range FROM range({args}))"
 
-    def sub_gs(m: re.Match) -> str:
-        return (
-            f"{m.group(1)} (SELECT explode(sequence({m.group(2)})) "
-            "AS generate_series)"
-        )
+    def render_gs(kw: str, args: str) -> str:
+        return f"{kw} (SELECT explode(sequence({args})) AS generate_series)"
 
-    sql = re.sub(
-        r"\b(FROM|JOIN)\s+range\s*\(([^()]*)\)",
-        sub_range,
-        sql,
-        flags=re.IGNORECASE,
-    )
-    return re.sub(
-        r"\b(FROM|JOIN)\s+generate_series\s*\(([^()]*)\)",
-        sub_gs,
-        sql,
-        flags=re.IGNORECASE,
-    )
+    def render_unnest(kw: str, args: str) -> str:
+        return f"{kw} (SELECT explode({args}) AS unnest)"
+
+    for name, render in (
+        ("range", render_range),
+        ("generate_series", render_gs),
+        ("unnest", render_unnest),
+    ):
+        sql = _rewrite_from_table_fn(sql, name, render)
+    return sql
+
+
+def _rewrite_from_table_fn(sql: str, name: str, render) -> str:
+    """Replace every ``FROM|JOIN <name>( <balanced args> )`` with
+    ``render(keyword, args)`` (args parsed with a balanced scan so nested
+    calls like ``range(len(x))`` survive)."""
+    pat = re.compile(rf"\b(FROM|JOIN)\s+{name}\s*\(", re.IGNORECASE)
+    out, pos = [], 0
+    while True:
+        m = pat.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        open_idx = m.end() - 1
+        close_idx = _balanced_span(sql, open_idx)
+        if close_idx == -1:
+            out.append(sql[pos:])
+            return "".join(out)
+        out.append(sql[pos : m.start()])
+        out.append(render(m.group(1), sql[open_idx + 1 : close_idx]))
+        pos = close_idx + 1
+
+
+def rewrite_ignore_nulls(sql: str) -> str:
+    """DuckDB puts the null-handling modifier INSIDE the call —
+    ``last_value(y IGNORE NULLS)`` — Spark wants it after:
+    ``last_value(y) IGNORE NULLS``. Move it across the closing paren,
+    but only when that paren closes a *function call* (its opener is
+    preceded by an identifier) — an aggregate-level ``IGNORE NULLS`` at
+    the end of a parenthesized subquery must stay inside."""
+    pat = re.compile(r"\s+(IGNORE|RESPECT)\s+NULLS\s*\)", re.IGNORECASE)
+    while True:
+        for m in pat.finditer(sql):
+            close = m.end() - 1
+            # find the matching opener of this close paren
+            depth = 0
+            open_idx = -1
+            for i in range(close, -1, -1):
+                if sql[i] == ")":
+                    depth += 1
+                elif sql[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        open_idx = i
+                        break
+            if open_idx <= 0:
+                continue
+            j = open_idx - 1
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            if j < 0 or not (sql[j].isalnum() or sql[j] == "_"):
+                continue  # subquery / grouping parens — leave in place
+            if re.match(r"\s*SELECT\b", sql[open_idx + 1 :], re.IGNORECASE):
+                continue  # parenthesized subquery — leave in place
+            sql = (
+                sql[: m.start()] + ") " + m.group(1) + " NULLS" + sql[m.end() :]
+            )
+            break
+        else:
+            return sql
+
+
+def rewrite_list_comprehension(sql: str) -> str:
+    """DuckDB list comprehensions: ``[expr FOR var IN list [IF cond]]`` →
+    ``transform([filter(]list, var -> cond[)], var -> expr)`` — Spark's
+    higher-order functions have exactly these semantics (lazy, per-row,
+    codegen'd — no UDF). Nested comprehensions recurse. Runs on
+    literal-protected text, before ``[…]`` literals become array()."""
+
+    def split_top(body: str, word: str) -> tuple[str, str] | None:
+        for m in re.finditer(rf"\b{word}\b", body, re.IGNORECASE):
+            if _depth_at(body, m.start()) == 0:
+                return body[: m.start()], body[m.end() :]
+        return None
+
+    out, i = [], 0
+    while i < len(sql):
+        if sql[i] == "[":
+            end = _balanced_span(sql, i, "[", "]")
+            if end != -1:
+                inner = rewrite_list_comprehension(sql[i + 1 : end])
+                parts = split_top(inner, "FOR")
+                if parts is not None:
+                    expr, rest = parts
+                    in_parts = split_top(rest, "IN")
+                    if in_parts is not None:
+                        var, src = in_parts
+                        var = var.strip()
+                        if_parts = split_top(src, "IF")
+                        if if_parts is not None:
+                            src, cond = if_parts
+                            src = (
+                                f"filter({src.strip()}, "
+                                f"{var} -> {cond.strip()})"
+                            )
+                        else:
+                            src = src.strip()
+                        out.append(
+                            f"transform({src}, {var} -> {expr.strip()})"
+                        )
+                        i = end + 1
+                        continue
+                out.append("[" + inner + "]")
+                i = end + 1
+                continue
+        out.append(sql[i])
+        i += 1
+    return "".join(out)
 
 
 def rewrite_order_by_all(sql: str) -> str:
@@ -1010,6 +1119,7 @@ def transpile(
     sql = rewrite_distinct_on(sql)
     sql = rewrite_exclude(sql)
     sql = rewrite_replace_projection(sql, columns)
+    sql = rewrite_list_comprehension(sql)  # before slices/array literals
     sql = rewrite_bracket_slice(sql, array_columns)  # before [..] literals
     sql = rewrite_struct_literals(sql)
     sql = rewrite_array_literals(sql)
@@ -1017,6 +1127,7 @@ def transpile(
     sql = rewrite_arithmetic_operators(sql)
     sql = rewrite_sample(sql)
     sql = rewrite_series_table_functions(sql)
+    sql = rewrite_ignore_nulls(sql)
     sql = rewrite_from_first(sql)
     sql = rewrite_order_by_all(sql)
     sql = rewrite_function_renames(sql)
