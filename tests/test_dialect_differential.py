@@ -109,6 +109,26 @@ CORPUS = [
     """SELECT r_name FROM region r
        WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey)
        ORDER BY r_name""",
+    # FROM-first with no SELECT + ORDER BY ALL (round-3 additions)
+    """FROM region WHERE r_regionkey < 3 ORDER BY ALL DESC""",
+    # list comprehension with filter
+    """SELECT [v * 10 FOR v IN [1,2,3,4] IF v % 2 = 0] AS c""",
+    # arg_max / arg_min
+    """SELECT arg_max(n_name, n_nationkey) AS last_n,
+              arg_min(n_name, n_nationkey) AS first_n FROM nation""",
+    # SELECT-position unnest
+    """SELECT unnest([5, 6]) AS u""",
+    # FROM-position series table functions
+    """SELECT r.range AS n FROM range(0, 4) r ORDER BY n""",
+    """SELECT g.generate_series AS s FROM generate_series(2, 6, 2) g
+       ORDER BY s""",
+    # in-call IGNORE NULLS window modifier
+    """SELECT o_orderkey,
+              last_value(nullif(o_orderpriority, '1-URGENT') IGNORE NULLS)
+                OVER (ORDER BY o_orderkey) AS lv
+       FROM orders ORDER BY o_orderkey LIMIT 10""",
+    # scalar generate_series returns a list
+    """SELECT generate_series(1, 4) AS gs""",
 ]
 
 
