@@ -72,3 +72,63 @@ def test_split_no_shuffle_in_plan(spark, sf_dir):
     plan = tagged._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchScan" in plan or "FileScan" in plan or "Scan parquet" in plan
+
+
+def test_hash_sample_stable_subset(spark, sf_dir):
+    from vscode_parquet_visualizer_spark.operators.split import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = hash_sample(docs, "doc_id", 0.5)
+    ids_a = {r["doc_id"] for r in half.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in hash_sample(docs.repartition(7), "doc_id", 0.5).select("doc_id").collect()}
+    assert ids_a == ids_b
+    # monotone: a smaller fraction is a subset of a larger one
+    ids_small = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    assert ids_small <= ids_a
+
+
+def test_stratified_hash_sample_drops_unlisted(spark, sf_dir):
+    from vscode_parquet_visualizer_spark.operators.split import (
+        stratified_hash_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 1.0, "de": 0.0}
+    )
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    n_en = docs.filter("lang = 'en'").count()
+    assert out.count() == n_en  # fraction 1.0 keeps every row
+
+
+def test_pack_sequences_budget_bound(spark, sf_dir):
+    from vscode_parquet_visualizer_spark.operators.packing import (
+        pack_manifest,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budget = 20000
+    packed = pack_sequences(docs, "n_chars", budget, "doc_id", ["lang"])
+    # every doc assigned; packs contiguous from 0 per group
+    assert packed.filter("pack_id IS NULL").count() == 0
+    man = pack_manifest(docs, "n_chars", budget, "doc_id", ["lang"]).collect()
+    by_lang = {}
+    for r in man:
+        by_lang.setdefault(r["lang"], []).append(r["pack_id"])
+    for lang, ids in by_lang.items():
+        assert sorted(ids) == list(range(len(ids))), lang
+    # streaming-packing bound: a pack exceeds budget by at most one doc —
+    # equivalently, the pack minus its last (largest-index) doc fits
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "pack_id").orderBy(F.desc("doc_id"))
+    trimmed = (
+        packed.withColumn("rn", F.row_number().over(w))
+        .filter("rn > 1")
+        .groupBy("lang", "pack_id")
+        .agg(F.sum("n_chars").alias("rest"))
+    )
+    assert trimmed.filter(F.col("rest") >= budget).count() == 0

@@ -59,6 +59,44 @@ def hash_split(
     )
 
 
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ``fraction`` sample: keep rows whose hash bucket
+    falls below the threshold. Unlike ``df.sample`` this is stable under
+    re-runs/appends (a kept row stays kept) and engine-portable — the
+    properties corpus sampling needs."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(
+        split_bucket(F.col(key_col), salt) < int(round(fraction * BUCKETS))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy``'s contract, made
+    stable): each stratum value gets its own keep-fraction; rows in
+    unlisted strata are dropped. Pure narrow filter — the per-stratum
+    threshold rides in a literal map, so no join and no shuffle."""
+    pairs: list = []
+    for value, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0,1]")
+        pairs.extend([F.lit(value), F.lit(int(round(frac * BUCKETS)))])
+    thresholds = F.create_map(*pairs)
+    limit = thresholds[F.col(strata_col)]
+    return df.filter(
+        limit.isNotNull()
+        & (split_bucket(F.col(key_col), salt) < limit)
+    )
+
+
 def split_datasets(
     df: DataFrame, key_col: str, weights: dict[str, float], salt: str = ""
 ) -> dict[str, DataFrame]:
