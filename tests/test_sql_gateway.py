@@ -381,3 +381,34 @@ def test_range_and_generate_series_table_functions(spark):
         got = [tuple(r) for r in run_sql(spark, text).collect()]
         want = duckdb.connect().execute(text).fetchall()
         assert got == want, text
+
+
+def test_insert_into_session_table(spark):
+    """INSERT INTO a CTAS session table: positional column alignment,
+    DuckDB Count shape, atomic swap (old binding survives a bad insert)."""
+    import pytest
+
+    run_sql(spark, "CREATE OR REPLACE TABLE ins_t AS SELECT 1 AS x, 'a' AS y")
+    out = run_sql(spark, "INSERT INTO ins_t VALUES (2, 'b'), (3, 'c')").collect()
+    assert out[0]["Count"] == 2
+    out = run_sql(spark, "INSERT INTO ins_t SELECT 9, 'z'").collect()
+    assert out[0]["Count"] == 1
+    rows = run_sql(spark, "SELECT * FROM ins_t ORDER BY x").collect()
+    assert [(r["x"], r["y"]) for r in rows] == [
+        (1, "a"), (2, "b"), (3, "c"), (9, "z"),
+    ]
+    with pytest.raises(ValueError, match="3 values for 2 columns"):
+        run_sql(spark, "INSERT INTO ins_t VALUES (1, 'q', 99)")
+    assert run_sql(spark, "SELECT count(*) AS n FROM ins_t").collect()[0]["n"] == 4
+    with pytest.raises(ValueError, match="does not exist"):
+        run_sql(spark, "INSERT INTO missing_t VALUES (1)")
+    run_sql(spark, "DROP TABLE ins_t")
+
+
+def test_explain_statement(spark, sf_dir):
+    out = run_sql(
+        spark,
+        f"EXPLAIN SELECT count(*) FROM '{sf_dir}/region.parquet'",
+    ).collect()
+    assert out[0]["explain_key"] == "physical_plan"
+    assert "Physical Plan" in out[0]["explain_value"]

@@ -45,6 +45,15 @@ _DROP = re.compile(
 
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s+(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_EXPLAIN = re.compile(
+    r"^\s*EXPLAIN\s+(?:ANALYZE\s+)?(?P<body>.+)$", re.IGNORECASE | re.DOTALL
+)
+
 _COPY = re.compile(r"^\s*COPY\s+", re.IGNORECASE)
 
 _COUNT_SCHEMA = T.StructType([T.StructField("Count", T.LongType())])
@@ -87,6 +96,54 @@ def try_rewrite_ddl(
                 f'{m.group("kind").capitalize()} with name "{name}" does not exist'
             )
         return spark.createDataFrame([], _SUCCESS_SCHEMA).coalesce(1)
+
+    m = _INSERT.match(sql)
+    if m is not None:
+        name = m.group("name")
+        key = (id(spark), name.lower())
+        if not spark.catalog.tableExists(name):
+            raise ValueError(f'Table with name "{name}" does not exist')
+        body = m.group("body").strip()
+        if not re.match(r"^(SELECT|FROM|WITH|VALUES|TABLE)\b", body, re.IGNORECASE):
+            raise ValueError(f"INSERT INTO: cannot parse source {body!r}")
+        add = run_sql(spark, body, **kw)
+        base = _session_tables.get(key) or spark.table(name)
+        # positional semantics (DuckDB inserts by position); unionByName
+        # would silently reorder — align by renaming into the target's
+        # column names instead, erroring on arity mismatch like DuckDB.
+        if len(add.columns) != len(base.columns):
+            raise ValueError(
+                f"INSERT INTO {name}: {len(add.columns)} values for "
+                f"{len(base.columns)} columns"
+            )
+        add = add.toDF(*base.columns)
+        n_new = add.count()
+        merged = base.unionByName(add).persist()
+        merged.count()
+        merged.createOrReplaceTempView(name)
+        old = _session_tables.get(key)
+        _session_tables[key] = merged
+        if old is not None:
+            old.unpersist()
+        return _count_df(spark, n_new)
+
+    m = _EXPLAIN.match(sql)
+    if m is not None:
+        df = run_sql(spark, m.group("body"), **kw)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        return spark.createDataFrame(
+            [("physical_plan", plan)],
+            T.StructType(
+                [
+                    T.StructField("explain_key", T.StringType()),
+                    T.StructField("explain_value", T.StringType()),
+                ]
+            ),
+        ).coalesce(1)
 
     m = _CTAS.match(sql)
     if m is not None:
