@@ -412,3 +412,27 @@ def test_explain_statement(spark, sf_dir):
     ).collect()
     assert out[0]["explain_key"] == "physical_plan"
     assert "Physical Plan" in out[0]["explain_value"]
+
+
+def test_multi_statement_script(spark, sf_dir):
+    """Semicolon-separated scripts run in order; the last statement's
+    result comes back (DuckDB script semantics)."""
+    rows = run_sql(
+        spark,
+        f"""
+        CREATE OR REPLACE TABLE script_t AS
+          SELECT * FROM '{sf_dir}/region.parquet';
+        INSERT INTO script_t VALUES (99, 'ATLANTIS');
+        SELECT r_regionkey, r_name FROM script_t
+        WHERE r_regionkey >= 4 ORDER BY r_regionkey;
+        """,
+    ).collect()
+    assert [(r["r_regionkey"], r["r_name"]) for r in rows] == [
+        (4, "MIDDLE EAST"), (99, "ATLANTIS"),
+    ]
+    run_sql(spark, "DROP TABLE script_t")
+
+
+def test_semicolon_inside_literal_not_split(spark):
+    out = run_sql(spark, "SELECT 'a;b' AS s").collect()
+    assert out[0]["s"] == "a;b"

@@ -75,6 +75,30 @@ def _route_file_relations(spark: SparkSession, sql: str) -> str:
     return _FILE_REL.sub(sub, sql)
 
 
+def _split_statements(sql: str) -> list[str]:
+    """Split a script on top-level ``;`` (string literals and parens
+    respected); drop empty trailing statements."""
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        _depth_at,
+        _protect_literals,
+        _restore_literals,
+    )
+
+    if ";" not in sql:
+        return [sql]
+    prot, stash = _protect_literals(sql)
+    parts, last = [], 0
+    for i, ch in enumerate(prot):
+        if ch == ";" and _depth_at(prot, i) == 0:
+            parts.append(prot[last:i])
+            last = i + 1
+    parts.append(prot[last:])
+    stmts = [
+        _restore_literals(p, stash).strip() for p in parts
+    ]
+    return [s for s in stmts if s]
+
+
 def _strip_outer_parens(seg: str) -> str:
     from vscode_parquet_visualizer_spark.plans.dialect import _balanced_span
 
@@ -199,6 +223,23 @@ def run_sql(
     full-statement dynamic ``PIVOT`` → lowered grouped aggregation
     (plans/pivot_sql.py), everything else → dialect.transpile →
     ``spark.sql``."""
+    stmts = _split_statements(sql)
+    if len(stmts) > 1:
+        # multi-statement script: run each in order, return the last
+        # result (DuckDB's script semantics — earlier statements are
+        # usually session DDL feeding the final SELECT)
+        out: DataFrame | None = None
+        for stmt in stmts:
+            out = run_sql(
+                spark,
+                stmt,
+                view=view,
+                columns=columns,
+                dataset_path=dataset_path,
+                array_columns=array_columns,
+            )
+        assert out is not None
+        return out
     bound = dialect.rewrite_from_data(
         sql.rstrip().rstrip(";"), view=view, dataset_path=dataset_path
     )
