@@ -129,6 +129,28 @@ CORPUS = [
        FROM orders ORDER BY o_orderkey LIMIT 10""",
     # scalar generate_series returns a list
     """SELECT generate_series(1, 4) AS gs""",
+    # function-shape rewrites (round 3): slice semantics, group-0
+    # regexp_extract_all, date_diff parts, brace-format, to_base
+    """SELECT array_slice([10,20,30,40], 2, 3) AS sl,
+              list_slice([10,20,30,40], 1, 2) AS sl2""",
+    """SELECT regexp_extract_all('a1b22c3', '[0-9]+') AS ms""",
+    """SELECT CAST(date_diff('day', DATE '2024-01-01', DATE '2024-02-01') AS BIGINT) AS dd,
+              CAST(date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-01-01 06:30:00') AS BIGINT) AS dh""",
+    """SELECT date_add(DATE '2024-01-29', INTERVAL 3 DAY) AS d""",
+    """SELECT format('{}-{}', 'a', 7) AS f1, format('{1}/{0}', 'x', 'y') AS f2""",
+    """SELECT to_base(255, 16) AS hx, to_base(7, 2) AS bi""",
+    """SELECT strpos('LONDON', 'DON') AS p, starts_with('abc', 'ab') AS sw,
+              suffix('abc', 'bc') AS su, prefix('abc', 'ab') AS pr""",
+    """SELECT quantile_cont(o_totalprice, 0.5) AS med,
+              quantile_disc(o_totalprice, 0.5) AS medd
+       FROM orders""",
+    """SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS names
+       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    """SELECT time_bucket(INTERVAL 2 HOUR, TIMESTAMP '2024-01-01 05:30:00') AS b,
+              time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-01-01 05:37:00') AS b2""",
+    """SELECT age(TIMESTAMP '2024-02-01 06:00:00',
+                  TIMESTAMP '2024-01-31 01:00:00') AS a""",
 ]
 
 

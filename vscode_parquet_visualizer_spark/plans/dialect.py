@@ -63,6 +63,12 @@ FUNCTION_RENAMES = {
     # SELECT-position unnest (one generator per select, Spark rule);
     # FROM-position is lowered first by rewrite_series_table_functions.
     "unnest": "explode",
+    "strpos": "instr",
+    "starts_with": "startswith",
+    "prefix": "startswith",
+    "suffix": "endswith",
+    # exact interpolated quantile on both engines
+    "quantile_cont": "percentile",
     # NOT renamed on purpose: list_position (DuckDB returns NULL on
     # missing, Spark array_position returns 0), list_unique (a count,
     # not a dedup), string_agg (ORDER BY argument shape differs).
@@ -987,6 +993,176 @@ def _rewrite_from_table_fn(sql: str, name: str, render) -> str:
         pos = close_idx + 1
 
 
+def _rewrite_calls(sql: str, name: str, xform) -> str:
+    """Rewrite every call ``name( <balanced args> )`` with
+    ``xform(list_of_top_level_args) -> replacement_text`` (return None to
+    leave a call unchanged). Word-boundary on the name; literal-protected
+    text expected."""
+    pat = re.compile(rf"(?<![\w.]){name}\s*\(", re.IGNORECASE)
+    out, pos = [], 0
+    while True:
+        m = pat.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        open_idx = m.end() - 1
+        close_idx = _balanced_span(sql, open_idx)
+        if close_idx == -1:
+            out.append(sql[pos:])
+            return "".join(out)
+        args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : close_idx])]
+        repl = xform(args)
+        out.append(sql[pos : m.start()])
+        if repl is None:
+            out.append(sql[m.start() : close_idx + 1])
+        else:
+            out.append(repl)
+        pos = close_idx + 1
+
+
+_TIME_BUCKET_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+}
+
+
+def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
+    """DuckDB functions whose Spark twin takes a different ARG SHAPE
+    (a plain rename can't fix them; SURVEY §2B scalar-function rows):
+
+    - ``array_slice/list_slice(l, a, b)`` (1-based inclusive end) →
+      ``slice(l, a, (b)-(a)+1)`` (start+length)
+    - ``regexp_extract_all(s, re)`` → ``…(s, re, 0)`` (Spark defaults to
+      capture group 1; DuckDB to the full match)
+    - ``date_diff(part, a, b)`` → ``timestampdiff(PART, a, b)``
+    - ``date_add(a, INTERVAL …)`` → ``(a + INTERVAL …)`` (Spark's
+      date_add is integer-days only)
+    - ``age(a, b)`` → ``(a - b)`` (interval difference)
+    - ``to_base(n, b)`` → ``conv(n, 10, b)``
+    - ``format('{}-{}', …)`` (python-style braces) →
+      ``format_string('%s-%s', …)``
+    - ``string_agg(x, d ORDER BY k)`` → ``listagg(x, d) WITHIN GROUP
+      (ORDER BY k)``; plain ``string_agg`` → ``listagg``
+    - ``quantile_disc(x, q)`` → ``percentile_disc(q) WITHIN GROUP
+      (ORDER BY x)``
+    - ``time_bucket(INTERVAL n unit, ts)`` → epoch-floor expression for
+      second/minute/hour widths (and 1 day, where the origins align);
+      wider buckets differ from DuckDB's 2000-01-01 origin → left
+      unrewritten to fail loudly rather than shift silently.
+    """
+    stash = stash if stash is not None else []
+
+    def slice_x(a):
+        if len(a) != 3:
+            return None
+        return f"slice({a[0]}, {a[1]}, ({a[2]})-({a[1]})+1)"
+
+    sql = _rewrite_calls(sql, "array_slice", slice_x)
+    sql = _rewrite_calls(sql, "list_slice", slice_x)
+    sql = _rewrite_calls(
+        sql,
+        "regexp_extract_all",
+        lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)" if len(a) == 2 else None,
+    )
+
+    def date_diff_x(a):
+        if len(a) != 3:
+            return None
+        part = a[0]
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", part)
+        if m:
+            part = _lit_text(stash, m.group(1))
+        return f"timestampdiff({part.strip().strip(chr(39))}, {a[1]}, {a[2]})"
+
+    sql = _rewrite_calls(sql, "date_diff", date_diff_x)
+    # DuckDB's date_add returns TIMESTAMP even for DATE input — mirror
+    # with an explicit cast (no-op when the operand is already one)
+    sql = _rewrite_calls(
+        sql,
+        "date_add",
+        lambda a: f"(CAST({a[0]} AS TIMESTAMP) + {a[1]})"
+        if len(a) == 2 and re.search(r"\bINTERVAL\b", a[1], re.IGNORECASE)
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql, "age", lambda a: f"({a[0]} - {a[1]})" if len(a) == 2 else None
+    )
+    sql = _rewrite_calls(
+        sql,
+        "to_base",
+        lambda a: f"conv({a[0]}, 10, {a[1]})" if len(a) == 2 else None,
+    )
+
+    def format_x(a):
+        if not a:
+            return None
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", a[0])
+        if m is None:
+            return None
+        fmt = _lit_text(stash, m.group(1))
+        fmt = re.sub(r"\{(\d+)\}", lambda g: f"%{int(g.group(1)) + 1}$s", fmt)
+        fmt = fmt.replace("{}", "%s")
+        ph = _stash_add(stash, "'" + fmt.replace("'", "''") + "'")
+        return f"format_string({ph}, {', '.join(a[1:])})" if len(a) > 1 else f"format_string({ph})"
+
+    sql = _rewrite_calls(sql, "format", format_x)
+
+    def string_agg_x(a):
+        if not a:
+            return None
+        last = a[-1]
+        m = re.search(r"\bORDER\s+BY\b", last, re.IGNORECASE)
+        if m and _depth_at(last, m.start()) == 0:
+            order = last[m.end():].strip()
+            a = a[:-1] + [last[: m.start()].strip()]
+            return (
+                f"listagg({', '.join(x for x in a if x)}) "
+                f"WITHIN GROUP (ORDER BY {order})"
+            )
+        return f"listagg({', '.join(a)})"
+
+    sql = _rewrite_calls(sql, "string_agg", string_agg_x)
+    sql = _rewrite_calls(
+        sql,
+        "quantile_disc",
+        lambda a: f"percentile_disc({a[1]}) WITHIN GROUP (ORDER BY {a[0]})"
+        if len(a) == 2
+        else None,
+    )
+
+    def time_bucket_x(a):
+        if len(a) != 2:
+            return None
+        width = a[0]
+        m = re.fullmatch(
+            r"INTERVAL\s+(?:(\d+)|\x00LIT(\d+)\x00)\s*([A-Za-z]*)",
+            width.strip(),
+            re.IGNORECASE,
+        )
+        if m is None:
+            return None
+        if m.group(2) is not None:
+            text = _lit_text(stash, m.group(2)).strip()
+            m2 = re.fullmatch(r"(\d+)\s+([A-Za-z]+)", text)
+            if m2 is None:
+                return None
+            n, unit = int(m2.group(1)), m2.group(2).lower()
+        else:
+            n, unit = int(m.group(1)), m.group(3).lower()
+        if unit in _TIME_BUCKET_UNITS:
+            secs = n * _TIME_BUCKET_UNITS[unit]
+        elif unit in ("day", "days") and n == 1:
+            secs = 86400
+        else:
+            return None
+        return (
+            f"timestamp_seconds(CAST(floor(unix_seconds({a[1]}) / {secs}) "
+            f"* {secs} AS BIGINT))"
+        )
+
+    return _rewrite_calls(sql, "time_bucket", time_bucket_x)
+
+
 def rewrite_ignore_nulls(sql: str) -> str:
     """DuckDB puts the null-handling modifier INSIDE the call —
     ``last_value(y IGNORE NULLS)`` — Spark wants it after:
@@ -1127,6 +1303,7 @@ def transpile(
     sql = rewrite_arithmetic_operators(sql)
     sql = rewrite_sample(sql)
     sql = rewrite_series_table_functions(sql)
+    sql = rewrite_function_shapes(sql, stash)
     sql = rewrite_ignore_nulls(sql)
     sql = rewrite_from_first(sql)
     sql = rewrite_order_by_all(sql)
