@@ -436,3 +436,15 @@ def test_multi_statement_script(spark, sf_dir):
 def test_semicolon_inside_literal_not_split(spark):
     out = run_sql(spark, "SELECT 'a;b' AS s").collect()
     assert out[0]["s"] == "a;b"
+
+
+def test_pragma_table_info(spark, sf_dir):
+    """PRAGMA table_info('t') — DuckDB/sqlite introspection shape."""
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(
+        "region_ti"
+    )
+    rows = run_sql(spark, "PRAGMA table_info('region_ti')").collect()
+    assert [(r["cid"], r["name"], r["type"]) for r in rows] == [
+        (0, "r_regionkey", "INTEGER"), (1, "r_name", "VARCHAR"),
+    ]
+    assert rows[0]["pk"] is False and rows[0]["notnull"] is False

@@ -54,6 +54,11 @@ _EXPLAIN = re.compile(
     r"^\s*EXPLAIN\s+(?:ANALYZE\s+)?(?P<body>.+)$", re.IGNORECASE | re.DOTALL
 )
 
+_PRAGMA_TABLE_INFO = re.compile(
+    r"^\s*PRAGMA\s+table_info\s*\(\s*'?(?P<name>[A-Za-z_]\w*)'?\s*\)\s*$",
+    re.IGNORECASE,
+)
+
 _COPY = re.compile(r"^\s*COPY\s+", re.IGNORECASE)
 
 _COUNT_SCHEMA = T.StructType([T.StructField("Count", T.LongType())])
@@ -96,6 +101,31 @@ def try_rewrite_ddl(
                 f'{m.group("kind").capitalize()} with name "{name}" does not exist'
             )
         return spark.createDataFrame([], _SUCCESS_SCHEMA).coalesce(1)
+
+    m = _PRAGMA_TABLE_INFO.match(sql)
+    if m is not None:
+        from vscode_parquet_visualizer_spark.functions.schema_format import (
+            duckdb_type_string,
+        )
+
+        df = spark.table(m.group("name"))
+        rows = [
+            (i, f.name, duckdb_type_string(f.dataType), not f.nullable, None, False)
+            for i, f in enumerate(df.schema.fields)
+        ]
+        return spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("cid", T.IntegerType()),
+                    T.StructField("name", T.StringType()),
+                    T.StructField("type", T.StringType()),
+                    T.StructField("notnull", T.BooleanType()),
+                    T.StructField("dflt_value", T.StringType()),
+                    T.StructField("pk", T.BooleanType()),
+                ]
+            ),
+        ).coalesce(1)
 
     m = _INSERT.match(sql)
     if m is not None:
