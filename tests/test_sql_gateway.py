@@ -448,3 +448,18 @@ def test_pragma_table_info(spark, sf_dir):
         (0, "r_regionkey", "INTEGER"), (1, "r_name", "VARCHAR"),
     ]
     assert rows[0]["pk"] is False and rows[0]["notnull"] is False
+
+
+def test_copy_csv_delimiter_and_header_options(spark, tmp_path):
+    dest = str(tmp_path / "opt.csv")
+    run_sql(
+        spark,
+        f"COPY (SELECT 1 AS a, 2 AS b) TO '{dest}' "
+        "(FORMAT CSV, DELIMITER '|')",
+    )
+    assert open(dest).read() == "a|b\n1|2\n"
+    run_sql(
+        spark,
+        f"COPY (SELECT 3 AS a) TO '{dest}' (FORMAT CSV, HEADER FALSE)",
+    )
+    assert open(dest).read() == "3\n"

@@ -48,13 +48,20 @@ def _excel_projection(df: DataFrame) -> DataFrame:
 def export_csv(
     df: DataFrame, path: str, distributed: bool = False,
     partition_by: list[str] | None = None,
+    delimiter: str = ",", header: bool = True,
 ) -> None:
-    """CSV export. Single-file mode streams rows through the driver via
-    ``toLocalIterator`` (one partition resident at a time — never the
-    whole result, which the old ``toPandas`` path materialized), same
-    bounded-memory contract as the ndjson/excel exporters."""
+    """CSV export (reference ``COPY … WITH (HEADER, DELIMITER ',')``,
+    src/worker.ts:319-320). Single-file mode streams rows through the
+    driver via ``toLocalIterator`` (one partition resident at a time —
+    never the whole result, which the old ``toPandas`` path
+    materialized), same bounded-memory contract as the ndjson/excel
+    exporters."""
     if distributed or partition_by:
-        w = df.write.mode("overwrite").option("header", True)
+        w = (
+            df.write.mode("overwrite")
+            .option("header", header)
+            .option("sep", delimiter)
+        )
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.csv(path)
@@ -62,8 +69,9 @@ def export_csv(
     import csv
 
     with open(path, "w", newline="") as fh:
-        writer = csv.writer(fh)
-        writer.writerow(df.columns)
+        writer = csv.writer(fh, delimiter=delimiter)
+        if header:
+            writer.writerow(df.columns)
         for row in df.toLocalIterator():
             writer.writerow(
                 ["" if v is None else v for v in row]

@@ -223,6 +223,11 @@ def _copy_format(path: str, opts: str) -> tuple[str, dict]:
         return "ndjson", kwargs
     if path.lower().endswith(".parquet") and not o.strip():
         return "parquet", kwargs
+    m = re.search(r"\bDELIMITER\s+'([^']*)'", opts, re.IGNORECASE)
+    if m:
+        kwargs["delimiter"] = m.group(1)
+    if re.search(r"\bHEADER\s+(FALSE|0)\b", o):
+        kwargs["header"] = False
     return "csv", kwargs
 
 
