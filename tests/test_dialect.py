@@ -618,3 +618,57 @@ def test_list_comprehension(spark):
         got = run_sql(spark, text).collect()[0][0]
         want = duckdb.connect().execute(text).fetchone()[0]
         assert got == want, text
+
+
+def test_cast_type_name_mapping(spark):
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        rewrite_cast_type_names,
+        transpile,
+    )
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    assert (
+        rewrite_cast_type_names("SELECT CAST(1 AS TEXT)")
+        == "SELECT CAST(1 AS STRING)"
+    )
+    # alias that happens to be a type name is NOT a cast — untouched
+    assert (
+        rewrite_cast_type_names("SELECT (SELECT 1 AS text) AS v")
+        == "SELECT (SELECT 1 AS text) AS v"
+    )
+    # nested casts both mapped
+    assert (
+        rewrite_cast_type_names("SELECT CAST(CAST(1 AS INT4) AS VARCHAR)")
+        == "SELECT CAST(CAST(1 AS INTEGER) AS STRING)"
+    )
+    assert transpile("SELECT 1::UBIGINT") == "SELECT CAST(1 AS DECIMAL(20,0))"
+    # parameterized types keep their parameters
+    assert (
+        rewrite_cast_type_names("SELECT CAST('ab' AS VARCHAR(1))")
+        == "SELECT CAST('ab' AS VARCHAR(1))"
+    )
+    rows = run_sql(
+        spark,
+        "SELECT 1::TEXT AS a, 200::UTINYINT AS b, 'ab'::BLOB AS c, "
+        "TRY_CAST('9' AS INT8) AS d, 5::HUGEINT AS e",
+    ).collect()
+    r = rows[0]
+    assert r["a"] == "1" and r["b"] == 200 and bytes(r["c"]) == b"ab"
+    assert r["d"] == 9 and int(r["e"]) == 5
+
+
+def test_struct_map_shapes(spark):
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    def one(text):
+        return run_sql(spark, text).collect()[0][0]
+
+    s = one("SELECT struct_pack(a := 1, b := 'x') AS s")
+    assert s.asDict() == {"a": 1, "b": "x"}
+    assert one("SELECT MAP {'k': 1, 'j': 2} AS m") == {"k": 1, "j": 2}
+    assert one("SELECT map(['k','j'], [1,2]) AS m") == {"k": 1, "j": 2}
+    assert one("SELECT struct_extract(struct_pack(a := 7), 'a') AS v") == 7
+    # DuckDB map_extract returns a LIST — [] when the key is absent
+    assert one("SELECT map_extract(map(['k'],[7]), 'k') AS v") == [7]
+    assert one("SELECT map_extract(map(['k'],[7]), 'nope') AS v") == []
+    assert tuple(one("SELECT row(1, 'x') AS r")) == (1, "x")

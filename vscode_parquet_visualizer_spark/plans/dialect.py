@@ -64,6 +64,7 @@ FUNCTION_RENAMES = {
     # FROM-position is lowered first by rewrite_series_table_functions.
     "unnest": "explode",
     "strpos": "instr",
+    "row": "struct",
     "starts_with": "startswith",
     "prefix": "startswith",
     "suffix": "endswith",
@@ -678,6 +679,43 @@ def _rewrite_distinct_on_scope(sql: str) -> str:
     )
 
 
+def rewrite_map_literals(sql: str) -> str:
+    """DuckDB map literals ``MAP {'k': v, …}`` → ``map('k', v, …)``.
+    Must run before rewrite_struct_literals (which would otherwise eat
+    the braces as a struct literal). Nested map/struct literals in the
+    values are rewritten first so the top-level comma/colon split is
+    unambiguous."""
+    pat = re.compile(r"\bMAP\s*\{", re.IGNORECASE)
+    while True:
+        m = pat.search(sql)
+        if m is None:
+            return sql
+        open_idx = m.end() - 1
+        close = _balanced_span(sql, open_idx, "{", "}")
+        if close == -1:
+            return sql
+        body = rewrite_struct_literals(
+            rewrite_map_literals(sql[open_idx + 1 : close])
+        )
+        keys, vals = [], []
+        bad = False
+        for item in _split_top_level(body):
+            key, sep, val = item.partition(":")
+            if not sep:
+                bad = True
+                break
+            keys.append(key.strip())
+            vals.append(val.strip())
+        if bad:
+            return sql  # not a k: v literal — leave untouched
+        sql = (
+            sql[: m.start()]
+            + f"map_from_arrays(array({', '.join(keys)}), "
+            + f"array({', '.join(vals)}))"
+            + sql[close + 1 :]
+        )
+
+
 def rewrite_struct_literals(sql: str) -> str:
     """DuckDB struct literals ``{'k': expr, ...}`` → ``named_struct('k',
     expr, ...)``. Runs after literal protection (keys are placeholder
@@ -1160,7 +1198,105 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             f"* {secs} AS BIGINT))"
         )
 
-    return _rewrite_calls(sql, "time_bucket", time_bucket_x)
+    sql = _rewrite_calls(sql, "time_bucket", time_bucket_x)
+
+    def struct_pack_x(a):
+        pairs = []
+        for item in a:
+            k, sep, v = item.partition(":=")
+            if not sep:
+                return None
+            pairs.append(f"'{k.strip()}', {v.strip()}")
+        return f"named_struct({', '.join(pairs)})" if pairs else None
+
+    sql = _rewrite_calls(sql, "struct_pack", struct_pack_x)
+
+    # DuckDB's map() ONLY takes (keys_list, values_list) — Spark's
+    # variadic interleaved form keeps working for >2 args
+    sql = _rewrite_calls(
+        sql,
+        "map",
+        lambda a: f"map_from_arrays({a[0]}, {a[1]})" if len(a) == 2 else None,
+    )
+
+    def struct_extract_x(a):
+        if len(a) != 2:
+            return None
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", a[1])
+        if m is None:
+            return None
+        return f"({a[0]}).{_lit_text(stash, m.group(1))}"
+
+    sql = _rewrite_calls(sql, "struct_extract", struct_extract_x)
+
+    # DuckDB map_extract returns a LIST ([] when the key is absent)
+    sql = _rewrite_calls(
+        sql,
+        "map_extract",
+        lambda a: (
+            f"filter(array(element_at({a[0]}, {a[1]})), x -> x IS NOT NULL)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    return sql
+
+
+# DuckDB/Postgres type spellings Spark's CAST doesn't accept, mapped per
+# SURVEY §1.3 (unsigned → widened; HUGEINT → DECIMAL(38,0); bare VARCHAR
+# needs no length on DuckDB but does on Spark → STRING).
+_CAST_TYPE_MAP = {
+    "TEXT": "STRING", "VARCHAR": "STRING", "CHAR": "STRING",
+    "BPCHAR": "STRING", "LOGICAL": "BOOLEAN", "BOOL": "BOOLEAN",
+    "BLOB": "BINARY", "BYTEA": "BINARY", "VARBINARY": "BINARY",
+    "INT1": "TINYINT", "INT2": "SMALLINT", "INT4": "INTEGER",
+    "INT8": "BIGINT", "SIGNED": "INTEGER",
+    "FLOAT4": "FLOAT", "FLOAT8": "DOUBLE",
+    "UTINYINT": "SMALLINT", "USMALLINT": "INTEGER",
+    "UINTEGER": "BIGINT", "UBIGINT": "DECIMAL(20,0)",
+    "HUGEINT": "DECIMAL(38,0)", "UHUGEINT": "DECIMAL(38,0)",
+    "OID": "BIGINT",
+}
+
+
+def rewrite_cast_type_names(sql: str) -> str:
+    """Map DuckDB type spellings inside ``CAST``/``TRY_CAST`` to Spark's
+    (``CAST(x AS TEXT)`` → ``AS STRING``, unsigned widening, …). Only the
+    trailing top-level ``AS <type>`` of a cast is touched, so a column
+    alias that happens to be a type name (``SELECT 1 AS text``) is never
+    rewritten. ``::TYPE`` forms are already CASTs by the time this runs
+    (rewrite_pg_cast)."""
+
+    def make_xform(fn_name: str):
+        def xform(args):
+            if len(args) != 1:
+                return None
+            inner = rewrite_cast_type_names(args[0])
+            last = None
+            for m in re.finditer(
+                r"\bAS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", inner, re.IGNORECASE
+            ):
+                if _depth_at(inner, m.start()) == 0:
+                    last = m
+            if last is None:
+                if inner == args[0]:
+                    return None
+                return f"{fn_name}({inner})"
+            t = last.group(1).upper()
+            mapped = _CAST_TYPE_MAP.get(t)
+            if mapped is None:
+                if inner == args[0]:
+                    return None
+                return f"{fn_name}({inner})"
+            return (
+                f"{fn_name}({inner[: last.start(1)]}{mapped}"
+                f"{inner[last.end(1):]})"
+            )
+
+        return xform
+
+    sql = _rewrite_calls(sql, "CAST", make_xform("CAST"))
+    return _rewrite_calls(sql, "TRY_CAST", make_xform("TRY_CAST"))
 
 
 def rewrite_ignore_nulls(sql: str) -> str:
@@ -1292,11 +1428,13 @@ def transpile(
     sql = rewrite_string_split(sql, stash)
     sql = rewrite_list_aggregate(sql, stash)
     sql = rewrite_pg_cast(sql)
+    sql = rewrite_cast_type_names(sql)
     sql = rewrite_distinct_on(sql)
     sql = rewrite_exclude(sql)
     sql = rewrite_replace_projection(sql, columns)
     sql = rewrite_list_comprehension(sql)  # before slices/array literals
     sql = rewrite_bracket_slice(sql, array_columns)  # before [..] literals
+    sql = rewrite_map_literals(sql)  # before struct literals eat MAP {…}
     sql = rewrite_struct_literals(sql)
     sql = rewrite_array_literals(sql)
     sql = rewrite_len(sql, array_columns)
