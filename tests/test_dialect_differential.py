@@ -151,6 +151,25 @@ CORPUS = [
               time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-01-01 05:37:00') AS b2""",
     """SELECT age(TIMESTAMP '2024-02-01 06:00:00',
                   TIMESTAMP '2024-01-31 01:00:00') AS a""",
+    # two-arg trim family (DuckDB arg order), day-of-week bases,
+    # epoch fraction, scalar range/list functions
+    """SELECT trim('xxaxx', 'x') AS t, ltrim('xxab', 'x') AS l,
+              rtrim('abxx', 'x') AS r""",
+    """SELECT dayofweek(DATE '2024-03-01') AS dow,
+              isodow(DATE '2024-03-03') AS iso,
+              CAST(week(DATE '2024-01-04') AS BIGINT) AS wk,
+              datepart('dow', DATE '2024-03-01') AS dp,
+              date_part('isodow', DATE '2024-03-03') AS dp2""",
+    """SELECT epoch(TIMESTAMP '2024-01-01 00:00:30.5') AS e""",
+    """SELECT range(1, 5) AS r2, range(3) AS r1,
+              list_value(7, 8) AS lv,
+              regexp_split_to_array('a1b22c', '[0-9]+') AS sp""",
+    """SELECT CAST(list_unique([1,1,2,NULL]) AS BIGINT) AS u,
+              CAST(list_position([4,5], 5) AS BIGINT) AS p,
+              CAST(list_position([4,5], 9) AS BIGINT) AS p0""",
+    # datetrunc over TIMESTAMP (over DATE the return types differ:
+    # DuckDB gives DATE back, Spark's date_trunc always TIMESTAMP)
+    """SELECT datetrunc('month', TIMESTAMP '2024-03-15 10:00:00') AS d""",
 ]
 
 

@@ -70,9 +70,17 @@ FUNCTION_RENAMES = {
     "suffix": "endswith",
     # exact interpolated quantile on both engines
     "quantile_cont": "percentile",
-    # NOT renamed on purpose: list_position (DuckDB returns NULL on
-    # missing, Spark array_position returns 0), list_unique (a count,
-    # not a dedup), string_agg (ORDER BY argument shape differs).
+    "list_value": "array",
+    "array_value": "array",
+    "regexp_split_to_array": "split",
+    "datetrunc": "date_trunc",
+    "week": "weekofyear",
+    "today": "current_date",
+    # both engines: 1-based index, 0 when missing
+    "list_position": "array_position",
+    # NOT renamed on purpose: list_unique (a count, not a dedup —
+    # handled in rewrite_function_shapes), string_agg (ORDER BY
+    # argument shape — rewrite_function_shapes lowers it to listagg).
 }
 
 _STRFTIME_MAP = [
@@ -993,7 +1001,9 @@ def rewrite_series_table_functions(sql: str) -> str:
             # is end-exclusive, so this stays unsupported loudly rather
             # than silently off-by-one.
             return f"{kw} range({args})"
-        return f"{kw} (SELECT id AS range FROM range({args}))"
+        # \x00RANGE\x00 shields Spark's native table function from the
+        # scalar-range shape rewrite; transpile unshields at the end.
+        return f"{kw} (SELECT id AS range FROM \x00RANGE\x00({args}))"
 
     def render_gs(kw: str, args: str) -> str:
         return f"{kw} (SELECT explode(sequence({args})) AS generate_series)"
@@ -1210,6 +1220,91 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         return f"named_struct({', '.join(pairs)})" if pairs else None
 
     sql = _rewrite_calls(sql, "struct_pack", struct_pack_x)
+
+    # DuckDB trim(string, chars) — Spark's two-arg form is
+    # trim(trimChars, string): swap
+    for fn in ("trim", "ltrim", "rtrim"):
+        sql = _rewrite_calls(
+            sql,
+            fn,
+            lambda a, _f=fn: f"{_f}({a[1]}, {a[0]})" if len(a) == 2 else None,
+        )
+
+    # day-of-week bases differ: DuckDB dow Sunday=0, isodow Monday=1;
+    # Spark dayofweek Sunday=1, weekday Monday=0
+    sql = _rewrite_calls(
+        sql,
+        "dayofweek",
+        lambda a: f"(dayofweek({a[0]}) - 1)" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "isodow",
+        lambda a: f"(weekday({a[0]}) + 1)" if len(a) == 1 else None,
+    )
+
+    def datepart_x(a):
+        if len(a) != 2:
+            return None
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", a[0])
+        part = _lit_text(stash, m.group(1)).lower() if m else None
+        if part == "dow":
+            return f"(dayofweek({a[1]}) - 1)"
+        if part == "isodow":
+            return f"(weekday({a[1]}) + 1)"
+        return None  # other parts agree — leave to Spark's datepart
+
+    sql = _rewrite_calls(sql, "datepart", datepart_x)
+    sql = _rewrite_calls(sql, "date_part", datepart_x)
+
+    # DuckDB's date_trunc returns DATE for day-or-coarser parts (Spark:
+    # always TIMESTAMP) — add the cast when the part is a literal
+    def datetrunc_x(a):
+        if len(a) != 2:
+            return None
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", a[0])
+        if m is None:
+            return None
+        part = _lit_text(stash, m.group(1)).lower()
+        if part in ("day", "week", "month", "quarter", "year", "isoyear",
+                    "decade", "century", "millennium"):
+            return f"CAST(date_trunc({a[0]}, {a[1]}) AS DATE)"
+        return None
+
+    sql = _rewrite_calls(sql, "datetrunc", datetrunc_x)
+    sql = _rewrite_calls(sql, "date_trunc", datetrunc_x)
+
+    # epoch(ts) → fractional seconds (DuckDB returns DOUBLE)
+    sql = _rewrite_calls(
+        sql,
+        "epoch",
+        lambda a: f"(unix_micros({a[0]}) / 1000000.0)" if len(a) == 1 else None,
+    )
+
+    # list_unique: count of distinct non-null elements
+    sql = _rewrite_calls(
+        sql,
+        "list_unique",
+        lambda a: (
+            f"size(array_distinct(filter({a[0]}, __lu -> __lu IS NOT NULL)))"
+            if len(a) == 1
+            else None
+        ),
+    )
+
+    # scalar range(…) returns an end-EXCLUSIVE list (sequence is
+    # inclusive). FROM-position range() was already lowered to the
+    # native table function behind a \x00RANGE\x00 sentinel, so every
+    # range( seen here is the scalar form. Positive unit step only —
+    # stepped/negative forms fall through loudly.
+    def scalar_range_x(a):
+        if len(a) == 1:
+            return f"sequence(0, ({a[0]}) - 1)"
+        if len(a) == 2:
+            return f"sequence({a[0]}, ({a[1]}) - 1)"
+        return None
+
+    sql = _rewrite_calls(sql, "range", scalar_range_x)
 
     # DuckDB's map() ONLY takes (keys_list, values_list) — Spark's
     # variadic interleaved form keeps working for >2 args
@@ -1447,4 +1542,5 @@ def transpile(
     sql = rewrite_order_by_all(sql)
     sql = rewrite_function_renames(sql)
     sql = rewrite_qualify(sql)
+    sql = sql.replace("\x00RANGE\x00", "range")
     return _restore_literals(sql, stash)
