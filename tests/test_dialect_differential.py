@@ -234,3 +234,25 @@ def test_differential_arithmetic(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+CORPUS_SEMANTICS = [
+    # single-arg log is base-10 in DuckDB
+    """SELECT round(log(100.0), 6) AS l10, round(log(2, 8.0), 6) AS l2""",
+    # concat skips NULLs and stringifies
+    """SELECT concat('a', NULL, 'b') AS c1, concat(1, '-', 2) AS c2""",
+    # explicit-global regexp_replace; case-insensitive global
+    """SELECT regexp_replace('aaa', 'a', 'b', 'g') AS r1,
+              regexp_replace('aAa', 'A', 'b', 'gi') AS r2""",
+    # numeric trunc
+    """SELECT CAST(trunc(-1.7) AS BIGINT) AS t1,
+              CAST(trunc(2.9) AS BIGINT) AS t2""",
+]
+
+
+@pytest.mark.parametrize("sql", CORPUS_SEMANTICS, ids=range(len(CORPUS_SEMANTICS)))
+def test_differential_semantics(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

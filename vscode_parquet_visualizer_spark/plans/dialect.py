@@ -1274,6 +1274,59 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     sql = _rewrite_calls(sql, "datetrunc", datetrunc_x)
     sql = _rewrite_calls(sql, "date_trunc", datetrunc_x)
 
+    # DuckDB log(x) is base-10 (Spark's is ln); two-arg log(b, x) agrees
+    sql = _rewrite_calls(
+        sql, "log", lambda a: f"log10({a[0]})" if len(a) == 1 else None
+    )
+
+    # DuckDB concat skips NULLs and stringifies every argument; Spark's
+    # returns NULL on any NULL input
+    sql = _rewrite_calls(
+        sql,
+        "concat",
+        lambda a: (
+            "concat_ws('', "
+            + ", ".join(f"CAST({x} AS STRING)" for x in a)
+            + ")"
+            if len(a) >= 2
+            else None
+        ),
+    )
+
+    # DuckDB regexp_replace replaces the FIRST match unless the 'g' flag
+    # is passed; Spark is always-global with no flags argument. The
+    # explicit-global form maps exactly; 'i' folds into the pattern.
+    # (The bare 3-arg form stays Spark-global — documented divergence.)
+    def regexp_replace_x(a):
+        if len(a) != 4:
+            return None
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", a[3])
+        if m is None:
+            return None
+        flags = _lit_text(stash, m.group(1))
+        if "g" not in flags:
+            return None  # first-match-only with flags: not expressible
+        pat = a[1]
+        if "i" in flags:
+            pm = re.fullmatch(r"\x00LIT(\d+)\x00", pat)
+            if pm is None:
+                return None
+            inner = _lit_text(stash, pm.group(1))
+            pat = _stash_add(
+                stash, "'" + ("(?i)" + inner).replace("'", "''") + "'"
+            )
+        return f"regexp_replace({a[0]}, {pat}, {a[2]})"
+
+    sql = _rewrite_calls(sql, "regexp_replace", regexp_replace_x)
+
+    # numeric trunc (DuckDB truncates toward zero; Spark's trunc is the
+    # date function) — the 2-arg date form passes through untouched
+    sql = _rewrite_calls(
+        sql,
+        "trunc",
+        lambda a: f"CAST({a[0]} AS BIGINT)" if len(a) == 1 else None,
+    )
+
     # epoch(ts) → fractional seconds (DuckDB returns DOUBLE)
     sql = _rewrite_calls(
         sql,
