@@ -256,3 +256,26 @@ def test_differential_semantics(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+CORPUS_SEMANTICS2 = [
+    """SELECT json_valid('{"a":1}') AS v1, json_valid('{bad') AS v2""",
+    """SELECT json_keys('{"a":1,"b":2}') AS k""",
+    """SELECT json_extract_string('{"a":"x"}', '$.a') AS s""",
+    """SELECT 2 = ANY([1,2,3]) AS a, 9 = ANY([1,2]) AS b,
+              5 > ALL([1,2,3]) AS c, 2 > ALL([1,2,3]) AS d,
+              1 = SOME([1]) AS e""",
+    """SELECT n_name FROM nation
+       WHERE n_regionkey = ANY(SELECT r_regionkey FROM region WHERE r_regionkey < 2)
+       ORDER BY n_name LIMIT 5""",
+    """SELECT round(fsum(o_totalprice), 1) AS fs, round(favg(o_totalprice), 4) AS fa
+       FROM orders""",
+]
+
+
+@pytest.mark.parametrize("sql", CORPUS_SEMANTICS2, ids=range(len(CORPUS_SEMANTICS2)))
+def test_differential_semantics2(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -71,6 +71,13 @@ FUNCTION_RENAMES = {
     # exact interpolated quantile on both engines
     "quantile_cont": "percentile",
     "list_value": "array",
+    "json_keys": "json_object_keys",
+    "json_extract_string": "get_json_object",
+    # Kahan-compensated float aggregates: Spark's double sum/avg is the
+    # closest (no compensated variant exists)
+    "fsum": "sum",
+    "favg": "avg",
+    "kahan_sum": "sum",
     "array_value": "array",
     "regexp_split_to_array": "split",
     "datetrunc": "date_trunc",
@@ -897,6 +904,42 @@ def rewrite_regex_operators(sql: str, stash: list[str] | None = None) -> str:
     return sql
 
 
+_ANY_ALL = re.compile(
+    r"((?:[A-Za-z_][\w.]*|\x00LIT\d+\x00|\d+(?:\.\d+)?))\s*"
+    r"(=|<>|!=|<=|>=|<|>)\s*(ANY|ALL|SOME)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def rewrite_any_all(sql: str) -> str:
+    """DuckDB quantified comparisons over LISTS — ``x = ANY(arr)`` /
+    ``x > ALL(arr)`` — lower to Spark's higher-order ``exists``/
+    ``forall`` (codegen'd, no explode). Subquery forms map to IN/NOT IN
+    for (in)equality; other subquery quantifiers fall through loudly.
+    Simple left operands only (identifier / literal / number)."""
+    while True:
+        m = _ANY_ALL.search(sql)
+        if m is None:
+            return sql
+        operand, op, quant = m.group(1), m.group(2), m.group(3).upper()
+        open_idx = m.end() - 1
+        close = _balanced_span(sql, open_idx)
+        if close == -1:
+            return sql
+        args = sql[open_idx + 1 : close].strip()
+        if re.match(r"^(SELECT|FROM|WITH|VALUES)\b", args, re.IGNORECASE):
+            if op == "=" and quant in ("ANY", "SOME"):
+                repl = f"{operand} IN ({args})"
+            elif op in ("<>", "!=") and quant == "ALL":
+                repl = f"{operand} NOT IN ({args})"
+            else:
+                return sql
+        else:
+            fn = "exists" if quant in ("ANY", "SOME") else "forall"
+            repl = f"{fn}({args}, __qq -> {operand} {op} __qq)"
+        sql = sql[: m.start()] + repl + sql[close + 1 :]
+
+
 def rewrite_columns_regex(sql: str, columns: list[str] | None) -> str:
     """DuckDB's ``COLUMNS('regex')`` star-expansion → explicit column list.
     Schema-aware: only possible when the caller supplies the relation's
@@ -1274,6 +1317,18 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     sql = _rewrite_calls(sql, "datetrunc", datetrunc_x)
     sql = _rewrite_calls(sql, "date_trunc", datetrunc_x)
 
+    # json_valid → VARIANT try-parse probe (NULL in, NULL out like DuckDB)
+    sql = _rewrite_calls(
+        sql,
+        "json_valid",
+        lambda a: (
+            f"CASE WHEN {a[0]} IS NULL THEN NULL "
+            f"ELSE try_parse_json({a[0]}) IS NOT NULL END"
+            if len(a) == 1
+            else None
+        ),
+    )
+
     # DuckDB log(x) is base-10 (Spark's is ln); two-arg log(b, x) agrees
     sql = _rewrite_calls(
         sql, "log", lambda a: f"log10({a[0]})" if len(a) == 1 else None
@@ -1573,6 +1628,7 @@ def transpile(
     sql = rewrite_json_arrows(sql, stash)
     sql = rewrite_strftime(sql, stash)
     sql = rewrite_regex_operators(sql, stash)
+    sql = rewrite_any_all(sql)
     sql = rewrite_string_split(sql, stash)
     sql = rewrite_list_aggregate(sql, stash)
     sql = rewrite_pg_cast(sql)
