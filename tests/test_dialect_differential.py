@@ -270,6 +270,12 @@ CORPUS_SEMANTICS2 = [
        ORDER BY n_name LIMIT 5""",
     """SELECT round(fsum(o_totalprice), 1) AS fs, round(favg(o_totalprice), 4) AS fa
        FROM orders""",
+    # timestamp literal prefixes + extract parts Spark lacks
+    """SELECT DATETIME '2024-01-01 05:00:00' AS t,
+              '2024-03-02 01:02:03'::DATETIME AS t2""",
+    """SELECT CAST(extract(epoch FROM TIMESTAMP '2024-01-01 00:00:30') AS BIGINT) AS e,
+              extract(dow FROM DATE '2024-03-01') AS dw,
+              extract(isodow FROM DATE '2024-03-03') AS iso""",
 ]
 
 

@@ -1300,6 +1300,25 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     sql = _rewrite_calls(sql, "datepart", datepart_x)
     sql = _rewrite_calls(sql, "date_part", datepart_x)
 
+    # extract(part FROM x) for the parts Spark lacks or bases differently
+    def extract_x(a):
+        if len(a) != 1:
+            return None
+        m = re.match(
+            r"^\s*(dow|isodow|epoch)\s+FROM\s+(.+)$", a[0],
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m is None:
+            return None
+        part, x = m.group(1).lower(), m.group(2).strip()
+        if part == "dow":
+            return f"(dayofweek({x}) - 1)"
+        if part == "isodow":
+            return f"(weekday({x}) + 1)"
+        return f"unix_seconds(CAST({x} AS TIMESTAMP))"
+
+    sql = _rewrite_calls(sql, "extract", extract_x)
+
     # DuckDB's date_trunc returns DATE for day-or-coarser parts (Spark:
     # always TIMESTAMP) — add the cast when the part is a literal
     def datetrunc_x(a):
@@ -1459,7 +1478,24 @@ _CAST_TYPE_MAP = {
     "UINTEGER": "BIGINT", "UBIGINT": "DECIMAL(20,0)",
     "HUGEINT": "DECIMAL(38,0)", "UHUGEINT": "DECIMAL(38,0)",
     "OID": "BIGINT",
+    "DATETIME": "TIMESTAMP", "TIMESTAMPTZ": "TIMESTAMP",
+    "TIMESTAMP_S": "TIMESTAMP", "TIMESTAMP_MS": "TIMESTAMP",
+    "TIMESTAMP_NS": "TIMESTAMP",
 }
+
+_TS_LITERAL_PREFIX = re.compile(
+    r"\b(TIMESTAMPTZ|DATETIME|TIMESTAMP_S|TIMESTAMP_MS|TIMESTAMP_NS)"
+    r"(\s+\x00LIT\d+\x00)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_timestamp_literals(sql: str) -> str:
+    """DuckDB's extra timestamp literal prefixes (``TIMESTAMPTZ '…'``,
+    ``DATETIME '…'``, unit-suffixed ``TIMESTAMP_S``) → plain
+    ``TIMESTAMP`` literals (Spark's TIMESTAMP is micros, session-tz,
+    and its literal parser accepts explicit offsets)."""
+    return _TS_LITERAL_PREFIX.sub(r"TIMESTAMP\2", sql)
 
 
 def rewrite_cast_type_names(sql: str) -> str:
@@ -1631,6 +1667,7 @@ def transpile(
     sql = rewrite_any_all(sql)
     sql = rewrite_string_split(sql, stash)
     sql = rewrite_list_aggregate(sql, stash)
+    sql = rewrite_timestamp_literals(sql)
     sql = rewrite_pg_cast(sql)
     sql = rewrite_cast_type_names(sql)
     sql = rewrite_distinct_on(sql)
