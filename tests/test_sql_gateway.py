@@ -463,3 +463,23 @@ def test_copy_csv_delimiter_and_header_options(spark, tmp_path):
         f"COPY (SELECT 3 AS a) TO '{dest}' (FORMAT CSV, HEADER FALSE)",
     )
     assert open(dest).read() == "3\n"
+
+
+def test_copy_from_appends(spark, sf_dir, tmp_path):
+    """COPY <table> FROM 'file' appends the file's rows (DuckDB import
+    direction), returning the Count shape."""
+    import pytest
+
+    run_sql(
+        spark,
+        f"CREATE OR REPLACE TABLE imp_t AS SELECT * FROM '{sf_dir}/region.parquet'",
+    )
+    src = str(tmp_path / "extra.csv")
+    open(src, "w").write("r_regionkey,r_name\n99,ATLANTIS\n")
+    out = run_sql(spark, f"COPY imp_t FROM '{src}'").collect()
+    assert out[0]["Count"] == 1
+    n = run_sql(spark, "SELECT count(*) AS n FROM imp_t").collect()[0]["n"]
+    assert n == 6
+    with pytest.raises(ValueError, match="does not exist"):
+        run_sql(spark, f"COPY missing_t FROM '{src}'")
+    run_sql(spark, "DROP TABLE imp_t")

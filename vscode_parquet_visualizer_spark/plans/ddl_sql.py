@@ -257,13 +257,35 @@ def _run_copy(
             raise ValueError(f"COPY: cannot parse source in {sql!r}")
         src_sql = f"SELECT * FROM {m_src.group(1)}"
         tail = rest[m_src.end():]
+    m_from = re.match(
+        r"\s*FROM\s+(?P<src>'[^']+'|[A-Za-z_]\w*)\s*"
+        r"(?:\(|WITH\s*\()?(?P<opts>[^()]*)\)?\s*$",
+        tail,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m_from is not None:
+        # COPY <table> FROM 'path' — append the file's rows into the
+        # session table (positional alignment, same path as INSERT).
+        # The gateway's file-relation routing may already have turned
+        # the quoted path into a registry-backed view name.
+        name = src_sql.split()[-1]  # src_sql is "SELECT * FROM <name>"
+        if not spark.catalog.tableExists(name):
+            raise ValueError(f'Table with name "{name}" does not exist')
+        return try_rewrite_ddl(
+            spark,
+            f"INSERT INTO {name} SELECT * FROM {m_from.group('src')}",
+            run_sql,
+            **kw,
+        )
     m_to = re.match(
         r"\s*TO\s+'(?P<path>[^']+)'\s*(?:\(|WITH\s*\()?(?P<opts>[^()]*)\)?\s*$",
         tail,
         re.IGNORECASE | re.DOTALL,
     )
     if m_to is None:
-        raise ValueError(f"COPY: expected TO '<path>' [(options)] in {sql!r}")
+        raise ValueError(
+            f"COPY: expected TO/FROM '<path>' [(options)] in {sql!r}"
+        )
     path, opts = m_to.group("path"), m_to.group("opts") or ""
     df = run_sql(spark, src_sql, **kw)
     fmt, kwargs = _copy_format(path, opts)
