@@ -77,3 +77,24 @@ def test_transpile_never_crashes(sql):
     # arbitrary (even invalid) input must not raise in the rewriter —
     # bad SQL should fail in the SQL parser, not the regex layer
     transpile(sql)
+
+
+@settings(max_examples=60)
+@given(
+    st.lists(
+        st.sampled_from(
+            list("abc123 ") + ["::", "->", "->>", "~", "!~", ";", "//",
+                              "**", ":=", "{}", "[1]", "UNION BY NAME",
+                              "IGNORE NULLS", "FOR x IN", "= ANY(",
+                              "ORDER BY ALL", "FROM t", "CAST(1 AS TEXT)"]
+        ),
+        max_size=12,
+    ).map("".join)
+)
+def test_transpile_preserves_literal_contents(payload):
+    """No rewrite may touch the inside of a string literal — operators,
+    keywords, statement separators in a literal come out byte-identical
+    (doubling embedded quotes per SQL escaping)."""
+    lit = payload.replace("'", "''")
+    out = transpile(f"SELECT '{lit}' AS s")
+    assert f"'{lit}'" in out
