@@ -1,0 +1,121 @@
+"""Stdlib media codecs (operators/codecs.py): WAV/BMP round-trips,
+feature extraction, real BMP resize, and the Spark mapInPandas
+integration."""
+
+import math
+
+import numpy as np
+import pytest
+
+from vscode_parquet_visualizer_spark.operators.codecs import (
+    bmp_features,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    media_features,
+    resize_bmp,
+    sniff_format,
+    wav_features,
+)
+
+
+def _sine(freq=440.0, rate=16000, secs=0.25):
+    t = np.arange(int(rate * secs)) / rate
+    return np.sin(2 * math.pi * freq * t)
+
+
+def _gradient(h=16, w=24):
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+    img[:, :, 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+    img[:, :, 2] = 7
+    return img
+
+
+def test_wav_round_trip():
+    x = _sine()
+    payload = encode_wav(x, 16000)
+    assert sniff_format(payload) == "wav"
+    back, rate = decode_wav(payload)
+    assert rate == 16000
+    assert back.shape == (len(x), 1)
+    assert np.abs(back[:, 0] - x).max() < 1e-3  # PCM16 quantization
+
+
+def test_wav_features_values():
+    payload = encode_wav(_sine(secs=0.5), 16000)
+    f = wav_features(payload)
+    assert len(f) == 8
+    assert abs(f[0] - 0.5) < 1e-6  # duration
+    assert abs(f[1] - 1 / math.sqrt(2)) < 0.01  # sine RMS
+    assert 0.99 <= f[2] <= 1.0  # peak
+    assert 0.04 < f[3] < 0.07  # zcr ≈ 2*440/16000
+
+
+def test_bmp_round_trip_and_padding():
+    for w in (24, 25, 26, 27):  # exercise 4-byte row padding
+        img = _gradient(w=w)
+        payload = encode_bmp(img)
+        assert sniff_format(payload) == "bmp"
+        back = decode_bmp(payload)
+        assert back.shape == img.shape
+        assert np.array_equal(back, img)
+
+
+def test_bmp_features_values():
+    img = _gradient()
+    f = bmp_features(encode_bmp(img))
+    assert f[0] == 24.0 and f[1] == 16.0
+    assert abs(f[4] - 7 / 255) < 1e-4  # blue channel constant
+    assert f[7] == pytest.approx(1.5)  # aspect
+
+
+def test_resize_bmp_real():
+    img = _gradient(h=16, w=24)
+    small = decode_bmp(resize_bmp(encode_bmp(img), 12, 8))
+    assert small.shape == (8, 12, 3)
+    # nearest-neighbor keeps exact source values
+    assert all(v in img[:, :, 0] for v in np.unique(small[:, :, 0]))
+
+
+def test_media_features_dispatch_and_fallback():
+    wavf = media_features(encode_wav(_sine()))
+    bmpf = media_features(encode_bmp(_gradient()))
+    other = media_features(b"\x00" * 64)
+    assert len(wavf) == len(bmpf) == len(other) == 8
+    assert wavf != bmpf != other
+
+
+def test_extract_features_with_real_codecs(spark):
+    """The full Arrow-batched pipeline over a table of REAL wav/bmp
+    payloads — codec decode happens inside mapInPandas workers."""
+    from vscode_parquet_visualizer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+    )
+
+    rows = []
+    for i in range(6):
+        if i % 2 == 0:
+            payload = encode_wav(_sine(freq=200 + 100 * i), 8000)
+            rows.append((i, payload, "audio", (None, None, 8000, 250)))
+        else:
+            payload = encode_bmp(_gradient(h=8 + i, w=12))
+            rows.append((i, payload, "image", (12, 8 + i, None, None)))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
+    out = {
+        r["id"]: r["feature"]
+        for r in extract_features(df, decode_fn=media_features).collect()
+    }
+    assert len(out) == 6
+    assert abs(out[1][0] - 12.0) < 1e-6  # bmp width feature
+    assert out[0][2] > 0.9  # wav peak
+    # real resize through the pipeline (BMP rows only)
+    resized = resize_images(
+        df.filter("media_type = 'image'"), 6, 4
+    ).collect()
+    assert all(
+        decode_bmp(bytes(r["media"])).shape == (4, 6, 3) for r in resized
+    )

@@ -1,0 +1,209 @@
+"""Real media codecs with zero external dependencies.
+
+The multimodal pipeline (operators/multimodal.py) treats media as opaque
+binary columns with injectable decoders. Two real formats are decodable
+with the standard library alone, so they get first-class codecs here —
+turning the "codec injection point" from a stub into a working path:
+
+- **WAV** (RIFF PCM) via the stdlib ``wave`` module → samples → audio
+  features (duration, RMS, peak, zero-crossing rate, coarse energy
+  envelope).
+- **BMP** (uncompressed 24/32-bit BITMAPINFOHEADER) via ``struct`` →
+  HxWx3 array → image features (dimensions, channel means, grayscale
+  std) and a real nearest-neighbor resize (decode → index-sample →
+  re-encode).
+
+JPEG/PNG/MP4 still require Pillow/ffmpeg (absent from this container) and
+keep the loud NotImplementedError injection points. Encoders for both
+formats are included so tests and synthetic pipelines round-trip real
+bytes.
+
+Everything here is per-payload pure Python/NumPy and runs inside the
+Arrow-batched ``mapInPandas`` workers — no driver involvement, scales
+with partitions.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# WAV
+# --------------------------------------------------------------------------
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000
+) -> bytes:
+    """PCM16 mono/stereo WAV bytes from float samples in [-1, 1]
+    (shape: (n,) or (n, channels))."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    pcm = np.clip(arr * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(arr.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float samples in [-1, 1] shaped (n, channels),
+    sample_rate). PCM 8/16/32-bit."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    return x.reshape(-1, nch), rate
+
+
+def wav_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Fixed-dim audio feature: [duration_s, rms, peak, zero-crossing
+    rate, 4 coarse energy-envelope quarters]. ``dim`` >= 8; extra slots
+    zero-padded so features align with other modalities."""
+    samples, rate = decode_wav(payload)
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    if n == 0:
+        return [0.0] * dim
+    rms = float(np.sqrt(np.mean(mono**2)))
+    peak = float(np.max(np.abs(mono)))
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    quarters = [
+        float(np.sqrt(np.mean(q**2))) if len(q) else 0.0
+        for q in np.array_split(mono, 4)
+    ]
+    feats = [n / rate, rms, peak, zcr, *quarters]
+    feats = [round(f, 6) for f in feats]
+    return (feats + [0.0] * dim)[:dim]
+
+
+# --------------------------------------------------------------------------
+# BMP (uncompressed BITMAPINFOHEADER, 24- or 32-bit)
+# --------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB array → 24-bit uncompressed BMP bytes."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_bmp expects an HxWx3 RGB array")
+    h, w, _ = arr.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    body = bytearray()
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up rows
+        row = arr[y][:, ::-1]  # RGB → BGR
+        body += row.tobytes() + pad
+    return header + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24/32-bit uncompressed BMP bytes → HxWx3 uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    flip = h > 0
+    h = abs(h)
+    nb = bpp // 8
+    row_size = (w * nb + 3) & ~3
+    rows = []
+    for y in range(h):
+        off = data_off + y * row_size
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * nb, offset=off)
+        rows.append(row.reshape(w, nb)[:, :3][:, ::-1])  # BGR → RGB
+    img = np.stack(rows)
+    return img[::-1] if flip else img
+
+
+def bmp_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Fixed-dim image feature: [width, height, mean_r, mean_g, mean_b,
+    grayscale std, edge-energy proxy, aspect ratio]."""
+    img = decode_bmp(payload).astype(np.float64)
+    h, w, _ = img.shape
+    gray = img.mean(axis=2)
+    dx = np.abs(np.diff(gray, axis=1)).mean() if w > 1 else 0.0
+    feats = [
+        float(w),
+        float(h),
+        float(img[:, :, 0].mean() / 255.0),
+        float(img[:, :, 1].mean() / 255.0),
+        float(img[:, :, 2].mean() / 255.0),
+        float(gray.std() / 255.0),
+        float(dx / 255.0),
+        float(w / h if h else 0.0),
+    ]
+    feats = [round(f, 6) for f in feats]
+    return (feats + [0.0] * dim)[:dim]
+
+
+def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
+    """Real nearest-neighbor BMP resize: decode → index-sample →
+    re-encode. The injectable ``resize_fn`` for BMP media."""
+    img = decode_bmp(payload)
+    h, w, _ = img.shape
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_bmp(img[ys][:, xs])
+
+
+# --------------------------------------------------------------------------
+# dispatch
+# --------------------------------------------------------------------------
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """Magic-byte sniffing: 'wav' | 'bmp' | None (unknown)."""
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:2] == b"BM":
+        return "bmp"
+    return None
+
+
+def media_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Codec-backed feature extraction: real decode for WAV/BMP, the
+    deterministic byte-histogram fallback for unknown formats (so mixed
+    tables never fail mid-job)."""
+    from vscode_parquet_visualizer_spark.operators.multimodal import (
+        deterministic_fake_decode,
+    )
+
+    fmt = sniff_format(payload)
+    if fmt == "wav":
+        return wav_features(payload, dim)
+    if fmt == "bmp":
+        return bmp_features(payload, dim)
+    return deterministic_fake_decode(payload, dim)

@@ -69,12 +69,15 @@ def deterministic_fake_decode(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def real_decode_stub(payload: bytes) -> Any:  # pragma: no cover - by design
-    """The codec integration point. Image: bytes→HWC array (Pillow);
-    audio: bytes→waveform (soundfile/librosa); video: frame sample
-    (ffmpeg). None of those libraries ship in this container."""
+    """The codec integration point for formats needing external libs
+    (JPEG/PNG via Pillow, MP3/FLAC via soundfile, video via ffmpeg).
+    WAV and BMP decode for REAL with zero dependencies — see
+    operators/codecs.py (``media_features`` sniffs the format and uses
+    the stdlib codecs, falling back to the byte histogram)."""
     raise NotImplementedError(
-        "media decoding requires codec libraries (Pillow/librosa/ffmpeg) "
-        "not present in this environment; inject decode_fn instead"
+        "this format requires codec libraries (Pillow/soundfile/ffmpeg) "
+        "not present in this environment; WAV/BMP decode natively via "
+        "operators.codecs"
     )
 
 
@@ -126,9 +129,18 @@ def resize_images(
     import pandas as pd
 
     if resize_fn is None:
-        def resize_fn(payload: bytes, w: int, h: int) -> bytes:  # noqa: ARG001
+        from vscode_parquet_visualizer_spark.operators.codecs import (
+            resize_bmp,
+            sniff_format,
+        )
+
+        def resize_fn(payload: bytes, w: int, h: int) -> bytes:
+            # BMP resizes for real (stdlib codec, operators/codecs.py);
+            # JPEG/PNG still need Pillow
+            if sniff_format(payload) == "bmp":
+                return resize_bmp(payload, w, h)
             raise NotImplementedError(
-                "image resize requires Pillow; inject resize_fn"
+                "non-BMP image resize requires Pillow; inject resize_fn"
             )
 
     out_schema = df.schema

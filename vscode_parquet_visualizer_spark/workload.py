@@ -2515,6 +2515,47 @@ def q99(spark, sf_dir):
     )
 
 
+@q("q9a_media_codecs")
+def q9a(spark, sf_dir):
+    """REAL media decode in the multimodal pipeline (operators/codecs.py:
+    stdlib WAV + BMP codecs dispatched by magic bytes inside the
+    Arrow-batched mapInPandas workers). Rows-only gate: DuckDB has no
+    codec to oracle against; the codec math itself is pinned by
+    tests/test_codecs.py round-trips. (Key sorts after q89 on purpose —
+    outside bench totals, not in the driver window.)"""
+    import numpy as np
+
+    from vscode_parquet_visualizer_spark.operators.codecs import (
+        encode_bmp,
+        encode_wav,
+        media_features,
+    )
+    from vscode_parquet_visualizer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    rows = []
+    for i in range(24):
+        if i % 2 == 0:
+            t = np.arange(2000) / 8000.0
+            payload = encode_wav(np.sin(2 * np.pi * (100 + 50 * i) * t), 8000)
+            rows.append((i, payload, "audio", (None, None, 8000, 250)))
+        else:
+            img = np.full((8, 8 + i, 3), (i * 9) % 256, dtype=np.uint8)
+            rows.append((i, encode_bmp(img), "image", (8 + i, 8, None, None)))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
+    return (
+        extract_features(media, decode_fn=media_features)
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f0"),
+        )
+        .orderBy("media_type")
+    )
+
+
 # The 50 keys the correctness driver evaluates (its window records the
 # first 50 sorted entries — exactly this set). Everything outside this
 # list is still exercised by tools/oracle_check.py, pytest, and bench.
