@@ -277,3 +277,26 @@ def test_sort_desc_nulls_last(engine, spark, tmp_path):
     rs.sort("v", "desc")
     vals = [r["v"] for r in rs.page(1, 5)]
     assert vals == [30.0, 20.0, 10.0, None, None]
+
+
+def test_csv_delimiter_sniffing(spark, tmp_path):
+    """Semicolon/tab/pipe CSVs load correctly without an explicit sep
+    (the reference's DuckDB sniffer auto-detects these)."""
+    from vscode_parquet_visualizer_spark.sources import registry
+
+    cases = {
+        "semi.csv": ("a;b;c\n1;x;2.5\n2;y;3.5\n", ";"),
+        "tab.csv": ("a\tb\tc\n1\tx\t2.5\n2\ty\t3.5\n", "\t"),
+        "pipe.csv": ("a|b|c\n1|x|2.5\n2|y|3.5\n", "|"),
+        "comma.csv": ("a,b,c\n1,x,2.5\n2,y,3.5\n", ","),
+        # quoted field containing the other delimiter
+        "quoted.csv": ('a,b\n1,"x;y;z"\n2,"p;q"\n', ","),
+    }
+    for fname, (text, want_delim) in cases.items():
+        p = str(tmp_path / fname)
+        open(p, "w").write(text)
+        assert registry.sniff_csv_delimiter(p) == want_delim, fname
+        df = registry.read(spark, p)
+        assert len(df.columns) == len(text.splitlines()[0].replace(want_delim, ",").split(",")), fname
+        assert df.count() == 2, fname
+        assert df.columns[0] == "a", fname

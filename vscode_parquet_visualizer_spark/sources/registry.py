@@ -51,6 +51,60 @@ def format_for_path(path: str) -> str:
     return "parquet"
 
 
+_CSV_DELIMS = [",", ";", "\t", "|"]
+
+
+def sniff_csv_delimiter(path: str, sample_bytes: int = 65536) -> str:
+    """Delimiter detection on a driver-side sample (the reference's
+    DuckDB sniffer auto-detects ``;``/tab/``|`` files —
+    src/duckdb-backend.ts:86-94 read_csv auto-detection). Picks the
+    candidate with the highest, most line-consistent count outside
+    quotes; ties and no-signal default to ','. Local files and anything
+    an ``open()``-able filesystem serves; object-store paths skip the
+    sniff (Spark needs an explicit sep there — pass ``sep=``)."""
+    import os
+
+    p = path
+    if os.path.isdir(p):
+        try:
+            entries = [
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.lower().endswith((".csv", ".tsv"))
+            ]
+            p = entries[0] if entries else p
+        except OSError:
+            return ","
+    try:
+        with open(p, "rb") as fh:
+            sample = fh.read(sample_bytes).decode("utf-8", "replace")
+    except OSError:
+        return ","
+    lines = [ln for ln in sample.splitlines()[:20] if ln.strip()]
+    if len(lines) < 1:
+        return ","
+    best, best_score = ",", -1.0
+    for d in _CSV_DELIMS:
+        counts = []
+        for ln in lines:
+            in_q = False
+            c = 0
+            for ch in ln:
+                if ch == '"':
+                    in_q = not in_q
+                elif ch == d and not in_q:
+                    c += 1
+            counts.append(c)
+        if not counts or min(counts) == 0:
+            continue
+        # consistency: same count on every line is the sniffer's signal
+        consistent = 1.0 if len(set(counts)) == 1 else 0.5
+        score = consistent * min(counts)
+        if score > best_score:
+            best, best_score = d, score
+    return best
+
+
 def read(spark: SparkSession, path: str, fmt: str | None = None, **options) -> DataFrame:
     """Load ``path`` with the routed (or forced) format."""
     fmt = fmt or format_for_path(path)
@@ -60,11 +114,13 @@ def read(spark: SparkSession, path: str, fmt: str | None = None, **options) -> D
         # handles these natively — parity requires it). Costs intra-file
         # split parallelism; a many-file lake layout keeps per-file
         # parallelism, so the 100 TB story is unchanged.
+        sep = options.pop("sep", None) or sniff_csv_delimiter(path)
         reader = (
             reader.option("header", options.pop("header", True))
             .option("inferSchema", options.pop("inferSchema", True))
             .option("multiLine", options.pop("multiLine", True))
             .option("escape", options.pop("escape", '"'))
+            .option("sep", sep)
         )
     for k, v in options.items():
         reader = reader.option(k, v)
