@@ -55,6 +55,9 @@ ROWS_ONLY = {
     "q67_dedup_clusters",
 }
 
+# rows-only gates OUTSIDE the driver window (no DuckDB counterpart)
+NO_ORACLE_TAIL = {"q9a_media_codecs"}
+
 
 def test_driver_window_contract():
     """The correctness driver records at most 50 sorted keys; the curated
@@ -70,7 +73,10 @@ def test_driver_window_contract():
     # from bench totals so cross-round subtotals stay comparable
     assert workload.SUITE_KEYS == {k for k in workload.QUERIES if k >= "q80"}
     assert {k for k in workload.DRIVER_KEYS if k >= "q80"} <= workload.SUITE_KEYS
-    assert all(k in workload.ORACLES for k in workload.SUITE_KEYS - ROWS_ONLY)
+    assert all(
+        k in workload.ORACLES
+        for k in workload.SUITE_KEYS - ROWS_ONLY - NO_ORACLE_TAIL
+    )
 
 
 @pytest.mark.parametrize("name", SUBSET)
