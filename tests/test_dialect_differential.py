@@ -285,3 +285,27 @@ def test_differential_semantics2(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+CORPUS_LIST_MATH = [
+    """SELECT round(list_cosine_similarity([1.0,2.0,3.0], [1.0,2.0,3.5]), 6) AS c""",
+    """SELECT round(list_dot_product([1.0,2.0], [3.0,4.0]), 6) AS dp,
+              round(list_inner_product([1.0,1.0], [2.0,5.0]), 6) AS ip""",
+    """SELECT round(list_distance([0.0,0.0], [3.0,4.0]), 6) AS dist""",
+    """SELECT round(CAST(list_sum([1.5,2.5]) AS DOUBLE), 6) AS s,
+              round(CAST(list_avg([1.0,2.0]) AS DOUBLE), 6) AS a""",
+    """SELECT list_has_any([1,2], [2,3]) AS ha,
+              list_has_all([1,2,3], [2,3]) AS hl,
+              list_has_all([1], [2]) AS hn""",
+    """SELECT CAST(list_indexof([7,8,9], 9) AS BIGINT) AS i,
+              CAST(list_indexof([7,8], 9) AS BIGINT) AS i0""",
+    """SELECT list_select([10,20,30], [3,1]) AS sel""",
+]
+
+
+@pytest.mark.parametrize("sql", CORPUS_LIST_MATH, ids=range(len(CORPUS_LIST_MATH)))
+def test_differential_list_math(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

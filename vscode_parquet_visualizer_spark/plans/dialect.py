@@ -85,6 +85,9 @@ FUNCTION_RENAMES = {
     "today": "current_date",
     # both engines: 1-based index, 0 when missing
     "list_position": "array_position",
+    "list_indexof": "array_position",
+    "list_zip": "arrays_zip",
+    "list_has_any": "arrays_overlap",
     # NOT renamed on purpose: list_unique (a count, not a dedup —
     # handled in rewrite_function_shapes), string_agg (ORDER BY
     # argument shape — rewrite_function_shapes lowers it to listagg).
@@ -1335,6 +1338,85 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
 
     sql = _rewrite_calls(sql, "datetrunc", datetrunc_x)
     sql = _rewrite_calls(sql, "date_trunc", datetrunc_x)
+
+    # list/vector math (the embedding-pipeline family): lowered onto
+    # Spark's higher-order aggregate/zip_with — whole-stage codegen, no
+    # UDF, no explode. DuckDB's integer list_sum returns HUGEINT; the
+    # double accumulator here is the documented divergence.
+    def _dot(a, b):
+        return (
+            f"aggregate(zip_with({a}, {b}, (__x, __y) -> __x * __y), "
+            "CAST(0 AS DOUBLE), (__s, __v) -> __s + __v)"
+        )
+
+    def _norm2(a):
+        return f"aggregate({a}, CAST(0 AS DOUBLE), (__s, __x) -> __s + __x * __x)"
+
+    for fname in ("list_cosine_similarity", "array_cosine_similarity"):
+        sql = _rewrite_calls(
+            sql,
+            fname,
+            lambda a: (
+                f"({_dot(a[0], a[1])} / (sqrt({_norm2(a[0])}) * "
+                f"sqrt({_norm2(a[1])})))"
+                if len(a) == 2
+                else None
+            ),
+        )
+    for fname in ("list_dot_product", "list_inner_product",
+                  "array_dot_product", "array_inner_product"):
+        sql = _rewrite_calls(
+            sql, fname, lambda a: _dot(a[0], a[1]) if len(a) == 2 else None
+        )
+    for fname in ("list_distance", "array_distance"):
+        sql = _rewrite_calls(
+            sql,
+            fname,
+            lambda a: (
+                f"sqrt(aggregate(zip_with({a[0]}, {a[1]}, "
+                "(__x, __y) -> (__x - __y) * (__x - __y)), "
+                "CAST(0 AS DOUBLE), (__s, __v) -> __s + __v))"
+                if len(a) == 2
+                else None
+            ),
+        )
+    sql = _rewrite_calls(
+        sql,
+        "list_sum",
+        lambda a: (
+            f"aggregate({a[0]}, CAST(0 AS DOUBLE), (__s, __x) -> __s + __x)"
+            if len(a) == 1
+            else None
+        ),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "list_avg",
+        lambda a: (
+            f"(aggregate({a[0]}, CAST(0 AS DOUBLE), (__s, __x) -> __s + __x)"
+            f" / size({a[0]}))"
+            if len(a) == 1
+            else None
+        ),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "list_has_all",
+        lambda a: (
+            f"forall({a[1]}, __x -> array_contains({a[0]}, __x))"
+            if len(a) == 2
+            else None
+        ),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "list_select",
+        lambda a: (
+            f"transform({a[1]}, __i -> element_at({a[0]}, __i))"
+            if len(a) == 2
+            else None
+        ),
+    )
 
     # json_valid → VARIANT try-parse probe (NULL in, NULL out like DuckDB)
     sql = _rewrite_calls(
