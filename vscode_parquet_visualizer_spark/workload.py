@@ -2515,6 +2515,34 @@ def q99(spark, sf_dir):
     )
 
 
+_VECTOR_SQL = """
+    SELECT e.vec_id,
+           round(CAST(list_cosine_similarity(e.embedding, q.embedding)
+                      AS DOUBLE), 2) AS sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id < 200
+    ORDER BY sim DESC, e.vec_id LIMIT 10
+"""
+
+
+@q("q9b_vector_sql", _VECTOR_SQL)
+def q9b(spark, sf_dir):
+    """User-SQL vector math over the embeddings table: DuckDB's
+    ``list_cosine_similarity`` lowered onto aggregate/zip_with
+    higher-order functions (plans/dialect.py list-math family —
+    whole-stage codegen, no UDF, no explode) with the identical text
+    running natively in DuckDB as the oracle. DuckDB computes the cosine
+    in float32 (the list element type) while the lowered form accumulates
+    in double — the gate casts to DOUBLE and rounds to 2 decimals so the
+    precision families can't flip a hash. (Key sorts after q89: outside
+    bench totals and the driver window.)"""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    load_tables(spark, sf_dir)
+    return run_sql(spark, _VECTOR_SQL)
+
+
 @q("q9a_media_codecs")
 def q9a(spark, sf_dir):
     """REAL media decode in the multimodal pipeline (operators/codecs.py:
