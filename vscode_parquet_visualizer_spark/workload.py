@@ -1892,9 +1892,15 @@ SELECT r_regionkey,
        r_name,
        CAST(len(r_name) AS BIGINT) AS name_len,
        CAST(len(['a','b','c']) AS BIGINT) AS lit_len,
-       '{"a":{"b":[10,20]}}' -> 'a' -> 'b' ->> 1 AS jchain
+       '{"a":{"b":[10,20]}}' -> 'a' -> 'b' ->> 1 AS jchain,
+       array_to_string([v * 2 FOR v IN [1,2,3] IF v > 1], ',') AS compr,
+       trim('xx' || r_name || 'xx', 'x') AS trimmed,
+       concat(r_name, NULL, '!') AS cat,
+       r_regionkey = ANY([1, 3]) AS in13,
+       round(list_dot_product([1.0, 2.0], [3.0, 4.0]), 6) AS dotp,
+       CAST(r_regionkey AS TEXT) AS keytext
 FROM (SELECT * REPLACE (upper(r_name) AS r_name) FROM region) t
-ORDER BY r_regionkey
+ORDER BY ALL
 """
 
 
