@@ -309,3 +309,20 @@ def test_differential_list_math(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+CORPUS_ENCODINGS = [
+    """SELECT from_base64('YWJj') AS f, base64('abc'::BLOB) AS b""",
+    """SELECT ord('A') AS o, chr(66) AS c""",
+    """SELECT md5('x') AS m, sha256('x') AS s""",
+    """SELECT isfinite(1.0) AS f1, isfinite('inf'::DOUBLE) AS f2,
+              isinf('-inf'::DOUBLE) AS i1, isnan(1.0) AS n1""",
+]
+
+
+@pytest.mark.parametrize("sql", CORPUS_ENCODINGS, ids=range(len(CORPUS_ENCODINGS)))
+def test_differential_encodings(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -86,6 +86,9 @@ FUNCTION_RENAMES = {
     # both engines: 1-based index, 0 when missing
     "list_position": "array_position",
     "list_indexof": "array_position",
+    "from_base64": "unbase64",
+    "to_base64": "base64",
+    "ord": "ascii",
     "list_zip": "arrays_zip",
     "list_has_any": "arrays_overlap",
     # NOT renamed on purpose: list_unique (a count, not a dedup —
@@ -1416,6 +1419,28 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             if len(a) == 2
             else None
         ),
+    )
+
+    # hash digests: Spark spells the SHA-2 family sha2(x, bits)
+    for bits in (224, 256, 384, 512):
+        sql = _rewrite_calls(
+            sql,
+            f"sha{bits}",
+            lambda a, _b=bits: f"sha2({a[0]}, {_b})" if len(a) == 1 else None,
+        )
+
+    # float classification: isfinite/isinf have no Spark spelling
+    # (NaN compares greater than any value in Spark, so abs(x) < inf is
+    # false for NaN — exactly DuckDB's isfinite)
+    sql = _rewrite_calls(
+        sql,
+        "isfinite",
+        lambda a: f"(abs({a[0]}) < double('Infinity'))" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "isinf",
+        lambda a: f"(abs({a[0]}) = double('Infinity'))" if len(a) == 1 else None,
     )
 
     # json_valid → VARIANT try-parse probe (NULL in, NULL out like DuckDB)
