@@ -208,3 +208,35 @@ def test_profile(spark, sf_dir):
     assert prof["o_orderkey"]["nulls"] == 0
     assert prof["o_orderkey"]["min"] == 0 and prof["o_orderkey"]["max"] == 1499
     assert abs(prof["o_orderkey"]["approx_distinct"] - 1500) <= 150
+
+
+def test_compact_table_merges_small_files(spark, tmp_path):
+    from vscode_parquet_visualizer_spark.operators.scale import compact_table
+
+    p = str(tmp_path / "frag")
+    spark.range(0, 10000).repartition(40).write.parquet(p)
+    import os
+
+    n_before = sum(f.endswith(".parquet") for _, _, fs in os.walk(p) for f in fs)
+    assert n_before >= 40
+    stats = compact_table(spark, p, target_file_bytes=1 << 30)
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == 1
+    assert spark.read.parquet(p).count() == 10000
+    # no leftover temp/old dirs
+    assert not os.path.exists(p + ".__compact_tmp__")
+    assert not os.path.exists(p + ".__compact_old__")
+
+
+def test_compact_table_sort_within(spark, tmp_path):
+    from vscode_parquet_visualizer_spark.operators.scale import compact_table
+
+    p = str(tmp_path / "sorted")
+    spark.range(0, 5000).selectExpr(
+        "id", "CAST(id % 97 AS INT) AS k"
+    ).repartition(16).write.parquet(p)
+    compact_table(spark, p, target_file_bytes=1 << 30, sort_within_by=["k"])
+    pdf = spark.read.parquet(p).toPandas()
+    assert len(pdf) == 5000
+    # within the single output file, k is non-decreasing
+    assert (pdf["k"].diff().dropna() >= 0).all()

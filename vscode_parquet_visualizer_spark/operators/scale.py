@@ -137,6 +137,71 @@ def zorder_layout(
     )
 
 
+def compact_table(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the lake-maintenance pass every streaming
+    or incremental pipeline needs (each micro-batch/append writes files
+    far below the optimal scan size; thousands of tiny files waste task
+    scheduling and defeat row-group pruning).
+
+    Reads the table, repartitions to ``ceil(total_bytes /
+    target_file_bytes)`` output files (coalesce when shrinking — no
+    shuffle; repartition only when growing), optionally re-sorts within
+    partitions (restoring a z-order/cluster key after appends broke it),
+    writes to a sibling temp dir, then atomically swaps directories.
+    A failure before the swap leaves the original untouched — the same
+    atomic-replace contract as result materialization (A5).
+
+    Returns {files_before, files_after, bytes}. Local/posix rename
+    semantics; on an object store use a format with a transaction log
+    instead (documented limit, not a silent hazard)."""
+    import math
+    import os
+    import shutil
+
+    def _files(p: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out += [
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet")
+            ]
+        return out
+
+    before = _files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_within_by:
+        df = df.repartition(n_out).sortWithinPartitions(*sort_within_by)
+    elif n_out < len(before):
+        df = df.coalesce(n_out)
+    else:
+        df = df.repartition(n_out)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": len(before),
+        "files_after": len(_files(path)),
+        "bytes": total,
+    }
+
+
 def has_exchange(df: DataFrame) -> bool:
     """True if the physical plan contains a *shuffle* exchange
     (BroadcastExchange doesn't count — it moves the small side only)."""
