@@ -300,3 +300,31 @@ def test_csv_delimiter_sniffing(spark, tmp_path):
         assert len(df.columns) == len(text.splitlines()[0].replace(want_delim, ",").split(",")), fname
         assert df.count() == 2, fname
         assert df.columns[0] == "a", fname
+
+
+def test_statement_results_through_resultset_machinery(spark, sf_dir, tmp_path):
+    """DESCRIBE/SUMMARIZE/CTAS/EXPLAIN/script results flow through the
+    full page/sort/search/export machinery like any query result."""
+    eng = Engine(spark=spark)
+    ds = eng.open(f"{sf_dir}/lineitem.parquet")
+    rs = ds.query("DESCRIBE SELECT * FROM data")
+    assert rs.row_count == 11
+    rs.sort("column_name", "desc")
+    assert rs.page(1, 1)[0]["column_name"] == "l_tax"
+    assert rs.search("BIGINT") == 3
+    dest = str(tmp_path / "desc.csv")
+    rs.export(dest, "csv")
+    assert open(dest).readline().startswith("column_name,")
+
+    rs2 = ds.query("SUMMARIZE SELECT l_quantity, l_returnflag FROM data")
+    assert rs2.row_count == 2 and len(rs2.page(1, 2)[0]) == 12
+
+    assert ds.query(
+        "CREATE OR REPLACE TABLE rs_sess AS SELECT l_orderkey FROM data LIMIT 7"
+    ).page(1, 1) == [{"Count": 7}]
+    assert ds.query("SELECT count(*) AS n FROM rs_sess").page(1, 1) == [{"n": 7}]
+    assert (
+        ds.query("DROP TABLE rs_sess; SELECT 42 AS answer").page(1, 1)
+        == [{"answer": 42}]
+    )
+    ds.close()
