@@ -20,7 +20,7 @@ SUBSET = [
     "q80_window_suite",
     "q84_aggregate_suite",
     "q87_text_suite",
-    "q89_values_agg_page",
+    "q78_curation_suite",
 ]
 
 
@@ -69,9 +69,12 @@ def test_driver_window_contract():
     assert list(dq) == workload.DRIVER_KEYS
     assert set(dq) <= set(workload.queries())
     assert set(dq) - set(do) == ROWS_ONLY
-    # every q80+ key (driver suites + post-crossover gates) is excluded
-    # from bench totals so cross-round subtotals stay comparable
-    assert workload.SUITE_KEYS == {k for k in workload.QUERIES if k >= "q80"}
+    # every q80+ key (driver suites + post-crossover gates) plus the q78
+    # curation suite is excluded from bench totals so cross-round
+    # subtotals stay comparable
+    assert workload.SUITE_KEYS == {
+        k for k in workload.QUERIES if k >= "q80" or k == "q78_curation_suite"
+    }
     assert {k for k in workload.DRIVER_KEYS if k >= "q80"} <= workload.SUITE_KEYS
     assert all(
         k in workload.ORACLES
