@@ -181,11 +181,14 @@ def main() -> None:
         (k, v) for k, v in workload.QUERIES.items() if k not in workload.SUITE_KEYS
     )
     # SPARK_GRAFT_QUERIES=q20_...,q17_... restricts to named queries
-    # (isolating one query inside the full bench context).
+    # (isolating one query inside the full bench context). Selects from
+    # the FULL registry — explicit names override the suite-key skip.
     names = os.environ.get("SPARK_GRAFT_QUERIES")
     if names:
         want = {s.strip() for s in names.split(",") if s.strip()}
-        selected = [(k, v) for k, v in selected if k in want]
+        selected = sorted(
+            (k, v) for k, v in workload.QUERIES.items() if k in want
+        )
     if only == "oracle":
         selected = [(k, v) for k, v in selected if k in workload.ORACLES]
 
