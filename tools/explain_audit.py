@@ -121,6 +121,29 @@ def main() -> None:
         pack_sequences(docs, "n_chars", 50000, "doc_id", ["lang"])
     )
 
+    from vscode_parquet_visualizer_spark.operators import curation as cu
+
+    # narrow projections: zero exchanges, zero Python
+    cases["repetition metrics + PII redaction (narrow, no shuffle)"] = (
+        cu.with_repetition_metrics(docs.select("doc_id", "text")).select(
+            "*", cu.redact_pii(F.col("text")).alias("red")
+        )
+    )
+    cases["document chunking + weighted mix (narrow explodes)"] = (
+        cu.weighted_mix(
+            cu.chunk_documents(docs).withColumn("source", F.lit("s")),
+            "doc_id", "source", {"s": 1.5},
+        )
+    )
+    # eval shingles broadcast: the train side must not shuffle for the
+    # membership join — one exchange total (the per-doc count groupBy)
+    cases["decontamination (broadcast eval, one count shuffle)"] = (
+        cu.decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+        )
+    )
+
     print("# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n")
     print("Regenerate after plan-affecting changes: "
           "`python tools/explain_audit.py > PLANS.md`\n")

@@ -226,18 +226,24 @@ def decontaminate(
     unique — perfectly distributed, no skew. Docs shorter than ``ngram``
     tokens carry no shingle evidence and are omitted (both engines agree).
     """
-    sh = shingles(tokens(F.col(text_col)), ngram)
+    # Tokenize in a projection BELOW the explode: the Generate node is a
+    # plan boundary CollapseProject can't cross, so split() runs once per
+    # document instead of once per slice/size reference inside the
+    # shingle expression.
+    sh = F.explode(
+        F.array_distinct(shingles(F.col("__toks"), ngram))
+    ).alias("__shingle")
     ev = (
-        eval_df.select(F.explode(F.array_distinct(sh)).alias("__shingle"))
+        eval_df.select(tokens(F.col(text_col)).alias("__toks"))
+        .select(sh)
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     if broadcast_eval:
         ev = F.broadcast(ev)
     tr = train.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(sh)).alias("__shingle"),
-    )
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(F.col(id_col), sh)
     scored = (
         tr.join(ev, "__shingle", "left")
         .groupBy(id_col)
