@@ -326,3 +326,58 @@ def test_differential_encodings(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-3 late additions: 3-arg date_sub, epoch double typing, even /
+# signbit lowerings, in-call ORDER BY aggregation, LIKE/ILIKE + ESCAPE
+# (incl. the backslash escape char Spark's lexer rejects), list_intersect
+CORPUS_R3_LATE = [
+    """SELECT date_sub('day', DATE '2024-01-01', DATE '2024-03-01') AS d,
+              date_sub('month', DATE '2024-01-31', DATE '2024-02-28') AS m""",
+    """SELECT epoch(TIMESTAMP '2024-01-01 00:00:01') AS e""",
+    """SELECT even(2.5) AS e1, even(-2.5) AS e2, even(3) AS e3,
+              signbit(-1.0) AS s1, signbit(2.0) AS s2""",
+    """SELECT array_agg(DISTINCT n_regionkey ORDER BY n_regionkey) AS a
+       FROM nation""",
+    """SELECT array_agg(n_name ORDER BY n_nationkey) AS a
+       FROM nation WHERE n_nationkey < 5""",
+    """SELECT list(n_name ORDER BY n_nationkey DESC) AS a
+       FROM nation WHERE n_nationkey < 5""",
+    """SELECT 'a_b' ILIKE 'a\\_b' ESCAPE '\\' AS m,
+              'axb' NOT ILIKE 'a\\_b' ESCAPE '\\' AS n""",
+    """SELECT 'A_B' ILIKE 'a!_b' ESCAPE '!' AS m,
+              'a%b' LIKE 'a!%b' ESCAPE '!' AS n""",
+    """SELECT list_sort(list_intersect([1,2,3],[2,3,4])) AS i""",
+]
+
+
+@pytest.mark.parametrize("sql", CORPUS_R3_LATE, ids=range(len(CORPUS_R3_LATE)))
+def test_differential_r3_late(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# array-typed bracket subscripts need schema knowledge (array_columns):
+# 1-based indexing, NULL at 0 / out-of-range, negative-from-end, and
+# stepped slices — DuckDB semantics over Spark's 0-based default
+ARRAY_SUBSCRIPT_CORPUS = [
+    """SELECT l[1] AS f, l[0] AS z, l[-1] AS la, l[9] AS oob
+       FROM (SELECT [7,8,9] AS l)""",
+    """SELECT l[2:6:2] AS s FROM (SELECT [10,20,30,40,50,60] AS l)""",
+    """SELECT l[1:99:3] AS c, l[5:2:1] AS e FROM (SELECT [1,2,3,4,5] AS l)""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", ARRAY_SUBSCRIPT_CORPUS, ids=range(len(ARRAY_SUBSCRIPT_CORPUS))
+)
+def test_differential_array_subscripts(engines, sql):
+    spark, con = engines
+    spark_rows = [
+        tuple(r)
+        for r in spark.sql(transpile(sql, array_columns={"l"})).collect()
+    ]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

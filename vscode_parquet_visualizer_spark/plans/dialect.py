@@ -91,6 +91,10 @@ FUNCTION_RENAMES = {
     "ord": "ascii",
     "list_zip": "arrays_zip",
     "list_has_any": "arrays_overlap",
+    # element ORDER diverges (DuckDB hash-set order vs Spark first-list
+    # order) — sets have no defined order in either engine's docs;
+    # wrap in list_sort for a deterministic result
+    "list_intersect": "array_intersect",
     # NOT renamed on purpose: list_unique (a count, not a dedup —
     # handled in rewrite_function_shapes), string_agg (ORDER BY
     # argument shape — rewrite_function_shapes lowers it to listagg).
@@ -793,18 +797,62 @@ def rewrite_bracket_slice(
 ) -> str:
     """DuckDB slice subscripts ``x[a:b]`` (1-based, inclusive both ends,
     strings AND lists) → ``substring(x, a, b-a+1)`` for strings,
-    ``slice(x, a, b-a+1)`` for known array columns. Only literal integer
-    bounds are rewritten; open-ended/negative slices are left to fail
-    loudly (their clamping semantics differ)."""
+    ``slice(x, a, b-a+1)`` for known array columns. Stepped slices
+    ``x[a:b:c]`` (arrays only, as in DuckDB) → a guarded
+    transform-over-sequence taking positions a, a+c, … ≤ min(b, len).
+    Known array columns also get 1-based SINGLE subscripts ``x[i]`` →
+    ``try_element_at`` (Spark's bare ``[i]`` is 0-based — a silent
+    off-by-one otherwise; DuckDB returns NULL for index 0 and
+    out-of-range, which try_element_at matches, with an explicit NULL
+    for the 0 case try_element_at rejects). Only literal integer
+    bounds/indexes are rewritten; open-ended/negative slices are left to
+    fail loudly (their clamping semantics differ)."""
     arr = {c.lower() for c in (array_columns or set())}
+
+    def is_arr(name: str) -> bool:
+        return name.split(".")[-1].lower() in arr
+
+    def sub_step(m: re.Match) -> str:
+        name, a, b, c = (
+            m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+        )
+        if not is_arr(name) or a < 1 or c < 1:
+            return m.group(0)
+        if b < a:
+            return "array()"
+        return (
+            f"CASE WHEN size({name}) >= {a} THEN "
+            f"transform(sequence({a}, least({b}, size({name})), {c}), "
+            f"__si -> element_at({name}, __si)) ELSE array() END"
+        )
+
+    sql = re.sub(
+        r"([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*(\d+)\s*:\s*(\d+)\s*:\s*(\d+)\s*\]",
+        sub_step,
+        sql,
+    )
 
     def sub(m: re.Match) -> str:
         name, a, b = m.group(1), int(m.group(2)), int(m.group(3))
-        fn = "slice" if name.split(".")[-1].lower() in arr else "substring"
+        fn = "slice" if is_arr(name) else "substring"
         return f"{fn}({name}, {a}, {b - a + 1})"
 
-    return re.sub(
+    sql = re.sub(
         r"([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*(\d+)\s*:\s*(\d+)\s*\]", sub, sql
+    )
+
+    def sub_index(m: re.Match) -> str:
+        name, i = m.group(1), int(m.group(2))
+        if not is_arr(name):
+            return m.group(0)
+        if i == 0:
+            # DuckDB x[0] is NULL; try_element_at rejects a literal 0 —
+            # a NULL index yields a NULL of the element type instead
+            return f"try_element_at({name}, CAST(NULL AS INT))"
+        return f"try_element_at({name}, {i})"
+
+    return re.sub(
+        r"([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*(-?\d+)\s*\]", sub_index, sql
     )
 
 
@@ -1172,6 +1220,14 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         return f"timestampdiff({part.strip().strip(chr(39))}, {a[1]}, {a[2]})"
 
     sql = _rewrite_calls(sql, "date_diff", date_diff_x)
+    # DuckDB's THREE-arg date_sub(part, a, b) counts COMPLETE units —
+    # exactly timestampdiff's contract. Spark's own 2-arg
+    # date_sub(date, days) passes through untouched (len check).
+    sql = _rewrite_calls(
+        sql,
+        "date_sub",
+        lambda a: date_diff_x(a) if len(a) == 3 else None,
+    )
     # DuckDB's date_add returns TIMESTAMP even for DATE input — mirror
     # with an explicit cast (no-op when the operand is already one)
     sql = _rewrite_calls(
@@ -1508,12 +1564,66 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         lambda a: f"CAST({a[0]} AS BIGINT)" if len(a) == 1 else None,
     )
 
-    # epoch(ts) → fractional seconds (DuckDB returns DOUBLE)
+    # epoch(ts) → fractional seconds (DuckDB returns DOUBLE; the cast
+    # keeps Spark from typing the division as DECIMAL via the literal)
     sql = _rewrite_calls(
         sql,
         "epoch",
-        lambda a: f"(unix_micros({a[0]}) / 1000000.0)" if len(a) == 1 else None,
+        lambda a: f"(CAST(unix_micros({a[0]}) AS DOUBLE) / 1000000)"
+        if len(a) == 1
+        else None,
     )
+
+    # even(x): round away from zero to the next even number
+    sql = _rewrite_calls(
+        sql,
+        "even",
+        lambda a: f"(CAST(sign({a[0]}) AS DOUBLE) * 2 * ceil(abs({a[0]}) / 2))"
+        if len(a) == 1
+        else None,
+    )
+    # signbit: DuckDB returns false for -0.0, so a plain comparison matches
+    sql = _rewrite_calls(
+        sql,
+        "signbit",
+        lambda a: f"(({a[0]}) < 0)" if len(a) == 1 else None,
+    )
+
+    # array_agg / list with an in-call ORDER BY (any DuckDB aggregate
+    # accepts one; Spark's array_agg doesn't): DISTINCT x ORDER BY x →
+    # sort_array(collect_set(x)); x ORDER BY k → sort-by-key via a
+    # struct array (ties keep engine-specific order in both engines —
+    # deterministic inputs should order by the aggregated value itself)
+    def array_agg_x(a):
+        if len(a) != 1:
+            return None
+        body = a[0]
+        m = re.search(r"\bORDER\s+BY\b", body, re.IGNORECASE)
+        if not (m and _depth_at(body, m.start()) == 0):
+            return None
+        head = body[: m.start()].strip()
+        order = body[m.end() :].strip()
+        om = re.fullmatch(
+            r"(.*?)\s*\b(ASC|DESC)\b\s*", order, re.IGNORECASE | re.DOTALL
+        )
+        if om:
+            key, desc = om.group(1).strip(), om.group(2).upper() == "DESC"
+        else:
+            key, desc = order, False
+        dm = re.match(r"DISTINCT\s+(.*)$", head, re.IGNORECASE | re.DOTALL)
+        if dm:
+            expr = dm.group(1).strip()
+            if expr.lower() != key.lower():
+                return None  # DuckDB itself rejects this shape
+            base = f"sort_array(collect_set({expr}))"
+            return f"reverse({base})" if desc else base
+        structs = f"array_sort(collect_list(struct({key} AS __k, {head} AS __v)))"
+        if desc:
+            structs = f"reverse({structs})"
+        return f"transform({structs}, __p -> __p.__v)"
+
+    sql = _rewrite_calls(sql, "array_agg", array_agg_x)
+    sql = _rewrite_calls(sql, "list", array_agg_x)
 
     # list_unique: count of distinct non-null elements
     sql = _rewrite_calls(
@@ -1732,6 +1842,61 @@ def rewrite_list_comprehension(sql: str) -> str:
     return "".join(out)
 
 
+_LIKE_ESCAPE = re.compile(
+    r"(\x00LIT\d+\x00|[A-Za-z_][\w.]*(?:\([^()]*\))?)"
+    r"\s+(NOT\s+)?(I?LIKE)\s+(\x00LIT(\d+)\x00)\s+ESCAPE\s+\x00LIT(\d+)\x00",
+    re.IGNORECASE,
+)
+
+
+def rewrite_like_escape(sql: str, stash: list[str]) -> str:
+    """``[I]LIKE pattern ESCAPE e`` with literal pattern+escape.
+
+    Two Spark gaps: ILIKE accepts no ESCAPE clause (→ lower both
+    operands, use LIKE), and the common escape char ``'\\'`` breaks
+    Spark's lexer even in standard-literal mode (a trailing backslash
+    before the closing quote). Both pattern and escape are stashed
+    literals here, so the user's escaping is RESOLVED at transpile time
+    and re-emitted with an escape char that is lexer-safe and absent
+    from the pattern. Non-literal shapes fall through to Spark's loud
+    parse error. Escape chars are punctuation, unaffected by lower()."""
+
+    def sub(m: re.Match) -> str:
+        neg = m.group(2) or ""
+        op = m.group(3).upper()
+        pat = _lit_text(stash, m.group(5))
+        esc = _lit_text(stash, m.group(6))
+        if len(esc) != 1:
+            return m.group(0)
+        cand = next(
+            (c for c in "!#@~^&=" if c not in pat and c != esc), None
+        )
+        if cand is None:
+            return m.group(0)
+        out, i = [], 0
+        while i < len(pat):
+            c = pat[i]
+            if c == esc:
+                if i + 1 < len(pat):
+                    out.append(cand + pat[i + 1])
+                i += 2  # dangling trailing escape: DuckDB errors; drop
+            else:
+                out.append(c)
+                i += 1
+        new_pat = _stash_add(
+            stash, "'" + "".join(out).replace("'", "''") + "'"
+        )
+        new_esc = _stash_add(stash, f"'{cand}'")
+        if op == "ILIKE":
+            return (
+                f"lower({m.group(1)}) {neg}LIKE lower({new_pat}) "
+                f"ESCAPE {new_esc}"
+            )
+        return f"{m.group(1)} {neg}LIKE {new_pat} ESCAPE {new_esc}"
+
+    return _LIKE_ESCAPE.sub(sub, sql)
+
+
 def rewrite_order_by_all(sql: str) -> str:
     """``ORDER BY ALL`` null-order parity: DuckDB's default null order is
     NULLS LAST for both directions, while Spark's ascending default is
@@ -1790,6 +1955,7 @@ def transpile(
     sql = rewrite_sample(sql)
     sql = rewrite_series_table_functions(sql)
     sql = rewrite_function_shapes(sql, stash)
+    sql = rewrite_like_escape(sql, stash)
     sql = rewrite_ignore_nulls(sql)
     sql = rewrite_from_first(sql)
     sql = rewrite_order_by_all(sql)
