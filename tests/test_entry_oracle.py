@@ -50,7 +50,6 @@ ROWS_ONLY = {
     "q41_similarity_lsh",
     "q42_embedding_near_dup",
     "q44_multimodal_features",
-    "q61_streaming_dedup",
     "q62_similarity_ivf",
     "q67_dedup_clusters",
 }

@@ -1488,12 +1488,21 @@ def q60(spark, sf_dir):
     )
 
 
-@q("q61_streaming_dedup")  # rows-only: stateful streaming op
+@q(
+    "q61_streaming_dedup",
+    """
+    SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
 def q61(spark, sf_dir):
     """Streaming exact dedup: dropDuplicates over a keyed stream with a
     watermark bounding the dedup state — the streaming counterpart of
     q33's batch dedup (state is dropped for keys older than the watermark,
-    so memory is bounded at any input volume)."""
+    so memory is bounded at any input volume). Deterministic end to end —
+    the duplicated rows are identical, so whichever arrives first leaves
+    the same survivor — and therefore fully value-ORACLED against the
+    batch distinct count (upgraded from rows-only)."""
     from vscode_parquet_visualizer_spark.streaming import events as stream_ops
 
     t = load_tables(spark, sf_dir)
