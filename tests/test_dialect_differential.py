@@ -381,3 +381,42 @@ def test_differential_array_subscripts(engines, sql):
     ]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# silent-divergence hunt fixes: substr(…, 0), full month/day names,
+# sample-corrected skewness/kurtosis, product, RE2 replacement
+# backreferences, strptime, hamming/jaccard string similarity
+CORPUS_SEMANTICS = [
+    """SELECT substr('hello', 0, 3) AS a, substr('hello', 0) AS b,
+              substr('hello', 2, 2) AS c, substr('hello', -2) AS d""",
+    """SELECT monthname(DATE '2024-03-05') AS m,
+              dayname(DATE '2024-03-05') AS d""",
+    """SELECT round(skewness(x), 4) AS s, round(kurtosis(x), 4) AS k
+       FROM (VALUES (1.0),(2.0),(3.0),(10.0)) t(x)""",
+    """SELECT skewness(x) AS s, kurtosis(x) AS k
+       FROM (VALUES (1.0),(2.0)) t(x)""",
+    """SELECT product(x) AS p FROM (VALUES (2.0),(3.0),(4.0)) t(x)""",
+    """SELECT product(x) AS p, product(y) AS z
+       FROM (VALUES (2.0, 0.0),(-3.0, 5.0)) t(x, y)""",
+    """SELECT regexp_replace('a1b2', '([a-z])', '<\\1>', 'g') AS r,
+              regexp_replace('a1', '(a)', '[\\1]$') AS s""",
+    """SELECT strptime('05/03/2024', '%d/%m/%Y') AS t,
+              strptime('2024-03-05 14:30:00', '%Y-%m-%d %H:%M:%S') AS t2""",
+    """SELECT hamming('abc','abd') AS h,
+              mismatches('karolin','kathrin') AS m""",
+    """SELECT jaccard('abc','abd') AS j,
+              round(jaccard('night','nacht'), 4) AS j2""",
+    """SELECT o_orderstatus, round(skewness(o_totalprice), 4) AS s,
+              round(kurtosis(o_totalprice), 4) AS k
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_SEMANTICS, ids=range(len(CORPUS_SEMANTICS))
+)
+def test_differential_semantics(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -89,6 +89,7 @@ FUNCTION_RENAMES = {
     "from_base64": "unbase64",
     "to_base64": "base64",
     "ord": "ascii",
+    "gen_random_uuid": "uuid",
     "list_zip": "arrays_zip",
     "list_has_any": "arrays_overlap",
     # element ORDER diverges (DuckDB hash-set order vs Spark first-list
@@ -229,9 +230,23 @@ def rewrite_strftime(sql: str, stash: list[str] | None = None) -> str:
         lit = "'" + fmt.replace("'", "''") + "'"
         return f"date_format({m.group(1)}, {_stash_add(stash, lit)})"
 
-    return re.sub(
+    sql = re.sub(
         r"\bstrftime\s*\(\s*([^,()]+?)\s*,\s*\x00LIT(\d+)\x00\s*\)",
         sub,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    # the parse direction: strptime(str, '%d/%m/%Y') → to_timestamp with
+    # the same pattern translation
+    def sub_parse(m: re.Match) -> str:
+        fmt = translate_strftime_pattern(_lit_text(stash, m.group(2)))
+        lit = "'" + fmt.replace("'", "''") + "'"
+        return f"to_timestamp({m.group(1)}, {_stash_add(stash, lit)})"
+
+    return re.sub(
+        r"\bstrptime\s*\(\s*([^,()]+?)\s*,\s*\x00LIT(\d+)\x00\s*\)",
+        sub_parse,
         sql,
         flags=re.IGNORECASE,
     )
@@ -1534,7 +1549,24 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     # is passed; Spark is always-global with no flags argument. The
     # explicit-global form maps exactly; 'i' folds into the pattern.
     # (The bare 3-arg form stays Spark-global — documented divergence.)
+    # Replacement backreferences are RE2's ``\1``; Java's are ``$1`` and
+    # treat a bare ``$`` as special — literal replacements translate.
+    def xlate_replacement(arg):
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", arg)
+        if m is None:
+            return arg  # non-literal replacement: pass through
+        text = _lit_text(stash, m.group(1))
+        out = re.sub(r"\\(\d)", r"$\1", text.replace("$", r"\$"))
+        if out == text:
+            return arg
+        return _stash_add(stash, "'" + out.replace("'", "''") + "'")
+
     def regexp_replace_x(a):
+        if len(a) == 3:
+            repl = xlate_replacement(a[2])
+            if repl == a[2]:
+                return None
+            return f"regexp_replace({a[0]}, {a[1]}, {repl})"
         if len(a) != 4:
             return None
         m = re.fullmatch(r"\x00LIT(\d+)\x00", a[3])
@@ -1552,7 +1584,7 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             pat = _stash_add(
                 stash, "'" + ("(?i)" + inner).replace("'", "''") + "'"
             )
-        return f"regexp_replace({a[0]}, {pat}, {a[2]})"
+        return f"regexp_replace({a[0]}, {pat}, {xlate_replacement(a[2])})"
 
     sql = _rewrite_calls(sql, "regexp_replace", regexp_replace_x)
 
@@ -1587,6 +1619,103 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         sql,
         "signbit",
         lambda a: f"(({a[0]}) < 0)" if len(a) == 1 else None,
+    )
+
+    # substr/substring with start 0: DuckDB treats position 0 as one
+    # virtual character BEFORE the string (the length budget pays for
+    # it); Spark's 0 behaves like 1 — a silent off-by-one
+    def substr_zero_x(a):
+        if len(a) == 3 and a[1].strip() == "0":
+            return f"substr({a[0]}, 1, ({a[2]}) - 1)"
+        if len(a) == 2 and a[1].strip() == "0":
+            return f"substr({a[0]}, 1)"
+        return None
+
+    sql = _rewrite_calls(sql, "substr", substr_zero_x)
+    sql = _rewrite_calls(sql, "substring", substr_zero_x)
+
+    # monthname/dayname return FULL names in DuckDB; Spark 4's
+    # same-named builtins return abbreviations
+    mon = _stash_add(stash, "'MMMM'")
+    day = _stash_add(stash, "'EEEE'")
+    sql = _rewrite_calls(
+        sql,
+        "monthname",
+        lambda a: f"date_format({a[0]}, {mon})" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "dayname",
+        lambda a: f"date_format({a[0]}, {day})" if len(a) == 1 else None,
+    )
+
+    # DuckDB's skewness/kurtosis are the bias-corrected SAMPLE
+    # estimators (G1, G2); Spark's are the population moments (g1, g2).
+    # G1 = g1·√(n(n−1))/(n−2);  G2 = ((n+1)g2 + 6)·(n−1)/((n−2)(n−3)).
+    # n ≤ 2 / n ≤ 3 divide by zero → NULL on both engines.
+    sql = _rewrite_calls(
+        sql,
+        "skewness",
+        lambda a: (
+            f"(skewness({a[0]}) * sqrt(count({a[0]}) * (count({a[0]}) - 1))"
+            f" / (count({a[0]}) - 2))"
+        )
+        if len(a) == 1
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "kurtosis",
+        lambda a: (
+            f"(((count({a[0]}) + 1) * kurtosis({a[0]}) + 6)"
+            f" * (count({a[0]}) - 1)"
+            f" / ((count({a[0]}) - 2) * (count({a[0]}) - 3)))"
+        )
+        if len(a) == 1
+        else None,
+    )
+
+    # product(): no Spark aggregate — fold actual multiplications over
+    # the collected group (exact, unlike exp-sum-log which drifts in the
+    # last ulp); empty group → NULL like DuckDB
+    sql = _rewrite_calls(
+        sql,
+        "product",
+        lambda a: (
+            f"(CASE WHEN count({a[0]}) = 0 THEN NULL ELSE"
+            f" aggregate(collect_list(CAST({a[0]} AS DOUBLE)),"
+            f" CAST(1.0 AS DOUBLE), (__pa, __pv) -> __pa * __pv) END)"
+        )
+        if len(a) == 1
+        else None,
+    )
+
+    # hamming/jaccard string similarity (character-level, like DuckDB):
+    # split to char arrays; jaccard drops split()'s trailing '' sentinel
+    def chars(x):
+        e = _stash_add(stash, "''")
+        return f"array_remove(split({x}, {e}), {e})"
+
+    def hamming_x(a):
+        if len(a) != 2:
+            return None
+        e = _stash_add(stash, "''")
+        return (
+            f"size(filter(zip_with(split({a[0]}, {e}), split({a[1]}, {e}),"
+            f" (__hx, __hy) -> __hx <> __hy), __hz -> __hz))"
+        )
+
+    sql = _rewrite_calls(sql, "hamming", hamming_x)
+    sql = _rewrite_calls(sql, "mismatches", hamming_x)
+    sql = _rewrite_calls(
+        sql,
+        "jaccard",
+        lambda a: (
+            f"(CAST(size(array_intersect({chars(a[0])}, {chars(a[1])}))"
+            f" AS DOUBLE) / size(array_union({chars(a[0])}, {chars(a[1])})))"
+        )
+        if len(a) == 2
+        else None,
     )
 
     # array_agg / list with an in-call ORDER BY (any DuckDB aggregate
