@@ -182,12 +182,12 @@ def test_qualify_inline_window():
     assert out == (
         "SELECT * EXCEPT (__qw0) FROM (SELECT *, row_number() OVER "
         "(ORDER BY x DESC) AS __qw0 FROM data) __q WHERE __qw0 <= 3 "
-        "ORDER BY y LIMIT 5"
+        "ORDER BY y NULLS LAST LIMIT 5"
     )
     # alias-only predicate keeps the simple subquery+WHERE form
     out = transpile("SELECT x, rank() OVER (ORDER BY x) AS r FROM data QUALIFY r = 1")
     assert out == (
-        "SELECT * FROM (SELECT x, rank() OVER (ORDER BY x) AS r FROM data) "
+        "SELECT * FROM (SELECT x, rank() OVER (ORDER BY x NULLS LAST) AS r FROM data) "
         "__q WHERE r = 1"
     )
 
@@ -218,8 +218,8 @@ def test_distinct_on():
     )
     assert out == (
         "SELECT * EXCEPT (__don) FROM (SELECT k, v, row_number() OVER "
-        "(PARTITION BY k ORDER BY k, v DESC) AS __don FROM t) __d "
-        "WHERE __don = 1 ORDER BY k, v DESC LIMIT 5"
+        "(PARTITION BY k ORDER BY k NULLS LAST, v DESC) AS __don FROM t) __d "
+        "WHERE __don = 1 ORDER BY k NULLS LAST, v DESC LIMIT 5"
     )
     # no ORDER BY: group representative ordered by the ON exprs themselves
     out = transpile("SELECT DISTINCT ON (k) k, v FROM t")
@@ -237,8 +237,8 @@ def test_distinct_on_nested_scope():
         "SELECT k, v FROM w ORDER BY k LIMIT 2"
     )
     assert out.startswith("WITH w AS (SELECT * EXCEPT (__don) FROM (")
-    assert out.endswith("SELECT k, v FROM w ORDER BY k LIMIT 2")
-    assert "PARTITION BY k ORDER BY k, v DESC" in out
+    assert out.endswith("SELECT k, v FROM w ORDER BY k NULLS LAST LIMIT 2")
+    assert "PARTITION BY k ORDER BY k NULLS LAST, v DESC" in out
     # derived-table position
     out = transpile(
         "SELECT count(*) AS n FROM "

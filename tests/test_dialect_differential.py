@@ -420,3 +420,44 @@ def test_differential_semantics(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# null-order parity + extract parts + operator maps (hunt batch 3)
+CORPUS_NULL_ORDER = [
+    """SELECT x FROM (VALUES (1),(NULL),(2)) t(x) ORDER BY x LIMIT 2""",
+    """SELECT x, rank() OVER (ORDER BY x) AS r
+       FROM (VALUES (1),(NULL),(2)) t(x)""",
+    """SELECT x, sum(x) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS s
+       FROM (VALUES (1),(NULL),(2)) t(x)""",
+    """SELECT x, row_number() OVER (ORDER BY x DESC) AS r
+       FROM (VALUES (1),(NULL),(2)) t(x)""",
+    """SELECT extract(millisecond FROM TIMESTAMP '2024-01-01 00:02:01.234') AS ms,
+              extract(microsecond FROM TIMESTAMP '2024-01-01 00:00:01.000234') AS us,
+              extract(century FROM DATE '2024-01-01') AS c,
+              extract(century FROM DATE '2000-01-01') AS c2,
+              extract(decade FROM DATE '2024-01-01') AS d""",
+    """SELECT date_part('millisecond', TIMESTAMP '2024-01-01 00:02:01.234') AS ms,
+              date_part('century', DATE '1999-12-31') AS c""",
+    """SELECT fmod(7.5, 2) AS f1, fmod(-7.5, 2) AS f2,
+              xor(5, 3) AS x, to_hex(255) AS h, bin(10) AS b""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_NULL_ORDER, ids=range(len(CORPUS_NULL_ORDER))
+)
+def test_differential_null_order_and_parts(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+def test_order_by_nulls_rowwise(engines):
+    """LIMIT under a null-bearing ascending sort must return the same
+    ROWS in the same ORDER (order-sensitive compare, unlike _rowset)."""
+    spark, con = engines
+    q = "SELECT x FROM (VALUES (3),(NULL),(1),(2)) t(x) ORDER BY x LIMIT 3"
+    spark_rows = [r[0] for r in spark.sql(transpile(q)).collect()]
+    duck_rows = [r[0] for r in con.execute(q).fetchall()]
+    assert spark_rows == duck_rows == [1, 2, 3]

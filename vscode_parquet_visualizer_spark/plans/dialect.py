@@ -1363,36 +1363,72 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         lambda a: f"(weekday({a[0]}) + 1)" if len(a) == 1 else None,
     )
 
+    # parts Spark lacks or bases differently; shared by date_part() and
+    # extract(): dow/isodow bases, DuckDB's combined seconds+fraction
+    # millisecond/microsecond fields, century (ceil), decade (floor)
+    def _part_expr(part, x):
+        if part == "dow":
+            return f"(dayofweek({x}) - 1)"
+        if part == "isodow":
+            return f"(weekday({x}) + 1)"
+        if part in ("millisecond", "milliseconds"):
+            return (
+                f"CAST(pmod(unix_micros(CAST({x} AS TIMESTAMP)), 60000000)"
+                f" / 1000 AS BIGINT)"
+            )
+        if part in ("microsecond", "microseconds"):
+            return f"pmod(unix_micros(CAST({x} AS TIMESTAMP)), 60000000)"
+        if part == "century":
+            return f"CAST(ceil(year({x}) / 100.0) AS BIGINT)"
+        if part == "decade":
+            return f"CAST(floor(year({x}) / 10.0) AS BIGINT)"
+        return None
+
     def datepart_x(a):
         if len(a) != 2:
             return None
         m = re.fullmatch(r"\x00LIT(\d+)\x00", a[0])
         part = _lit_text(stash, m.group(1)).lower() if m else None
-        if part == "dow":
-            return f"(dayofweek({a[1]}) - 1)"
-        if part == "isodow":
-            return f"(weekday({a[1]}) + 1)"
-        return None  # other parts agree — leave to Spark's datepart
+        if part is None:
+            return None
+        return _part_expr(part, a[1])  # None: parts agree, leave native
 
     sql = _rewrite_calls(sql, "datepart", datepart_x)
     sql = _rewrite_calls(sql, "date_part", datepart_x)
+
+    # fmod follows the divisor's sign in DuckDB (floored mod) — pmod
+    # matches for the positive divisors in practical use; xor()/to_hex
+    # are operator/name maps
+    sql = _rewrite_calls(
+        sql,
+        "fmod",
+        lambda a: f"pmod({a[0]}, {a[1]})" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "xor",
+        lambda a: f"({a[0]} ^ {a[1]})" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "to_hex", lambda a: f"hex({a[0]})" if len(a) == 1 else None
+    )
 
     # extract(part FROM x) for the parts Spark lacks or bases differently
     def extract_x(a):
         if len(a) != 1:
             return None
         m = re.match(
-            r"^\s*(dow|isodow|epoch)\s+FROM\s+(.+)$", a[0],
+            r"^\s*(dow|isodow|epoch|milliseconds?|microseconds?"
+            r"|century|decade)\s+FROM\s+(.+)$",
+            a[0],
             re.IGNORECASE | re.DOTALL,
         )
         if m is None:
             return None
         part, x = m.group(1).lower(), m.group(2).strip()
-        if part == "dow":
-            return f"(dayofweek({x}) - 1)"
-        if part == "isodow":
-            return f"(weekday({x}) + 1)"
-        return f"unix_seconds(CAST({x} AS TIMESTAMP))"
+        if part == "epoch":
+            return f"unix_seconds(CAST({x} AS TIMESTAMP))"
+        return _part_expr(part, x)
 
     sql = _rewrite_calls(sql, "extract", extract_x)
 
@@ -2040,6 +2076,75 @@ def rewrite_order_by_all(sql: str) -> str:
     )
 
 
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_OB_TERMINATORS = re.compile(
+    r"(LIMIT|OFFSET|FETCH|ROWS|RANGE|GROUPS|WINDOW|UNION|INTERSECT"
+    r"|EXCEPT|HAVING|QUALIFY)\b",
+    re.IGNORECASE,
+)
+
+
+def rewrite_order_by_nulls(sql: str) -> str:
+    """DuckDB's default null order is NULLS LAST in BOTH sort directions;
+    Spark's ascending default is NULLS FIRST. Without an explicit
+    adjustment every bare ascending sort is silently different: a LIMIT
+    under the divergent order returns different ROWS, and window
+    ranks/frames over a null-bearing key compute different VALUES. Every
+    ascending ORDER BY item without an explicit NULLS gets NULLS LAST —
+    top-level, subqueries, and OVER(...) clauses alike. Descending items
+    already agree. WITHIN GROUP (ORDER BY …) is left alone (aggregate
+    input order — nulls are dropped by the aggregates that use it).
+    Runs on literal-protected text."""
+    out = []
+    pos = 0
+    while True:
+        m = _ORDER_BY_RE.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        before = sql[: m.start()].rstrip()
+        if re.search(r"\bWITHIN\s+GROUP\s*\($", before, re.IGNORECASE):
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
+        # clause extent: forward at the clause's own depth until a
+        # terminator keyword or the paren that closes the clause
+        i, depth, end = m.end(), 0, len(sql)
+        while i < len(sql):
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0 and (c.isalpha()):
+                prev = sql[i - 1]
+                if not (prev.isalnum() or prev == "_"):
+                    t = _OB_TERMINATORS.match(sql, i)
+                    if t:
+                        end = i
+                        break
+            i += 1
+        clause = sql[m.end() : end]
+        fixed = []
+        for it in _split_top_level(clause):
+            ws = re.fullmatch(r"(.*?)(\s*)", it, re.DOTALL)
+            body, tail = ws.group(1), ws.group(2)
+            if (
+                not body.strip()
+                or re.search(r"\bNULLS\s+(FIRST|LAST)$", body, re.IGNORECASE)
+                or re.search(r"\bDESC$", body, re.IGNORECASE)
+            ):
+                fixed.append(it)
+            else:
+                fixed.append(body + " NULLS LAST" + tail)
+        out.append(sql[pos : m.end()])
+        out.append(",".join(fixed))
+        pos = end
+
+
 def transpile(
     sql: str,
     view: str = "data",
@@ -2088,6 +2193,7 @@ def transpile(
     sql = rewrite_ignore_nulls(sql)
     sql = rewrite_from_first(sql)
     sql = rewrite_order_by_all(sql)
+    sql = rewrite_order_by_nulls(sql)
     sql = rewrite_function_renames(sql)
     sql = rewrite_qualify(sql)
     sql = sql.replace("\x00RANGE\x00", "range")
