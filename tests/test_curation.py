@@ -225,3 +225,27 @@ def test_narrow_ops_have_no_shuffle(spark):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------- lm
+
+
+def test_lm_perplexity_orders_common_before_rare(spark):
+    # "a b" appears in many docs; doc 4's bigrams are unique — the
+    # corpus-LM must score the common doc as more probable (lower nll)
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),
+            (2, "a b a b"),
+            (3, "a b"),
+            (4, "q r s t u v"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in cu.lm_perplexity(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["avg_nll"] < out[4]["avg_nll"]
+    assert out[3]["n_bigrams"] == 1
+    # short/empty docs carry no bigram evidence
+    short = _docs(spark, [(9, "solo"), (10, "")])
+    assert cu.lm_perplexity(short).count() == 0

@@ -310,6 +310,66 @@ def chunk_documents(
 
 
 # --------------------------------------------------------------------------
+# LM-perplexity quality scoring (CCNet-style)
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Self-supervised quality score: train an add-k-smoothed bigram LM
+    on the corpus itself and score each document by its average
+    per-bigram negative log2 probability (≈ log-perplexity). The CCNet
+    recipe — low-perplexity ≈ fluent/common text, high ≈ noise — with
+    the corpus standing in for the reference LM.
+
+    P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V),  V = |vocab|.
+
+    Scale shape: two count aggregations (bigram, unigram — both
+    map-side-combined on well-distributed token keys), a one-row vocab
+    aggregate cross-joined (broadcast of a single row), and two
+    equi-joins from bigram instances to their counts. Everything
+    shuffles on token/bigram keys — no all-pairs, no driver loops; at
+    100 TB the LM tables are themselves distributed (no broadcast of
+    the counts). Docs with <2 tokens have no bigram evidence and are
+    omitted (the oracle agrees).
+    """
+    tok = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    inst = tok.select(
+        F.col(id_col), F.explode(bigrams(F.col("__toks"))).alias("__bg")
+    ).withColumn("__w1", F.split(F.col("__bg"), " ")[0])
+    bg_counts = inst.groupBy("__bg").agg(F.count(F.lit(1)).alias("__cbg"))
+    uni = tok.select(F.explode(F.col("__toks")).alias("__w")).groupBy(
+        "__w"
+    ).agg(F.count(F.lit(1)).alias("__cw"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+    p = (F.col("__cbg") + F.lit(k)) / (
+        F.col("__cw") + F.lit(k) * F.col("__v")
+    )
+    scored = (
+        inst.join(bg_counts, "__bg")
+        .join(uni.withColumnRenamed("__w", "__w1"), "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("__nll", -F.log2(p))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__nll"), round_digits).alias("avg_nll"),
+        )
+        .select(
+            id_col,
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            "avg_nll",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # weighted source mixing
 
 

@@ -2832,6 +2832,43 @@ def qa4(spark, sf_dir):
     )
 
 
+@q(
+    "qa5_lm_perplexity",
+    f"""
+    WITH {_TOK_CTE},
+    inst AS (
+      SELECT doc_id, g, string_split(g, ' ')[1] AS w1
+      FROM (
+        SELECT doc_id, unnest(CASE WHEN len(l) < 2 THEN CAST([] AS VARCHAR[])
+                   ELSE list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+              END) AS g
+        FROM tok
+      )
+    ),
+    bgc AS (SELECT g, count(*) AS cbg FROM inst GROUP BY g),
+    uni AS (
+      SELECT w, count(*) AS cw FROM (SELECT unnest(l) AS w FROM tok) GROUP BY w
+    ),
+    v AS (SELECT count(*) AS vocab FROM uni)
+    SELECT inst.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-log2((cbg + 0.5) / (cw + 0.5 * vocab))), 4) AS avg_nll
+    FROM inst
+    JOIN bgc ON inst.g = bgc.g
+    JOIN uni ON inst.w1 = uni.w
+    CROSS JOIN v
+    GROUP BY inst.doc_id
+    """,
+)
+def qa5(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/curation.lm_perplexity):
+    corpus-trained add-k bigram LM, per-doc mean −log2 P(w2|w1). Token-
+    keyed count aggregations + equi-joins — distributed LM, no broadcast
+    of the counts, no all-pairs."""
+    t = load_tables(spark, sf_dir)
+    return cu.lm_perplexity(t["documents"])
+
+
 _CURATION_SUITE_ORACLE = f"""
     WITH {_TOK_CTE},
     b AS (
