@@ -461,3 +461,31 @@ def test_order_by_nulls_rowwise(engines):
     spark_rows = [r[0] for r in spark.sql(transpile(q)).collect()]
     duck_rows = [r[0] for r in con.execute(q).fetchall()]
     assert spark_rows == duck_rows == [1, 2, 3]
+
+
+# hunt batch 4: JSON path forms, first/last ORDER BY, regexp defaults,
+# POSIX classes, LIKE's no-default-escape semantics
+CORPUS_R3_JSON_MISC = [
+    """SELECT json_extract('{"a":[{"b":1},{"b":2}]}', '$.a[1].b') AS v,
+              json_extract('{"a":{"b":7}}', '/a/b') AS p,
+              json_extract('{"a":3}', 'a') AS k""",
+    """SELECT '{"a":[{"b":1},{"b":2}]}' ->> '$.a[1].b' AS v""",
+    """SELECT first(x ORDER BY k) AS f, last(x ORDER BY k) AS l,
+              first(x ORDER BY k DESC) AS fd
+       FROM (VALUES (1,'a'),(2,'b'),(3,'c')) t(k,x)""",
+    """SELECT regexp_extract('a1b', '\\d') AS d,
+              regexp_extract('a1b', '([a-z])(\\d)', 2) AS g""",
+    """SELECT regexp_matches('abc123', '^[[:alpha:]]+[[:digit:]]+$') AS m,
+              regexp_replace('a1b2', '[[:digit:]]', '#', 'g') AS r""",
+    r"""SELECT 'a%b' LIKE 'a\%b' AS m1, 'a\xb' LIKE 'a\%b' AS m2""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R3_JSON_MISC, ids=range(len(CORPUS_R3_JSON_MISC))
+)
+def test_differential_json_misc(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -348,7 +348,10 @@ def rewrite_json_arrows(sql: str, stash: list[str] | None = None) -> str:
         return f"get_json_object({m.group(1)}, {_stash_add(stash, lit)})"
 
     def base_sub(m: re.Match) -> str:
-        lit = "'" + ("$" + seg(m.group(2), None)).replace("'", "''") + "'"
+        key = _lit_text(stash, m.group(2))
+        # a '$'-rooted key IS a full JSONPath (DuckDB accepts either)
+        path = key if key.startswith("$") else "$" + f".{key}"
+        lit = "'" + path.replace("'", "''") + "'"
         return f"get_json_object({m.group(1)}, {_stash_add(stash, lit)})"
 
     prev = None
@@ -1224,6 +1227,47 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         "regexp_extract_all",
         lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)" if len(a) == 2 else None,
     )
+    # same default-group divergence for the scalar form
+    sql = _rewrite_calls(
+        sql,
+        "regexp_extract",
+        lambda a: f"regexp_extract({a[0]}, {a[1]}, 0)" if len(a) == 2 else None,
+    )
+
+    # POSIX character classes ([[:alpha:]] …) are RE2-only — translate
+    # them inside LITERAL patterns of the regexp functions (Java regex
+    # equivalents; the bracket-class context is preserved)
+    _POSIX = [
+        ("[:alnum:]", "a-zA-Z0-9"), ("[:alpha:]", "a-zA-Z"),
+        ("[:digit:]", "0-9"), ("[:upper:]", "A-Z"), ("[:lower:]", "a-z"),
+        ("[:space:]", r"\s"), ("[:blank:]", " \\t"),
+        ("[:punct:]", r"\p{Punct}"), ("[:xdigit:]", "0-9a-fA-F"),
+        ("[:cntrl:]", r"\x00-\x1f"), ("[:word:]", r"\w"),
+        ("[:graph:]", r"\x21-\x7e"), ("[:print:]", r"\x20-\x7e"),
+    ]
+
+    def posix_fn(name):
+        def x(a):
+            if len(a) < 2:
+                return None
+            m = re.fullmatch(r"\x00LIT(\d+)\x00", a[1])
+            if m is None:
+                return None
+            pat = _lit_text(stash, m.group(1))
+            if "[:" not in pat:
+                return None
+            for posix, java in _POSIX:
+                pat = pat.replace(posix, java)
+            ph = _stash_add(stash, "'" + pat.replace("'", "''") + "'")
+            return f"{name}({', '.join([a[0], ph, *a[2:]])})"
+
+        return x
+
+    for _fn in (
+        "regexp_matches", "regexp_like", "regexp_extract",
+        "regexp_extract_all", "regexp_replace", "regexp_split_to_array",
+    ):
+        sql = _rewrite_calls(sql, _fn, posix_fn(_fn))
 
     def date_diff_x(a):
         if len(a) != 3:
@@ -1754,6 +1798,53 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         else None,
     )
 
+    # json_extract / json_extract_path: the '->' semantics (JSON out —
+    # documented string-quoting divergence shared with the arrow
+    # lowering); accepts '$.a[1].b' JSONPaths, '/a/b' pointers, bare keys
+    def json_extract_x(a):
+        if len(a) != 2:
+            return None
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", a[1])
+        if m is None:
+            return f"get_json_object({a[0]}, {a[1]})"
+        p = _lit_text(stash, m.group(1))
+        if p.startswith("/"):
+            p = "$." + ".".join(p.strip("/").split("/"))
+        elif not p.startswith("$"):
+            p = "$." + p
+        ph = _stash_add(stash, "'" + p.replace("'", "''") + "'")
+        return f"get_json_object({a[0]}, {ph})"
+
+    sql = _rewrite_calls(sql, "json_extract", json_extract_x)
+    sql = _rewrite_calls(sql, "json_extract_path", json_extract_x)
+
+    # first/last with an in-call ORDER BY → min_by/max_by (the value at
+    # the smallest/largest key — ties arbitrary on both engines)
+    def first_last_x(is_last):
+        def x(a):
+            if len(a) != 1:
+                return None
+            body = a[0]
+            m = re.search(r"\bORDER\s+BY\b", body, re.IGNORECASE)
+            if not (m and _depth_at(body, m.start()) == 0):
+                return None
+            head = body[: m.start()].strip()
+            order = body[m.end() :].strip()
+            om = re.fullmatch(
+                r"(.*?)\s*\b(ASC|DESC)\b\s*", order, re.IGNORECASE | re.DOTALL
+            )
+            if om:
+                key, desc = om.group(1).strip(), om.group(2).upper() == "DESC"
+            else:
+                key, desc = order, False
+            fn = "max_by" if (is_last != desc) else "min_by"
+            return f"{fn}({head}, {key})"
+
+        return x
+
+    sql = _rewrite_calls(sql, "first", first_last_x(False))
+    sql = _rewrite_calls(sql, "last", first_last_x(True))
+
     # array_agg / list with an in-call ORDER BY (any DuckDB aggregate
     # accepts one; Spark's array_agg doesn't): DISTINCT x ORDER BY x →
     # sort_array(collect_set(x)); x ORDER BY k → sort-by-key via a
@@ -2059,7 +2150,29 @@ def rewrite_like_escape(sql: str, stash: list[str]) -> str:
             )
         return f"{m.group(1)} {neg}LIKE {new_pat} ESCAPE {new_esc}"
 
-    return _LIKE_ESCAPE.sub(sub, sql)
+    sql = _LIKE_ESCAPE.sub(sub, sql)
+
+    # Without an ESCAPE clause DuckDB's LIKE has NO escape character —
+    # a backslash in the pattern is a literal backslash — while Spark
+    # defaults to backslash-escaping. Double them so Spark reads the
+    # same pattern ('a\%b' matches a backslash + any run, not a
+    # literal '%').
+    def sub_bare(m: re.Match) -> str:
+        pat = _lit_text(stash, m.group(2))
+        if "\\" not in pat:
+            return m.group(0)
+        ph = _stash_add(
+            stash,
+            "'" + pat.replace("\\", "\\\\").replace("'", "''") + "'",
+        )
+        return m.group(0).replace(m.group(1), ph, 1)
+
+    return re.sub(
+        r"I?LIKE\s+(\x00LIT(\d+)\x00)(?!\s+ESCAPE\b)",
+        sub_bare,
+        sql,
+        flags=re.IGNORECASE,
+    )
 
 
 def rewrite_order_by_all(sql: str) -> str:
