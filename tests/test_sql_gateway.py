@@ -483,3 +483,21 @@ def test_copy_from_appends(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="does not exist"):
         run_sql(spark, f"COPY missing_t FROM '{src}'")
     run_sql(spark, "DROP TABLE imp_t")
+
+
+def test_transaction_and_maintenance_noops(spark):
+    """BEGIN/COMMIT/ROLLBACK/CHECKPOINT/VACUUM are meaningful to a
+    persistent DuckDB but no-ops here — empty Success result, not a
+    parse error mid-script."""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    for stmt in (
+        "BEGIN TRANSACTION", "BEGIN", "COMMIT", "ROLLBACK",
+        "CHECKPOINT", "VACUUM", "ANALYZE",
+    ):
+        df = run_sql(spark, stmt)
+        assert df.columns == ["Success"] and df.count() == 0, stmt
+    # a script mixing them with real statements still yields the last
+    # real result
+    df = run_sql(spark, "BEGIN; SELECT 1 AS one; COMMIT; SELECT 2 AS two")
+    assert df.columns == ["two"] and df.first()["two"] == 2

@@ -45,6 +45,12 @@ _DROP = re.compile(
 
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 
+_SESSION_NOOP = re.compile(
+    r"^\s*(BEGIN(\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT|CHECKPOINT"
+    r"|FORCE\s+CHECKPOINT|VACUUM(\s+ANALYZE)?|ANALYZE)\s*$",
+    re.IGNORECASE,
+)
+
 _INSERT = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s+(?P<body>.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -79,6 +85,15 @@ def try_rewrite_ddl(
     """Route a DDL/COPY/SHOW statement; None if ``sql`` is none of them.
     ``run_sql`` is the gateway entry point (passed in to avoid a module
     cycle); ``kw`` carries its view/columns/dataset_path binding."""
+    if _SESSION_NOOP.match(sql):
+        # Transaction control / storage maintenance are meaningful to a
+        # persistent DuckDB but no-ops for this session-scoped engine
+        # (temp views + cached DataFrames, nothing durable to
+        # checkpoint or roll back). DuckDB returns an empty result for
+        # them; mirror with the empty Success shape rather than a parse
+        # error mid-script.
+        return spark.createDataFrame([], _SUCCESS_SCHEMA).coalesce(1)
+
     if _SHOW_TABLES.match(sql):
         names = sorted(
             t.name for t in spark.catalog.listTables() if not t.name.startswith("__")
