@@ -489,3 +489,38 @@ def test_differential_json_misc(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# hunt batch 5: guarded range/series, composite cast types, list fns,
+# interval casts, python-style format specs
+CORPUS_R3_BATCH5 = [
+    """SELECT range(1,1) AS a, range(0) AS b, generate_series(3,1) AS c""",
+    """SELECT range(5) AS a, range(2,5) AS b, range(5,1,-2) AS c,
+              generate_series(1,9,3) AS d, generate_series(5,1,-2) AS e""",
+    """SELECT range(DATE '2024-01-01', DATE '2024-01-04', INTERVAL 1 DAY) AS r,
+              generate_series(DATE '2024-01-01', DATE '2024-01-04',
+                              INTERVAL 1 DAY) AS g""",
+    """SELECT CAST([1,2] AS DOUBLE[]) AS l,
+              CAST([[1]] AS BIGINT[][]) AS n,
+              (CAST({'a': 1, 'b': 'x'} AS STRUCT(a BIGINT, b VARCHAR))).a AS f""",
+    """SELECT list_reduce([1,2,3], (a, b) -> a + b) AS r,
+              list_aggregate(['a','b'], 'string_agg', '-') AS j,
+              list_any_value([NULL, 7, 8]) AS v,
+              list_grade_up([30,10,20]) AS g""",
+    """SELECT unicode('A') AS u,
+              CAST('90 minutes' AS INTERVAL) AS i,
+              CAST('1 day 2 hours' AS INTERVAL) AS j""",
+    """SELECT format('{:.2f}', 3.14159) AS f,
+              format('{0:d}-{1}', 7, 'x') AS g,
+              format('{:5d}', 42) AS w""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R3_BATCH5, ids=range(len(CORPUS_R3_BATCH5))
+)
+def test_differential_batch5(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

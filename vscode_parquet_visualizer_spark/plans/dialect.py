@@ -50,10 +50,9 @@ FUNCTION_RENAMES = {
     "list_min": "array_min",
     "list_reverse": "reverse",
     "list_concat": "concat",
-    # scalar generate_series returns a LIST (end-inclusive) — exactly
-    # Spark's sequence(); the FROM-position table form is lowered first
-    # by rewrite_series_table_functions.
-    "generate_series": "sequence",
+    # generate_series is NOT a plain rename: Spark's sequence flips to a
+    # descending list on inverted bounds where DuckDB returns [] —
+    # rewrite_function_shapes lowers it (and scalar range) with guards.
     "arg_max": "max_by",
     "arg_min": "min_by",
     # DuckDB list()/array_agg() keep NULL elements; Spark's array_agg
@@ -393,12 +392,13 @@ def _balanced_span(sql: str, open_idx: int, open_ch: str = "(", close_ch: str = 
 
 
 def _split_top_level(body: str, sep: str = ",") -> list[str]:
-    """Split on ``sep`` at paren/bracket depth 0."""
+    """Split on ``sep`` at paren/bracket/brace depth 0 (braces nest for
+    DuckDB struct/map literals that survive into later rewrites)."""
     parts, depth, last = [], 0, 0
     for i, ch in enumerate(body):
-        if ch in "([":
+        if ch in "([{":
             depth += 1
-        elif ch in ")]":
+        elif ch in ")]}":
             depth -= 1
         elif ch == sep and depth == 0:
             parts.append(body[last:i])
@@ -1312,10 +1312,47 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         if m is None:
             return None
         fmt = _lit_text(stash, m.group(1))
-        fmt = re.sub(r"\{(\d+)\}", lambda g: f"%{int(g.group(1)) + 1}$s", fmt)
-        fmt = fmt.replace("{}", "%s")
+
+        conv_for_arg: dict[int, str] = {}
+        auto = [0]  # next auto-numbered brace's 0-based arg index
+
+        def brace(g: re.Match) -> str:
+            if g.group(1):
+                idx = int(g.group(1))
+                pos = f"{idx + 1}$"
+            else:
+                idx = auto[0]
+                auto[0] += 1
+                pos = ""
+            spec = g.group(2)
+            if not spec:
+                return f"%{pos}s"
+            sm = re.fullmatch(r"(\d*)(?:\.(\d+))?([dfs])", spec)
+            if sm is None:
+                return g.group(0)  # unsupported spec: leave, abort below
+            width, prec, conv = sm.groups()
+            conv_for_arg[idx] = conv
+            return (
+                "%" + pos + (width or "")
+                + (f".{prec}" if prec else "") + conv
+            )
+
+        fmt = re.sub(r"\{(\d*)(?::([^{}]*))?\}", brace, fmt)
+        if "{" in fmt:
+            return None  # an untranslatable placeholder: fail loudly
         ph = _stash_add(stash, "'" + fmt.replace("'", "''") + "'")
-        return f"format_string({ph}, {', '.join(a[1:])})" if len(a) > 1 else f"format_string({ph})"
+        # Java's %f/%d reject DECIMAL/INT arguments Spark types literals
+        # as — cast each arg to what its conversion expects
+        vals = []
+        for i, arg in enumerate(a[1:]):
+            conv = conv_for_arg.get(i)
+            if conv == "f":
+                vals.append(f"CAST({arg} AS DOUBLE)")
+            elif conv == "d":
+                vals.append(f"CAST({arg} AS BIGINT)")
+            else:
+                vals.append(arg)
+        return f"format_string({ph}, {', '.join(vals)})" if vals else f"format_string({ph})"
 
     sql = _rewrite_calls(sql, "format", format_x)
 
@@ -1798,6 +1835,90 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         else None,
     )
 
+    # list_reduce: DuckDB seeds the fold with the FIRST element
+    sql = _rewrite_calls(
+        sql,
+        "list_reduce",
+        lambda a: (
+            f"reduce(slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0)), "
+            f"element_at({a[0]}, 1), {a[1]})"
+        )
+        if len(a) == 2
+        else None,
+    )
+    # list_aggregate 3-arg string_agg form (2-arg min/max/count are
+    # lowered earlier by rewrite_list_aggregate; sum stays loud — DuckDB
+    # promotes to HUGEINT, Spark would silently overflow)
+    def list_agg3_x(a):
+        if len(a) != 3:
+            return None
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", a[1])
+        if m and _lit_text(stash, m.group(1)).lower() == "string_agg":
+            return f"array_join({a[0]}, {a[2]})"
+        return None
+
+    sql = _rewrite_calls(sql, "list_aggregate", list_agg3_x)
+    sql = _rewrite_calls(sql, "list_aggr", list_agg3_x)
+    # first non-null element
+    sql = _rewrite_calls(
+        sql,
+        "list_any_value",
+        lambda a: (
+            f"try_element_at(filter({a[0]}, __la -> __la IS NOT NULL), 1)"
+        )
+        if len(a) == 1
+        else None,
+    )
+    # argsort (1-based positions that would sort the list ascending)
+    sql = _rewrite_calls(
+        sql,
+        "list_grade_up",
+        lambda a: (
+            f"CASE WHEN size({a[0]}) = 0 THEN CAST(array() AS ARRAY<INT>) "
+            f"ELSE transform(array_sort(arrays_zip({a[0]}, "
+            f"sequence(1, size({a[0]})))), __g -> __g['1']) END"
+        )
+        if len(a) == 1
+        else None,
+    )
+    # unicode(s): first codepoint — Spark's ascii() already returns the
+    # full codepoint despite its name
+    sql = _rewrite_calls(
+        sql,
+        "unicode",
+        lambda a: f"ascii({a[0]})" if len(a) == 1 else None,
+    )
+
+    # CAST('90 minutes' AS INTERVAL) with a literal operand → a typed
+    # interval literal (Spark's CalendarIntervalType can't be collected;
+    # a day-time/year-month literal can)
+    _IVL_UNITS = {
+        "year": "YEAR", "years": "YEAR", "month": "MONTH",
+        "months": "MONTH", "day": "DAY", "days": "DAY", "hour": "HOUR",
+        "hours": "HOUR", "minute": "MINUTE", "minutes": "MINUTE",
+        "min": "MINUTE", "second": "SECOND", "seconds": "SECOND",
+        "sec": "SECOND",
+    }
+
+    def interval_cast_x(a):
+        if len(a) != 1:
+            return None
+        m = re.fullmatch(
+            r"(\x00LIT(\d+)\x00)\s+AS\s+INTERVAL", a[0].strip(),
+            re.IGNORECASE,
+        )
+        if m is None:
+            return None
+        text = _lit_text(stash, m.group(2)).strip().lower()
+        parts = re.findall(r"(\d+)\s*([a-z]+)", text)
+        if not parts or not all(u in _IVL_UNITS for _, u in parts):
+            return None
+        terms = [f"INTERVAL '{n}' {_IVL_UNITS[u]}" for n, u in parts]
+        joined = " + ".join(terms)
+        return f"({joined})" if len(terms) > 1 else joined
+
+    sql = _rewrite_calls(sql, "CAST", interval_cast_x)
+
     # json_extract / json_extract_path: the '->' semantics (JSON out —
     # documented string-quoting divergence shared with the arrow
     # lowering); accepts '$.a[1].b' JSONPaths, '/a/b' pointers, bare keys
@@ -1892,19 +2013,64 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         ),
     )
 
-    # scalar range(…) returns an end-EXCLUSIVE list (sequence is
-    # inclusive). FROM-position range() was already lowered to the
-    # native table function behind a \x00RANGE\x00 sentinel, so every
-    # range( seen here is the scalar form. Positive unit step only —
-    # stepped/negative forms fall through loudly.
-    def scalar_range_x(a):
-        if len(a) == 1:
-            return f"sequence(0, ({a[0]}) - 1)"
-        if len(a) == 2:
-            return f"sequence({a[0]}, ({a[1]}) - 1)"
-        return None
+    # scalar range(…)/generate_series(…): range is end-EXCLUSIVE,
+    # generate_series end-INCLUSIVE; BOTH return [] when the bounds are
+    # inverted, while Spark's sequence flips to a DESCENDING list — an
+    # unguarded rename returns [3,2,1] where DuckDB returns []. Every
+    # form is guarded with an empty-array branch typed via a
+    # zero-length slice of a one-element sequence. FROM-position forms
+    # were already lowered to native table functions (\x00RANGE\x00).
+    def _series_x(inclusive):
+        tail = "" if inclusive else " - 1"
+        ntail = "" if inclusive else " + 1"
+        cmp_fwd = ">=" if inclusive else ">"
+        cmp_rev = "<=" if inclusive else "<"
 
-    sql = _rewrite_calls(sql, "range", scalar_range_x)
+        def x(a):
+            if len(a) == 1:
+                a = ["0", a[0]]
+            if len(a) == 2:
+                lo, hi = a
+                return (
+                    f"CASE WHEN ({hi}) {cmp_fwd} ({lo}) THEN "
+                    f"sequence({lo}, ({hi}){tail}) "
+                    f"ELSE slice(sequence({lo}, {lo}), 1, 0) END"
+                )
+            if len(a) != 3:
+                return None
+            lo, hi, step = a
+            s = step.strip()
+            im = re.match(r"INTERVAL\b", s, re.IGNORECASE)
+            if im and "-" not in s:
+                ts = f"CAST({lo} AS TIMESTAMP)"
+                te = f"CAST({hi} AS TIMESTAMP)"
+                stop = (
+                    te if inclusive else f"greatest({ts}, {te} - {s})"
+                )
+                return (
+                    f"CASE WHEN {te} {cmp_fwd} {ts} THEN "
+                    f"sequence({ts}, {stop}, {s}) "
+                    f"ELSE slice(sequence({ts}, {ts}), 1, 0) END"
+                )
+            nm = re.fullmatch(r"-?\d+", s)
+            if nm is None or s == "0":
+                return None  # non-literal/zero step: loud failure
+            if not s.startswith("-"):
+                return (
+                    f"CASE WHEN ({hi}) {cmp_fwd} ({lo}) THEN "
+                    f"sequence({lo}, ({hi}){tail}, {s}) "
+                    f"ELSE slice(sequence({lo}, {lo}), 1, 0) END"
+                )
+            return (
+                f"CASE WHEN ({hi}) {cmp_rev} ({lo}) THEN "
+                f"sequence({lo}, ({hi}){ntail}, {s}) "
+                f"ELSE slice(sequence({lo}, {lo}), 1, 0) END"
+            )
+
+        return x
+
+    sql = _rewrite_calls(sql, "range", _series_x(False))
+    sql = _rewrite_calls(sql, "generate_series", _series_x(True))
 
     # DuckDB's map() ONLY takes (keys_list, values_list) — Spark's
     # variadic interleaved form keeps working for >2 args
@@ -1971,13 +2137,48 @@ def rewrite_timestamp_literals(sql: str) -> str:
     return _TS_LITERAL_PREFIX.sub(r"TIMESTAMP\2", sql)
 
 
+def _xlate_cast_type(t: str) -> str | None:
+    """Recursive DuckDB→Spark type-spelling translation for composite
+    CAST targets: ``T[]`` → ARRAY<T>, ``STRUCT(a T, …)`` →
+    STRUCT<a: T, …>, ``MAP(K, V)`` → MAP<K, V>, base names via
+    _CAST_TYPE_MAP. None = not a recognizable type (leave untouched)."""
+    t = t.strip()
+    m = re.fullmatch(r"(.+?)\s*\[\s*\]", t, re.DOTALL)
+    if m:
+        inner = _xlate_cast_type(m.group(1))
+        return f"ARRAY<{inner}>" if inner else None
+    m = re.fullmatch(r"STRUCT\s*\((.*)\)", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        parts = []
+        for f in _split_top_level(m.group(1)):
+            fm = re.match(r'\s*("[^"]+"|[A-Za-z_]\w*)\s+(.+?)\s*$', f, re.DOTALL)
+            ft = _xlate_cast_type(fm.group(2)) if fm else None
+            if ft is None:
+                return None
+            parts.append(f"{fm.group(1)}: {ft}")
+        return f"STRUCT<{', '.join(parts)}>" if parts else None
+    m = re.fullmatch(r"MAP\s*\((.*)\)", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        kv = _split_top_level(m.group(1))
+        if len(kv) != 2:
+            return None
+        k, v = _xlate_cast_type(kv[0]), _xlate_cast_type(kv[1])
+        return f"MAP<{k}, {v}>" if k and v else None
+    if re.fullmatch(r"DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)", t, re.IGNORECASE):
+        return t
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t):
+        return _CAST_TYPE_MAP.get(t.upper(), t)
+    return None
+
+
 def rewrite_cast_type_names(sql: str) -> str:
     """Map DuckDB type spellings inside ``CAST``/``TRY_CAST`` to Spark's
-    (``CAST(x AS TEXT)`` → ``AS STRING``, unsigned widening, …). Only the
-    trailing top-level ``AS <type>`` of a cast is touched, so a column
-    alias that happens to be a type name (``SELECT 1 AS text``) is never
-    rewritten. ``::TYPE`` forms are already CASTs by the time this runs
-    (rewrite_pg_cast)."""
+    (``CAST(x AS TEXT)`` → ``AS STRING``, unsigned widening, composite
+    ``T[]``/``STRUCT(…)``/``MAP(K,V)`` shapes → Spark's angle-bracket
+    spellings). Only the trailing top-level ``AS <type>`` of a cast is
+    touched, so a column alias that happens to be a type name
+    (``SELECT 1 AS text``) is never rewritten. ``::TYPE`` forms are
+    already CASTs by the time this runs (rewrite_pg_cast)."""
 
     def make_xform(fn_name: str):
         def xform(args):
@@ -1985,25 +2186,19 @@ def rewrite_cast_type_names(sql: str) -> str:
                 return None
             inner = rewrite_cast_type_names(args[0])
             last = None
-            for m in re.finditer(
-                r"\bAS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", inner, re.IGNORECASE
-            ):
+            for m in re.finditer(r"\bAS\b", inner, re.IGNORECASE):
                 if _depth_at(inner, m.start()) == 0:
                     last = m
             if last is None:
                 if inner == args[0]:
                     return None
                 return f"{fn_name}({inner})"
-            t = last.group(1).upper()
-            mapped = _CAST_TYPE_MAP.get(t)
+            mapped = _xlate_cast_type(inner[last.end() :])
             if mapped is None:
                 if inner == args[0]:
                     return None
                 return f"{fn_name}({inner})"
-            return (
-                f"{fn_name}({inner[: last.start(1)]}{mapped}"
-                f"{inner[last.end(1):]})"
-            )
+            return f"{fn_name}({inner[: last.end()]} {mapped})"
 
         return xform
 
