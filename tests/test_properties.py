@@ -98,3 +98,83 @@ def test_transpile_preserves_literal_contents(payload):
     lit = payload.replace("'", "''")
     out = transpile(f"SELECT '{lit}' AS s")
     assert f"'{lit}'" in out
+
+
+# ---- round-3 rewrite invariants (pure python, no Spark session) ------
+
+
+from vscode_parquet_visualizer_spark.plans.dialect import (  # noqa: E402
+    rewrite_order_by_nulls,
+)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y", "a.b", "upper(x)"]),
+            st.sampled_from(["", " ASC", " DESC", " NULLS FIRST", " NULLS LAST"]),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.sampled_from(["", " LIMIT 5", " OFFSET 2"]),
+)
+@settings(max_examples=60)
+def test_order_by_nulls_invariants(items, tail):
+    """Every ascending item without an explicit NULLS gains NULLS LAST;
+    explicit NULLS and DESC items are untouched; the rewrite is
+    idempotent; clause terminators survive."""
+    clause = ", ".join(e + sfx for e, sfx in items)
+    sql = f"SELECT * FROM t ORDER BY {clause}{tail}"
+    out = rewrite_order_by_nulls(sql)
+    # idempotent
+    assert rewrite_order_by_nulls(out) == out
+    # terminator preserved
+    assert out.endswith(tail) if tail else True
+    for e, sfx in items:
+        if "NULLS" in sfx or sfx == " DESC":
+            assert e + sfx in out  # untouched
+    # no double NULLS
+    import re as _re
+
+    assert not _re.search(r"NULLS\s+\w+\s+NULLS", out)
+
+
+@given(st.text(alphabet="ab%_\\!x", max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_like_escape_resolution_matches_duckdb(pat):
+    """Resolve-and-re-escape for LIKE … ESCAPE '\\' must agree with
+    DuckDB evaluating the identical predicate over a fixed probe set."""
+    import duckdb
+
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        _protect_literals,
+        _restore_literals,
+        rewrite_like_escape,
+    )
+
+    # DuckDB itself rejects a dangling trailing escape in the inline
+    # form (the rewrite leaves those unrewritten to fail loudly)
+    trailing = len(pat) - len(pat.rstrip("\\"))
+    if trailing % 2 == 1:
+        return
+    lit = "'" + pat.replace("'", "''") + "'"
+    sql = f"c LIKE {lit} ESCAPE '\\'"
+    protected, stash = _protect_literals(sql)
+    out = _restore_literals(rewrite_like_escape(protected, stash), stash)
+    m = __import__("re").fullmatch(
+        r"c LIKE '((?:[^']|'')*)' ESCAPE '(.)'", out
+    )
+    if m is None:
+        return  # fell through (no safe escape char found): loud path
+    new_pat, new_esc = m.group(1).replace("''", "'"), m.group(2)
+    probes = ["", "a", "ab", "a%b", "a_b", "ax", "a\\b", "!a", "aa"]
+    con = duckdb.connect()
+    for probe in probes:
+        want = con.execute(
+            "SELECT ? LIKE ? ESCAPE '\\'", [probe, pat]
+        ).fetchone()[0]
+        got = con.execute(
+            f"SELECT ? LIKE ? ESCAPE '{new_esc}'", [probe, new_pat]
+        ).fetchone()[0]
+        assert got == want, (pat, new_pat, probe)

@@ -2328,9 +2328,12 @@ def rewrite_like_escape(sql: str, stash: list[str]) -> str:
         while i < len(pat):
             c = pat[i]
             if c == esc:
-                if i + 1 < len(pat):
-                    out.append(cand + pat[i + 1])
-                i += 2  # dangling trailing escape: DuckDB errors; drop
+                if i + 1 >= len(pat):
+                    # dangling trailing escape: DuckDB rejects the
+                    # inline form too — leave unrewritten, fail loudly
+                    return m.group(0)
+                out.append(cand + pat[i + 1])
+                i += 2
             else:
                 out.append(c)
                 i += 1
