@@ -7,6 +7,7 @@ import math
 import numpy as np
 import pytest
 
+from vscode_parquet_visualizer_spark.operators import codecs
 from vscode_parquet_visualizer_spark.operators.codecs import (
     bmp_features,
     decode_bmp,
@@ -119,3 +120,56 @@ def test_extract_features_with_real_codecs(spark):
     assert all(
         decode_bmp(bytes(r["media"])).shape == (4, 6, 3) for r in resized
     )
+
+
+# ------------------------------------------------------------------ netpbm
+
+
+def test_ppm_roundtrip():
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = codecs.encode_ppm(img)
+    assert payload.startswith(b"P6\n3 2\n255\n")
+    assert np.array_equal(codecs.decode_pnm(payload), img)
+
+
+def test_pgm_decodes_to_three_channels():
+    gray = np.array([[0, 128], [255, 64]], dtype=np.uint8)
+    payload = codecs.encode_pgm(gray)
+    img = codecs.decode_pnm(payload)
+    assert img.shape == (2, 2, 3)
+    assert np.array_equal(img[:, :, 0], gray)
+    assert np.array_equal(img[:, :, 1], gray)
+
+
+def test_pnm_header_comments_and_whitespace():
+    raw = b"P5 # a comment\n# another\n 2\t2 \n255\n" + bytes([1, 2, 3, 4])
+    img = codecs.decode_pnm(raw)
+    assert img.shape == (2, 2, 3) and img[1, 1, 0] == 4
+
+
+def test_pnm_features_and_resize():
+    img = np.zeros((4, 8, 3), dtype=np.uint8)
+    img[:, 4:, :] = 255  # left black, right white
+    payload = codecs.encode_ppm(img)
+    feats = codecs.pnm_features(payload)
+    assert feats[0] == 8.0 and feats[1] == 4.0
+    assert feats[2] == pytest.approx(0.5, abs=0.01)  # half white
+    small = codecs.resize_pnm(payload, 4, 2)
+    simg = codecs.decode_pnm(small)
+    assert simg.shape == (2, 4, 3)
+    assert simg[0, 0, 0] == 0 and simg[0, 3, 0] == 255
+
+
+def test_sniff_and_dispatch_pnm():
+    img = np.full((3, 3, 3), 7, dtype=np.uint8)
+    payload = codecs.encode_ppm(img)
+    assert codecs.sniff_format(payload) == "pnm"
+    feats = codecs.media_features(payload)
+    assert feats[0] == 3.0 and feats[2] == pytest.approx(7 / 255, abs=1e-4)
+
+
+def test_pnm_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        codecs.decode_pnm(b"P3\n1 1\n255\n1 2 3")  # ASCII netpbm: unsupported
+    with pytest.raises(ValueError):
+        codecs.encode_ppm(np.zeros((2, 2), dtype=np.uint8))

@@ -178,25 +178,119 @@ def resize_bmp(payload: bytes, width: int, height: int) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# netpbm (PGM P5 grayscale / PPM P6 RGB) — the simplest real image
+# container: ASCII header (magic, width, height, maxval) + raw samples.
+# Widely produced by scientific tooling; stdlib-decodable.
+# --------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 → binary PPM (P6, maxval 255)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_ppm expects an HxWx3 array")
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def encode_pgm(pixels: np.ndarray) -> bytes:
+    """HxW uint8 → binary PGM (P5, maxval 255)."""
+    if pixels.ndim != 2:
+        raise ValueError("encode_pgm expects an HxW array")
+    h, w = pixels.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def _pnm_header(payload: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a P5/P6 header (whitespace/comment tolerant) → (magic, w, h,
+    maxval, data_offset)."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: {magic!r}")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported netpbm maxval {maxval}")
+    return magic, w, h, maxval, i
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """P6 → HxWx3 uint8; P5 → HxWx3 (grayscale replicated) so every
+    image codec yields the same array contract as decode_bmp."""
+    magic, w, h, _maxval, off = _pnm_header(payload)
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    raw = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    img = raw.reshape(h, w, ch)
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img
+
+
+def pnm_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Same feature contract as bmp_features, over the decoded array."""
+    img = decode_pnm(payload).astype(np.float64)
+    h, w, _ = img.shape
+    gray = img.mean(axis=2)
+    dx = np.abs(np.diff(gray, axis=1)).mean() if w > 1 else 0.0
+    feats = [
+        float(w),
+        float(h),
+        float(img[:, :, 0].mean() / 255.0),
+        float(img[:, :, 1].mean() / 255.0),
+        float(img[:, :, 2].mean() / 255.0),
+        float(gray.std() / 255.0),
+        float(dx / 255.0),
+        float(w / h if h else 0.0),
+    ]
+    return ([round(f, 6) for f in feats] + [0.0] * dim)[:dim]
+
+
+def resize_pnm(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize; always re-encodes as P6 (the decode
+    contract is 3-channel)."""
+    img = decode_pnm(payload)
+    h, w, _ = img.shape
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_ppm(img[ys][:, xs])
+
+
+# --------------------------------------------------------------------------
 # dispatch
 # --------------------------------------------------------------------------
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Magic-byte sniffing: 'wav' | 'bmp' | None (unknown)."""
+    """Magic-byte sniffing: 'wav' | 'bmp' | 'pnm' | None (unknown)."""
     if payload is None or len(payload) < 12:
         return None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:2] in (b"P5", b"P6"):
+        return "pnm"
     return None
 
 
 def media_features(payload: bytes, dim: int = 8) -> list[float]:
-    """Codec-backed feature extraction: real decode for WAV/BMP, the
-    deterministic byte-histogram fallback for unknown formats (so mixed
-    tables never fail mid-job)."""
+    """Codec-backed feature extraction: real decode for WAV/BMP/netpbm,
+    the deterministic byte-histogram fallback for unknown formats (so
+    mixed tables never fail mid-job)."""
     from vscode_parquet_visualizer_spark.operators.multimodal import (
         deterministic_fake_decode,
     )
@@ -206,4 +300,6 @@ def media_features(payload: bytes, dim: int = 8) -> list[float]:
         return wav_features(payload, dim)
     if fmt == "bmp":
         return bmp_features(payload, dim)
+    if fmt == "pnm":
+        return pnm_features(payload, dim)
     return deterministic_fake_decode(payload, dim)

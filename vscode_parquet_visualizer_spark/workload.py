@@ -2571,6 +2571,7 @@ def q9a(spark, sf_dir):
 
     from vscode_parquet_visualizer_spark.operators.codecs import (
         encode_bmp,
+        encode_ppm,
         encode_wav,
         media_features,
     )
@@ -2587,7 +2588,10 @@ def q9a(spark, sf_dir):
             rows.append((i, payload, "audio", (None, None, 8000, 250)))
         else:
             img = np.full((8, 8 + i, 3), (i * 9) % 256, dtype=np.uint8)
-            rows.append((i, encode_bmp(img), "image", (8 + i, 8, None, None)))
+            # alternate BMP / binary-PPM payloads: the feature pipeline
+            # dispatches per payload by magic bytes, mixed in one column
+            enc = encode_bmp if i % 4 == 1 else encode_ppm
+            rows.append((i, enc(img), "image", (8 + i, 8, None, None)))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
     return (
         extract_features(media, decode_fn=media_features)
