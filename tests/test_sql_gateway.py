@@ -501,3 +501,26 @@ def test_transaction_and_maintenance_noops(spark):
     # real result
     df = run_sql(spark, "BEGIN; SELECT 1 AS one; COMMIT; SELECT 2 AS two")
     assert df.columns == ["two"] and df.first()["two"] == 2
+
+
+def test_file_table_functions(spark, sf_dir):
+    """parquet_scan alias, list-of-paths read_parquet, and the
+    parquet_file_metadata table function route through the gateway."""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    n = run_sql(
+        spark, f"SELECT count(*) AS n FROM parquet_scan('{sf_dir}/region.parquet')"
+    ).first()["n"]
+    assert n == 5
+    doubled = run_sql(
+        spark,
+        "SELECT count(*) AS n FROM read_parquet("
+        f"['{sf_dir}/region.parquet', '{sf_dir}/region.parquet'])",
+    ).first()["n"]
+    assert doubled == 10
+    meta = run_sql(
+        spark,
+        "SELECT num_rows, num_row_groups FROM "
+        f"parquet_file_metadata('{sf_dir}/region.parquet')",
+    ).first()
+    assert meta["num_rows"] == 5 and meta["num_row_groups"] >= 1

@@ -119,6 +119,7 @@ def translate_strftime_pattern(pattern: str) -> str:
 
 _READ_FN_FORMATS = {
     "read_parquet": "parquet",
+    "parquet_scan": "parquet",  # legacy DuckDB alias
     "read_csv": "csv",
     "read_csv_auto": "csv",
     "read_json": "json",
@@ -150,7 +151,8 @@ def rewrite_from_data(
         return f"{fmt}.`{path}`"
 
     sql = re.sub(
-        r"\b(read_(?:parquet|csv|csv_auto|avro|json|json_auto|orc))\s*\(\s*'([^']*)'\s*\)",
+        r"\b(read_(?:parquet|csv|csv_auto|avro|json|json_auto|orc)"
+        r"|parquet_scan)\s*\(\s*'([^']*)'\s*\)",
         sub,
         sql,
         flags=re.IGNORECASE,

@@ -207,6 +207,64 @@ def _route_parquet_schema(spark: SparkSession, sql: str) -> str:
     return _PARQUET_SCHEMA_FN.sub(sub, sql)
 
 
+_PARQUET_META_FN = re.compile(
+    r"\bparquet_file_metadata\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE
+)
+
+_PM_SCHEMA = (
+    "file_name string, created_by string, num_rows long, "
+    "num_row_groups long, format_version string, "
+    "encryption_algorithm string, footer_signing_key_metadata string"
+)
+
+_READ_LIST_FN = re.compile(
+    r"\b(read_parquet|parquet_scan)\s*\(\s*\[([^\]]*)\]\s*\)", re.IGNORECASE
+)
+
+_pm_counter = 0
+
+
+def _route_parquet_metadata(spark: SparkSession, sql: str) -> str:
+    """``FROM parquet_file_metadata('path')`` → the A11 footer record as
+    a temp view (reference: src/duckdb-backend.ts:128-140 — the 7
+    displayed fields; driver-side O(footer))."""
+    from pyspark.sql import Row
+
+    from vscode_parquet_visualizer_spark.functions.metadata import (
+        parquet_file_metadata,
+    )
+
+    def sub(m: re.Match) -> str:
+        global _pm_counter
+        rows = parquet_file_metadata(m.group(1))
+        _pm_counter += 1
+        view = f"__parquet_meta_{_pm_counter}"
+        spark.createDataFrame(
+            [Row(**r) for r in rows], schema=_PM_SCHEMA
+        ).coalesce(1).createOrReplaceTempView(view)
+        return view
+
+    return _PARQUET_META_FN.sub(sub, sql)
+
+
+def _route_read_lists(spark: SparkSession, sql: str) -> str:
+    """``read_parquet(['a.parquet', 'b.parquet'])`` — the multi-file
+    list form — → one temp view over a multi-path read (each path keeps
+    its own splits; the union is lazy, not a copy)."""
+
+    def sub(m: re.Match) -> str:
+        global _pm_counter
+        paths = [
+            p.strip().strip("'") for p in m.group(2).split(",") if p.strip()
+        ]
+        _pm_counter += 1
+        view = f"__read_list_{_pm_counter}"
+        spark.read.parquet(*paths).createOrReplaceTempView(view)
+        return view
+
+    return _READ_LIST_FN.sub(sub, sql)
+
+
 def run_sql(
     spark: SparkSession,
     sql: str,
@@ -292,6 +350,10 @@ def run_sql(
         return ubn
     if _PARQUET_SCHEMA_FN.search(bound):
         bound = _route_parquet_schema(spark, bound)
+    if _PARQUET_META_FN.search(bound):
+        bound = _route_parquet_metadata(spark, bound)
+    if _READ_LIST_FN.search(bound):
+        bound = _route_read_lists(spark, bound)
     if _ROUTED_JOIN.search(bound):
         routed = try_rewrite_asof(spark, bound) or try_rewrite_positional(
             spark, bound
