@@ -524,3 +524,28 @@ def test_differential_batch5(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# window EXCLUDE CURRENT ROW (sum/count/avg are algebraically removable)
+CORPUS_WINDOW_EXCLUDE = [
+    """SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND
+       1 FOLLOWING EXCLUDE CURRENT ROW) AS s
+       FROM (VALUES (1),(2),(4)) t(x)""",
+    """SELECT x, round(avg(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING
+       AND 1 FOLLOWING EXCLUDE CURRENT ROW), 4) AS a,
+              count(*) OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND
+       UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS c
+       FROM (VALUES (1),(2),(4)) t(x)""",
+    """SELECT sum(x) OVER (ROWS BETWEEN CURRENT ROW AND CURRENT ROW
+       EXCLUDE CURRENT ROW) AS s FROM (VALUES (1)) t(x)""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_WINDOW_EXCLUDE, ids=range(len(CORPUS_WINDOW_EXCLUDE))
+)
+def test_differential_window_exclude(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -524,3 +524,22 @@ def test_file_table_functions(spark, sf_dir):
         f"parquet_file_metadata('{sf_dir}/region.parquet')",
     ).first()
     assert meta["num_rows"] == 5 and meta["num_row_groups"] >= 1
+
+
+def test_read_csv_header_and_options(spark, tmp_path):
+    """User-typed read_csv routes through the sniffing registry (bare
+    csv.`path` would read headerless — silent divergence); named args
+    (header/delim) override the sniffer."""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    rows = run_sql(spark, f"SELECT * FROM read_csv('{p}')").collect()
+    assert [r["a"] for r in rows] == [1, 2]
+    p2 = tmp_path / "s.csv"
+    p2.write_text("a;b\n1;x\n2;y\n")
+    got = run_sql(
+        spark,
+        f"SELECT b FROM read_csv('{p2}', header=true, delim=';') WHERE a = 2",
+    ).first()["b"]
+    assert got == "y"

@@ -2295,6 +2295,47 @@ def rewrite_list_comprehension(sql: str) -> str:
     return "".join(out)
 
 
+_WINDOW_EXCLUDE = re.compile(
+    r"\b(sum|count|avg)\s*\(\s*([^()]*?)\s*\)\s+OVER\s+\(([^()]*?)\s*"
+    r"EXCLUDE\s+CURRENT\s+ROW\s*\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_window_exclude(sql: str) -> str:
+    """``agg(e) OVER (w EXCLUDE CURRENT ROW)`` for sum/count/avg — Spark
+    has no frame-exclusion clause, but these three are algebraic:
+    remove the current row's contribution from the inclusive frame.
+    NULL parity: an excluded-frame with no remaining (non-null) rows
+    yields NULL for sum/avg, 0 for count — the guards reproduce it.
+    Other aggregates (min/max/…) and EXCLUDE GROUP/TIES are not
+    algebraically removable and stay loud parse errors. Simple OVER
+    bodies only (no nested parens) — matching DuckDB's common usage."""
+
+    def sub(m: re.Match) -> str:
+        fn, e, w = m.group(1).lower(), m.group(2).strip(), m.group(3).strip()
+        if fn == "count":
+            if e in ("*", "1"):
+                return f"((count({e}) OVER ({w})) - 1)"
+            return (
+                f"((count({e}) OVER ({w})) - "
+                f"(CASE WHEN ({e}) IS NULL THEN 0 ELSE 1 END))"
+            )
+        cnt = (
+            f"(count({e}) OVER ({w})) - "
+            f"(CASE WHEN ({e}) IS NULL THEN 0 ELSE 1 END)"
+        )
+        diff = f"(sum({e}) OVER ({w})) - coalesce({e}, 0)"
+        if fn == "sum":
+            return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {diff} END)"
+        return (
+            f"(CASE WHEN {cnt} = 0 THEN NULL "
+            f"ELSE ({diff}) / ({cnt}) END)"
+        )
+
+    return _WINDOW_EXCLUDE.sub(sub, sql)
+
+
 _LIKE_ESCAPE = re.compile(
     r"(\x00LIT\d+\x00|[A-Za-z_][\w.]*(?:\([^()]*\))?)"
     r"\s+(NOT\s+)?(I?LIKE)\s+(\x00LIT(\d+)\x00)\s+ESCAPE\s+\x00LIT(\d+)\x00",
@@ -2502,6 +2543,7 @@ def transpile(
     sql = rewrite_sample(sql)
     sql = rewrite_series_table_functions(sql)
     sql = rewrite_function_shapes(sql, stash)
+    sql = rewrite_window_exclude(sql)
     sql = rewrite_like_escape(sql, stash)
     sql = rewrite_ignore_nulls(sql)
     sql = rewrite_from_first(sql)

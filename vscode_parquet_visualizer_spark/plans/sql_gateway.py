@@ -58,6 +58,70 @@ _FILE_REL = re.compile(
 )
 
 
+_READ_FN_CALL = re.compile(
+    r"\b(read_(?:parquet|csv|csv_auto|json|json_auto|avro|orc)"
+    r"|parquet_scan)\s*\(\s*'([^']*)'\s*(?:,\s*([^()]*))?\)",
+    re.IGNORECASE,
+)
+
+# DuckDB read_csv named args → Spark DataFrameReader options
+_CSV_OPT_MAP = {
+    "header": "header",
+    "delim": "sep",
+    "sep": "sep",
+    "quote": "quote",
+    "nullstr": "nullValue",
+}
+
+
+def _route_read_functions(
+    spark: SparkSession, sql: str, dataset_path: str | None
+) -> str:
+    """User-typed ``read_csv('p' [, header=…, delim=…])`` etc →
+    registry-backed temp views. The registry applies DuckDB-parity
+    inference (CSV header + delimiter sniffing, Avro fallback codec) —
+    the bare ``csv.`path``` form Spark would otherwise use reads
+    headerless, a silent divergence. Named args (CSV subset: header,
+    delim/sep, quote, nullstr) override the sniffer; unknown args leave
+    the call unrouted to fail loudly. The ``'path'`` placeholder and
+    the dataset's own path stay untouched for rewrite_from_data's view
+    binding."""
+    import hashlib
+
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        _READ_FN_FORMATS,
+    )
+    from vscode_parquet_visualizer_spark.sources import registry
+
+    def sub(m: re.Match) -> str:
+        fn, path, rawopts = m.group(1).lower(), m.group(2), m.group(3)
+        if path == "path" or (dataset_path and path == dataset_path):
+            return m.group(0)
+        fmt = _READ_FN_FORMATS.get(fn, "parquet")
+        opts: dict[str, str] = {}
+        if rawopts and rawopts.strip():
+            if fmt != "csv":
+                return m.group(0)  # options only supported for CSV
+            for pair in rawopts.split(","):
+                k, eq, v = pair.partition("=")
+                k, v = k.strip().lower(), v.strip().strip("'\"")
+                if not eq or k not in _CSV_OPT_MAP:
+                    return m.group(0)  # unknown arg: loud
+                opts[_CSV_OPT_MAP[k]] = v
+        view = "__read_" + hashlib.md5(
+            (path + repr(sorted(opts.items()))).encode()
+        ).hexdigest()[:12]
+        if opts:
+            reader = spark.read.options(inferSchema=True, header=True)
+            df = reader.options(**opts).csv(path)
+        else:
+            df = registry.read(spark, path, fmt)
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _READ_FN_CALL.sub(sub, sql)
+
+
 def _route_file_relations(spark: SparkSession, sql: str) -> str:
     import hashlib
 
@@ -298,8 +362,11 @@ def run_sql(
             )
         assert out is not None
         return out
+    stripped = sql.rstrip().rstrip(";")
+    if _READ_FN_CALL.search(stripped):
+        stripped = _route_read_functions(spark, stripped, dataset_path)
     bound = dialect.rewrite_from_data(
-        sql.rstrip().rstrip(";"), view=view, dataset_path=dataset_path
+        stripped, view=view, dataset_path=dataset_path
     )
     if _FILE_REL.search(bound):
         bound = _route_file_relations(spark, bound)
