@@ -549,3 +549,17 @@ def test_differential_window_exclude(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+def test_differential_distinct_on_expression_keys(engines):
+    """DISTINCT ON / ORDER BY over expression keys the projection drops:
+    the rewrite projects them as hidden columns."""
+    spark, con = engines
+    q = (
+        "SELECT DISTINCT ON (n_regionkey, n_nationkey % 2) "
+        "n_regionkey, n_name FROM nation "
+        "ORDER BY n_regionkey, n_nationkey % 2, n_name"
+    )
+    spark_rows = [tuple(r) for r in spark.sql(transpile(q)).collect()]
+    duck_rows = con.execute(q).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -713,14 +713,39 @@ def _rewrite_distinct_on_scope(sql: str) -> str:
             break
     if fm is None:
         return sql
+    # ORDER BY terms that are EXPRESSIONS over base columns (e.g.
+    # ``n_nationkey % 2``) would not resolve after the projection drops
+    # their inputs — project them as hidden __ord columns and sort the
+    # outer query on those. Simple identifiers (projected columns or
+    # aliases) keep the direct reference.
+    hidden: list[str] = []
+    outer_order = order
+    if order:
+        items_text = re.sub(r"^ORDER\s+BY\s+", "", order, flags=re.IGNORECASE)
+        out_items = []
+        for idx, it in enumerate(_split_top_level(items_text)):
+            im = re.fullmatch(
+                r"\s*(.*?)((?:\s+(?:ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST))*)\s*",
+                it,
+                re.IGNORECASE | re.DOTALL,
+            )
+            body, sfx = im.group(1), im.group(2)
+            if re.fullmatch(r'[\w."]+|\x00LIT\d+\x00', body):
+                out_items.append(it.strip())
+            else:
+                hidden.append(f"{body} AS __ord{idx}")
+                out_items.append(f"__ord{idx}{sfx}")
+        outer_order = "ORDER BY " + ", ".join(out_items)
+    hidden_sql = (", " + ", ".join(hidden)) if hidden else ""
+    drop = ", ".join(["__don"] + [h.split(" AS ")[-1] for h in hidden])
     inner = (
-        f"SELECT {rest[: fm.start()].strip()}, row_number() OVER "
+        f"SELECT {rest[: fm.start()].strip()}{hidden_sql}, row_number() OVER "
         f"(PARTITION BY {on_exprs} ORDER BY {win_order}) AS __don "
         f"{rest[fm.start() :].strip()}"
     )
     return (
-        f"SELECT * EXCEPT (__don) FROM ({inner}) __d WHERE __don = 1"
-        f"{(' ' + order) if order else ''}{limit}"
+        f"SELECT * EXCEPT ({drop}) FROM ({inner}) __d WHERE __don = 1"
+        f"{(' ' + outer_order) if order else ''}{limit}"
     )
 
 
