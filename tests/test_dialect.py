@@ -672,3 +672,21 @@ def test_struct_map_shapes(spark):
     assert one("SELECT map_extract(map(['k'],[7]), 'k') AS v") == [7]
     assert one("SELECT map_extract(map(['k'],[7]), 'nope') AS v") == []
     assert tuple(one("SELECT row(1, 'x') AS r")) == (1, "x")
+
+
+def test_columns_applied_and_lambda_forms():
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    out = transpile("SELECT min(COLUMNS(*)) FROM nation", columns=cols)
+    assert out.count("min(") == 3 and "`n_name`" in out
+    out = transpile("SELECT max(COLUMNS('n_.*key')) FROM nation", columns=cols)
+    assert "max(`n_nationkey`)" in out and "n_name" not in out
+    out = transpile(
+        "SELECT COLUMNS(* EXCLUDE (n_name)) FROM nation", columns=cols
+    )
+    assert "`n_name`" not in out and "`n_regionkey`" in out
+    out = transpile(
+        "SELECT COLUMNS(c -> c LIKE 'n_n%') FROM nation", columns=cols
+    )
+    assert "`n_nationkey`" in out and "`n_regionkey`" not in out
+    # no columns supplied: untouched (loud downstream)
+    assert "COLUMNS" in transpile("SELECT min(COLUMNS(*)) FROM t")

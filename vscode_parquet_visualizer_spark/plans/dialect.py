@@ -1040,18 +1040,76 @@ def rewrite_any_all(sql: str) -> str:
 
 
 def rewrite_columns_regex(sql: str, columns: list[str] | None) -> str:
-    """DuckDB's ``COLUMNS('regex')`` star-expansion → explicit column list.
-    Schema-aware: only possible when the caller supplies the relation's
-    columns (Dataset.query does); left untouched otherwise."""
+    """DuckDB's ``COLUMNS(…)`` star-expansion → explicit column list.
+    Forms: ``COLUMNS('regex')``, ``COLUMNS(*)``,
+    ``COLUMNS(* EXCLUDE (a, b))``, and the name-lambda
+    ``COLUMNS(c -> c LIKE 'pat')``. A COLUMNS() call wrapped in an
+    outer function — ``min(COLUMNS(*))`` — expands to one call per
+    column (DuckDB's per-column application). Schema-aware: only
+    possible when the caller supplies the relation's columns
+    (Dataset.query does); left untouched otherwise."""
     if columns is None:
         return sql
 
-    def expand(m: re.Match) -> str:
-        pat = re.compile(m.group(1))
-        hits = [f"`{c}`" for c in columns if pat.search(c)]
-        return ", ".join(hits) if hits else m.group(0)
+    def select_cols(body: str) -> list[str] | None:
+        body = body.strip()
+        lm = re.fullmatch(r"'([^']*)'", body)
+        if lm:
+            pat = re.compile(lm.group(1))
+            return [c for c in columns if pat.search(c)]
+        if body == "*":
+            return list(columns)
+        em = re.fullmatch(
+            r"\*\s+EXCLUDE\s*\(([^)]*)\)", body, re.IGNORECASE
+        )
+        if em:
+            drop = {
+                c.strip().strip('"').lower() for c in em.group(1).split(",")
+            }
+            return [c for c in columns if c.lower() not in drop]
+        gm = re.fullmatch(
+            r"(\w+)\s*->\s*\1\s+LIKE\s+'([^']*)'", body, re.IGNORECASE
+        )
+        if gm:
+            # name-lambda with a LIKE pattern: translate % / _ globs
+            rx = re.compile(
+                "^"
+                + re.escape(gm.group(2)).replace("%", ".*").replace("_", ".")
+                + "$",
+                re.IGNORECASE,
+            )
+            return [c for c in columns if rx.match(c)]
+        return None
 
-    return re.sub(r"COLUMNS\s*\(\s*'([^']*)'\s*\)", expand, sql, flags=re.IGNORECASE)
+    # applied form first: fn(COLUMNS(…)) → fn(c1), fn(c2), …
+    def expand_applied(m: re.Match) -> str:
+        fn = m.group(1)
+        if fn.lower() in ("select", "where", "and", "or", "on", "by"):
+            return m.group(0)
+        hits = select_cols(m.group(2))
+        if not hits:
+            return m.group(0)
+        return ", ".join(f"{fn}(`{c}`)" for c in hits)
+
+    sql = re.sub(
+        r"\b([A-Za-z_]\w*)\s*\(\s*COLUMNS\s*\(((?:[^()]|\([^()]*\))*)\)\s*\)",
+        expand_applied,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    def expand(m: re.Match) -> str:
+        hits = select_cols(m.group(1))
+        if not hits:
+            return m.group(0)
+        return ", ".join(f"`{c}`" for c in hits)
+
+    return re.sub(
+        r"COLUMNS\s*\(((?:[^()]|\([^()]*\))*)\)",
+        expand,
+        sql,
+        flags=re.IGNORECASE,
+    )
 
 
 def rewrite_sample(sql: str) -> str:
