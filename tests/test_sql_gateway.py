@@ -543,3 +543,29 @@ def test_read_csv_header_and_options(spark, tmp_path):
         f"SELECT b FROM read_csv('{p2}', header=true, delim=';') WHERE a = 2",
     ).first()["b"]
     assert got == "y"
+
+
+def test_copy_partition_by(spark, sf_dir, tmp_path):
+    """COPY ... (FORMAT PARQUET, PARTITION_BY (col)) writes a hive
+    layout readable back with the partition column restored."""
+    import glob
+    import os
+
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "docs_cp"
+    )
+    out = str(tmp_path / "part_out")
+    res = run_sql(
+        spark,
+        f"COPY (SELECT doc_id, lang, n_chars FROM docs_cp) TO '{out}' "
+        "(FORMAT PARQUET, PARTITION_BY (lang))",
+    )
+    assert res.columns == ["Count"] and res.first()["Count"] > 0
+    assert any(
+        os.path.basename(p).startswith("lang=") for p in glob.glob(out + "/*")
+    )
+    back = spark.read.parquet(out)
+    assert sorted(back.columns) == ["doc_id", "lang", "n_chars"]
+    assert back.count() == res.first()["Count"]

@@ -228,6 +228,12 @@ def _copy_format(path: str, opts: str) -> tuple[str, dict]:
     """DuckDB COPY options → (exporter name, exporter kwargs)."""
     o = opts.upper()
     kwargs: dict = {}
+    pm = re.search(r"\bPARTITION_BY\s*(?:\(([^)]*)\)|(\w+))", opts, re.IGNORECASE)
+    if pm:
+        cols = pm.group(1) if pm.group(1) is not None else pm.group(2)
+        kwargs["partition_by"] = [
+            c.strip().strip('"') for c in cols.split(",") if c.strip()
+        ]
     if re.search(r"\bFORMAT\s+PARQUET\b", o):
         return "parquet", kwargs
     if re.search(r"\bFORMAT\s+GDAL\b", o) or path.lower().endswith(".xlsx"):
@@ -274,7 +280,7 @@ def _run_copy(
         tail = rest[m_src.end():]
     m_from = re.match(
         r"\s*FROM\s+(?P<src>'[^']+'|[A-Za-z_]\w*)\s*"
-        r"(?:\(|WITH\s*\()?(?P<opts>[^()]*)\)?\s*$",
+        r"(?:\(|WITH\s*\()?(?P<opts>(?:[^()]|\([^()]*\))*)\)?\s*$",
         tail,
         re.IGNORECASE | re.DOTALL,
     )
@@ -293,7 +299,8 @@ def _run_copy(
             **kw,
         )
     m_to = re.match(
-        r"\s*TO\s+'(?P<path>[^']+)'\s*(?:\(|WITH\s*\()?(?P<opts>[^()]*)\)?\s*$",
+        r"\s*TO\s+'(?P<path>[^']+)'\s*(?:\(|WITH\s*\()?"
+        r"(?P<opts>(?:[^()]|\([^()]*\))*)\)?\s*$",
         tail,
         re.IGNORECASE | re.DOTALL,
     )
