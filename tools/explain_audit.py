@@ -143,6 +143,12 @@ def main() -> None:
             docs.filter(F.col("doc_id") % 97 == 0),
         )
     )
+    # distributed LM: token-keyed count aggs + equi-joins, the only
+    # broadcast is the one-row vocab aggregate — no Python, no driver
+    # loops, no all-pairs
+    cases["LM perplexity (distributed counts, token-keyed joins)"] = (
+        cu.lm_perplexity(docs)
+    )
 
     print("# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n")
     print("Regenerate after plan-affecting changes: "
