@@ -146,7 +146,7 @@ def main() -> None:
     # distributed LM: token-keyed count aggs + equi-joins, the only
     # broadcast is the one-row vocab aggregate — no Python, no driver
     # loops, no all-pairs
-    cases["LM perplexity (distributed counts, token-keyed joins)"] = (
+    cases["LM perplexity (token-keyed joins; the only BNLJ is the one-row vocab cross join)"] = (
         cu.lm_perplexity(docs)
     )
 
