@@ -563,3 +563,34 @@ def test_differential_distinct_on_expression_keys(engines):
     spark_rows = [tuple(r) for r in spark.sql(transpile(q)).collect()]
     duck_rows = con.execute(q).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# hunt batch 6: list_sort null-order parity, 1-based index lambdas,
+# printf casts, entropy, FILTER shorthand
+CORPUS_R3_BATCH6 = [
+    """SELECT list_sort([3,NULL,1]) AS a,
+              list_sort([3,NULL,1], 'DESC') AS d,
+              list_sort([3,NULL,1], 'ASC', 'NULLS FIRST') AS nf,
+              list_reverse_sort([3,NULL,1]) AS r""",
+    """SELECT list_transform([10,20], (x, i) -> x + i) AS r,
+              list_filter([10,20,30], (x, i) -> i > 1) AS f,
+              list_transform([1,2], x -> x * 2) AS plain""",
+    """SELECT printf('%x', 255) AS h, printf('%08.3f', 3.14) AS f,
+              printf('%5d', 42) AS d""",
+    """SELECT round(entropy(x), 6) AS e
+       FROM (VALUES (1),(1),(2),(3)) t(x)""",
+    """SELECT count(*) FILTER (x > 1) AS c,
+              sum(x) FILTER (WHERE x > 0) AS s,
+              array_unique([1,1,2,NULL]) AS u
+       FROM (VALUES (1),(2),(3)) t(x)""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R3_BATCH6, ids=range(len(CORPUS_R3_BATCH6))
+)
+def test_differential_batch6(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -35,7 +35,9 @@ _TYPE = r"[A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
 # silently misinterpret.
 FUNCTION_RENAMES = {
     "list_contains": "array_contains",
-    "list_sort": "sort_array",
+    # list_sort is NOT a plain rename: DuckDB defaults NULLS LAST in
+    # both directions while sort_array(l) puts nulls first — lowered in
+    # rewrite_function_shapes (array_sort default / comparator forms).
     "list_transform": "transform",
     "list_filter": "filter",
     "array_length": "size",
@@ -1920,6 +1922,139 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         else None,
     )
 
+    # list_sort family: DuckDB's default null order is NULLS LAST in
+    # BOTH directions (and takes 'ASC'/'DESC' + 'NULLS FIRST/LAST'
+    # string args); sort_array(l) puts nulls first — a silent
+    # divergence. Spark's array_sort(l) matches the asc default; the
+    # other combinations lower to a comparator.
+    def _cmp_sort(l, desc, nulls_first):
+        n_x = "-1" if nulls_first else "1"  # x NULL → before/after y
+        n_y = "1" if nulls_first else "-1"
+        lt = "1" if desc else "-1"
+        gt = "-1" if desc else "1"
+        return (
+            f"array_sort({l}, (__sx, __sy) -> CASE "
+            f"WHEN __sx IS NULL AND __sy IS NULL THEN 0 "
+            f"WHEN __sx IS NULL THEN {n_x} "
+            f"WHEN __sy IS NULL THEN {n_y} "
+            f"WHEN __sx < __sy THEN {lt} "
+            f"WHEN __sx > __sy THEN {gt} ELSE 0 END)"
+        )
+
+    def list_sort_x(a):
+        if not 1 <= len(a) <= 3:
+            return None
+        desc = False
+        nulls_first = False
+        for extra in a[1:]:
+            m = re.fullmatch(r"\x00LIT(\d+)\x00", extra.strip())
+            if m is None:
+                return None
+            text = _lit_text(stash, m.group(1)).strip().upper()
+            if text == "DESC":
+                desc = True
+            elif text == "NULLS FIRST":
+                nulls_first = True
+            elif text not in ("ASC", "NULLS LAST"):
+                return None
+        if not desc and not nulls_first:
+            return f"array_sort({a[0]})"  # asc + nulls last: the default
+        return _cmp_sort(a[0], desc, nulls_first)
+
+    sql = _rewrite_calls(sql, "list_sort", list_sort_x)
+    sql = _rewrite_calls(
+        sql,
+        "list_reverse_sort",
+        lambda a: _cmp_sort(a[0], True, False) if len(a) == 1 else None,
+    )
+
+    # 2-param (value, index) lambdas: DuckDB's index is 1-BASED,
+    # Spark's 0-based — rebase inside the body (list_* spellings only;
+    # a plain Spark transform/filter keeps Spark semantics)
+    def idx_lambda(fn_spark):
+        def x(a):
+            if len(a) != 2:
+                return None
+            m = re.match(
+                r"^\s*\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\)"
+                r"\s*->\s*(.+)$",
+                a[1],
+                re.DOTALL,
+            )
+            if m is None:
+                return None
+            v, i, body = m.groups()
+            nb = re.sub(rf"\b{re.escape(i)}\b", "(__li + 1)", body)
+            return f"{fn_spark}({a[0]}, ({v}, __li) -> {nb})"
+
+        return x
+
+    sql = _rewrite_calls(sql, "list_transform", idx_lambda("transform"))
+    sql = _rewrite_calls(sql, "list_apply", idx_lambda("transform"))
+    sql = _rewrite_calls(sql, "list_filter", idx_lambda("filter"))
+
+    # printf: Java's %f/%d/%x reject the DECIMAL/INT types Spark gives
+    # literals — cast each arg to what its conversion expects
+    def printf_x(a):
+        if len(a) < 2:
+            return None
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", a[0])
+        if m is None:
+            return None
+        fmt = _lit_text(stash, m.group(1))
+        convs = []
+        for cm in re.finditer(
+            r"%(?:(\d+)\$)?[-#+ 0,]*\d*(?:\.\d+)?([a-zA-Z])", fmt
+        ):
+            pos, conv = cm.group(1), cm.group(2).lower()
+            idx = int(pos) - 1 if pos else len(convs)
+            while len(convs) <= idx:
+                convs.append(None)
+            convs[idx] = conv
+        vals = []
+        changed = False
+        for i, arg in enumerate(a[1:]):
+            conv = convs[i] if i < len(convs) else None
+            if conv in ("f", "e", "g"):
+                vals.append(f"CAST({arg} AS DOUBLE)")
+                changed = True
+            elif conv in ("d", "x", "o"):
+                vals.append(f"CAST({arg} AS BIGINT)")
+                changed = True
+            else:
+                vals.append(arg)
+        if not changed:
+            return None
+        return f"printf({a[0]}, {', '.join(vals)})"
+
+    sql = _rewrite_calls(sql, "printf", printf_x)
+
+    # entropy(x): Shannon entropy over the value distribution —
+    # log2(n) − Σ c·log2(c)/n via a run-length fold over the sorted
+    # collected group (string-keyed: equality-preserving for the
+    # practical types, and type-generic for the fold state)
+    def entropy_x(a):
+        if len(a) != 1:
+            return None
+        x = a[0]
+        fold = (
+            f"aggregate(array_sort(collect_list(CAST({x} AS STRING))), "
+            f"struct(CAST(NULL AS STRING) AS p, CAST(0 AS DOUBLE) AS r, "
+            f"CAST(0 AS DOUBLE) AS acc), "
+            f"(__es, __ev) -> CASE WHEN __es.p IS NULL OR __ev = __es.p "
+            f"THEN struct(__ev AS p, __es.r + 1 AS r, __es.acc AS acc) "
+            f"ELSE struct(__ev AS p, CAST(1 AS DOUBLE) AS r, "
+            f"__es.acc + __es.r * log2(__es.r) AS acc) END, "
+            f"__es -> __es.acc + CASE WHEN __es.r > 0 "
+            f"THEN __es.r * log2(__es.r) ELSE 0 END)"
+        )
+        return (
+            f"(CASE WHEN count({x}) = 0 THEN NULL "
+            f"ELSE log2(count({x})) - {fold} / count({x}) END)"
+        )
+
+    sql = _rewrite_calls(sql, "entropy", entropy_x)
+
     # list_reduce: DuckDB seeds the fold with the FIRST element
     sql = _rewrite_calls(
         sql,
@@ -2087,16 +2222,17 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     sql = _rewrite_calls(sql, "array_agg", array_agg_x)
     sql = _rewrite_calls(sql, "list", array_agg_x)
 
-    # list_unique: count of distinct non-null elements
-    sql = _rewrite_calls(
-        sql,
-        "list_unique",
-        lambda a: (
-            f"size(array_distinct(filter({a[0]}, __lu -> __lu IS NOT NULL)))"
-            if len(a) == 1
-            else None
-        ),
-    )
+    # list_unique / array_unique: count of distinct non-null elements
+    for _lu_name in ("list_unique", "array_unique"):
+        sql = _rewrite_calls(
+            sql,
+            _lu_name,
+            lambda a: (
+                f"size(array_distinct(filter({a[0]}, __lu -> __lu IS NOT NULL)))"
+                if len(a) == 1
+                else None
+            ),
+        )
 
     # scalar range(…)/generate_series(…): range is end-EXCLUSIVE,
     # generate_series end-INCLUSIVE; BOTH return [] when the bounds are
@@ -2626,6 +2762,14 @@ def transpile(
     sql = rewrite_sample(sql)
     sql = rewrite_series_table_functions(sql)
     sql = rewrite_function_shapes(sql, stash)
+    # DuckDB's FILTER (pred) shorthand (no WHERE keyword) — only after a
+    # closing paren, so the filter() higher-order FUNCTION is untouched
+    sql = re.sub(
+        r"(?<=\))\s+FILTER\s*\(\s*(?!WHERE\b)",
+        " FILTER (WHERE ",
+        sql,
+        flags=re.IGNORECASE,
+    )
     sql = rewrite_window_exclude(sql)
     sql = rewrite_like_escape(sql, stash)
     sql = rewrite_ignore_nulls(sql)
