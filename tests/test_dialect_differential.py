@@ -594,3 +594,36 @@ def test_differential_batch6(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# hunt batch 7: collations, sampling methods, chained named windows
+CORPUS_R3_BATCH7 = [
+    """SELECT x FROM (VALUES ('b'),('A'),('c')) t(x)
+       ORDER BY x COLLATE NOCASE""",
+    """SELECT x, sum(x) OVER w2 AS s FROM (VALUES (1),(2),(3)) t(x)
+       WINDOW w1 AS (ORDER BY x),
+              w2 AS (w1 ROWS UNBOUNDED PRECEDING)""",
+    """SELECT x, y, count(*) OVER w2 AS c
+       FROM (VALUES (1,1),(1,2),(2,1)) t(x,y)
+       WINDOW w1 AS (PARTITION BY x),
+              w2 AS (w1 ORDER BY y ROWS UNBOUNDED PRECEDING)""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R3_BATCH7, ids=range(len(CORPUS_R3_BATCH7))
+)
+def test_differential_batch7(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+def test_sample_method_parenthetical(engines):
+    """USING SAMPLE n% (bernoulli) parses; values are nondeterministic
+    by design so only row-count bounds are asserted."""
+    spark, con = engines
+    q = "SELECT count(*) AS n FROM nation USING SAMPLE 50% (bernoulli)"
+    n = spark.sql(transpile(q)).first()["n"]
+    assert 0 <= n <= 25

@@ -1115,21 +1115,85 @@ def rewrite_columns_regex(sql: str, columns: list[str] | None) -> str:
 
 
 def rewrite_sample(sql: str) -> str:
-    """``USING SAMPLE 10%`` / ``USING SAMPLE 100 ROWS`` →
-    ``TABLESAMPLE (10 PERCENT)`` / ``TABLESAMPLE (100 ROWS)``."""
+    """``USING SAMPLE 10% [(bernoulli|system|reservoir)]`` →
+    ``TABLESAMPLE (10 PERCENT)`` / ``… 100 ROWS …`` → ``(100 ROWS)``
+    (the method parenthetical names an algorithm choice Spark makes
+    itself — row-level Bernoulli for percent, limit-style for rows)."""
+    method = r"(?:\s*\(\s*(?:bernoulli|system|reservoir)\s*\))?"
     sql = re.sub(
-        r"USING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*%",
+        r"USING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|PERCENT\b)" + method,
         r"TABLESAMPLE (\1 PERCENT)",
         sql,
         flags=re.IGNORECASE,
     )
     sql = re.sub(
-        r"USING\s+SAMPLE\s+(\d+)(\s+ROWS)?\b",
+        r"USING\s+SAMPLE\s+(\d+)(\s+ROWS)?\b" + method,
         r"TABLESAMPLE (\1 ROWS)",
         sql,
         flags=re.IGNORECASE,
     )
     return sql
+
+
+def rewrite_collate(sql: str) -> str:
+    """DuckDB collation names → Spark 4 collation identifiers
+    (``COLLATE NOCASE`` → ``COLLATE UTF8_LCASE``)."""
+    return re.sub(
+        r"\bCOLLATE\s+NOCASE\b",
+        "COLLATE UTF8_LCASE",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def rewrite_window_chain(sql: str) -> str:
+    """DuckDB allows a named window to EXTEND another —
+    ``WINDOW w1 AS (ORDER BY x), w2 AS (w1 ROWS …)`` — Spark only
+    supports flat definitions: inline each referenced definition.
+    Operates only inside the WINDOW clause (a CTE's ``name AS (…)``
+    never qualifies)."""
+    m = re.search(
+        r"\bWINDOW\s+(?=[A-Za-z_]\w*\s+AS\s*\()", sql, re.IGNORECASE
+    )
+    if m is None:
+        return sql
+    # clause extent: defs are `name AS (…)` joined by commas; stop at
+    # the first thing that isn't another definition
+    region_re = re.compile(
+        r"\s*,?\s*([A-Za-z_]\w*)\s+AS\s+\(([^()]*)\)", re.IGNORECASE
+    )
+    defs: list[tuple[str, str]] = []
+    pos = m.end()
+    while True:
+        dm = region_re.match(sql, pos)
+        if dm is None:
+            break
+        defs.append((dm.group(1), dm.group(2)))
+        pos = dm.end()
+    if not defs:
+        return sql
+    # Single-level chains only: DuckDB's multi-level resolution was
+    # measured NOT to inherit a grandparent's PARTITION BY (non-standard)
+    # — deeper chains stay unrewritten and fail loudly in Spark rather
+    # than silently diverging.
+    names = {n.lower() for n, _ in defs}
+
+    def _is_literal(body: str) -> bool:
+        fm = re.match(r"\s*([A-Za-z_]\w*)\b", body)
+        return not (fm and fm.group(1).lower() in names)
+
+    literal = {n.lower(): b for n, b in defs if _is_literal(b)}
+    resolved: dict[str, str] = {}
+    for name, body in defs:
+        fm = re.match(r"\s*([A-Za-z_]\w*)\b(.*)$", body, re.DOTALL)
+        if fm and fm.group(1).lower() in literal and fm.group(1).lower() != name.lower():
+            base = literal[fm.group(1).lower()]
+            body = f"{base.strip()} {fm.group(2).strip()}".strip()
+        resolved[name.lower()] = body
+    rebuilt = ", ".join(
+        f"{name} AS ({resolved[name.lower()]})" for name, _ in defs
+    )
+    return sql[: m.end()] + rebuilt + sql[pos:]
 
 
 def _depth_at(sql: str, idx: int) -> int:
@@ -2760,6 +2824,8 @@ def transpile(
     sql = rewrite_len(sql, array_columns)
     sql = rewrite_arithmetic_operators(sql)
     sql = rewrite_sample(sql)
+    sql = rewrite_collate(sql)
+    sql = rewrite_window_chain(sql)
     sql = rewrite_series_table_functions(sql)
     sql = rewrite_function_shapes(sql, stash)
     # DuckDB's FILTER (pred) shorthand (no WHERE keyword) — only after a
