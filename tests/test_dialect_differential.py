@@ -627,3 +627,14 @@ def test_sample_method_parenthetical(engines):
     q = "SELECT count(*) AS n FROM nation USING SAMPLE 50% (bernoulli)"
     n = spark.sql(transpile(q)).first()["n"]
     assert 0 <= n <= 25
+
+
+def test_differential_quantile_aliases(engines):
+    spark, con = engines
+    q = (
+        "SELECT quantile(x, 0.5) AS q, quantile_cont(x, 0.5) AS qc "
+        "FROM (VALUES (1),(2),(3),(4)) t(x)"
+    )
+    spark_rows = [tuple(r) for r in spark.sql(transpile(q)).collect()]
+    duck_rows = con.execute(q).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -71,6 +71,11 @@ FUNCTION_RENAMES = {
     "suffix": "endswith",
     # exact interpolated quantile on both engines
     "quantile_cont": "percentile",
+    # "quantile" is DuckDB's alias of quantile_DISC — handled with the
+    # quantile_disc WITHIN GROUP shape in rewrite_function_shapes
+    # approximate sketches differ by design; values gated by bounds
+    "approx_quantile": "approx_percentile",
+    "reservoir_quantile": "approx_percentile",
     "list_value": "array",
     "json_keys": "json_object_keys",
     "json_extract_string": "get_json_object",
@@ -1522,13 +1527,14 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         return f"listagg({', '.join(a)})"
 
     sql = _rewrite_calls(sql, "string_agg", string_agg_x)
-    sql = _rewrite_calls(
-        sql,
-        "quantile_disc",
-        lambda a: f"percentile_disc({a[1]}) WITHIN GROUP (ORDER BY {a[0]})"
-        if len(a) == 2
-        else None,
-    )
+    for _qd in ("quantile_disc", "quantile"):  # quantile = disc alias
+        sql = _rewrite_calls(
+            sql,
+            _qd,
+            lambda a: f"percentile_disc({a[1]}) WITHIN GROUP (ORDER BY {a[0]})"
+            if len(a) == 2
+            else None,
+        )
 
     def time_bucket_x(a):
         if len(a) != 2:
