@@ -328,3 +328,20 @@ def test_statement_results_through_resultset_machinery(spark, sf_dir, tmp_path):
         == [{"answer": 42}]
     )
     ds.close()
+
+
+def test_engine_query_array_subscripts_one_based(spark, tmp_path):
+    """End-to-end through Engine.query: bracket subscripts on an
+    array-typed column follow DuckDB's 1-based/NULL contract."""
+    from vscode_parquet_visualizer_spark import Engine
+
+    p = str(tmp_path / "arr.parquet")
+    spark.createDataFrame(
+        [(1, [10, 20, 30])], "id long, l array<int>"
+    ).write.parquet(p)
+    eng = Engine(spark=spark)
+    ds = eng.open(p)
+    rs = ds.query("SELECT l[1] AS f, l[0] AS z, l[-1] AS la, l[2:3] AS s FROM data")
+    row = rs.page(1, 1)[0]
+    assert row["f"] == 10 and row["z"] is None and row["la"] == 30
+    assert row["s"] in ("[20, 30]", "[20,30]", [20, 30])

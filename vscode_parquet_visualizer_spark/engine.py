@@ -232,10 +232,14 @@ class Dataset:
             view=self.view,
             columns=self.df.columns,
             dataset_path=self.path,
+            # ArrayType ONLY: the 1-based subscript rewrite keyed on
+            # this set is an ARRAY contract — a map's m[0] is a key
+            # lookup, not a position (and Spark's native map[key]
+            # semantics already match DuckDB's scalar access)
             array_columns={
                 f.name
                 for f in self.df.schema.fields
-                if isinstance(f.dataType, (T.ArrayType, T.MapType))
+                if isinstance(f.dataType, T.ArrayType)
             },
         )
         if not materialize:
