@@ -1908,7 +1908,17 @@ SELECT r_regionkey,
        concat(r_name, NULL, '!') AS cat,
        r_regionkey = ANY([1, 3]) AS in13,
        round(list_dot_product([1.0, 2.0], [3.0, 4.0]), 6) AS dotp,
-       CAST(r_regionkey AS TEXT) AS keytext
+       CAST(r_regionkey AS TEXT) AS keytext,
+       -- round-3 continuation additions, inside the driver window:
+       to_json(list_sort([3, NULL, 1])) AS lsort_nulls_last,
+       to_json(list_transform([10, 20], (v, i) -> v + i)) AS one_based_idx,
+       substr(r_name, 0, 3) AS substr_zero,
+       date_sub('day', DATE '2024-01-01', DATE '2024-03-01') AS dsub,
+       monthname(DATE '2024-03-05') AS mname,
+       regexp_replace(r_name, '([AEIOU])', '<\\1>', 'g') AS backref,
+       even(2.5) AS ev,
+       hamming('abc', 'abd') AS ham,
+       to_json(generate_series(3, 1)) AS empty_series
 FROM (SELECT * REPLACE (upper(r_name) AS r_name) FROM region) t
 ORDER BY ALL
 """
