@@ -638,3 +638,17 @@ def test_differential_quantile_aliases(engines):
     spark_rows = [tuple(r) for r in spark.sql(transpile(q)).collect()]
     duck_rows = con.execute(q).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+def test_differential_open_ended_slices(engines):
+    spark, con = engines
+    q = (
+        "SELECT l[2:] AS a, l[:2] AS b, l[4:] AS c, s[2:] AS e, s[:3] AS f "
+        "FROM (SELECT [1,2,3] AS l, 'abcdef' AS s)"
+    )
+    spark_rows = [
+        tuple(r)
+        for r in spark.sql(transpile(q, array_columns={"l"})).collect()
+    ]
+    duck_rows = con.execute(q).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -893,6 +893,26 @@ def rewrite_bracket_slice(
         r"([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*(\d+)\s*:\s*(\d+)\s*\]", sub, sql
     )
 
+    def sub_open(m: re.Match) -> str:
+        name, a, b = m.group(1), m.group(2), m.group(3)
+        if a:  # x[a:] — from position a to the end (clamped)
+            if is_arr(name):
+                return (
+                    f"slice({name}, {a}, "
+                    f"greatest(size({name}) - {a} + 1, 0))"
+                )
+            return f"substring({name}, {a})"
+        if b:  # x[:b] — first b items
+            fn = "slice" if is_arr(name) else "substring"
+            return f"{fn}({name}, 1, {b})"
+        return m.group(0)
+
+    sql = re.sub(
+        r"([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*(?:(\d+)\s*:|:\s*(\d+))\s*\]",
+        sub_open,
+        sql,
+    )
+
     def sub_index(m: re.Match) -> str:
         name, i = m.group(1), int(m.group(2))
         if not is_arr(name):
