@@ -2883,6 +2883,108 @@ def qa5(spark, sf_dir):
     return cu.lm_perplexity(t["documents"])
 
 
+@q(
+    "qa6_curation_pipeline",
+    f"""
+    WITH {_TOK_CTE},
+    b AS (
+      SELECT doc_id, text, l,
+             CASE WHEN len(l) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])
+             END AS bg
+      FROM tok
+    ),
+    kept AS (
+      SELECT doc_id, text, l FROM b
+      WHERE (CASE WHEN len(l) = 0 THEN 0.0
+             ELSE 1 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l) END) <= 0.6
+        AND (CASE WHEN len(l) = 0 THEN 0.0
+             ELSE CAST(list_max(list_transform(list_distinct(l),
+                       d -> len(list_filter(l, x -> x = d)))) AS DOUBLE) / len(l)
+             END) <= 0.3
+        AND (CASE WHEN len(bg) = 0 THEN 0.0
+             ELSE CAST(list_max(list_transform(list_distinct(bg),
+                       d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE) / len(bg)
+             END) <= 0.2
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(l) - 1),
+                           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s
+      FROM tok WHERE len(l) >= 3
+    ),
+    ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+    dec AS (
+      SELECT tr.doc_id,
+             (CAST(count(ev.g) AS DOUBLE) / count(*)) > 0.1 AS contaminated
+      FROM tr LEFT JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id
+    ),
+    clean AS (
+      SELECT k.doc_id, k.l FROM kept k
+      LEFT JOIN dec ON k.doc_id = dec.doc_id
+      WHERE k.doc_id % 97 <> 0 AND NOT coalesce(dec.contaminated, false)
+    ),
+    c AS (
+      SELECT doc_id,
+             unnest(range(0, CASE WHEN len(l) <= 50 THEN 1
+                                  ELSE (len(l) - 50 + 39) // 40 + 1 END)) AS chunk_id,
+             l
+      FROM clean WHERE len(l) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             len(l[chunk_id*40 + 1 : chunk_id*40 + 50]) AS n_tokens,
+             ('0x' || substr(md5(doc_id || '#' || chunk_id), 1, 6))::BIGINT
+               % 10000 AS bucket
+      FROM c
+    )
+    SELECT CASE WHEN bucket < 9500 THEN 'train' ELSE 'val' END AS split,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM chunks GROUP BY 1
+    """,
+)
+def qa6(spark, sf_dir):
+    """The curation operators composed end-to-end, the way a corpus
+    build actually runs them: repetition filter → eval decontamination
+    (drop contaminated + the eval slice itself) → 50/40 token-window
+    chunking → deterministic hash split, aggregated to per-split chunk
+    and token budgets. Every stage is the operator module's own code;
+    DuckDB computes the identical pipeline for the value oracle. Scale
+    shape: two narrow filters, the broadcast decontamination join, a
+    narrow explode, and one final 2-group aggregate — the whole
+    pipeline is one pass over the corpus plus the eval-set join."""
+    from vscode_parquet_visualizer_spark.operators.split import hash_split
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    kept = cu.with_repetition_metrics(docs.select("doc_id", "text")).filter(
+        F.col("keep_repetition")
+    )
+    dec = cu.decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        ngram=3,
+        threshold=0.1,
+    ).select("doc_id", "contaminated")
+    clean = (
+        kept.filter(F.col("doc_id") % 97 != 0)
+        .join(dec, "doc_id", "left")
+        .filter(~F.coalesce(F.col("contaminated"), F.lit(False)))
+        .select("doc_id", "text")
+    )
+    chunks = cu.chunk_documents(clean, chunk_tokens=50, stride=40)
+    keyed = chunks.withColumn(
+        "__key", F.concat(F.col("doc_id"), F.lit("#"), F.col("chunk_id"))
+    )
+    split = hash_split(keyed, "__key", {"train": 0.95, "val": 0.05})
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_tokens"),
+    )
+
+
 _CURATION_SUITE_ORACLE = f"""
     WITH {_TOK_CTE},
     b AS (
