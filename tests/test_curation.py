@@ -249,3 +249,33 @@ def test_lm_perplexity_orders_common_before_rare(spark):
     # short/empty docs carry no bigram evidence
     short = _docs(spark, [(9, "solo"), (10, "")])
     assert cu.lm_perplexity(short).count() == 0
+
+
+# ----------------------------------------------------------------- stream
+
+
+def test_curation_ops_compose_with_streaming(spark, tmp_path):
+    """The narrow curation projections (redaction, repetition metrics,
+    chunking) are stateless — they run unchanged on a readStream source,
+    which is how a 100 TB ingest would apply them on arrival."""
+    src = str(tmp_path / "docs_stream")
+    spark.createDataFrame(
+        [(1, "contact a@b.com now now now"), (2, "many distinct clean words flowing along nicely here today")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = cu.with_repetition_metrics(
+        stream.select("doc_id", cu.redact_pii(F.col("text")).alias("text"))
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curation_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["doc_id"]: r for r in spark.table("curation_stream").collect()}
+    assert rows[1]["text"].startswith("contact <EMAIL>")
+    assert rows[1]["top_token_frac"] > rows[2]["top_token_frac"]
+    assert rows[2]["keep_repetition"]
