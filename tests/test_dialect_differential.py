@@ -652,3 +652,10 @@ def test_differential_open_ended_slices(engines):
     ]
     duck_rows = con.execute(q).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+def test_differential_zero_arg_count(engines):
+    spark, con = engines
+    q = "SELECT count() AS c FROM (VALUES (1),(2)) t(x)"
+    spark_rows = [tuple(r) for r in spark.sql(transpile(q)).collect()]
+    assert _rowset(spark_rows) == _rowset(con.execute(q).fetchall())

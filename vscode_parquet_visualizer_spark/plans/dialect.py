@@ -1915,6 +1915,11 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         lambda a: f"(({a[0]}) < 0)" if len(a) == 1 else None,
     )
 
+    # DuckDB's zero-arg count() is count(*)
+    sql = _rewrite_calls(
+        sql, "count", lambda a: "count(*)" if a == [""] or a == [] else None
+    )
+
     # substr/substring with start 0: DuckDB treats position 0 as one
     # virtual character BEFORE the string (the length budget pays for
     # it); Spark's 0 behaves like 1 — a silent off-by-one
