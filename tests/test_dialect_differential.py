@@ -367,6 +367,9 @@ ARRAY_SUBSCRIPT_CORPUS = [
        FROM (SELECT [7,8,9] AS l)""",
     """SELECT l[2:6:2] AS s FROM (SELECT [10,20,30,40,50,60] AS l)""",
     """SELECT l[1:99:3] AS c, l[5:2:1] AS e FROM (SELECT [1,2,3,4,5] AS l)""",
+    # chained subscripts: the whole chain nests (1-based at every level)
+    """SELECT l[1][2] AS a, l[2][1] AS b, l[1][0] AS z, l[3][1] AS oob
+       FROM (SELECT [[1,2],[3,4]] AS l)""",
 ]
 
 
@@ -659,3 +662,46 @@ def test_differential_zero_arg_count(engines):
     q = "SELECT count() AS c FROM (VALUES (1),(2)) t(x)"
     spark_rows = [tuple(r) for r in spark.sql(transpile(q)).collect()]
     assert _rowset(spark_rows) == _rowset(con.execute(q).fetchall())
+
+
+# round-4 ADVICE fixes: non-divisible interval range spans (exclusive
+# stop must keep the last element), nested ORDER BY null-order (inside
+# OVER(...) within an outer ORDER BY item), header-independent of the
+# fixes above
+CORPUS_R4_BATCH1 = [
+    """SELECT range(DATE '2024-01-01', DATE '2024-01-06',
+                    INTERVAL 2 DAY) AS r,
+              generate_series(DATE '2024-01-01', DATE '2024-01-06',
+                              INTERVAL 2 DAY) AS g""",
+    """SELECT range(TIMESTAMP '2024-01-01 00:00:00',
+                    TIMESTAMP '2024-01-01 01:10:00',
+                    INTERVAL 30 MINUTE) AS r""",
+    """SELECT range(DATE '2024-01-01', DATE '2024-01-01',
+                    INTERVAL 2 DAY) AS empty,
+              range(DATE '2024-01-03', DATE '2024-01-01',
+                    INTERVAL 1 DAY) AS inverted""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R4_BATCH1, ids=range(len(CORPUS_R4_BATCH1))
+)
+def test_differential_batch_r4_1(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+def test_differential_nested_order_by_nulls(engines):
+    """ORDER BY items containing their own ORDER BY (window OVER) must
+    get NULLS LAST at BOTH levels — round-4 ADVICE (dialect.py:2755)."""
+    spark, con = engines
+    q = (
+        "SELECT x FROM (VALUES (1),(2),(3)) t(x) "
+        "ORDER BY x * coalesce((SELECT k FROM (VALUES (1),(NULL)) s(k) "
+        "ORDER BY k LIMIT 1), -1)"
+    )
+    spark_rows = [tuple(r) for r in spark.sql(transpile(q)).collect()]
+    duck_rows = con.execute(q).fetchall()
+    assert spark_rows == duck_rows  # ordered compare: row ORDER matters

@@ -545,6 +545,28 @@ def test_read_csv_header_and_options(spark, tmp_path):
     assert got == "y"
 
 
+def test_read_csv_delim_only_headerless(spark, tmp_path):
+    """read_csv('f', delim='|') on a HEADERLESS file must still sniff
+    has_header independently (DuckDB parity) — hardcoding header=true
+    silently ate the first data row (round-4 ADVICE,
+    sql_gateway.py:115)."""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    p = tmp_path / "nohdr.csv"
+    p.write_text("1|x\n2|y\n3|z\n")
+    rows = run_sql(
+        spark, f"SELECT * FROM read_csv('{p}', delim='|')"
+    ).collect()
+    assert len(rows) == 3  # all three data rows survive
+    # and a headered file with an explicit delim keeps its header
+    p2 = tmp_path / "hdr.csv"
+    p2.write_text("a|b\n1|x\n2|y\n")
+    rows2 = run_sql(
+        spark, f"SELECT a, b FROM read_csv('{p2}', delim='|')"
+    ).collect()
+    assert sorted(r["a"] for r in rows2) == [1, 2]
+
+
 def test_copy_partition_by(spark, sf_dir, tmp_path):
     """COPY ... (FORMAT PARQUET, PARTITION_BY (col)) writes a hive
     layout readable back with the partition column restored."""

@@ -914,17 +914,27 @@ def rewrite_bracket_slice(
     )
 
     def sub_index(m: re.Match) -> str:
-        name, i = m.group(1), int(m.group(2))
+        name = m.group(1)
         if not is_arr(name):
             return m.group(0)
-        if i == 0:
-            # DuckDB x[0] is NULL; try_element_at rejects a literal 0 —
-            # a NULL index yields a NULL of the element type instead
-            return f"try_element_at({name}, CAST(NULL AS INT))"
-        return f"try_element_at({name}, {i})"
+        # Rewrite the WHOLE subscript chain (x[1][2][3]) in one go —
+        # rewriting only the first index left try_element_at(x, 1)[2]
+        # behind, a silent 0-based access for every trailing subscript.
+        expr = name
+        for im in re.finditer(r"\[\s*(-?\d+)\s*\]", m.group(2)):
+            i = int(im.group(1))
+            if i == 0:
+                # DuckDB x[0] is NULL; try_element_at rejects a literal
+                # 0 — a NULL index yields a NULL of the element type
+                expr = f"try_element_at({expr}, CAST(NULL AS INT))"
+            else:
+                expr = f"try_element_at({expr}, {i})"
+        return expr
 
     return re.sub(
-        r"([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*(-?\d+)\s*\]", sub_index, sql
+        r"([A-Za-z_][A-Za-z0-9_.]*)((?:\s*\[\s*-?\d+\s*\])+)",
+        sub_index,
+        sql,
     )
 
 
@@ -2360,8 +2370,15 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             if im and "-" not in s:
                 ts = f"CAST({lo} AS TIMESTAMP)"
                 te = f"CAST({hi} AS TIMESTAMP)"
+                # Exclusive stop: back off ONE MICROSECOND (timestamp
+                # resolution), not one full step — subtracting the step
+                # silently dropped the last element whenever the span
+                # was not a step-multiple. Guarded branch has te > ts,
+                # so te - 1us >= ts always.
                 stop = (
-                    te if inclusive else f"greatest({ts}, {te} - {s})"
+                    te
+                    if inclusive
+                    else f"{te} - INTERVAL 1 MICROSECOND"
                 )
                 return (
                     f"CASE WHEN {te} {cmp_fwd} {ts} THEN "
@@ -2800,12 +2817,18 @@ def rewrite_order_by_nulls(sql: str) -> str:
         for it in _split_top_level(clause):
             ws = re.fullmatch(r"(.*?)(\s*)", it, re.DOTALL)
             body, tail = ws.group(1), ws.group(2)
+            # An ORDER BY nested INSIDE this item (window OVER(...),
+            # subquery in the sort expression) sits behind parens the
+            # extent scan skipped — recurse so it gets the same
+            # null-order fix instead of keeping Spark's NULLS FIRST.
+            if _ORDER_BY_RE.search(body):
+                body = rewrite_order_by_nulls(body)
             if (
                 not body.strip()
                 or re.search(r"\bNULLS\s+(FIRST|LAST)$", body, re.IGNORECASE)
                 or re.search(r"\bDESC$", body, re.IGNORECASE)
             ):
-                fixed.append(it)
+                fixed.append(body + tail)
             else:
                 fixed.append(body + " NULLS LAST" + tail)
         out.append(sql[pos : m.end()])

@@ -112,8 +112,10 @@ def _route_read_functions(
             (path + repr(sorted(opts.items()))).encode()
         ).hexdigest()[:12]
         if opts:
-            reader = spark.read.options(inferSchema=True, header=True)
-            df = reader.options(**opts).csv(path)
+            # Route through the registry so an explicit delim= still
+            # gets the independent header sniff (hardcoding header=True
+            # here silently ate the first data row of headerless files)
+            df = registry.read(spark, path, fmt, **opts)
         else:
             df = registry.read(spark, path, fmt)
         df.createOrReplaceTempView(view)

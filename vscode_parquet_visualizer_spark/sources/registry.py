@@ -105,6 +105,61 @@ def sniff_csv_delimiter(path: str, sample_bytes: int = 65536) -> str:
     return best
 
 
+def sniff_csv_header(path: str, sep: str, sample_bytes: int = 65536) -> bool:
+    """Header detection on a driver-side sample (DuckDB's sniffer decides
+    has_header independently of any user-supplied delim —
+    src/duckdb-backend.ts:86-94). Rule (DuckDB-shaped): a header row is
+    all-text; if any first-row cell parses as a number the file is
+    headerless. All-text files default to header=true (DuckDB's
+    default for all-VARCHAR columns). Unreadable paths → true."""
+    import os
+
+    p = path
+    if os.path.isdir(p):
+        try:
+            entries = [
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.lower().endswith((".csv", ".tsv"))
+            ]
+            p = entries[0] if entries else p
+        except OSError:
+            return True
+    try:
+        with open(p, "rb") as fh:
+            sample = fh.read(sample_bytes).decode("utf-8", "replace")
+    except OSError:
+        return True
+    lines = [ln for ln in sample.splitlines() if ln.strip()]
+    if not lines:
+        return True
+
+    def cells(ln: str) -> list[str]:
+        out, cur, in_q = [], [], False
+        for ch in ln:
+            if ch == '"':
+                in_q = not in_q
+            elif ch == sep and not in_q:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        out.append("".join(cur))
+        return out
+
+    def numeric(s: str) -> bool:
+        s = s.strip().strip('"')
+        if not s:
+            return False
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    return not any(numeric(c) for c in cells(lines[0]))
+
+
 def read(spark: SparkSession, path: str, fmt: str | None = None, **options) -> DataFrame:
     """Load ``path`` with the routed (or forced) format."""
     fmt = fmt or format_for_path(path)
@@ -115,8 +170,14 @@ def read(spark: SparkSession, path: str, fmt: str | None = None, **options) -> D
         # split parallelism; a many-file lake layout keeps per-file
         # parallelism, so the 100 TB story is unchanged.
         sep = options.pop("sep", None) or sniff_csv_delimiter(path)
+        # Header is sniffed INDEPENDENTLY of an explicit delim (DuckDB
+        # parity: read_csv('f', delim='|') still auto-detects header) —
+        # only an explicit header= kwarg bypasses the sniff.
+        header = options.pop("header", None)
+        if header is None:
+            header = sniff_csv_header(path, sep)
         reader = (
-            reader.option("header", options.pop("header", True))
+            reader.option("header", header)
             .option("inferSchema", options.pop("inferSchema", True))
             .option("multiLine", options.pop("multiLine", True))
             .option("escape", options.pop("escape", '"'))
