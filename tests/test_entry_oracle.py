@@ -41,18 +41,11 @@ def test_workload_size():
     assert len(workload.oracle_sql()) >= 35
 
 
-# Non-SQL-expressible ops (hash families, k-means, iterative, streaming
-# state, synthetic media): rows-only by design — everything else in the
-# driver window must carry a value-hash oracle.
-ROWS_ONLY = {
-    "q35_minhash_lsh",
-    "q36_simhash",
-    "q41_similarity_lsh",
-    "q42_embedding_near_dup",
-    "q44_multimodal_features",
-    "q62_similarity_ivf",
-    "q67_dedup_clusters",
-}
+# Round 4: EVERY driver-window query now carries a value-hash oracle —
+# the former rows-only set (hash families, k-means, iterative, media)
+# was recomposed so each hash-dependent candidate stage feeds an
+# engine-exact verify stage whose output an SQL oracle can recompute.
+ROWS_ONLY: set[str] = set()
 
 # rows-only gates OUTSIDE the driver window (no DuckDB counterpart)
 NO_ORACLE_TAIL = {"q9a_media_codecs"}

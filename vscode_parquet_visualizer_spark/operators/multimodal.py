@@ -210,6 +210,113 @@ def sample_frames(
     return projected.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+TYPED_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("aspect", T.DoubleType(), True),
+        T.StructField("dur_s", T.DoubleType(), True),
+    ]
+)
+
+
+def typed_media_features(df: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """REAL-codec feature extraction into typed columns: BMP/netpbm
+    payloads decode to (width, height, per-channel means, aspect), WAV to
+    (duration); unknown formats yield NULL features (n_bytes only). The
+    per-channel mean is exact-integer-sum / npix / 255 — engine-portable
+    arithmetic, which is what lets the q44 gate value-compare decoded
+    output against a closed-form oracle. Same mapInPandas shape as
+    ``extract_features`` (streaming Arrow batches, explicit projection)."""
+    import pandas as pd
+
+    from vscode_parquet_visualizer_spark.operators import codecs
+    from vscode_parquet_visualizer_spark.session import ship_package
+
+    ship_package(df.sparkSession)
+    projected = df.select("id", "media")
+
+    def one(payload) -> dict:
+        out = {
+            "fmt": None, "n_bytes": None, "width": None, "height": None,
+            "mean_r": None, "mean_g": None, "mean_b": None,
+            "aspect": None, "dur_s": None,
+        }
+        if payload is None:
+            return out
+        out["n_bytes"] = len(payload)
+        fmt = codecs.sniff_format(payload)
+        out["fmt"] = fmt
+        if fmt in ("bmp", "pnm"):
+            img = (
+                codecs.decode_bmp(payload)
+                if fmt == "bmp"
+                else codecs.decode_pnm(payload)
+            ).astype(np.float64)
+            h, w, _ = img.shape
+            out["width"], out["height"] = w, h
+            out["mean_r"] = round(float(img[:, :, 0].mean()) / 255.0, 6)
+            out["mean_g"] = round(float(img[:, :, 1].mean()) / 255.0, 6)
+            out["mean_b"] = round(float(img[:, :, 2].mean()) / 255.0, 6)
+            out["aspect"] = round(float(w) / h, 6) if h else None
+        elif fmt == "wav":
+            samples, rate = codecs.decode_wav(payload)
+            out["dur_s"] = round(len(samples) / rate, 6) if rate else None
+        return out
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                feats = [one(b) for b in chunk["media"]]
+                res = pd.DataFrame(feats)
+                res.insert(0, "id", chunk["id"].values)
+                yield res
+
+    return projected.mapInPandas(run, schema=TYPED_FEATURE_SCHEMA)
+
+
+def oracle_media_table(spark, n: int = 60) -> DataFrame:
+    """Deterministic REAL-media table (actual BMP / P6-PPM / WAV bytes)
+    whose decoded content has a closed form: image pixel (r, c, k) of id
+    i is ``(i*31 + r*7 + c*3 + k*11) % 256``, WAV id i holds
+    ``800 + 40*i`` silent 16-bit mono samples at 16 kHz. An engine that
+    really decodes the payloads can therefore be value-checked against
+    pure SQL arithmetic (the q44 oracle). Driver-built: n is tiny; the
+    DECODE side stays distributed."""
+    from vscode_parquet_visualizer_spark.operators import codecs
+
+    rows = []
+    for i in range(n):
+        w, h = 4 + i % 5, 3 + i % 3
+        kind = i % 3
+        if kind == 2:
+            nsamp = 800 + 40 * i
+            payload = codecs.encode_wav(np.zeros(nsamp), sample_rate=16000)
+            mtype = "audio"
+            meta = (None, None, 16000, int(nsamp * 1000 / 16000))
+        else:
+            rr = np.arange(h)[:, None, None]
+            cc = np.arange(w)[None, :, None]
+            kk = np.arange(3)[None, None, :]
+            img = ((i * 31 + rr * 7 + cc * 3 + kk * 11) % 256).astype(np.uint8)
+            payload = (
+                codecs.encode_bmp(img) if kind == 0 else codecs.encode_ppm(img)
+            )
+            mtype = "image"
+            meta = (w, h, None, None)
+        rows.append((i, payload, mtype, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(
+        max(1, min(8, n // 8))
+    )
+
+
 def synthetic_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table for tests (binary payloads derived
     from the row id — no randomness, no codec)."""

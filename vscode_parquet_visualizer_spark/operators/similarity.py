@@ -221,6 +221,44 @@ def _bucketize_all_tables(
     )
 
 
+def _lsh_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    dim: int,
+    bits: int,
+    tables: int,
+    seed: int,
+) -> DataFrame:
+    """Exact-scored LSH candidates: (query_id, neighbor_id, score) for
+    every corpus row sharing a bucket with the query in ANY table."""
+    cb = _bucketize_all_tables(
+        corpus, id_col, "neighbor_id", vec_col, dim, bits, tables, seed
+    )
+    qb = F.broadcast(
+        _bucketize_all_tables(
+            queries, query_id_col, "query_id", vec_col, dim, bits, tables, seed
+        ).withColumnRenamed(vec_col, "__qvec")
+    )
+    return (
+        cb.join(qb, ["table", "bucket"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(
+                    F.col(vec_col).cast("array<double>"),
+                    F.col("__qvec").cast("array<double>"),
+                ),
+                6,
+            ).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -239,52 +277,67 @@ def lsh_topk(
     hash join whose build side is the tiny query set."""
     if dim is None:
         dim = _vector_dim(queries, vec_col)
-
-    cb = _bucketize_all_tables(
-        corpus, id_col, "neighbor_id", vec_col, dim, bits, tables, seed
+    cand = _lsh_scored(
+        corpus, queries, id_col, vec_col, query_id_col, dim, bits, tables, seed
     )
-    qb = F.broadcast(
-        _bucketize_all_tables(
-            queries, query_id_col, "query_id", vec_col, dim, bits, tables, seed
-        ).withColumnRenamed(vec_col, "__qvec")
-    )
-    cand = cb.join(qb, ["table", "bucket"]).select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            cosine_similarity(
-                F.col(vec_col).cast("array<double>"),
-                F.col("__qvec").cast("array<double>"),
-            ),
-            6,
-        ).alias("score"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
     return _topk_per_query(cand, k)
 
 
-def ivf_topk(
+def lsh_neighbors(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
+    threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    n_centroids: int = 16,
-    nprobe: int = 4,
+    dim: int | None = None,
+    bits: int = 10,
+    tables: int = 4,
     seed: int = 42,
-    fit_sample_rows: int = 100_000,
 ) -> DataFrame:
-    """IVF-style ANN: k-means coarse quantizer (Spark ML), corpus rows
-    assigned to their nearest centroid once, each query probes its
-    ``nprobe`` nearest centroids and scores only those cells.
+    """Threshold variant of ``lsh_topk``: every LSH candidate whose EXACT
+    cosine (rounded to 6) clears ``threshold``. Because the output is the
+    exact-verified set — the hash family only generates candidates — it
+    is value-comparable against an engine-independent oracle whenever the
+    candidate stage recalls all qualifying pairs (sign-preserving planted
+    copies recall deterministically; set ``threshold`` above the corpus's
+    ambient max cosine so nothing else qualifies — the q41 gate)."""
+    if dim is None:
+        dim = _vector_dim(queries, vec_col)
+    cand = _lsh_scored(
+        corpus, queries, id_col, vec_col, query_id_col, dim, bits, tables, seed
+    )
+    return cand.filter(F.col("score") >= threshold)
 
-    Scale shape: the fit runs on ≤``fit_sample_rows`` vectors (k-means
-    over 100 TB of vectors is never the plan) taken via ``limit`` — a
-    LocalLimit that reads only enough leading partitions, not a full
-    pass; pass a pre-sampled corpus if the leading rows are known to be
-    unrepresentative. Assignment is one narrow pass, and the probe join
-    touches nprobe/n_centroids of the corpus per query — the classic
-    recall/throughput dial.
+
+def _normalize_rows(X: "np.ndarray") -> "np.ndarray":
+    """L2-normalize rows; zero vectors stay zero."""
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return X / n
+
+
+def _ivf_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    n_centroids: int,
+    nprobe: int,
+    seed: int,
+    fit_sample_rows: int,
+) -> DataFrame:
+    """Exact-scored IVF candidates: (query_id, neighbor_id, score) for
+    corpus rows in any of the query's ``nprobe`` probed cells.
+
+    SPHERICAL quantization: the metric everywhere in this module is
+    cosine, so both the k-means fit and the cell assignment run on
+    L2-NORMALIZED vectors (FAISS IndexIVF + METRIC_INNER_PRODUCT does
+    the same). Besides being the right metric, normalization makes cell
+    assignment invariant under positive scaling — a scaled copy of a
+    vector lands in exactly its original's cell, which is what lets the
+    q62 gate pin recall deterministically.
     """
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -303,8 +356,10 @@ def ivf_topk(
     fit_input = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
     if fit_sample_rows:
         fit_input = fit_input.limit(fit_sample_rows)
-    sample = np.asarray(
-        [np.asarray(v, dtype=np.float64) for v in fit_input.toPandas()["__v"]]
+    sample = _normalize_rows(
+        np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in fit_input.toPandas()["__v"]]
+        )
     )  # Arrow transfer: ~10× the row-based collect for array columns
     centroids = _lloyd(sample, n_centroids, seed=seed, iters=8)
 
@@ -312,7 +367,9 @@ def ivf_topk(
     def _nearest_cell(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="int32")
-        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        X = _normalize_rows(
+            np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        )
         d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
@@ -329,7 +386,9 @@ def ivf_topk(
     def _probe_cells(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        X = _normalize_rows(
+            np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        )
         d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([[int(i) for i in row] for row in idx])
@@ -341,18 +400,75 @@ def ivf_topk(
             F.explode(_probe_cells(F.col(vec_col).cast("array<double>"))).alias("__cell"),
         )
     )
-    cand = assigned.join(q, "__cell").select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            cosine_similarity(
-                F.col(vec_col).cast("array<double>"),
-                F.col("__qvec").cast("array<double>"),
-            ),
-            6,
-        ).alias("score"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    return (
+        assigned.join(q, "__cell")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(
+                    F.col(vec_col).cast("array<double>"),
+                    F.col("__qvec").cast("array<double>"),
+                ),
+                6,
+            ).alias("score"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    fit_sample_rows: int = 100_000,
+) -> DataFrame:
+    """IVF ANN: spherical k-means coarse quantizer, corpus rows assigned
+    to their nearest centroid once, each query probes its ``nprobe``
+    nearest centroids and scores only those cells.
+
+    Scale shape: the fit runs on ≤``fit_sample_rows`` vectors (k-means
+    over 100 TB of vectors is never the plan) taken via ``limit`` — a
+    LocalLimit that reads only enough leading partitions, not a full
+    pass; pass a pre-sampled corpus if the leading rows are known to be
+    unrepresentative. Assignment is one narrow pass, and the probe join
+    touches nprobe/n_centroids of the corpus per query — the classic
+    recall/throughput dial.
+    """
+    cand = _ivf_scored(
+        corpus, queries, id_col, vec_col, query_id_col,
+        n_centroids, nprobe, seed, fit_sample_rows,
+    )
     return _topk_per_query(cand, k)
+
+
+def ivf_neighbors(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    fit_sample_rows: int = 100_000,
+) -> DataFrame:
+    """Threshold variant of ``ivf_topk`` (see ``lsh_neighbors`` for the
+    oracle-composability rationale): IVF candidates whose exact cosine
+    clears ``threshold``. Spherical assignment makes planted scaled
+    copies land in their original's cell deterministically."""
+    cand = _ivf_scored(
+        corpus, queries, id_col, vec_col, query_id_col,
+        n_centroids, nprobe, seed, fit_sample_rows,
+    )
+    return cand.filter(F.col("score") >= threshold)
 
 
 def embedding_near_dup_pairs(

@@ -922,21 +922,100 @@ def q34(spark, sf_dir):
     ).select("id_a", "id_b", "jaccard")
 
 
-@q("q35_minhash_lsh")  # no SQL oracle: hash-permutation family isn't SQL
+@q(
+    "q35_minhash_lsh",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents WHERE doc_id < 600
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1) + 1),
+               i -> array_to_string(toks[i:i+1], ' '))) AS sh
+      FROM norm
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.5
+    """,
+)
 def q35(spark, sf_dir):
     """MinHash+LSH candidate pairs (64 hashes, 16 bands) joined back to
-    exact Jaccard — the full scale-path dedup pipeline."""
+    exact bigram Jaccard — the full scale-path dedup pipeline, output =
+    the exact-verified pair set so the oracle (bounded all-pairs exact
+    Jaccard) can value-match it. Recall is pinned by the measured data:
+    every qualifying pair has J ≥ 0.9 (nothing between 0.3 and 0.9 at
+    any sf), where a 16-band/4-row signature misses with probability
+    (1−0.9⁴)¹⁶ ≈ 4e-8 — and the signatures are seeded, so the outcome
+    is deterministic, validated by the oracle at sf0.001/0.01/0.1. The
+    doc_id < 600 bound keeps the O(n²) ORACLE tractable; the Spark side
+    stays sub-quadratic (banded bucket join) at any corpus size."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"]
+    docs = t["documents"].filter(F.col("doc_id") < 600)
     pairs = dd.minhash_lsh_pairs(docs, num_hashes=64, bands=16, shingle_n=2)
     return dd.ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.5, candidates=pairs)
 
 
-@q("q36_simhash")  # no SQL oracle
+@q(
+    "q36_simhash",
+    """
+    WITH raw AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents WHERE doc_id < 10
+    ), norm AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM raw
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM norm
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.9999
+    """,
+)
 def q36(spark, sf_dir):
-    """SimHash near-dup candidates within Hamming blocking."""
+    """SimHash dedup composed with the exact trigram-Jaccard verify
+    stage, gated on what the algorithm GUARANTEES rather than its
+    probabilistic tail: identical trigram-shingle sets ⟹ identical
+    simhash ⟹ Hamming 0 ⟹ caught in every rotated block — so at
+    J = 1.0 the candidate stage has recall 1 by construction, at every
+    sf, and the oracle (bounded all-pairs exact trigram Jaccard) can
+    value-match the output. Ten planted exact copies (doc_id + 10M)
+    make the gate non-vacuous; the natural near-dup pairs (J 0.95-0.99,
+    Hamming 1-9 — measured) flow through the SAME candidate+verify plan
+    and are correctly EXCLUDED by the threshold, which exercises the
+    verify filter non-trivially. Probabilistic near-dup recall (Hamming
+    ≤ 3 guarantee, best-effort beyond) is pinned by the planted-dup
+    pytest gates instead — no SQL oracle can attest a hash family's
+    tail behavior."""
     t = load_tables(spark, sf_dir)
-    return dd.simhash_dedup(t["documents"].filter(F.col("doc_id") < 200))
+    base = t["documents"].select("doc_id", "text").filter(F.col("doc_id") < 400)
+    planted = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(planted)
+    cand = (
+        dd.simhash_dedup(docs)
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b")
+    )
+    return dd.ngram_jaccard_pairs(
+        docs, shingle_n=3, threshold=0.9999, candidates=cand
+    )
 
 
 @q(
@@ -1088,18 +1167,73 @@ def q40(spark, sf_dir):
     )
 
 
-@q("q41_similarity_lsh")  # no SQL oracle: hyperplane family isn't SQL
+def _planted_embeddings(t, ids=(0, 1, 2)):
+    """Corpus ∪ sign-preserving scaled copies (vec_id + 10M, × 1.05) of
+    the given ids. Positive scaling preserves every hyperplane-projection
+    sign AND (under spherical IVF) the cell assignment, so the planted
+    pairs are recalled DETERMINISTICALLY by both hash families — which is
+    what lets the ANN gates be value-compared against an exact oracle."""
+    base = t["embeddings"].select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id").isin(*ids)).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.05)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    return base.unionByName(planted)
+
+
+_PLANTED_CORPUS_SQL = """
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000,
+             list_transform(embedding,
+                            x -> CAST(CAST(x * 1.05 AS FLOAT) AS DOUBLE))
+      FROM embeddings WHERE vec_id IN ({ids})
+"""
+
+
+@q(
+    "q41_similarity_lsh",
+    f"""
+    WITH corpus AS ({_PLANTED_CORPUS_SQL.format(ids="0, 1, 2")}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus
+          WHERE vec_id IN (0, 1, 2))
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(c.v, q.qv), 6) AS score
+    FROM corpus c CROSS JOIN q
+    WHERE round(list_cosine_similarity(c.v, q.qv), 6) >= 0.9
+    """,
+)
 def q41(spark, sf_dir):
-    """Approximate ANN via random-hyperplane LSH (scale path)."""
+    """ANN via random-hyperplane LSH, composed with the exact-cosine
+    verify stage (operators/similarity.lsh_neighbors): the hash family
+    only GENERATES candidates; the output is the exact set ≥ 0.9, which
+    the oracle recomputes engine-independently. Recall is pinned: the
+    ambient corpus max cosine is ≤ 0.61 at every sf (measured), and the
+    only qualifying neighbors — self (identical buckets trivially) and
+    the planted scaled copies (sign-preserving ⇒ identical buckets) —
+    are recalled deterministically."""
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"]
-    queries = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+    corpus = _planted_embeddings(t, ids=(0, 1, 2))
+    queries = corpus.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return sim.lsh_topk(e, queries, k=10, dim=64, bits=8, tables=4)
+    return sim.lsh_neighbors(
+        corpus, queries, threshold=0.9, dim=64, bits=8, tables=4
+    )
 
 
-@q("q42_embedding_near_dup")  # no SQL oracle
+@q(
+    "q42_embedding_near_dup",
+    f"""
+    WITH corpus AS ({_PLANTED_CORPUS_SQL.format(ids="0, 1, 2, 3, 4")})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS score
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+    """,
+)
 def q42(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via LSH self-join.
 
@@ -1107,18 +1241,14 @@ def q42(spark, sf_dir):
     small sf, which made the gate vacuous (0 rows asserts nothing). Plant
     five scaled copies (vec_id + 10M, embedding × 1.05): scaling preserves
     every projection sign, so each planted pair shares all LSH buckets
-    and scores cosine 1.0 — the gate now proves bucket-join + scoring +
-    threshold end-to-end at every sf."""
+    and scores cosine 1.0 — the gate proves bucket-join + scoring +
+    threshold end-to-end at every sf, and the oracle (all-pairs exact
+    cosine ≥ 0.95) value-matches because the ambient max cosine is ≤ 0.61
+    (measured at every sf): nothing but the deterministically-recalled
+    planted pairs qualifies."""
     t = load_tables(spark, sf_dir)
-    base = t["embeddings"].select("vec_id", "embedding")
-    planted = base.filter(F.col("vec_id") < 5).select(
-        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
-        F.transform("embedding", lambda x: (x * F.lit(1.05)).cast("float")).alias(
-            "embedding"
-        ),
-    )
     return sim.embedding_near_dup_pairs(
-        base.unionByName(planted), threshold=0.95, dim=64
+        _planted_embeddings(t, ids=(0, 1, 2, 3, 4)), threshold=0.95, dim=64
     )
 
 
@@ -1154,18 +1284,55 @@ def q43(spark, sf_dir):
     )
 
 
-@q("q44_multimodal_features")  # no SQL oracle: synthetic media table
-def q44(spark, sf_dir):
-    """Multimodal plumbing: binary media column → Arrow-batched feature
-    extraction (deterministic fake decode; real codecs are stubbed —
-    operators/multimodal.py)."""
-    media = mm.synthetic_media_table(spark, n=64)
-    feats = mm.extract_features(media)
-    return feats.groupBy("media_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.sum(F.element_at("feature", 1)), 4).alias("sum_f0"),
+@q(
+    "q44_multimodal_features",
+    """
+    WITH ids AS (SELECT CAST(i AS BIGINT) AS id FROM range(0, 60) t(i)),
+    spec AS (
+      SELECT id,
+             CASE id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'pnm' ELSE 'wav' END AS fmt,
+             CAST(4 + id % 5 AS BIGINT) AS w,
+             CAST(3 + id % 3 AS BIGINT) AS h,
+             800 + 40 * id AS nsamp
+      FROM ids
+    ), px AS (
+      SELECT s.id,
+             avg(CAST((s.id*31 + r.r*7 + c.c*3) % 256 AS DOUBLE)) AS m0,
+             avg(CAST((s.id*31 + r.r*7 + c.c*3 + 11) % 256 AS DOUBLE)) AS m1,
+             avg(CAST((s.id*31 + r.r*7 + c.c*3 + 22) % 256 AS DOUBLE)) AS m2
+      FROM spec s, range(0, 6) r(r), range(0, 9) c(c)
+      WHERE r.r < s.h AND c.c < s.w AND s.fmt <> 'wav'
+      GROUP BY s.id
     )
+    SELECT s.id, s.fmt,
+           CAST(CASE s.fmt
+                WHEN 'bmp' THEN 54 + ((s.w*3 + 3)//4)*4*s.h
+                WHEN 'pnm' THEN 9 + length(CAST(s.w AS VARCHAR))
+                               + length(CAST(s.h AS VARCHAR)) + 3*s.w*s.h
+                ELSE 44 + 2*s.nsamp END AS BIGINT) AS n_bytes,
+           CASE WHEN s.fmt = 'wav' THEN NULL ELSE s.w END AS width,
+           CASE WHEN s.fmt = 'wav' THEN NULL ELSE s.h END AS height,
+           round(px.m0/255.0, 6) AS mean_r,
+           round(px.m1/255.0, 6) AS mean_g,
+           round(px.m2/255.0, 6) AS mean_b,
+           CASE WHEN s.fmt = 'wav' THEN NULL
+                ELSE round(CAST(s.w AS DOUBLE)/s.h, 6) END AS aspect,
+           CASE WHEN s.fmt = 'wav' THEN round(s.nsamp/16000.0, 6)
+                ELSE NULL END AS dur_s
+    FROM spec s LEFT JOIN px ON s.id = px.id
+    """,
+)
+def q44(spark, sf_dir):
+    """Multimodal decode gate with REAL codecs end-to-end: actual BMP /
+    P6-PPM / WAV bytes (operators/multimodal.oracle_media_table — pixel
+    values a closed form of the id) flow through the distributed
+    Arrow-batched decode (typed_media_features → operators/codecs), and
+    the DECODED widths/heights/channel means/durations are value-matched
+    against pure SQL arithmetic. A wrong BMP row order, padding byte, or
+    channel swap shows up as a hash mismatch — the decode is attested,
+    not just the plumbing shape."""
+    media = mm.oracle_media_table(spark, n=60)
+    return mm.typed_media_features(media)
 
 
 @q(
@@ -1523,18 +1690,36 @@ def q61(spark, sf_dir):
     return spark.table(name).withColumnsRenamed({"count": "n"})
 
 
-@q("q62_similarity_ivf")  # rows-only: k-means fit isn't SQL
+@q(
+    "q62_similarity_ivf",
+    f"""
+    WITH corpus AS ({_PLANTED_CORPUS_SQL.format(ids="3, 4, 5")}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus
+          WHERE vec_id IN (3, 4, 5))
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(c.v, q.qv), 6) AS score
+    FROM corpus c CROSS JOIN q
+    WHERE round(list_cosine_similarity(c.v, q.qv), 6) >= 0.9
+    """,
+)
 def q62(spark, sf_dir):
-    """IVF ANN: k-means coarse quantizer + nprobe cell probing — the
-    trained-index scale path next to q41's hash-based LSH."""
+    """IVF ANN (spherical k-means quantizer + nprobe cell probing — the
+    trained-index scale path next to q41's hash-based LSH), composed
+    with the exact-cosine verify stage (similarity.ivf_neighbors). The
+    quantizer is deterministic (seeded k-means++ on a LocalLimit
+    sample), spherical assignment puts each planted scaled copy in
+    exactly its original's cell, and the query probes its own cell
+    first — so the qualifying set (self + planted, nothing ambient at
+    cosine ≥ 0.9) is recalled deterministically and the oracle can
+    recompute it exactly. Queries 3,4,5 (vs q41's 0,1,2) so the two ANN
+    gates attest different outputs."""
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"]
-    queries_df = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+    corpus = _planted_embeddings(t, ids=(3, 4, 5))
+    queries_df = corpus.filter(F.col("vec_id").isin(3, 4, 5)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = sim.ivf_topk(e, queries_df, k=10, n_centroids=16, nprobe=4)
-    return out.select(
-        "query_id", "neighbor_id", "score", F.col("rank").cast("bigint").alias("rank")
+    return sim.ivf_neighbors(
+        corpus, queries_df, threshold=0.9, n_centroids=16, nprobe=4
     )
 
 
@@ -1647,13 +1832,84 @@ def q66(spark, sf_dir):
     )
 
 
-@q("q67_dedup_clusters")  # rows-only: iterative algorithm
+@q(
+    "q67_dedup_clusters",
+    """
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents WHERE doc_id < 600
+    ), docs AS (
+      SELECT doc_id, toks FROM base
+      UNION ALL
+      SELECT doc_id + 10000000, toks FROM base WHERE doc_id < 10
+    ), keyed AS (
+      SELECT doc_id,
+             array_to_string(toks[1:10], ' ') AS ka,
+             array_to_string(list_reverse(toks)[1:10], ' ') AS kb
+      FROM docs
+    ), ea AS (
+      SELECT min(doc_id) OVER (PARTITION BY ka) AS src, doc_id AS dst FROM keyed
+    ), eb AS (
+      SELECT min(doc_id) OVER (PARTITION BY kb) AS src, doc_id AS dst FROM keyed
+    ), star AS (
+      SELECT src, dst FROM ea WHERE src <> dst
+      UNION
+      SELECT src, dst FROM eb WHERE src <> dst
+    ), edges AS (
+      SELECT src, dst FROM star UNION SELECT dst, src FROM star
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.dst AS id, reach.r
+      FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
 def q67(spark, sf_dir):
-    """Full dedup survivorship: LSH candidate pairs → connected components
-    (distributed label propagation) → one cluster id per involved doc."""
+    """Dedup survivorship clusters: connected components via distributed
+    label propagation (operators/dedup.dup_clusters — iterative min-label
+    rounds with localCheckpoint lineage truncation) over an edge set both
+    engines can derive exactly: per-class star edges on two content keys
+    (first-10-token and last-10-token prefixes of the normalized text,
+    plus ten planted exact copies), whose union produces genuinely
+    multi-hop components. The oracle recomputes the same components with
+    a recursive reachability CTE — component ids (min doc_id reachable)
+    are engine-independent, so the iterative algorithm's OUTPUT is
+    value-gated even though the algorithm itself isn't SQL. The LSH
+    candidate generator that feeds this operator in the production
+    pipeline is value-gated separately (q35)."""
     t = load_tables(spark, sf_dir)
-    pairs = dd.minhash_lsh_pairs(t["documents"], num_hashes=64, bands=16, shingle_n=2)
-    return dd.dup_clusters(pairs)
+    base = t["documents"].select("doc_id", "text").filter(F.col("doc_id") < 600)
+    planted = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    toks = F.split(dd.normalized(F.col("text")), " ")
+    keyed = (
+        base.unionByName(planted)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(toks, 1, 10)).alias("ka"),
+            F.concat_ws(" ", F.slice(F.reverse(toks), 1, 10)).alias("kb"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    ea = keyed.select(
+        F.min("doc_id").over(W.partitionBy("ka")).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+    )
+    eb = keyed.select(
+        F.min("doc_id").over(W.partitionBy("kb")).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+    )
+    star = (
+        ea.unionByName(eb).filter(F.col("id_a") != F.col("id_b")).distinct()
+    )
+    return dd.dup_clusters(star)
 
 
 sql_query(
