@@ -167,3 +167,30 @@ def test_topk_partial_limit_before_shuffle(spark, sf_dir):
     ex = plan.index("Exchange")
     assert "WindowGroupLimit" in plan[ex:]
     assert "Partial" in plan[ex:]
+
+
+def test_ann_join_does_not_duplicate_python_udf(spark, sf_dir):
+    """A join key produced by a nullable Python UDF gets an implicit
+    IsNotNull, which Catalyst pushes below the projection by DUPLICATING
+    the ArrowEvalPython — the corpus then crosses the Python boundary
+    twice in series (measured 10x the pass cost). The coalesce(udf, -1)
+    non-nullable-key guard must keep exactly ONE ArrowEvalPython per
+    join side: corpus assign/bucketize + broadcast probe/bucketize."""
+    from vscode_parquet_visualizer_spark.operators.similarity import (
+        ivf_neighbors,
+        lsh_neighbors,
+    )
+
+    emb = registry.read(spark, f"{sf_dir}/embeddings.parquet", "parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def simple_plan(df) -> str:
+        # simple mode: formatted/AQE output prints operators twice
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    plan = simple_plan(ivf_neighbors(emb, queries, threshold=0.9))
+    assert plan.count("ArrowEvalPython") == 2  # assign + probe, no dups
+    plan = simple_plan(lsh_neighbors(emb, queries, threshold=0.9, dim=64))
+    assert plan.count("ArrowEvalPython") == 2  # corpus + query bucketize

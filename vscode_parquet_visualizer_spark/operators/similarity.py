@@ -214,10 +214,20 @@ def _bucketize_all_tables(
             out[:, t] = signs[:, t * bits : (t + 1) * bits] @ powers
         return pd.Series(list(out))
 
+    # coalesce: the exploded bucket element is nullable, so a join on it
+    # injects IsNotNull(bucket) which Catalyst pushes below the
+    # projection by DUPLICATING the ArrowEvalPython (the GEMM UDF would
+    # run twice per batch in series — measured 2× the pass cost). A
+    # non-nullable key expression suppresses the filter entirely.
     return df.select(
         F.col(idc).alias(out_id),
         F.col(vec_col),
-        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "__b0"),
+    ).select(
+        out_id,
+        vec_col,
+        "table",
+        F.coalesce(F.col("__b0"), F.lit(-1)).alias("bucket"),
     )
 
 
@@ -237,9 +247,13 @@ def _lsh_scored(
     cb = _bucketize_all_tables(
         corpus, id_col, "neighbor_id", vec_col, dim, bits, tables, seed
     )
+    # queries are small by contract (they get broadcast) — coalesce(1)
+    # so the bucketize UDF pass is ONE task, not one per upstream
+    # partition of whatever the query set was filtered from
     qb = F.broadcast(
         _bucketize_all_tables(
-            queries, query_id_col, "query_id", vec_col, dim, bits, tables, seed
+            queries.coalesce(1), query_id_col, "query_id", vec_col, dim,
+            bits, tables, seed,
         ).withColumnRenamed(vec_col, "__qvec")
     )
     return (
@@ -373,10 +387,19 @@ def _ivf_scored(
         d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
+    # coalesce(udf, -1): the UDF output is nullable, so a join on it
+    # injects IsNotNull(__cell), and Catalyst pushes that filter BELOW
+    # this projection by DUPLICATING the ArrowEvalPython — the whole
+    # corpus then crosses the Python boundary twice in series (measured
+    # 10× the pass cost at sf0.1). Coalesce with a literal makes the
+    # key expression non-nullable, so no filter is ever injected; -1
+    # matches no probe cell, preserving semantics for null vectors.
     assigned = vecs.select(
         "neighbor_id",
         vec_col,
-        _nearest_cell(F.col(vec_col).cast("array<double>")).alias("__cell"),
+        F.coalesce(
+            _nearest_cell(F.col(vec_col).cast("array<double>")), F.lit(-1)
+        ).alias("__cell"),
     )
 
     # Runs only over the broadcast query set, but batch it anyway: one
@@ -393,11 +416,22 @@ def _ivf_scored(
         idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([[int(i) for i in row] for row in idx])
 
+    # queries are small by contract (broadcast): one probe task.
+    # Same non-nullable-key treatment as `assigned` (the explode output
+    # element is nullable): -2 so a pathological null never matches -1.
     q = F.broadcast(
-        queries.select(
+        queries.coalesce(1)
+        .select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
-            F.explode(_probe_cells(F.col(vec_col).cast("array<double>"))).alias("__cell"),
+            F.explode(
+                _probe_cells(F.col(vec_col).cast("array<double>"))
+            ).alias("__c0"),
+        )
+        .select(
+            "query_id",
+            "__qvec",
+            F.coalesce(F.col("__c0"), F.lit(-2)).alias("__cell"),
         )
     )
     return (
