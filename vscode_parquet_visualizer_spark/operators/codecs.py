@@ -12,11 +12,15 @@ turning the "codec injection point" from a stub into a working path:
   HxWx3 array → image features (dimensions, channel means, grayscale
   std) and a real nearest-neighbor resize (decode → index-sample →
   re-encode).
+- **PNG** (8-bit RGB/RGBA/gray, non-interlaced) via ``zlib`` + ``struct``:
+  chunk walk, IDAT inflate, per-scanline unfilter (all five filter
+  types — None/Sub/Up/Average/Paeth) → HxWx3 array; encoder emits
+  filter-0 RGB with proper CRCs.
 
-JPEG/PNG/MP4 still require Pillow/ffmpeg (absent from this container) and
-keep the loud NotImplementedError injection points. Encoders for both
-formats are included so tests and synthetic pipelines round-trip real
-bytes.
+JPEG/MP4 still require Pillow/ffmpeg (absent from this container) and
+keep the loud NotImplementedError injection points. Encoders for the
+decodable formats are included so tests and synthetic pipelines
+round-trip real bytes.
 
 Everything here is per-payload pure Python/NumPy and runs inside the
 Arrow-batched ``mapInPandas`` workers — no driver involvement, scales
@@ -270,6 +274,155 @@ def resize_pnm(payload: bytes, width: int, height: int) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# PNG (8-bit RGB / RGBA / grayscale, non-interlaced — stdlib zlib only)
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB array → PNG bytes (8-bit truecolor, filter 0,
+    non-interlaced, one zlib-deflated IDAT)."""
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_png expects an HxWx3 RGB array")
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → HxWx3 uint8 RGB array. Supports 8-bit color types
+    0 (gray, broadcast to RGB), 2 (RGB) and 6 (RGBA, alpha dropped),
+    non-interlaced, all five scanline filters. Anything else (palette,
+    16-bit, Adam7) raises loudly."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    w = h = None
+    channels = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if interlace != 0:
+                raise NotImplementedError("interlaced (Adam7) PNG")
+            channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {ctype}")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    data = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    bpp = channels
+    for y in range(h):
+        ftype = data[y * (stride + 1)]
+        row = np.frombuffer(
+            data, dtype=np.uint8,
+            count=stride, offset=y * (stride + 1) + 1,
+        ).astype(np.int64)
+        if ftype == 0:
+            cur = row
+        elif ftype == 1:  # Sub: cumulative per channel offset
+            cur = row.reshape(w, bpp).cumsum(axis=0).reshape(stride) % 256
+        elif ftype == 2:  # Up
+            cur = (row + prev) % 256
+        elif ftype in (3, 4):  # Average / Paeth: sequential per byte
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ftype == 3:
+                    cur[i] = (row[i] + (a + b) // 2) % 256
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    cur[i] = (row[i] + _paeth(int(a), int(b), int(c))) % 256
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3].copy()
+
+
+def png_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Same feature contract as bmp_features, over the decoded array."""
+    img = decode_png(payload).astype(np.float64)
+    h, w, _ = img.shape
+    gray = img.mean(axis=2)
+    dx = np.abs(np.diff(gray, axis=1)).mean() if w > 1 else 0.0
+    feats = [
+        float(w),
+        float(h),
+        float(img[:, :, 0].mean() / 255.0),
+        float(img[:, :, 1].mean() / 255.0),
+        float(img[:, :, 2].mean() / 255.0),
+        float(gray.std() / 255.0),
+        float(dx / 255.0),
+        float(w / h if h else 0.0),
+    ]
+    return ([round(f, 6) for f in feats] + [0.0] * dim)[:dim]
+
+
+def resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize; re-encodes as 8-bit RGB filter-0 PNG."""
+    img = decode_png(payload)
+    h, w, _ = img.shape
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return encode_png(img[ys][:, xs])
+
+
+# --------------------------------------------------------------------------
 # dispatch
 # --------------------------------------------------------------------------
 
@@ -284,6 +437,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:2] in (b"P5", b"P6"):
         return "pnm"
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return "png"
     return None
 
 
@@ -302,4 +457,6 @@ def media_features(payload: bytes, dim: int = 8) -> list[float]:
         return bmp_features(payload, dim)
     if fmt == "pnm":
         return pnm_features(payload, dim)
+    if fmt == "png":
+        return png_features(payload, dim)
     return deterministic_fake_decode(payload, dim)

@@ -451,7 +451,7 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _label_sum(df: DataFrame):
@@ -471,12 +471,15 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), "cluster_id")
         )
+        # eager=False: the convergence-sum action right below is the
+        # round's single materialization — an eager checkpoint here ran
+        # a SECOND job per round (2× the per-round floor on small data).
         new_labels = (
             labels.select("id", "cluster_id")
             .unionByName(propagated)
             .groupBy("id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         labels = new_labels
         new_sum = _label_sum(labels)

@@ -70,14 +70,14 @@ def deterministic_fake_decode(payload: bytes, dim: int = 8) -> list[float]:
 
 def real_decode_stub(payload: bytes) -> Any:  # pragma: no cover - by design
     """The codec integration point for formats needing external libs
-    (JPEG/PNG via Pillow, MP3/FLAC via soundfile, video via ffmpeg).
-    WAV and BMP decode for REAL with zero dependencies — see
-    operators/codecs.py (``media_features`` sniffs the format and uses
-    the stdlib codecs, falling back to the byte histogram)."""
+    (JPEG via Pillow, MP3/FLAC via soundfile, video via ffmpeg).
+    WAV, BMP, netpbm AND PNG decode for REAL with zero dependencies —
+    see operators/codecs.py (``media_features`` sniffs the format and
+    uses the stdlib codecs, falling back to the byte histogram)."""
     raise NotImplementedError(
         "this format requires codec libraries (Pillow/soundfile/ffmpeg) "
-        "not present in this environment; WAV/BMP decode natively via "
-        "operators.codecs"
+        "not present in this environment; WAV/BMP/netpbm/PNG decode "
+        "natively via operators.codecs"
     )
 
 
@@ -135,12 +135,18 @@ def resize_images(
         )
 
         def resize_fn(payload: bytes, w: int, h: int) -> bytes:
-            # BMP resizes for real (stdlib codec, operators/codecs.py);
-            # JPEG/PNG still need Pillow
-            if sniff_format(payload) == "bmp":
+            # BMP/PNG resize for real (stdlib codecs); JPEG needs Pillow
+            fmt = sniff_format(payload)
+            if fmt == "bmp":
                 return resize_bmp(payload, w, h)
+            if fmt == "png":
+                from vscode_parquet_visualizer_spark.operators.codecs import (
+                    resize_png,
+                )
+
+                return resize_png(payload, w, h)
             raise NotImplementedError(
-                "non-BMP image resize requires Pillow; inject resize_fn"
+                "non-BMP/PNG image resize requires Pillow; inject resize_fn"
             )
 
     out_schema = df.schema
@@ -253,12 +259,12 @@ def typed_media_features(df: DataFrame, batch_rows: int = 256) -> DataFrame:
         out["n_bytes"] = len(payload)
         fmt = codecs.sniff_format(payload)
         out["fmt"] = fmt
-        if fmt in ("bmp", "pnm"):
-            img = (
-                codecs.decode_bmp(payload)
-                if fmt == "bmp"
-                else codecs.decode_pnm(payload)
-            ).astype(np.float64)
+        if fmt in ("bmp", "pnm", "png"):
+            img = {
+                "bmp": codecs.decode_bmp,
+                "pnm": codecs.decode_pnm,
+                "png": codecs.decode_png,
+            }[fmt](payload).astype(np.float64)
             h, w, _ = img.shape
             out["width"], out["height"] = w, h
             out["mean_r"] = round(float(img[:, :, 0].mean()) / 255.0, 6)
@@ -295,7 +301,7 @@ def oracle_media_table(spark, n: int = 60) -> DataFrame:
     rows = []
     for i in range(n):
         w, h = 4 + i % 5, 3 + i % 3
-        kind = i % 3
+        kind = i % 4
         if kind == 2:
             nsamp = 800 + 40 * i
             payload = codecs.encode_wav(np.zeros(nsamp), sample_rate=16000)
@@ -306,9 +312,11 @@ def oracle_media_table(spark, n: int = 60) -> DataFrame:
             cc = np.arange(w)[None, :, None]
             kk = np.arange(3)[None, None, :]
             img = ((i * 31 + rr * 7 + cc * 3 + kk * 11) % 256).astype(np.uint8)
-            payload = (
-                codecs.encode_bmp(img) if kind == 0 else codecs.encode_ppm(img)
-            )
+            payload = {
+                0: codecs.encode_bmp,
+                1: codecs.encode_ppm,
+                3: codecs.encode_png,
+            }[kind](img)
             mtype = "image"
             meta = (w, h, None, None)
         rows.append((i, payload, mtype, meta))

@@ -1312,7 +1312,8 @@ def q43(spark, sf_dir):
     WITH ids AS (SELECT CAST(i AS BIGINT) AS id FROM range(0, 60) t(i)),
     spec AS (
       SELECT id,
-             CASE id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'pnm' ELSE 'wav' END AS fmt,
+             CASE id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'pnm'
+                         WHEN 2 THEN 'wav' ELSE 'png' END AS fmt,
              CAST(4 + id % 5 AS BIGINT) AS w,
              CAST(3 + id % 3 AS BIGINT) AS h,
              800 + 40 * id AS nsamp
@@ -1331,7 +1332,8 @@ def q43(spark, sf_dir):
                 WHEN 'bmp' THEN 54 + ((s.w*3 + 3)//4)*4*s.h
                 WHEN 'pnm' THEN 9 + length(CAST(s.w AS VARCHAR))
                                + length(CAST(s.h AS VARCHAR)) + 3*s.w*s.h
-                ELSE 44 + 2*s.nsamp END AS BIGINT) AS n_bytes,
+                WHEN 'wav' THEN 44 + 2*s.nsamp
+                ELSE NULL END AS BIGINT) AS n_bytes,
            CASE WHEN s.fmt = 'wav' THEN NULL ELSE s.w END AS width,
            CASE WHEN s.fmt = 'wav' THEN NULL ELSE s.h END AS height,
            round(px.m0/255.0, 6) AS mean_r,
@@ -1350,11 +1352,18 @@ def q44(spark, sf_dir):
     values a closed form of the id) flow through the distributed
     Arrow-batched decode (typed_media_features → operators/codecs), and
     the DECODED widths/heights/channel means/durations are value-matched
-    against pure SQL arithmetic. A wrong BMP row order, padding byte, or
-    channel swap shows up as a hash mismatch — the decode is attested,
-    not just the plumbing shape."""
+    against pure SQL arithmetic. A wrong BMP row order, PNG unfilter,
+    padding byte, or channel swap shows up as a hash mismatch — the
+    decode is attested, not just the plumbing shape. PNG rows (the
+    stdlib zlib codec, round 4) report n_bytes as NULL in the gate:
+    a deflate stream's length is not SQL-derivable — the decoded pixel
+    content is what the oracle pins."""
     media = mm.oracle_media_table(spark, n=60)
-    return mm.typed_media_features(media)
+    feats = mm.typed_media_features(media)
+    return feats.withColumn(
+        "n_bytes",
+        F.when(F.col("fmt") != "png", F.col("n_bytes")),
+    )
 
 
 @q(
@@ -2898,6 +2907,7 @@ def q9a(spark, sf_dir):
 
     from vscode_parquet_visualizer_spark.operators.codecs import (
         encode_bmp,
+        encode_png,
         encode_ppm,
         encode_wav,
         media_features,
@@ -2915,9 +2925,12 @@ def q9a(spark, sf_dir):
             rows.append((i, payload, "audio", (None, None, 8000, 250)))
         else:
             img = np.full((8, 8 + i, 3), (i * 9) % 256, dtype=np.uint8)
-            # alternate BMP / binary-PPM payloads: the feature pipeline
-            # dispatches per payload by magic bytes, mixed in one column
-            enc = encode_bmp if i % 4 == 1 else encode_ppm
+            # rotate BMP / binary-PPM / PNG payloads: the feature
+            # pipeline dispatches per payload by magic bytes, mixed in
+            # one binary column
+            enc = {1: encode_bmp, 3: encode_ppm, 5: encode_png, 7: encode_ppm}[
+                i % 8
+            ]
             rows.append((i, enc(img), "image", (8 + i, 8, None, None)))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
     return (
