@@ -541,6 +541,33 @@ CORPUS_WINDOW_EXCLUDE = [
        FROM (VALUES (1),(2),(4)) t(x)""",
     """SELECT sum(x) OVER (ROWS BETWEEN CURRENT ROW AND CURRENT ROW
        EXCLUDE CURRENT ROW) AS s FROM (VALUES (1)) t(x)""",
+    # EXCLUDE GROUP / TIES (round 4): peer-aligned RANGE/default frames,
+    # duplicate order keys so group != current row, per-partition
+    """SELECT k, x,
+              sum(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW EXCLUDE GROUP) AS sg,
+              sum(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW EXCLUDE TIES) AS st,
+              count(*) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW EXCLUDE GROUP) AS cg,
+              round(avg(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW EXCLUDE TIES), 4) AS at
+       FROM (VALUES (1, 10), (1, 20), (2, 30), (2, 40), (3, 50)) t(k, x)""",
+    """SELECT p, k, x,
+              sum(x) OVER (PARTITION BY p ORDER BY k
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                EXCLUDE GROUP) AS sg,
+              count(x) OVER (PARTITION BY p ORDER BY k
+                RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                EXCLUDE TIES) AS ct
+       FROM (VALUES ('a', 1, 10), ('a', 1, 20), ('a', 2, 30),
+                    ('b', 1, 40), ('b', 1, NULL)) t(p, k, x)""",
+    """SELECT k, x,
+              sum(x) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW EXCLUDE NO OTHERS) AS s,
+              sum(x) OVER (ORDER BY k DESC RANGE BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS sg_desc
+       FROM (VALUES (1, 10), (1, NULL), (2, 30)) t(k, x)""",
 ]
 
 

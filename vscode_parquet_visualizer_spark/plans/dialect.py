@@ -2628,35 +2628,107 @@ def rewrite_list_comprehension(sql: str) -> str:
 
 _WINDOW_EXCLUDE = re.compile(
     r"\b(sum|count|avg)\s*\(\s*([^()]*?)\s*\)\s+OVER\s+\(([^()]*?)\s*"
-    r"EXCLUDE\s+CURRENT\s+ROW\s*\)",
+    r"EXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\s*\)",
     re.IGNORECASE,
 )
 
+_WINDOW_BODY = re.compile(
+    r"^\s*(?:PARTITION\s+BY\s+(?P<part>.*?))?\s*"
+    r"(?:ORDER\s+BY\s+(?P<order>.*?))?\s*"
+    r"(?P<frame>(?:ROWS|RANGE|GROUPS)\b.*)?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _peer_partition(body: str) -> str | None:
+    """PARTITION BY clause text for the current row's PEER GROUP (the
+    partition keys plus the ORDER BY expressions with direction/null
+    tokens stripped), or None when the body shape is out of scope:
+    - no ORDER BY (every partition row is a peer — rare; stays loud)
+    - a ROWS/GROUPS frame (row-offset boundaries are NOT peer-aligned,
+      so the peer group may extend past the frame and subtracting the
+      whole group would over-subtract). RANGE frames and the default
+      frame ARE peer-aligned: any RANGE frame containing the current
+      row contains its entire peer group, making the subtraction exact.
+    """
+    m = _WINDOW_BODY.match(body)
+    if not m or not m.group("order"):
+        return None
+    frame = (m.group("frame") or "").strip()
+    if frame:
+        # Only RANGE frames that provably CONTAIN the current row: start
+        # on the preceding-or-current side AND end on the
+        # current-or-following side. A one-sided RANGE frame (BETWEEN 5
+        # PRECEDING AND 2 PRECEDING) excludes the peer group already —
+        # subtracting it would over-subtract, so that stays loud.
+        ok = re.fullmatch(
+            r"RANGE\s+BETWEEN\s+"
+            r"(?:UNBOUNDED\s+PRECEDING|\S+\s+PRECEDING|CURRENT\s+ROW)"
+            r"\s+AND\s+"
+            r"(?:UNBOUNDED\s+FOLLOWING|\S+\s+FOLLOWING|CURRENT\s+ROW)"
+            r"|RANGE\s+(?:UNBOUNDED\s+PRECEDING|\S+\s+PRECEDING"
+            r"|CURRENT\s+ROW)",
+            frame,
+            re.IGNORECASE,
+        )
+        if not ok:
+            return None
+    keys = []
+    if m.group("part"):
+        keys.extend(k.strip() for k in _split_top_level(m.group("part")))
+    for k in _split_top_level(m.group("order")):
+        k = re.sub(
+            r"\s+(ASC|DESC)\b", "", k.strip(), flags=re.IGNORECASE
+        )
+        k = re.sub(
+            r"\s+NULLS\s+(FIRST|LAST)\b", "", k, flags=re.IGNORECASE
+        )
+        keys.append(k.strip())
+    return "PARTITION BY " + ", ".join(k for k in keys if k)
+
 
 def rewrite_window_exclude(sql: str) -> str:
-    """``agg(e) OVER (w EXCLUDE CURRENT ROW)`` for sum/count/avg — Spark
-    has no frame-exclusion clause, but these three are algebraic:
-    remove the current row's contribution from the inclusive frame.
+    """``agg(e) OVER (w EXCLUDE …)`` for sum/count/avg — Spark has no
+    frame-exclusion clause, but these three are algebraic:
+
+    - ``EXCLUDE CURRENT ROW``: subtract the current row's contribution.
+    - ``EXCLUDE GROUP``: subtract the whole PEER GROUP's contribution,
+      computed by a second window partitioned by (partition keys +
+      order keys) — exact whenever the frame is peer-aligned (RANGE or
+      default frames; ROWS frames stay loud, see ``_peer_partition``).
+    - ``EXCLUDE TIES``: GROUP minus peers-only — subtract the peer
+      group, add the current row back.
+    - ``EXCLUDE NO OTHERS``: the default; the clause is simply dropped.
+
     NULL parity: an excluded-frame with no remaining (non-null) rows
     yields NULL for sum/avg, 0 for count — the guards reproduce it.
-    Other aggregates (min/max/…) and EXCLUDE GROUP/TIES are not
-    algebraically removable and stay loud parse errors. Simple OVER
-    bodies only (no nested parens) — matching DuckDB's common usage."""
+    Other aggregates (min/max/…) are not algebraically removable and
+    stay loud parse errors. Simple OVER bodies only (no nested parens)
+    — matching DuckDB's common usage."""
 
     def sub(m: re.Match) -> str:
         fn, e, w = m.group(1).lower(), m.group(2).strip(), m.group(3).strip()
+        mode = re.sub(r"\s+", " ", m.group(4).upper())
+        if mode == "NO OTHERS":
+            return f"{fn}({e}) OVER ({w})"
+        star = e in ("*", "1")
+        cur_cnt = "1" if star else f"(CASE WHEN ({e}) IS NULL THEN 0 ELSE 1 END)"
+        cur_sum = f"coalesce({e}, 0)"
+        if mode == "CURRENT ROW":
+            minus_cnt, minus_sum = cur_cnt, cur_sum
+        else:
+            peer = _peer_partition(w)
+            if peer is None:
+                return m.group(0)  # out-of-scope shape: loud parse error
+            minus_cnt = f"(count({e}) OVER ({peer}))"
+            minus_sum = f"coalesce(sum({e}) OVER ({peer}), 0)"
+            if mode == "TIES":  # peers minus the current row itself
+                minus_cnt = f"({minus_cnt} - {cur_cnt})"
+                minus_sum = f"({minus_sum} - {cur_sum})"
+        cnt = f"(count({e}) OVER ({w})) - {minus_cnt}"
         if fn == "count":
-            if e in ("*", "1"):
-                return f"((count({e}) OVER ({w})) - 1)"
-            return (
-                f"((count({e}) OVER ({w})) - "
-                f"(CASE WHEN ({e}) IS NULL THEN 0 ELSE 1 END))"
-            )
-        cnt = (
-            f"(count({e}) OVER ({w})) - "
-            f"(CASE WHEN ({e}) IS NULL THEN 0 ELSE 1 END)"
-        )
-        diff = f"(sum({e}) OVER ({w})) - coalesce({e}, 0)"
+            return f"({cnt})"
+        diff = f"(sum({e}) OVER ({w})) - {minus_sum}"
         if fn == "sum":
             return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {diff} END)"
         return (

@@ -2244,7 +2244,14 @@ SELECT r_regionkey,
        regexp_replace(r_name, '([AEIOU])', '<\\1>', 'g') AS backref,
        even(2.5) AS ev,
        hamming('abc', 'abd') AS ham,
-       to_json(generate_series(3, 1)) AS empty_series
+       to_json(generate_series(3, 1)) AS empty_series,
+       -- round-4: window frame EXCLUDE GROUP/TIES (peer-aligned RANGE)
+       sum(r_regionkey) OVER (ORDER BY r_regionkey % 2
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           EXCLUDE GROUP) AS wex_group,
+       sum(r_regionkey) OVER (ORDER BY r_regionkey % 2
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           EXCLUDE TIES) AS wex_ties
 FROM (SELECT * REPLACE (upper(r_name) AS r_name) FROM region) t
 ORDER BY ALL
 """
