@@ -154,3 +154,66 @@ def test_engine_opens_avro(spark, avro_file):
     assert ds.format == "avro"
     rs = ds.query("SELECT id, name FROM data WHERE id < 5")
     assert rs.row_count == 5
+
+
+def test_avro_write_fallback_round_trip(spark, tmp_path):
+    """Write with the pure-Python container writer, re-read with the
+    pure-Python fallback reader — the full type palette survives
+    (round-4: closes the read-only asymmetry of the Avro fallback)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from vscode_parquet_visualizer_spark.sources.avro import (
+        read_avro_fallback,
+        write_avro_fallback,
+    )
+
+    df = spark.sql(
+        """
+        SELECT id,
+               CAST(id AS INT) AS i32,
+               CAST(id * 1.5 AS DOUBLE) AS d,
+               CAST(id AS STRING) AS s,
+               id % 2 = 0 AS b,
+               CASE WHEN id = 2 THEN NULL ELSE id * 10 END AS maybe_null,
+               DATE'2024-03-05' AS dte,
+               TIMESTAMP'2024-03-05 12:30:45.123456' AS ts,
+               array(id, id + 1) AS arr,
+               named_struct('x', id, 'y', CAST(id AS STRING)) AS st,
+               map('k', id) AS m,
+               CAST(unhex('DEADBEEF') AS BINARY) AS bin
+        FROM range(4)
+        """
+    )
+    p = str(tmp_path / "out.avro")
+    write_avro_fallback(df, p, codec="deflate")
+    back = read_avro_fallback(spark, p)
+    assert back.count() == 4
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["i32"] == 1 and rows[1]["d"] == 1.5 and rows[1]["s"] == "1"
+    assert rows[2]["maybe_null"] is None and rows[3]["maybe_null"] == 30
+    assert rows[0]["dte"] == dt.date(2024, 3, 5)
+    assert rows[0]["ts"] == dt.datetime(2024, 3, 5, 12, 30, 45, 123456)
+    assert rows[1]["arr"] == [1, 2]
+    assert rows[1]["st"]["x"] == 1 and rows[1]["st"]["y"] == "1"
+    assert rows[1]["m"] == {"k": 1}
+    assert bytes(rows[0]["bin"]) == b"\xde\xad\xbe\xef"
+    # null codec too
+    p2 = str(tmp_path / "out2.avro")
+    write_avro_fallback(df.select("id", "s"), p2, codec="null")
+    assert read_avro_fallback(spark, p2).count() == 4
+
+
+def test_avro_export_dispatch(spark, tmp_path):
+    """engine export('avro') routes through the exporter registry."""
+    from vscode_parquet_visualizer_spark.operators.export import export
+    from vscode_parquet_visualizer_spark.sources.avro import (
+        read_avro_fallback,
+    )
+
+    df = spark.range(5).withColumnRenamed("id", "v")
+    p = str(tmp_path / "e.avro")
+    export(df, p, "avro")
+    back = read_avro_fallback(spark, p)
+    assert sorted(r["v"] for r in back.collect()) == [0, 1, 2, 3, 4]

@@ -18,6 +18,7 @@ Two modes:
 from __future__ import annotations
 
 import json
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -143,12 +144,49 @@ def export_rows_json_safe(df: DataFrame, limit: int | None = None) -> list[dict[
     ]
 
 
+def export_avro(
+    df: DataFrame, path: str, distributed: bool = False, codec: str = "deflate"
+) -> None:
+    """Avro export: spark-avro when on the classpath (splittable
+    distributed write), else the pure-Python container writer
+    (sources/avro.write_avro_fallback — single file, rows streamed
+    through the driver). Closes the A13-A17 export asymmetry: every
+    format the engine reads, it can now also write."""
+    from pyspark.errors import AnalysisException
+
+    from vscode_parquet_visualizer_spark.sources.avro import (
+        write_avro_fallback,
+    )
+
+    if distributed:
+        # distributed multi-file write needs the connector; fail loudly
+        df.write.mode("overwrite").format("avro").save(path)
+        return
+    try:
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="avro_export_")
+        df.coalesce(1).write.mode("overwrite").format("avro").save(tmp)
+        import glob
+        import shutil
+
+        part = glob.glob(os.path.join(tmp, "part-*.avro"))
+        shutil.move(part[0], path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    except AnalysisException as exc:
+        if "Failed to find data source" not in str(exc):
+            raise
+    write_avro_fallback(df, path, codec=codec)
+
+
 EXPORTERS = {
     "csv": export_csv,
     "parquet": export_parquet,
     "ndjson": export_ndjson,
     "json": export_json_array,
     "excel": export_excel,
+    "avro": export_avro,
 }
 
 

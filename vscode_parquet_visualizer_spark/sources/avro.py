@@ -389,12 +389,17 @@ def _encode_value(out: io.BytesIO, schema: Any, v: Any, names: dict[str, Any]) -
 def write_avro(
     path: str,
     schema: dict,
-    rows: list[Any],
+    rows: Any,
     codec: str = "null",
     block_rows: int = 1000,
 ) -> None:
-    """Write an Avro object container file (null or deflate codec)."""
+    """Write an Avro object container file (null or deflate codec).
+    ``rows`` is any iterable — blocks are encoded and flushed every
+    ``block_rows``, so a streamed iterator never materializes fully."""
+    import itertools
+
     sync = bytes(range(16))  # deterministic marker
+    it = iter(rows)
     with open(path, "wb") as fh:
         fh.write(MAGIC)
         head = io.BytesIO()
@@ -406,8 +411,10 @@ def write_avro(
         _write_long(head, 0)
         fh.write(head.getvalue())
         fh.write(sync)
-        for start in range(0, len(rows), block_rows):
-            chunk = rows[start : start + block_rows]
+        while True:
+            chunk = list(itertools.islice(it, block_rows))
+            if not chunk:
+                break
             body = io.BytesIO()
             for row in chunk:
                 names: dict[str, Any] = {}
@@ -421,6 +428,113 @@ def write_avro(
             _write_bytes(block, payload)
             fh.write(block.getvalue())
             fh.write(sync)
+
+
+def from_spark_type(dtype: T.DataType, nullable: bool) -> Any:
+    """Spark DataType → Avro schema node (inverse of ``to_spark_type``).
+    Nullable fields become 2-branch null unions, date/timestamp get
+    their logical types, structs become records with unique names."""
+    counter = [0]
+
+    def conv(dt_: T.DataType, nul: bool) -> Any:
+        if isinstance(dt_, T.LongType):
+            base: Any = "long"
+        elif isinstance(dt_, (T.IntegerType, T.ShortType, T.ByteType)):
+            base = "int"
+        elif isinstance(dt_, T.DoubleType):
+            base = "double"
+        elif isinstance(dt_, T.FloatType):
+            base = "float"
+        elif isinstance(dt_, T.StringType):
+            base = "string"
+        elif isinstance(dt_, T.BooleanType):
+            base = "boolean"
+        elif isinstance(dt_, T.BinaryType):
+            base = "bytes"
+        elif isinstance(dt_, T.DateType):
+            base = {"type": "int", "logicalType": "date"}
+        elif isinstance(dt_, T.TimestampType):
+            base = {"type": "long", "logicalType": "timestamp-micros"}
+        elif isinstance(dt_, T.DecimalType):
+            # decimals travel as doubles in the fallback writer (the
+            # bytes encoding needs two's-complement scaffolding that
+            # spark-avro provides when present); documented lossy
+            base = "double"
+        elif isinstance(dt_, T.ArrayType):
+            base = {
+                "type": "array",
+                "items": conv(dt_.elementType, dt_.containsNull),
+            }
+        elif isinstance(dt_, T.MapType):
+            if not isinstance(dt_.keyType, T.StringType):
+                raise NotImplementedError(
+                    "Avro maps require string keys; cast the key column"
+                )
+            base = {
+                "type": "map",
+                "values": conv(dt_.valueType, dt_.valueContainsNull),
+            }
+        elif isinstance(dt_, T.StructType):
+            counter[0] += 1
+            base = {
+                "type": "record",
+                "name": f"r{counter[0]}",
+                "fields": [
+                    {"name": f.name, "type": conv(f.dataType, f.nullable)}
+                    for f in dt_.fields
+                ],
+            }
+        else:
+            raise NotImplementedError(
+                f"no Avro mapping for Spark type {dt_.simpleString()}"
+            )
+        return ["null", base] if nul else base
+
+    return conv(dtype, nullable)
+
+
+def dataframe_avro_schema(df, name: str = "spark_export") -> dict:
+    """Top-level Avro record schema for a DataFrame."""
+    rec = from_spark_type(df.schema, False)
+    rec["name"] = name
+    return rec
+
+
+def write_avro_fallback(
+    df, path: str, codec: str = "deflate", block_rows: int = 1000
+) -> None:
+    """Single-file Avro export with the pure-Python container codec —
+    the write-side twin of ``read_avro_fallback``, used when spark-avro
+    is not on the classpath. Rows stream through the driver one at a
+    time (``toLocalIterator`` — same single-file contract as the CSV /
+    JSON / Excel exporters); for a distributed multi-file write install
+    spark-avro.
+
+    Value shapes: Row → tuple (the record encoder takes positional
+    values), dict stays dict for maps, datetime/date handled by the
+    encoder's logical-type paths."""
+    schema = dataframe_avro_schema(df)
+
+    def as_tuple(v: Any, dt_: T.DataType) -> Any:
+        if v is None:
+            return None
+        if isinstance(dt_, T.StructType):
+            return [
+                as_tuple(x, f.dataType)
+                for x, f in zip(v, dt_.fields)
+            ]
+        if isinstance(dt_, T.ArrayType):
+            return [as_tuple(x, dt_.elementType) for x in v]
+        if isinstance(dt_, T.MapType):
+            return {k: as_tuple(x, dt_.valueType) for k, x in v.items()}
+        if isinstance(dt_, T.DecimalType):
+            return float(v)
+        return v
+
+    rows = (
+        as_tuple(row, df.schema) for row in df.toLocalIterator()
+    )
+    write_avro(path, schema, rows, codec=codec, block_rows=block_rows)
 
 
 # --------------------------------------------------------------------------
