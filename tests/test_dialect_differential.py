@@ -732,3 +732,81 @@ def test_differential_nested_order_by_nulls(engines):
     spark_rows = [tuple(r) for r in spark.sql(transpile(q)).collect()]
     duck_rows = con.execute(q).fetchall()
     assert spark_rows == duck_rows  # ordered compare: row ORDER matters
+
+
+# round-4: multi-level chained named windows — DuckDB's measured
+# (non-standard) resolution: one hop inherits the parent fully; the
+# PARTITION BY does NOT survive a second hop (w3 gets a GLOBAL frame)
+CORPUS_WINDOW_CHAINS = [
+    # one hop inherits the parent fully; the grandparent's PARTITION BY
+    # does NOT survive a second hop (w3 = global running frame by k)
+    """SELECT p, k,
+              CAST(count(*) OVER w1 AS BIGINT) AS c1,
+              CAST(count(*) OVER w2 AS BIGINT) AS c2,
+              CAST(count(*) OVER w3 AS BIGINT) AS c3
+       FROM (VALUES ('a',1,10),('a',2,20),('b',3,30),('b',4,40)) t(p,k,x)
+       WINDOW w1 AS (PARTITION BY p),
+              w2 AS (w1 ORDER BY k),
+              w3 AS (w2 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    # a pure-alias hop erases the grandparent entirely: w3 is EMPTY
+    # (count covers the whole input; a rank() over it would need an
+    # ORDER BY — Spark refuses that loudly, DuckDB ranks everything 1 —
+    # an engine gap left loud by design), and a clause added after the
+    # erasing hop starts from a clean slate (no duplicate ORDER BY)
+    """SELECT k, x,
+              CAST(rank() OVER w2 AS BIGINT) AS r2,
+              CAST(count(*) OVER w3 AS BIGINT) AS c3,
+              CAST(rank() OVER w4 AS BIGINT) AS r4
+       FROM (VALUES (1,10),(2,20),(3,30),(4,40)) t(k,x)
+       WINDOW w1 AS (ORDER BY k),
+              w2 AS (w1),
+              w3 AS (w2),
+              w4 AS (w3 ORDER BY k DESC)""",
+    # three levels with clauses added at each hop
+    """SELECT p, k,
+              CAST(rank() OVER w3 AS BIGINT) AS r3,
+              CAST(count(*) OVER w4 AS BIGINT) AS c4
+       FROM (VALUES ('a',1,10),('a',2,20),('b',3,30),('b',4,40)) t(p,k,x)
+       WINDOW w1 AS (PARTITION BY p),
+              w2 AS (w1 ORDER BY k),
+              w3 AS (w2),
+              w4 AS (w3 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_WINDOW_CHAINS, ids=range(len(CORPUS_WINDOW_CHAINS))
+)
+def test_differential_window_chains(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-4: histogram() / format_bytes() lowerings — identical text on
+# both engines (to_json flattens the MAP for the rowset compare)
+CORPUS_HISTOGRAM_BYTES = [
+    """SELECT to_json(histogram(x)) AS h
+       FROM (VALUES (10),(10),(20),(NULL),(30),(30),(30)) t(x)""",
+    """SELECT k, to_json(histogram(s)) AS h
+       FROM (VALUES (1,'b'),(1,'a'),(1,'b'),(2,'z')) t(k,s)
+       GROUP BY k ORDER BY k""",
+    """SELECT format_bytes(0) AS a, format_bytes(999) AS b,
+              format_bytes(1023) AS c, format_bytes(1024) AS d,
+              format_bytes(1536) AS e, format_bytes(123456789) AS f,
+              format_bytes(-2048) AS g, format_bytes(1048575) AS h,
+              format_bytes(1073741823) AS i,
+              format_bytes(1099511627776) AS j,
+              format_bytes(9223372036854775807) AS k""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_HISTOGRAM_BYTES, ids=range(len(CORPUS_HISTOGRAM_BYTES))
+)
+def test_differential_histogram_format_bytes(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -1207,26 +1207,38 @@ def rewrite_window_chain(sql: str) -> str:
         pos = dm.end()
     if not defs:
         return sql
-    # Single-level chains only: DuckDB's multi-level resolution was
-    # measured NOT to inherit a grandparent's PARTITION BY (non-standard)
-    # — deeper chains stay unrewritten and fail loudly in Spark rather
-    # than silently diverging.
+    # Multi-level chains resolve with DuckDB's MEASURED (non-standard,
+    # NON-TRANSITIVE) semantics: a child window inlines its parent's RAW
+    # body with the parent's own leading window-reference DELETED —
+    # inheritance reaches exactly one hop. Verified live and pinned by
+    # the differential corpus:
+    #   w1 AS (PARTITION BY p), w2 AS (w1 ORDER BY k), w3 AS (w2 ROWS …)
+    #   → w3 = (ORDER BY k ROWS …)        — grandparent's PARTITION gone
+    #   w1 AS (ORDER BY k), w2 AS (w1), w3 AS (w2)
+    #   → w3 = ()                          — a pure-alias hop erases too
     names = {n.lower() for n, _ in defs}
+    orig = {n.lower(): b for n, b in defs}
 
-    def _is_literal(body: str) -> bool:
-        fm = re.match(r"\s*([A-Za-z_]\w*)\b", body)
-        return not (fm and fm.group(1).lower() in names)
+    def own_body(name: str) -> str:
+        """The window's raw body minus its own leading reference."""
+        body = orig[name]
+        fm = re.match(r"\s*([A-Za-z_]\w*)\b(.*)$", body, re.DOTALL)
+        if fm and fm.group(1).lower() in names:
+            return fm.group(2).strip()
+        return body.strip()
 
-    literal = {n.lower(): b for n, b in defs if _is_literal(b)}
-    resolved: dict[str, str] = {}
+    final: dict[str, str] = {}
     for name, body in defs:
         fm = re.match(r"\s*([A-Za-z_]\w*)\b(.*)$", body, re.DOTALL)
-        if fm and fm.group(1).lower() in literal and fm.group(1).lower() != name.lower():
-            base = literal[fm.group(1).lower()]
-            body = f"{base.strip()} {fm.group(2).strip()}".strip()
-        resolved[name.lower()] = body
+        if fm and fm.group(1).lower() in names:
+            parent = fm.group(1).lower()
+            final[name.lower()] = (
+                f"{own_body(parent)} {fm.group(2).strip()}".strip()
+            )
+        else:
+            final[name.lower()] = body
     rebuilt = ", ".join(
-        f"{name} AS ({resolved[name.lower()]})" for name, _ in defs
+        f"{name} AS ({final[name.lower()]})" for name, _ in defs
     )
     return sql[: m.end()] + rebuilt + sql[pos:]
 
@@ -1490,6 +1502,57 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         "to_base",
         lambda a: f"conv({a[0]}, 10, {a[1]})" if len(a) == 2 else None,
     )
+
+    def histogram_x(a):
+        # DuckDB histogram(e): MAP(value → count), keys sorted, NULLs
+        # ignored. One collect_list per group feeds both the distinct
+        # key list and the per-key counts; O(distinct·n) per group — the
+        # visualizer-summary shape this function exists for, not a
+        # 100 TB group-by (that's a plain groupBy().count()).
+        if len(a) != 1:
+            return None  # binned 2-arg form: loud
+        e = a[0]
+        return (
+            f"map_from_entries(transform("
+            f"array_sort(array_distinct(collect_list({e}))), "
+            f"v -> struct(v, size(filter(collect_list({e}), y -> y = v)))))"
+        )
+
+    sql = _rewrite_calls(sql, "histogram", histogram_x)
+
+    def format_bytes_x(a):
+        # DuckDB format_bytes(n): binary units, ONE decimal TRUNCATED
+        # toward zero (1048575 → '1023.9 KiB'), '<1024 → 'N bytes',
+        # largest unit PiB (int64 max = 8191.9 PiB). PURE INTEGER
+        # arithmetic — a double intermediate rounds int64-max up to
+        # '8192.0 PiB'. Verified live.
+        if len(a) != 1:
+            return None
+        e = a[0]
+        av = f"abs(CAST({e} AS BIGINT))"
+        branches = []
+        for k, unit in enumerate(["KiB", "MiB", "GiB", "TiB", "PiB"], 1):
+            u = 1024 ** k
+            rendered = (
+                f"concat(CASE WHEN ({e}) < 0 THEN '-' ELSE '' END, "
+                f"CAST({av} DIV {u}L AS STRING), '.', "
+                f"CAST(({av} % {u}L) * 10 DIV {u}L AS STRING), ' {unit}')"
+            )
+            if k < 5:
+                branches.append(
+                    f"WHEN {av} < {1024 ** (k + 1)}L THEN {rendered}"
+                )
+            else:
+                branches.append(f"ELSE {rendered}")
+        return (
+            f"(CASE WHEN {av} < 1024L "
+            f"THEN concat(CAST({e} AS BIGINT), ' bytes') "
+            + " ".join(branches)
+            + " END)"
+        )
+
+    sql = _rewrite_calls(sql, "format_bytes", format_bytes_x)
+    sql = _rewrite_calls(sql, "formatReadableSize", format_bytes_x)
 
     def format_x(a):
         if not a:
