@@ -954,6 +954,8 @@ def q34(spark, sf_dir):
            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
     FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      -- exact size-bound prune: J >= 0.5 implies 2*min(|A|,|B|) >= max
+      AND len(a.sh) * 2 >= len(b.sh) AND len(b.sh) * 2 >= len(a.sh)
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / len(list_distinct(a.sh || b.sh)) >= 0.5
     """,
@@ -997,6 +999,8 @@ def q35(spark, sf_dir):
            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
     FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      -- exact prune: J >= 0.9999 with < 10k shingles implies |A| = |B|
+      AND len(a.sh) = len(b.sh)
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / len(list_distinct(a.sh || b.sh)) >= 0.9999
     """,
