@@ -810,3 +810,33 @@ def test_differential_histogram_format_bytes(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-4: agg(DISTINCT) OVER — first-occurrence marking lowering
+CORPUS_WINDOW_DISTINCT = [
+    """SELECT p, k, x,
+              sum(DISTINCT x) OVER (PARTITION BY p) AS sd_part,
+              sum(DISTINCT x) OVER (PARTITION BY p ORDER BY k) AS sd_run,
+              CAST(count(DISTINCT x) OVER (PARTITION BY p ORDER BY k
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cd_run,
+              round(avg(DISTINCT x) OVER (PARTITION BY p ORDER BY k), 4) AS ad,
+              min(DISTINCT x) OVER (PARTITION BY p) AS mn
+       FROM (VALUES ('a',1,5),('a',2,5),('a',3,7),
+                    ('b',1,9),('b',1,9),('b',2,NULL)) t(p,k,x)""",
+    """SELECT k, sum(DISTINCT x) OVER (ORDER BY k DESC) AS sd_desc,
+              sum(DISTINCT x) OVER (ORDER BY k
+                RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS sd_whole
+       FROM (VALUES (1,5),(2,5),(3,7)) t(k,x)""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_WINDOW_DISTINCT, ids=range(len(CORPUS_WINDOW_DISTINCT))
+)
+def test_differential_window_distinct(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -150,6 +150,21 @@ def main() -> None:
         cu.lm_perplexity(docs)
     )
 
+    from vscode_parquet_visualizer_spark.operators.similarity import (
+        ivf_neighbors,
+        lsh_neighbors,
+    )
+
+    # round 4: non-nullable UDF join keys — EXACTLY one ArrowEvalPython
+    # per join side (a nullable key's implicit IsNotNull made Catalyst
+    # duplicate the Python pass below the projection: 10× pass cost)
+    cases["lsh_neighbors (one ArrowEvalPython per side, no UDF dup)"] = (
+        lsh_neighbors(emb, queries, threshold=0.9, dim=64)
+    )
+    cases["ivf_neighbors (spherical cells; one ArrowEvalPython per side)"] = (
+        ivf_neighbors(emb, queries, threshold=0.9)
+    )
+
     print("# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n")
     print("Regenerate after plan-affecting changes: "
           "`python tools/explain_audit.py > PLANS.md`\n")

@@ -2750,6 +2750,64 @@ def _peer_partition(body: str) -> str | None:
     return "PARTITION BY " + ", ".join(k for k in keys if k)
 
 
+_WINDOW_DISTINCT = re.compile(
+    r"\b(sum|count|avg|min|max)\s*\(\s*DISTINCT\s+([^()]*?)\s*\)"
+    r"\s+OVER\s+\(([^()]*?)\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_window_distinct(sql: str) -> str:
+    """``agg(DISTINCT e) OVER (…)`` — Spark rejects DISTINCT in window
+    aggregates. min/max(DISTINCT) ≡ min/max. For sum/count/avg, mark
+    each value's FIRST occurrence (row_number over the partition keys +
+    the value, ordered by the window's order) and aggregate only marked
+    rows: the marked row is in the frame whenever the frame is a
+    peer-aligned PREFIX (default, RANGE UNBOUNDED PRECEDING … CURRENT
+    ROW / UNBOUNDED FOLLOWING) or the whole partition — verified
+    against DuckDB for running distinct sums/counts including tied
+    order keys. Sliding frames (a value's first occurrence can fall off
+    the left edge) and ROWS prefix frames with tied keys (the marked
+    peer may sit after the current row) stay loud."""
+
+    def sub(m: re.Match) -> str:
+        fn, e, body = m.group(1).lower(), m.group(2).strip(), m.group(3)
+        if fn in ("min", "max"):
+            return f"{fn}({e}) OVER ({body.strip()})"
+        if e == "*":
+            return m.group(0)
+        bm = _WINDOW_BODY.match(body)
+        if not bm:
+            return m.group(0)
+        part, order = bm.group("part"), bm.group("order")
+        frame = (bm.group("frame") or "").strip()
+        whole = re.fullmatch(
+            r"(?:ROWS|RANGE)\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
+            r"UNBOUNDED\s+FOLLOWING",
+            frame,
+            re.IGNORECASE,
+        )
+        prefix = re.fullmatch(
+            r"RANGE\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
+            r"(?:CURRENT\s+ROW|UNBOUNDED\s+FOLLOWING)"
+            r"|RANGE\s+UNBOUNDED\s+PRECEDING",
+            frame,
+            re.IGNORECASE,
+        )
+        if frame and not (whole or (order and prefix)):
+            return m.group(0)  # sliding/ROWS-prefix shapes: loud
+        mark_part = ([part.strip()] if part else []) + [f"({e})"]
+        mark = (
+            f"row_number() OVER (PARTITION BY {', '.join(mark_part)} "
+            f"ORDER BY {order.strip() if order else f'({e})'}) = 1"
+        )
+        return (
+            f"{fn}(CASE WHEN {mark} THEN ({e}) END) OVER ({body.strip()})"
+        )
+
+    return _WINDOW_DISTINCT.sub(sub, sql)
+
+
 def rewrite_window_exclude(sql: str) -> str:
     """``agg(e) OVER (w EXCLUDE …)`` for sum/count/avg — Spark has no
     frame-exclusion clause, but these three are algebraic:
@@ -3025,6 +3083,7 @@ def transpile(
         sql,
         flags=re.IGNORECASE,
     )
+    sql = rewrite_window_distinct(sql)
     sql = rewrite_window_exclude(sql)
     sql = rewrite_like_escape(sql, stash)
     sql = rewrite_ignore_nulls(sql)
