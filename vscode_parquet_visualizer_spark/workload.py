@@ -1253,7 +1253,16 @@ def q41(spark, sf_dir):
 @q(
     "q42_embedding_near_dup",
     f"""
-    WITH corpus AS ({_PLANTED_CORPUS_SQL.format(ids="0, 1, 2, 3, 4")})
+    WITH base AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 5000),
+    corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM base
+      UNION ALL
+      SELECT vec_id + 10000000,
+             list_transform(embedding,
+                            x -> CAST(CAST(x * 1.05 AS FLOAT) AS DOUBLE))
+      FROM base WHERE vec_id IN (0, 1, 2, 3, 4)
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS score
     FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
@@ -1271,10 +1280,17 @@ def q42(spark, sf_dir):
     threshold end-to-end at every sf, and the oracle (all-pairs exact
     cosine ≥ 0.95) value-matches because the ambient max cosine is ≤ 0.61
     (measured at every sf): nothing but the deterministically-recalled
-    planted pairs qualifies."""
+    planted pairs qualifies. The vec_id < 5000 bound (the whole table at
+    every testdata sf) keeps the O(n²) ORACLE tractable at scaled bench
+    inputs — the Spark side is the sub-quadratic bucketed self-join
+    either way, and the UNBOUNDED corpus keeps its scale exercise in
+    q41's candidate stage."""
     t = load_tables(spark, sf_dir)
+    corpus = {"embeddings": t["embeddings"].filter(F.col("vec_id") < 5000)}
     return sim.embedding_near_dup_pairs(
-        _planted_embeddings(t, ids=(0, 1, 2, 3, 4)), threshold=0.95, dim=64
+        _planted_embeddings(corpus, ids=(0, 1, 2, 3, 4)),
+        threshold=0.95,
+        dim=64,
     )
 
 
