@@ -29,16 +29,20 @@ def formatted(df) -> str:
 
 
 def digest(plan: str) -> dict:
+    # operator COUNTS come from the tree section only — formatted mode
+    # prints every operator twice (tree + per-operator detail), which
+    # doubled every count in earlier revisions of this file
+    tree = plan.split("\n\n", 1)[0]
     return {
         "pushed_filters": re.findall(r"PushedFilters: \[[^\]]*\]", plan)[:1],
         "read_schema": re.findall(r"ReadSchema: [^\n]*", plan)[:2],
-        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
-        "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
-        "shuffles": len(re.findall(r"\bExchange\b", plan)),
-        "nested_loop": len(re.findall(r"NestedLoop", plan)),
-        "window_group_limit": len(re.findall(r"WindowGroupLimit", plan)),
-        "map_in_pandas": len(re.findall(r"MapInPandas", plan)),
-        "python_eval": len(re.findall(r"EvalPython|PythonRDD", plan)),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", tree)),
+        "sort_merge_joins": len(re.findall(r"SortMergeJoin", tree)),
+        "shuffles": len(re.findall(r"\bExchange\b", tree)),
+        "nested_loop": len(re.findall(r"NestedLoop", tree)),
+        "window_group_limit": len(re.findall(r"WindowGroupLimit", tree)),
+        "map_in_pandas": len(re.findall(r"MapInPandas", tree)),
+        "python_eval": len(re.findall(r"EvalPython|PythonRDD", tree)),
     }
 
 
