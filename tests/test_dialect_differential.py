@@ -840,3 +840,38 @@ def test_differential_window_distinct(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-4 hunt batch 8: map element_at list semantics, date-part
+# derivations, interval makers, hex renames, epoch_ns/us
+CORPUS_R4_BATCH8 = [
+    """SELECT element_at(MAP {'a': 1}, 'a') AS hit,
+              element_at(MAP {'a': 1}, 'z') AS miss,
+              map_extract(MAP {'a': 1}, 'a') AS me""",
+    """SELECT century(DATE '2000-01-01') AS c0,
+              century(DATE '2001-01-01') AS c1,
+              century(DATE '1999-12-31') AS c2,
+              decade(DATE '2024-03-05') AS d0,
+              quarter(DATE '2024-05-01') AS q""",
+    """SELECT yearweek(DATE '2024-01-01') AS a,
+              yearweek(DATE '2023-01-01') AS b,
+              yearweek(DATE '2024-12-30') AS c,
+              yearweek(DATE '2024-03-05') AS d""",
+    """SELECT to_days(5) AS d, to_hours(3) AS h,
+              to_minutes(2) AS m, to_seconds(90) AS s""",
+    """SELECT to_hex(255) AS h, from_hex('4142') AS f,
+              epoch_ns(TIMESTAMP '2024-01-01 00:00:00.123456') AS ns,
+              epoch_us(TIMESTAMP '2024-01-01 00:00:00.123456') AS us""",
+    """SELECT list_reduce([1,2,3], (a, b) -> a + b) AS r,
+              bit_count(7) AS bc, factorial(5) AS f""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R4_BATCH8, ids=range(len(CORPUS_R4_BATCH8))
+)
+def test_differential_batch8(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

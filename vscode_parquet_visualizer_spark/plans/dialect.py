@@ -102,6 +102,10 @@ FUNCTION_RENAMES = {
     # order) — sets have no defined order in either engine's docs;
     # wrap in list_sort for a deterministic result
     "list_intersect": "array_intersect",
+    # round-4 hunt batch 8
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "epoch_us": "unix_micros",
     # NOT renamed on purpose: list_unique (a count, not a dedup —
     # handled in rewrite_function_shapes), string_agg (ORDER BY
     # argument shape — rewrite_function_shapes lowers it to listagg).
@@ -875,7 +879,7 @@ def rewrite_bracket_slice(
         return (
             f"CASE WHEN size({name}) >= {a} THEN "
             f"transform(sequence({a}, least({b}, size({name})), {c}), "
-            f"__si -> element_at({name}, __si)) ELSE array() END"
+            f"__si -> try_element_at({name}, __si)) ELSE array() END"
         )
 
     sql = re.sub(
@@ -1853,7 +1857,7 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         sql,
         "list_select",
         lambda a: (
-            f"transform({a[1]}, __i -> element_at({a[0]}, __i))"
+            f"transform({a[1]}, __i -> try_element_at({a[0]}, __i))"
             if len(a) == 2
             else None
         ),
@@ -2229,7 +2233,7 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         "list_reduce",
         lambda a: (
             f"reduce(slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0)), "
-            f"element_at({a[0]}, 1), {a[1]})"
+            f"try_element_at({a[0]}, 1), {a[1]})"
         )
         if len(a) == 2
         else None,
@@ -2486,16 +2490,62 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
 
     sql = _rewrite_calls(sql, "struct_extract", struct_extract_x)
 
-    # DuckDB map_extract returns a LIST ([] when the key is absent)
+    # DuckDB map_extract returns a LIST ([] when the key is absent);
+    # element_at is its MAP-ONLY alias in DuckDB (lists error there), so
+    # both get the list-wrapping form — Spark's scalar element_at would
+    # silently return the bare value
+    for _map_fn in ("map_extract", "element_at"):
+        sql = _rewrite_calls(
+            sql,
+            _map_fn,
+            lambda a: (
+                f"filter(array(try_element_at({a[0]}, {a[1]})), x -> x IS NOT NULL)"
+                if len(a) == 2
+                else None
+            ),
+        )
+
+    # round-4 hunt batch 8: date-part derivations and interval makers
+    # (century/decade/yearweek per the measured DuckDB values; the
+    # to_* interval family maps onto day-time intervals — to_months/
+    # to_years stay loud, Spark's year-month interval type round-trips
+    # differently)
     sql = _rewrite_calls(
         sql,
-        "map_extract",
-        lambda a: (
-            f"filter(array(element_at({a[0]}, {a[1]})), x -> x IS NOT NULL)"
-            if len(a) == 2
-            else None
-        ),
+        "century",
+        lambda a: f"CAST(ceil(year({a[0]}) / 100.0) AS BIGINT)"
+        if len(a) == 1 else None,
     )
+    sql = _rewrite_calls(
+        sql,
+        "decade",
+        lambda a: f"CAST(floor(year({a[0]}) / 10.0) AS BIGINT)"
+        if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "yearweek",
+        lambda a: (
+            f"CAST(extract(YEAROFWEEK FROM {a[0]}) * 100 "
+            f"+ weekofyear({a[0]}) AS BIGINT)"
+        )
+        if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "epoch_ns",
+        lambda a: f"(unix_micros({a[0]}) * 1000)" if len(a) == 1 else None,
+    )
+    for _fn, _pos in (
+        ("to_days", 0), ("to_hours", 1), ("to_minutes", 2), ("to_seconds", 3)
+    ):
+        def _mk(a, pos=_pos):
+            if len(a) != 1:
+                return None
+            args = ["0"] * 4
+            args[pos] = a[0]
+            return f"make_dt_interval({', '.join(args)})"
+
+        sql = _rewrite_calls(sql, _fn, _mk)
     return sql
 
 
