@@ -875,3 +875,35 @@ def test_differential_batch8(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-4 hunt batch 9: aggregate/string/list gaps found by probing
+CORPUS_R4_BATCH9 = [
+    """SELECT round(geomean(x), 6) AS g, mode(x) AS m,
+              round(median(x), 4) AS md
+       FROM (VALUES (1.0),(4.0),(4.0)) t(x)""",
+    """SELECT group_concat(x) AS g1, group_concat(x, '-') AS g2,
+              string_agg(x) AS s1
+       FROM (VALUES ('a'),('b'),('c')) t(x)""",
+    """SELECT list_where([10,20,30], [true,false,true]) AS w,
+              array_pop_back([1,2,3]) AS pb,
+              array_pop_front([1,2,3]) AS pf,
+              array_pop_back(CAST([] AS INT[])) AS pe,
+              array_reverse_sort([3,NULL,1]) AS rs,
+              str_split_regex('a1b22c', '[0-9]+') AS sr""",
+    """SELECT format('{:,}', 1234567) AS f1, format('{:,d}', 9876) AS f2""",
+    """SELECT CAST(datesub('day', DATE '2024-01-01', DATE '2024-02-01')
+              AS BIGINT) AS ds""",
+    """SELECT to_json(regexp_extract('abc123', '([a-z]+)([0-9]+)',
+                                     ['letters', 'digits'])) AS m""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R4_BATCH9, ids=range(len(CORPUS_R4_BATCH9))
+)
+def test_differential_batch9(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

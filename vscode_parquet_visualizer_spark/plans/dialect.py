@@ -102,7 +102,8 @@ FUNCTION_RENAMES = {
     # order) — sets have no defined order in either engine's docs;
     # wrap in list_sort for a deterministic result
     "list_intersect": "array_intersect",
-    # round-4 hunt batch 8
+    # round-4 hunt batches 8/9
+    "str_split_regex": "split",
     "to_hex": "hex",
     "from_hex": "unhex",
     "epoch_us": "unix_micros",
@@ -1489,6 +1490,11 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         "date_sub",
         lambda a: date_diff_x(a) if len(a) == 3 else None,
     )
+    sql = _rewrite_calls(  # 3-arg alias of date_sub
+        sql,
+        "datesub",
+        lambda a: date_diff_x(a) if len(a) == 3 else None,
+    )
     # DuckDB's date_add returns TIMESTAMP even for DATE input — mirror
     # with an explicit cast (no-op when the operand is already one)
     sql = _rewrite_calls(
@@ -1580,13 +1586,19 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             spec = g.group(2)
             if not spec:
                 return f"%{pos}s"
-            sm = re.fullmatch(r"(\d*)(?:\.(\d+))?([dfs])", spec)
+            sm = re.fullmatch(r"(,?)(\d*)(?:\.(\d+))?([dfs]?)", spec)
             if sm is None:
                 return g.group(0)  # unsupported spec: leave, abort below
-            width, prec, conv = sm.groups()
+            comma, width, prec, conv = sm.groups()
+            if not conv:
+                if not comma:
+                    return g.group(0)
+                conv = "d"  # '{:,}' — DuckDB's integer thousands form
+            if comma and conv != "d":
+                return g.group(0)  # DuckDB rejects ',' for floats: loud
             conv_for_arg[idx] = conv
             return (
-                "%" + pos + (width or "")
+                "%" + pos + (comma or "") + (width or "")
                 + (f".{prec}" if prec else "") + conv
             )
 
@@ -1617,13 +1629,19 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         if m and _depth_at(last, m.start()) == 0:
             order = last[m.end():].strip()
             a = a[:-1] + [last[: m.start()].strip()]
+            if len([x for x in a if x]) == 1:
+                a = a + [_stash_add(stash, "','")]
             return (
                 f"listagg({', '.join(x for x in a if x)}) "
                 f"WITHIN GROUP (ORDER BY {order})"
             )
+        if len(a) == 1:
+            # DuckDB's default separator is ',' — Spark listagg's is ''
+            a = a + [_stash_add(stash, "','")]
         return f"listagg({', '.join(a)})"
 
     sql = _rewrite_calls(sql, "string_agg", string_agg_x)
+    sql = _rewrite_calls(sql, "group_concat", string_agg_x)  # alias
     for _qd in ("quantile_disc", "quantile"):  # quantile = disc alias
         sql = _rewrite_calls(
             sql,
@@ -2134,11 +2152,12 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         return _cmp_sort(a[0], desc, nulls_first)
 
     sql = _rewrite_calls(sql, "list_sort", list_sort_x)
-    sql = _rewrite_calls(
-        sql,
-        "list_reverse_sort",
-        lambda a: _cmp_sort(a[0], True, False) if len(a) == 1 else None,
-    )
+    for _rs in ("list_reverse_sort", "array_reverse_sort"):
+        sql = _rewrite_calls(
+            sql,
+            _rs,
+            lambda a: _cmp_sort(a[0], True, False) if len(a) == 1 else None,
+        )
 
     # 2-param (value, index) lambdas: DuckDB's index is 1-BASED,
     # Spark's 0-based — rebase inside the body (list_* spellings only;
@@ -2546,6 +2565,46 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             return f"make_dt_interval({', '.join(args)})"
 
         sql = _rewrite_calls(sql, _fn, _mk)
+
+    # round-4 hunt batch 9
+    sql = _rewrite_calls(  # geometric mean: exp of the log-mean
+        sql, "geomean",
+        lambda a: f"exp(avg(ln({a[0]})))" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(  # keep elements whose mask entry is true
+        sql, "list_where",
+        lambda a: (
+            f"transform(filter(arrays_zip({a[0]}, {a[1]}), "
+            f"__s -> __s['1']), __s -> __s['0'])"
+        ) if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "array_pop_back",
+        lambda a: f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))"
+        if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "array_pop_front",
+        lambda a: f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))"
+        if len(a) == 1 else None,
+    )
+
+    def regexp_extract_named_x(a):
+        # regexp_extract(s, p, ['name', ...]) → STRUCT of the capture
+        # groups, keyed by the given names (DuckDB's named-groups form)
+        if len(a) != 3 or not a[2].startswith("array("):
+            return None
+        ids = re.findall(r"\x00LIT(\d+)\x00", a[2])
+        if not ids:
+            return None
+        fields = []
+        for i, lid in enumerate(ids, 1):
+            name = _lit_text(stash, lid)
+            ph = _stash_add(stash, "'" + name.replace("'", "''") + "'")
+            fields.append(f"{ph}, regexp_extract({a[0]}, {a[1]}, {i})")
+        return f"named_struct({', '.join(fields)})"
+
+    sql = _rewrite_calls(sql, "regexp_extract", regexp_extract_named_x)
     return sql
 
 
