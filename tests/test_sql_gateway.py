@@ -591,3 +591,46 @@ def test_copy_partition_by(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert sorted(back.columns) == ["doc_id", "lang", "n_chars"]
     assert back.count() == res.first()["Count"]
+
+
+def test_create_macro_scalar(spark, sf_dir):
+    """DuckDB CREATE MACRO — untyped expression templates, expanded at
+    the gateway before transpilation (round 4)."""
+    import duckdb
+
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    run_sql(spark, "CREATE MACRO add_tax(p) AS p * 1.1")
+    run_sql(spark, "CREATE MACRO taxed_twice(p) AS add_tax(add_tax(p))")
+    got = run_sql(
+        spark, "SELECT round(taxed_twice(100), 4) AS v, add_tax(10) AS w"
+    ).first()
+    con = duckdb.connect()
+    con.execute("CREATE MACRO add_tax(p) AS p * 1.1")
+    con.execute("CREATE MACRO taxed_twice(p) AS add_tax(add_tax(p))")
+    want = con.execute(
+        "SELECT round(taxed_twice(100), 4) AS v, add_tax(10) AS w"
+    ).fetchone()
+    assert (got["v"], got["w"]) == (want[0], want[1])
+    # macro over a table column, with DuckDB-dialect body
+    run_sql(spark, "CREATE OR REPLACE MACRO initial(s) AS s[1:1]")
+    rows = run_sql(
+        spark,
+        f"SELECT initial(r_name) AS i FROM '{sf_dir}/region.parquet' "
+        "ORDER BY r_regionkey",
+    ).collect()
+    assert [r["i"] for r in rows] == ["A", "A", "A", "E", "M"]
+    # drop + loud error on unknown macro
+    run_sql(spark, "DROP MACRO add_tax")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run_sql(spark, "SELECT add_tax(1)").collect()
+    with _pytest.raises(ValueError):
+        run_sql(spark, "DROP MACRO add_tax")
+    run_sql(spark, "DROP MACRO IF EXISTS add_tax")
+    # table macros stay loud with a clear message
+    with _pytest.raises(NotImplementedError):
+        run_sql(spark, "CREATE MACRO t1() AS TABLE SELECT 1")
+    run_sql(spark, "DROP MACRO IF EXISTS taxed_twice")
+    run_sql(spark, "DROP MACRO IF EXISTS initial")

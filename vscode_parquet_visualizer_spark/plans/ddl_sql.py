@@ -79,12 +79,102 @@ def _count_df(spark: SparkSession, n: int | None) -> DataFrame:
     return spark.createDataFrame(rows, _COUNT_SCHEMA).coalesce(1)
 
 
+_CREATE_MACRO = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
+    r"(?:MACRO|FUNCTION)\s+(?P<name>[A-Za-z_]\w*)\s*\((?P<params>[^)]*)\)"
+    r"\s*AS\s+(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_MACRO = re.compile(
+    r"^\s*DROP\s+(?:MACRO|FUNCTION)\s+(?P<ifex>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+
+# session-scoped scalar macros: id(spark) → {lower_name: (params, body)}
+_session_macros: dict[int, dict[str, tuple[list[str], str]]] = {}
+
+
+def session_macros(spark: SparkSession) -> dict[str, tuple[list[str], str]]:
+    return _session_macros.setdefault(id(spark), {})
+
+
+def expand_macros(spark: SparkSession, sql: str, _depth: int = 0) -> str:
+    """Textually expand scalar-macro calls (DuckDB ``CREATE MACRO`` —
+    an untyped expression template, so expansion happens in the GATEWAY
+    before transpilation, engine-independently): each call becomes the
+    macro body with parameter identifiers substituted by the
+    parenthesized argument texts. Macros may reference macros (depth
+    capped). Wrong arity leaves the call unexpanded → a loud
+    unresolved-function error downstream."""
+    from vscode_parquet_visualizer_spark.plans.dialect import _rewrite_calls
+
+    macros = _session_macros.get(id(spark))
+    if not macros or _depth > 8:
+        return sql
+    out = sql
+    for name, (params, body) in macros.items():
+        def sub(args, params=params, body=body):
+            if len(args) != len(params):
+                return None
+            expanded = body
+            for p, a in zip(params, args):
+                # bare identifiers/literals substitute unparenthesized —
+                # extra parens would defeat identifier-anchored dialect
+                # rewrites ((x)[1:1] misses the 1-based subscript rule);
+                # anything else gets precedence parens
+                rep = (
+                    a
+                    if re.fullmatch(r"[\w.']+|\x00LIT\d+\x00", a)
+                    else f"({a})"
+                )
+                expanded = re.sub(
+                    rf"(?<![\w.]){re.escape(p)}(?![\w(])",
+                    rep.replace("\\", "\\\\"),
+                    expanded,
+                    flags=re.IGNORECASE,
+                )
+            return f"({expanded})"
+
+        out = _rewrite_calls(out, name, sub)
+    if out != sql:  # macros calling macros: iterate to fixpoint
+        return expand_macros(spark, out, _depth + 1)
+    return out
+
+
 def try_rewrite_ddl(
     spark: SparkSession, sql: str, run_sql, **kw
 ) -> DataFrame | None:
     """Route a DDL/COPY/SHOW statement; None if ``sql`` is none of them.
     ``run_sql`` is the gateway entry point (passed in to avoid a module
     cycle); ``kw`` carries its view/columns/dataset_path binding."""
+    m = _CREATE_MACRO.match(sql)
+    if m is not None:
+        body = m.group("body").strip()
+        if re.match(r"TABLE\b", body, re.IGNORECASE):
+            raise NotImplementedError(
+                "CREATE MACRO ... AS TABLE is not supported; use "
+                "CREATE VIEW / CTAS for reusable relations"
+            )
+        params = [
+            p.strip() for p in m.group("params").split(",") if p.strip()
+        ]
+        if any(":=" in p or not re.fullmatch(r"[A-Za-z_]\w*", p) for p in params):
+            raise NotImplementedError(
+                "macro parameter defaults (name := value) are not "
+                "supported; pass every argument explicitly"
+            )
+        session_macros(spark)[m.group("name").lower()] = (params, body)
+        return spark.createDataFrame([], _SUCCESS_SCHEMA).coalesce(1)
+
+    m = _DROP_MACRO.match(sql)
+    if m is not None:
+        removed = session_macros(spark).pop(m.group("name").lower(), None)
+        if removed is None and not m.group("ifex"):
+            raise ValueError(
+                f'Macro with name "{m.group("name")}" does not exist'
+            )
+        return spark.createDataFrame([], _SUCCESS_SCHEMA).coalesce(1)
     if _SESSION_NOOP.match(sql):
         # Transaction control / storage maintenance are meaningful to a
         # persistent DuckDB but no-ops for this session-scoped engine

@@ -370,6 +370,13 @@ def run_sql(
     bound = dialect.rewrite_from_data(
         stripped, view=view, dataset_path=dataset_path
     )
+    from vscode_parquet_visualizer_spark.plans.ddl_sql import (
+        _CREATE_MACRO,
+        expand_macros,
+    )
+
+    if not _CREATE_MACRO.match(bound):
+        bound = expand_macros(spark, bound)
     if _FILE_REL.search(bound):
         bound = _route_file_relations(spark, bound)
     intro = _INTROSPECT.match(bound)
