@@ -907,3 +907,34 @@ def test_differential_batch9(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-4 hunt batch 10: regexp_replace first-match default (the 'g'
+# flag is what makes it global in DuckDB; Spark always replaces all),
+# list reducers, small aliases
+CORPUS_R4_BATCH10 = [
+    """SELECT regexp_replace('aaa', 'a', 'b') AS first_only,
+              regexp_replace('aaa', 'a', 'b', 'g') AS all_matches,
+              regexp_replace('xAxa', 'a', '_', 'i') AS ci_first,
+              regexp_replace('a1b2', '([0-9])', '<\\1>') AS backref_first,
+              regexp_replace('a1b2', '([0-9])', '<\\1>', 'g') AS backref_all,
+              regexp_replace('abc', 'z', 'y') AS no_match""",
+    """SELECT CAST(list_sum([1,2,3]) AS DOUBLE) AS s,
+              round(list_avg([1.0,2.0]) , 4) AS a,
+              CAST(list_count([1,NULL,2]) AS BIGINT) AS c,
+              list_first([7,8]) AS f, list_last([7,8]) AS l""",
+    """SELECT round(CAST(list_median([1,2,3]) AS DOUBLE), 4) AS m_odd,
+              round(CAST(list_median([1,2,3,4]) AS DOUBLE), 4) AS m_even""",
+    """SELECT apply([1,2], x -> x * 2) AS a, list_pack(1, 2, 3) AS p,
+              CAST(strlen('abc') AS BIGINT) AS sl""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R4_BATCH10, ids=range(len(CORPUS_R4_BATCH10))
+)
+def test_differential_batch10(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

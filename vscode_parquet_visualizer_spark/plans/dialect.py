@@ -102,8 +102,11 @@ FUNCTION_RENAMES = {
     # order) — sets have no defined order in either engine's docs;
     # wrap in list_sort for a deterministic result
     "list_intersect": "array_intersect",
-    # round-4 hunt batches 8/9
+    # round-4 hunt batches 8/9/10
     "str_split_regex": "split",
+    "list_pack": "array",
+    "strlen": "length",
+    "apply": "transform",  # 2-param forms get the 1-based idx shape first
     "to_hex": "hex",
     "from_hex": "unhex",
     "epoch_us": "unix_micros",
@@ -1951,19 +1954,22 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         return _stash_add(stash, "'" + out.replace("'", "''") + "'")
 
     def regexp_replace_x(a):
-        if len(a) == 3:
-            repl = xlate_replacement(a[2])
-            if repl == a[2]:
+        # DuckDB regexp_replace WITHOUT the 'g' flag replaces only the
+        # FIRST match; Spark's always replaces ALL — a silent divergence
+        # on one of the most-typed functions (found by hunt batch 10).
+        # First-only lowers to prefix ⊕ replaced-first-match ⊕ suffix
+        # via regexp_instr/regexp_extract; a replacement with backrefs
+        # re-applies the pattern ANCHORED to the extracted match text
+        # (needs a literal pattern — non-literal + backrefs stays
+        # unrewritten).
+        if len(a) not in (3, 4):
+            return None
+        flags = ""
+        if len(a) == 4:
+            m = re.fullmatch(r"\x00LIT(\d+)\x00", a[3])
+            if m is None:
                 return None
-            return f"regexp_replace({a[0]}, {a[1]}, {repl})"
-        if len(a) != 4:
-            return None
-        m = re.fullmatch(r"\x00LIT(\d+)\x00", a[3])
-        if m is None:
-            return None
-        flags = _lit_text(stash, m.group(1))
-        if "g" not in flags:
-            return None  # first-match-only with flags: not expressible
+            flags = _lit_text(stash, m.group(1))
         pat = a[1]
         if "i" in flags:
             pm = re.fullmatch(r"\x00LIT(\d+)\x00", pat)
@@ -1973,7 +1979,31 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             pat = _stash_add(
                 stash, "'" + ("(?i)" + inner).replace("'", "''") + "'"
             )
-        return f"regexp_replace({a[0]}, {pat}, {xlate_replacement(a[2])})"
+        repl = xlate_replacement(a[2])
+        if "g" in flags:
+            return f"regexp_replace({a[0]}, {pat}, {repl})"
+        s_ = a[0]
+        pos = f"regexp_instr({s_}, {pat})"
+        mtxt = f"regexp_extract({s_}, {pat}, 0)"
+        rl = re.fullmatch(r"\x00LIT(\d+)\x00", repl)
+        repl_text = _lit_text(stash, rl.group(1)) if rl else repl
+        if re.search(r"\$\d", repl_text):
+            pm = re.fullmatch(r"\x00LIT(\d+)\x00", pat)
+            if pm is None:
+                return None  # backrefs need a literal pattern to anchor
+            inner = _lit_text(stash, pm.group(1))
+            anchored = _stash_add(
+                stash,
+                "'" + ("^(?:" + inner + ")$").replace("'", "''") + "'",
+            )
+            new = f"regexp_replace({mtxt}, {anchored}, {repl})"
+        else:
+            new = repl
+        return (
+            f"(CASE WHEN {s_} IS NULL OR {pos} = 0 THEN {s_} "
+            f"ELSE concat(substring({s_}, 1, {pos} - 1), {new}, "
+            f"substring({s_}, {pos} + length({mtxt}))) END)"
+        )
 
     sql = _rewrite_calls(sql, "regexp_replace", regexp_replace_x)
 
@@ -2181,6 +2211,7 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         return x
 
     sql = _rewrite_calls(sql, "list_transform", idx_lambda("transform"))
+    sql = _rewrite_calls(sql, "apply", idx_lambda("transform"))
     sql = _rewrite_calls(sql, "list_apply", idx_lambda("transform"))
     sql = _rewrite_calls(sql, "list_filter", idx_lambda("filter"))
 
@@ -2588,6 +2619,57 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         lambda a: f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))"
         if len(a) == 1 else None,
     )
+
+    def _nn(l):
+        return f"filter({l}, __x -> __x IS NOT NULL)"
+
+    sql = _rewrite_calls(  # list reducers ignore NULL elements (DuckDB)
+        sql, "list_sum",
+        lambda a: (
+            f"aggregate({_nn(a[0])}, CAST(NULL AS DOUBLE), "
+            f"(__a, __x) -> coalesce(__a, CAST(0 AS DOUBLE)) + __x)"
+        ) if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "list_avg",
+        lambda a: (
+            f"(aggregate({_nn(a[0])}, CAST(NULL AS DOUBLE), "
+            f"(__a, __x) -> coalesce(__a, CAST(0 AS DOUBLE)) + __x) "
+            f"/ nullif(CAST(size({_nn(a[0])}) AS DOUBLE), 0.0))"
+        ) if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "list_count",
+        lambda a: f"size({_nn(a[0])})" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "list_first",
+        lambda a: f"try_element_at({a[0]}, 1)" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "list_last",
+        lambda a: (
+            f"(CASE WHEN size({a[0]}) = 0 THEN NULL "
+            f"ELSE try_element_at({a[0]}, size({a[0]})) END)"
+        ) if len(a) == 1 else None,
+    )
+
+    def list_median_x(a):
+        if len(a) != 1:
+            return None
+        ms = f"array_sort({_nn(a[0])})"
+        n = f"size({ms})"
+        return (
+            f"(CASE WHEN {n} = 0 THEN NULL "
+            f"WHEN {n} % 2 = 1 THEN "
+            f"CAST(try_element_at({ms}, CAST(({n} + 1) div 2 AS INT)) "
+            f"AS DOUBLE) "
+            f"ELSE (CAST(try_element_at({ms}, CAST({n} div 2 AS INT)) "
+            f"AS DOUBLE) "
+            f"+ try_element_at({ms}, CAST({n} div 2 + 1 AS INT))) / 2 END)"
+        )
+
+    sql = _rewrite_calls(sql, "list_median", list_median_x)
 
     def regexp_extract_named_x(a):
         # regexp_extract(s, p, ['name', ...]) → STRUCT of the capture
