@@ -925,8 +925,24 @@ CORPUS_R4_BATCH10 = [
               list_first([7,8]) AS f, list_last([7,8]) AS l""",
     """SELECT round(CAST(list_median([1,2,3]) AS DOUBLE), 4) AS m_odd,
               round(CAST(list_median([1,2,3,4]) AS DOUBLE), 4) AS m_even""",
+    # NULL elements are ignored; empty / all-NULL lists reduce to NULL
+    """SELECT CAST(list_sum([1,NULL,2]) AS DOUBLE) AS s_null,
+              CAST(list_sum(CAST([] AS INTEGER[])) AS DOUBLE) AS s_empty,
+              CAST(list_sum([NULL, NULL]) AS DOUBLE) AS s_allnull,
+              round(CAST(list_avg([1,NULL,3]) AS DOUBLE), 4) AS a_null,
+              CAST(list_avg(CAST([] AS INTEGER[])) AS DOUBLE) AS a_empty,
+              CAST(list_count(CAST([] AS INTEGER[])) AS BIGINT) AS c_empty,
+              CAST(list_median([1,NULL,2,NULL,3]) AS DOUBLE) AS m_null""",
     """SELECT apply([1,2], x -> x * 2) AS a, list_pack(1, 2, 3) AS p,
               CAST(strlen('abc') AS BIGINT) AS sl""",
+    # 's' = dotall (maps to (?s)); 'c' = case-sensitive default no-op
+    """SELECT regexp_replace('a' || chr(10) || 'b', 'a.b', 'X', 's')
+                  AS dotall_first,
+              regexp_replace('a' || chr(10) || 'bza' || chr(10) || 'b',
+                             'a.b', 'X', 'sg') AS dotall_all,
+              regexp_replace('AbC', 'b', '_', 'c') AS cs_noop,
+              regexp_replace('a' || chr(10) || 'b', 'a.b', 'X')
+                  AS no_dotall""",
 ]
 
 

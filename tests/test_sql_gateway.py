@@ -634,3 +634,59 @@ def test_create_macro_scalar(spark, sf_dir):
         run_sql(spark, "CREATE MACRO t1() AS TABLE SELECT 1")
     run_sql(spark, "DROP MACRO IF EXISTS taxed_twice")
     run_sql(spark, "DROP MACRO IF EXISTS initial")
+
+
+def test_macro_literal_protection(spark):
+    """Macro expansion must not substitute parameter names occurring
+    inside string literals, and commas inside quoted arguments must not
+    mis-split the argument list (round-5 ADVICE: expansion now runs on
+    literal-protected text with a shared stash)."""
+    import duckdb
+
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    con = duckdb.connect()
+    for ddl in (
+        "CREATE MACRO suff(s) AS concat(s, ' s suffix')",
+        "CREATE MACRO j2(a, b) AS concat(a, '|', b)",
+    ):
+        run_sql(spark, ddl)
+        con.execute(ddl)
+    for sql in (
+        # param name 's' appears inside the body's literal — must survive
+        "SELECT suff('name') AS v",
+        # comma inside a quoted argument: one arg, not two
+        "SELECT suff('x,y') AS v",
+        "SELECT j2('a,b', 'c') AS v",
+    ):
+        assert run_sql(spark, sql).first()["v"] == con.execute(sql).fetchone()[0]
+    # arity error stays loud: j2 with one (comma-bearing) string arg
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run_sql(spark, "SELECT j2('x,y') AS v").collect()
+    run_sql(spark, "DROP MACRO IF EXISTS suff")
+    run_sql(spark, "DROP MACRO IF EXISTS j2")
+
+
+def test_regexp_replace_unsupported_flags_loud(spark):
+    """Regex flags without a verified Spark equivalent ('m'/'n'/'l'/'p')
+    must leave the call unrewritten → loud 4-arg failure, never a
+    silently-dropped flag (round-5 ADVICE)."""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    import pytest as _pytest
+
+    for flag in ("m", "n", "l", "p"):
+        with _pytest.raises(Exception):
+            run_sql(
+                spark,
+                f"SELECT regexp_replace('ab', 'a', 'x', '{flag}') AS v",
+            ).collect()
+    # supported combos still lower
+    assert (
+        run_sql(
+            spark, "SELECT regexp_replace('aAa', 'a', '_', 'ig') AS v"
+        ).first()["v"]
+        == "___"
+    )

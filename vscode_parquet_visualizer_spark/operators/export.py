@@ -162,21 +162,25 @@ def export_avro(
         # distributed multi-file write needs the connector; fail loudly
         df.write.mode("overwrite").format("avro").save(path)
         return
+    import glob
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="avro_export_")
     try:
-        import tempfile
-
-        tmp = tempfile.mkdtemp(prefix="avro_export_")
         df.coalesce(1).write.mode("overwrite").format("avro").save(tmp)
-        import glob
-        import shutil
-
         part = glob.glob(os.path.join(tmp, "part-*.avro"))
+        if not part:
+            raise FileNotFoundError(
+                f"avro write produced no part-*.avro file under {tmp}"
+            )
         shutil.move(part[0], path)
-        shutil.rmtree(tmp, ignore_errors=True)
         return
     except AnalysisException as exc:
         if "Failed to find data source" not in str(exc):
             raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     write_avro_fallback(df, path, codec=codec)
 
 

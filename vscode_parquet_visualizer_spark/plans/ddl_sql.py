@@ -107,13 +107,32 @@ def expand_macros(spark: SparkSession, sql: str, _depth: int = 0) -> str:
     parenthesized argument texts. Macros may reference macros (depth
     capped). Wrong arity leaves the call unexpanded → a loud
     unresolved-function error downstream."""
-    from vscode_parquet_visualizer_spark.plans.dialect import _rewrite_calls
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        _LITERAL,
+        _protect_literals,
+        _restore_literals,
+        _rewrite_calls,
+    )
 
     macros = _session_macros.get(id(spark))
     if not macros or _depth > 8:
         return sql
-    out = sql
-    for name, (params, body) in macros.items():
+    # _rewrite_calls requires literal-protected text: an unprotected
+    # comma inside a quoted argument mis-splits the arg list, and a
+    # param name inside a string literal in the macro BODY would get
+    # substituted. One shared stash covers the query and every body.
+    out, stash = _protect_literals(sql)
+
+    def protect_into(text: str) -> str:
+        def keep(m: re.Match) -> str:
+            stash.append(m.group(0))
+            return f"\x00LIT{len(stash) - 1}\x00"
+
+        return _LITERAL.sub(keep, text)
+
+    for name, (params, raw_body) in macros.items():
+        body = protect_into(raw_body)
+
         def sub(args, params=params, body=body):
             if len(args) != len(params):
                 return None
@@ -137,6 +156,7 @@ def expand_macros(spark: SparkSession, sql: str, _depth: int = 0) -> str:
             return f"({expanded})"
 
         out = _rewrite_calls(out, name, sub)
+    out = _restore_literals(out, stash)
     if out != sql:  # macros calling macros: iterate to fixpoint
         return expand_macros(spark, out, _depth + 1)
     return out

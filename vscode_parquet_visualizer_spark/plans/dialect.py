@@ -1327,7 +1327,19 @@ def rewrite_series_table_functions(sql: str) -> str:
         return f"{kw} (SELECT id AS range FROM \x00RANGE\x00({args}))"
 
     def render_gs(kw: str, args: str) -> str:
-        return f"{kw} (SELECT explode(sequence({args})) AS generate_series)"
+        if "\x00" in args or re.search(r"\bINTERVAL\b", args, re.IGNORECASE):
+            # temporal series keep their timestamp element type
+            return (
+                f"{kw} (SELECT explode(sequence({args})) "
+                "AS generate_series)"
+            )
+        # DuckDB generate_series yields BIGINT; Spark sequence() of int
+        # literals yields array<int> — widen the ARRAY (explode is a
+        # generator, so it can't sit inside a CAST) so dtypes match.
+        return (
+            f"{kw} (SELECT explode(CAST(sequence({args}) "
+            "AS ARRAY<BIGINT>)) AS generate_series)"
+        )
 
     def render_unnest(kw: str, args: str) -> str:
         return f"{kw} (SELECT explode({args}) AS unnest)"
@@ -1846,25 +1858,8 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
                 else None
             ),
         )
-    sql = _rewrite_calls(
-        sql,
-        "list_sum",
-        lambda a: (
-            f"aggregate({a[0]}, CAST(0 AS DOUBLE), (__s, __x) -> __s + __x)"
-            if len(a) == 1
-            else None
-        ),
-    )
-    sql = _rewrite_calls(
-        sql,
-        "list_avg",
-        lambda a: (
-            f"(aggregate({a[0]}, CAST(0 AS DOUBLE), (__s, __x) -> __s + __x)"
-            f" / size({a[0]}))"
-            if len(a) == 1
-            else None
-        ),
-    )
+    # list_sum/list_avg are lowered later (round-4 hunt batch 10) with
+    # DuckDB's NULL semantics: NULL elements ignored, empty/all-NULL → NULL.
     sql = _rewrite_calls(
         sql,
         "list_has_all",
@@ -1968,16 +1963,36 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         if len(a) == 4:
             m = re.fullmatch(r"\x00LIT(\d+)\x00", a[3])
             if m is None:
-                return None
+                # DuckDB's 4th arg is always a flag STRING; Spark's is a
+                # numeric position — passing it through would silently
+                # reinterpret, so a non-literal flags arg must raise.
+                raise NotImplementedError(
+                    "regexp_replace flags must be a string literal"
+                )
             flags = _lit_text(stash, m.group(1))
+        # Only flags with verified Spark equivalents are lowered:
+        # 'i' → (?i) prefix, 's' → (?s) dotall prefix (probed: DuckDB
+        # default '.' is newline-excluding, same as Java), 'c' is the
+        # case-sensitive default (no-op), 'g' handled below. Anything
+        # else ('m'/'n'/'l'/'p') must raise HERE: leaving the call
+        # unrewritten is NOT loud — Spark reads arg 4 as a numeric
+        # `position`, casts 'm' to NULL and silently returns NULL.
+        if not set(flags) <= {"i", "g", "s", "c"}:
+            raise NotImplementedError(
+                f"regexp_replace flag(s) {flags!r}: only 'i'/'g'/'s'/'c' "
+                "have verified Spark equivalents"
+            )
         pat = a[1]
-        if "i" in flags:
+        prefix = ("(?i)" if "i" in flags else "") + (
+            "(?s)" if "s" in flags else ""
+        )
+        if prefix:
             pm = re.fullmatch(r"\x00LIT(\d+)\x00", pat)
             if pm is None:
                 return None
             inner = _lit_text(stash, pm.group(1))
             pat = _stash_add(
-                stash, "'" + ("(?i)" + inner).replace("'", "''") + "'"
+                stash, "'" + (prefix + inner).replace("'", "''") + "'"
             )
         repl = xlate_replacement(a[2])
         if "g" in flags:

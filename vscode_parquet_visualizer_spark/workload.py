@@ -2263,15 +2263,15 @@ SELECT r_regionkey,
        monthname(DATE '2024-03-05') AS mname,
        regexp_replace(r_name, '([AEIOU])', '<\\1>', 'g') AS backref,
        even(2.5) AS ev,
-       hamming('abc', 'abd') AS ham,
+       CAST(hamming('abc', 'abd') AS BIGINT) AS ham,
        to_json(generate_series(3, 1)) AS empty_series,
        -- round-4: window frame EXCLUDE GROUP/TIES (peer-aligned RANGE)
-       sum(r_regionkey) OVER (ORDER BY r_regionkey % 2
+       CAST(sum(r_regionkey) OVER (ORDER BY r_regionkey % 2
            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           EXCLUDE GROUP) AS wex_group,
-       sum(r_regionkey) OVER (ORDER BY r_regionkey % 2
+           EXCLUDE GROUP) AS BIGINT) AS wex_group,
+       CAST(sum(r_regionkey) OVER (ORDER BY r_regionkey % 2
            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           EXCLUDE TIES) AS wex_ties
+           EXCLUDE TIES) AS BIGINT) AS wex_ties
 FROM (SELECT * REPLACE (upper(r_name) AS r_name) FROM region) t
 ORDER BY ALL
 """
@@ -2696,7 +2696,8 @@ def q92(spark, sf_dir):
 
 
 _SUMMARIZE_GATE_COLS = (
-    "column_name, column_type, min, max, count, null_percentage"
+    "column_name, column_type, min, max, count, "
+    "CAST(null_percentage AS DOUBLE) AS null_percentage"
 )
 _SUMMARIZE_GATE_SRC = (
     "SUMMARIZE SELECT l_linenumber, l_quantity, l_extendedprice, "
@@ -2782,7 +2783,7 @@ def q95(spark, sf_dir):
     SELECT CASE WHEN bucket < 8000 THEN 'train'
                 WHEN bucket < 9000 THEN 'val'
                 ELSE 'test' END AS split,
-           count(*) AS n, sum(n_chars) AS chars
+           count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
     FROM b GROUP BY 1 ORDER BY 1
     """,
 )
@@ -2839,7 +2840,8 @@ def q97(spark, sf_dir):
                         / 50000.0) AS BIGINT) AS pack_id
       FROM documents
     )
-    SELECT lang, pack_id, count(*) AS docs, sum(n_chars) AS chars
+    SELECT lang, pack_id, count(*) AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
     FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id
     """,
 )
@@ -2867,7 +2869,7 @@ def q98(spark, sf_dir):
                % 10000 AS bucket
       FROM documents
     )
-    SELECT lang, count(*) AS n, sum(n_chars) AS chars
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
     FROM b
     WHERE (lang = 'en' AND bucket < 5000)
        OR (lang = 'de' AND bucket < 2000)
