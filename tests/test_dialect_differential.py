@@ -935,6 +935,17 @@ CORPUS_R4_BATCH10 = [
               CAST(list_median([1,NULL,2,NULL,3]) AS DOUBLE) AS m_null""",
     """SELECT apply([1,2], x -> x * 2) AS a, list_pack(1, 2, 3) AS p,
               CAST(strlen('abc') AS BIGINT) AS sl""",
+    # NOT IN (subquery) → double-NOT-EXISTS anti join: three-valued
+    # semantics must survive — NULL key rows drop, any NULL in the
+    # subquery empties the result, same-named columns resolve outer
+    """SELECT count(*) AS n FROM (VALUES (1), (2), (NULL)) t(x)
+       WHERE x NOT IN (SELECT y FROM (VALUES (2), (5)) s(y))""",
+    """SELECT count(*) AS n FROM (VALUES (1), (2), (NULL)) t(x)
+       WHERE x NOT IN (SELECT y FROM (VALUES (2), (NULL)) s(y))""",
+    """SELECT count(*) AS n FROM (VALUES (1), (3)) t(x)
+       WHERE x NOT IN (SELECT x FROM (VALUES (3), (4)) s(x))""",
+    """SELECT count(*) AS n FROM (VALUES (1), (4), (NULL)) t(x)
+       WHERE x + 1 NOT IN (SELECT y FROM (VALUES (2), (7)) s(y))""",
     # 's' = dotall (maps to (?s)); 'c' = case-sensitive default no-op
     """SELECT regexp_replace('a' || chr(10) || 'b', 'a.b', 'X', 's')
                   AS dotall_first,

@@ -165,7 +165,7 @@ def main() -> None:
     cases["lsh_neighbors (one ArrowEvalPython per side, no UDF dup)"] = (
         lsh_neighbors(emb, queries, threshold=0.9, dim=64)
     )
-    cases["ivf_neighbors (spherical cells; one ArrowEvalPython per side)"] = (
+    cases["ivf_neighbors (unit centroids; argmax-dot JVM-side, python_eval 0)"] = (
         ivf_neighbors(emb, queries, threshold=0.9)
     )
 

@@ -346,15 +346,17 @@ def _ivf_scored(
     corpus rows in any of the query's ``nprobe`` probed cells.
 
     SPHERICAL quantization: the metric everywhere in this module is
-    cosine, so both the k-means fit and the cell assignment run on
-    L2-NORMALIZED vectors (FAISS IndexIVF + METRIC_INNER_PRODUCT does
-    the same). Besides being the right metric, normalization makes cell
-    assignment invariant under positive scaling — a scaled copy of a
-    vector lands in exactly its original's cell, which is what lets the
-    q62 gate pin recall deterministically.
+    cosine, so the k-means fit runs on L2-NORMALIZED vectors and the
+    final centroids are renormalized to UNIT length (FAISS IndexIVF +
+    METRIC_INNER_PRODUCT trains the same way). Unit centroids make the
+    nearest cell ``argmax_j dot(x, c_j)`` — no normalization of x
+    needed, so assignment is invariant under positive scaling (a scaled
+    copy lands exactly in its original's cell, which is what lets the
+    q62 gate pin recall deterministically) AND is a pure JVM column
+    expression: the corpus-wide pass stays inside whole-stage codegen
+    with ZERO Python boundary crossings (round 4 had two ArrowEvalPython
+    passes here — the round's largest data-proportional gap at sf10).
     """
-    from pyspark.sql.pandas.functions import pandas_udf
-
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col),
@@ -375,57 +377,79 @@ def _ivf_scored(
             [np.asarray(v, dtype=np.float64) for v in fit_input.toPandas()["__v"]]
         )
     )  # Arrow transfer: ~10× the row-based collect for array columns
-    centroids = _lloyd(sample, n_centroids, seed=seed, iters=8)
+    centroids = _normalize_rows(_lloyd(sample, n_centroids, seed=seed, iters=8))
+    k = len(centroids)
 
-    @pandas_udf("int")
-    def _nearest_cell(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="int32")
-        X = _normalize_rows(
-            np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+    def cell_scores(vcol: Column) -> Column:
+        """array<double> of dot(x, c_j) per unit centroid — one literal
+        array per centroid, every multiply inside codegen."""
+        return F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    vcol,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+            for c in centroids
+        ])
+
+    # argmax over the score array in ONE aggregate pass (first index wins
+    # ties, matching np.argmin's first-min rule). A NULL vector yields
+    # NULL scores, the strict `>` never fires, and the -1 init survives —
+    # the same no-cell sentinel the round-4 UDF path used. coalesce keeps
+    # the join key expression NON-nullable: a nullable key gets an
+    # injected IsNotNull pushed below the projection by DUPLICATING it
+    # (the round-4 ArrowEvalPython lesson applies to any expensive
+    # projection, not just Python ones).
+    def nearest_cell(vcol: Column) -> Column:
+        return F.coalesce(
+            F.aggregate(
+                F.zip_with(
+                    cell_scores(vcol),
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+                ),
+                F.struct(
+                    F.lit(float("-inf")).alias("s"), F.lit(-1).alias("i")
+                ),
+                lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+            )["i"],
+            F.lit(-1),
         )
-        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(np.argmin(d, axis=1).astype("int32"))
 
-    # coalesce(udf, -1): the UDF output is nullable, so a join on it
-    # injects IsNotNull(__cell), and Catalyst pushes that filter BELOW
-    # this projection by DUPLICATING the ArrowEvalPython — the whole
-    # corpus then crosses the Python boundary twice in series (measured
-    # 10× the pass cost at sf0.1). Coalesce with a literal makes the
-    # key expression non-nullable, so no filter is ever injected; -1
-    # matches no probe cell, preserving semantics for null vectors.
     assigned = vecs.select(
         "neighbor_id",
         vec_col,
-        F.coalesce(
-            _nearest_cell(F.col(vec_col).cast("array<double>")), F.lit(-1)
-        ).alias("__cell"),
+        nearest_cell(F.col(vec_col).cast("array<double>")).alias("__cell"),
     )
 
-    # Runs only over the broadcast query set, but batch it anyway: one
-    # (batch × centroids) distance matrix per Arrow batch instead of a
-    # per-row Python call — keeps the repo free of row-at-a-time UDFs.
-    @pandas_udf("array<int>")
-    def _probe_cells(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        X = _normalize_rows(
-            np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+    # Probe list: the nprobe best cells by score — sort (−score, index)
+    # structs (lexicographic struct order = score desc, index-asc ties,
+    # matching np.argsort stable) and slice. Queries are small by
+    # contract (broadcast), and this too is pure JVM expression.
+    def probe_cells(vcol: Column) -> Column:
+        ranked = F.array_sort(
+            F.zip_with(
+                cell_scores(vcol),
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda s, i: F.struct((-s).alias("negs"), i.alias("i")),
+            )
         )
-        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series([[int(i) for i in row] for row in idx])
+        return F.slice(
+            F.transform(ranked, lambda x: x["i"]), 1, min(nprobe, k)
+        )
 
-    # queries are small by contract (broadcast): one probe task.
-    # Same non-nullable-key treatment as `assigned` (the explode output
-    # element is nullable): -2 so a pathological null never matches -1.
+    # -2 sentinel so a pathological null probe never matches cell -1.
     q = F.broadcast(
         queries.coalesce(1)
         .select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
             F.explode(
-                _probe_cells(F.col(vec_col).cast("array<double>"))
+                probe_cells(F.col(vec_col).cast("array<double>"))
             ).alias("__c0"),
         )
         .select(

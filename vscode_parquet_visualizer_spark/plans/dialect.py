@@ -1299,6 +1299,67 @@ def rewrite_from_first(sql: str) -> str:
     return fix_scope("".join(out))
 
 
+_NOT_IN_SUBQ = re.compile(
+    r"(?P<key>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s+NOT\s+IN\s*\(",
+    re.IGNORECASE,
+)
+
+
+def rewrite_not_in_subquery(sql: str) -> str:
+    """``key NOT IN (SELECT …)`` → the null-faithful double-NOT-EXISTS
+    form::
+
+        (key IS NOT NULL
+         AND NOT EXISTS (SELECT 1 FROM (SUB) a(__k) WHERE a.__k = key)
+         AND NOT EXISTS (SELECT 1 FROM (SUB) b(__k) WHERE b.__k IS NULL))
+
+    Identical three-valued semantics (x NULL → filtered; any NULL in the
+    subquery → everything filtered), but Catalyst plans the correlated
+    NOT EXISTS as a plain (broadcastable) LEFT ANTI hash join instead of
+    a null-aware anti join — NAAJ is broadcast-only and builds a
+    driver-side set, a known scale trap on large build sides (q53 at
+    sf10: 3.9 s → anti join). The derived-table column alias ``(__k)``
+    renames the subquery output, so a same-named outer column still
+    resolves to the OUTER scope exactly as it did inside NOT IN.
+
+    Only fires for a *simple (possibly qualified) column* on the left —
+    a preceding operator character means the identifier is the tail of a
+    larger expression whose NOT IN binds wider, and a non-identifier
+    operand keeps the (correct, slower) NAAJ path. The uncorrelated
+    null-probe subquery is one column-pruned scan, executed once."""
+    out, pos, n = [], 0, 0
+    while True:
+        m = _NOT_IN_SUBQ.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        open_idx = m.end() - 1
+        close_idx = _balanced_span(sql, open_idx)
+        inner = sql[open_idx + 1 : close_idx].strip() if close_idx != -1 else ""
+        prev = sql[: m.start()].rstrip()[-1:]
+        if (
+            close_idx == -1
+            or not re.match(r"SELECT\b", inner, re.IGNORECASE)
+            or prev in set("+-*/%^|&~.")
+        ):
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
+        key = m.group("key")
+        inner = rewrite_not_in_subquery(inner)  # nested NOT INs
+        a, b = f"__nin{n}a", f"__nin{n}b"
+        n += 1
+        out.append(sql[pos : m.start()])
+        out.append(
+            f"({key} IS NOT NULL"
+            f" AND NOT EXISTS (SELECT 1 FROM ({inner}) {a}(__k)"
+            f" WHERE {a}.__k = {key})"
+            f" AND NOT EXISTS (SELECT 1 FROM ({inner}) {b}(__k)"
+            f" WHERE {b}.__k IS NULL))"
+        )
+        pos = close_idx + 1
+
+
 def rewrite_series_table_functions(sql: str) -> str:
     """DuckDB inline-series table functions (SURVEY §2B values/inline):
 
@@ -3261,6 +3322,7 @@ def transpile(
     sql = rewrite_strftime(sql, stash)
     sql = rewrite_regex_operators(sql, stash)
     sql = rewrite_any_all(sql)
+    sql = rewrite_not_in_subquery(sql)
     sql = rewrite_string_split(sql, stash)
     sql = rewrite_list_aggregate(sql, stash)
     sql = rewrite_timestamp_literals(sql)
