@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from decimal import Decimal
 
+from vscode_parquet_visualizer_spark.session import local_df
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -78,7 +79,7 @@ def describe_df(spark: SparkSession, df: DataFrame) -> DataFrame:
         )
         for f in df.schema.fields
     ]
-    return spark.createDataFrame(rows, _DESCRIBE_SCHEMA).coalesce(1)
+    return local_df(spark, rows, _DESCRIBE_SCHEMA)
 
 
 def _is_numeric(dtype: T.DataType) -> bool:
@@ -128,4 +129,4 @@ def summarize_df(spark: SparkSession, df: DataFrame) -> DataFrame:
                 pct,
             )
         )
-    return spark.createDataFrame(rows, _SUMMARIZE_SCHEMA).coalesce(1)
+    return local_df(spark, rows, _SUMMARIZE_SCHEMA)

@@ -320,8 +320,14 @@ def oracle_media_table(spark, n: int = 60) -> DataFrame:
             mtype = "image"
             meta = (w, h, None, None)
         rows.append((i, payload, mtype, meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(
-        max(1, min(8, n // 8))
+    # ~64 blobs per slice, sliced AT THE SOURCE: createDataFrame alone
+    # makes defaultParallelism (32) Python-backed slices, and a later
+    # coalesce(1) evaluates all 32 SERIALLY in one task — one ~130 ms
+    # Python round trip each (measured 4.4 s for 60 rows). parallelize
+    # with the target slice count keeps every action at `parts` tasks.
+    parts = max(1, min(8, n // 64))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), MEDIA_SCHEMA
     )
 
 
@@ -340,6 +346,12 @@ def synthetic_media_table(spark, n: int = 64, seed: int = 42) -> DataFrame:
         rows.append((i, payload, mtype, meta))
     # a local 64-row collection otherwise parallelizes to defaultParallelism
     # slices — 32 near-empty tasks per action; cap at ~8 rows/partition
-    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(
-        max(1, min(8, n // 8))
+    # ~64 blobs per slice, sliced AT THE SOURCE: createDataFrame alone
+    # makes defaultParallelism (32) Python-backed slices, and a later
+    # coalesce(1) evaluates all 32 SERIALLY in one task — one ~130 ms
+    # Python round trip each (measured 4.4 s for 60 rows). parallelize
+    # with the target slice count keeps every action at `parts` tasks.
+    parts = max(1, min(8, n // 64))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), MEDIA_SCHEMA
     )

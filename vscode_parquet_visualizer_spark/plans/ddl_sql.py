@@ -29,6 +29,8 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+from vscode_parquet_visualizer_spark.session import local_df
 from pyspark.sql import types as T
 
 _CTAS = re.compile(
@@ -76,7 +78,7 @@ _session_tables: dict[tuple[int, str], DataFrame] = {}
 
 def _count_df(spark: SparkSession, n: int | None) -> DataFrame:
     rows = [] if n is None else [(n,)]
-    return spark.createDataFrame(rows, _COUNT_SCHEMA).coalesce(1)
+    return local_df(spark, rows, _COUNT_SCHEMA)
 
 
 _CREATE_MACRO = re.compile(
@@ -185,7 +187,7 @@ def try_rewrite_ddl(
                 "supported; pass every argument explicitly"
             )
         session_macros(spark)[m.group("name").lower()] = (params, body)
-        return spark.createDataFrame([], _SUCCESS_SCHEMA).coalesce(1)
+        return local_df(spark, [], _SUCCESS_SCHEMA)
 
     m = _DROP_MACRO.match(sql)
     if m is not None:
@@ -194,7 +196,7 @@ def try_rewrite_ddl(
             raise ValueError(
                 f'Macro with name "{m.group("name")}" does not exist'
             )
-        return spark.createDataFrame([], _SUCCESS_SCHEMA).coalesce(1)
+        return local_df(spark, [], _SUCCESS_SCHEMA)
     if _SESSION_NOOP.match(sql):
         # Transaction control / storage maintenance are meaningful to a
         # persistent DuckDB but no-ops for this session-scoped engine
@@ -202,7 +204,7 @@ def try_rewrite_ddl(
         # checkpoint or roll back). DuckDB returns an empty result for
         # them; mirror with the empty Success shape rather than a parse
         # error mid-script.
-        return spark.createDataFrame([], _SUCCESS_SCHEMA).coalesce(1)
+        return local_df(spark, [], _SUCCESS_SCHEMA)
 
     if _SHOW_TABLES.match(sql):
         names = sorted(
@@ -225,7 +227,7 @@ def try_rewrite_ddl(
             raise ValueError(
                 f'{m.group("kind").capitalize()} with name "{name}" does not exist'
             )
-        return spark.createDataFrame([], _SUCCESS_SCHEMA).coalesce(1)
+        return local_df(spark, [], _SUCCESS_SCHEMA)
 
     m = _PRAGMA_TABLE_INFO.match(sql)
     if m is not None:

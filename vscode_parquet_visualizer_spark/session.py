@@ -139,3 +139,20 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def local_df(spark: SparkSession, rows, schema, parts: int = 1):
+    """Small driver-built DataFrame with an EXPLICT slice count.
+
+    ``spark.createDataFrame(rows, schema)`` alone produces
+    ``defaultParallelism`` Python-backed slices (32 here) even for one
+    row, and a downstream ``coalesce(1)`` then evaluates all of them
+    SERIALLY in a single task — one Python-worker round trip (~130 ms)
+    each, measured 4.4 s for a 60-row table. Parallelizing with the
+    target slice count up front keeps every later action at ``parts``
+    tasks and ``parts`` worker calls."""
+    if not rows:  # parallelize([]) can't infer emptiness cheaply
+        return spark.createDataFrame([], schema).coalesce(1)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts), schema
+    )

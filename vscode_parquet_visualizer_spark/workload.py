@@ -120,9 +120,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             # to every query. Scan-order-sensitive gates (positional
             # join) use nation/region, which are not _HOT, so their
             # file order survives.
+            # Partition count ∝ data size, floored at 8: a 32-task stage
+            # over a few-MB cached table pays ~0.1 s of pure task
+            # scheduling per scan (measured; full-bench A/B at sf0.1:
+            # 20.7 s at 32-way vs 16.2 s at 8-way), while big tables
+            # still fan out to every core — at sf1+ the ratio drives
+            # partitions back to `cores`, which is the 100 TB posture.
             parts = df.rdd.getNumPartitions()
-            if parts < cores:
-                df = df.repartition(cores)
+            env = os.environ.get("SPARK_GRAFT_CACHE_PARTS")
+            if env:
+                want = int(env)
+            else:
+                want = min(cores, max(8, _table_bytes(path) // (8 << 20)))
+            if parts < want:
+                df = df.repartition(want)
+            elif parts > max(want, cores):
+                df = df.coalesce(want)
             df = df.persist(StorageLevel.MEMORY_AND_DISK)
         df.createOrReplaceTempView(t)
         out[t] = df
@@ -2961,7 +2974,9 @@ def q9a(spark, sf_dir):
                 i % 8
             ]
             rows.append((i, enc(img), "image", (8 + i, 8, None, None)))
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(2)
+    media = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), MEDIA_SCHEMA
+    )
     return (
         extract_features(media, decode_fn=media_features)
         .groupBy("media_type")
