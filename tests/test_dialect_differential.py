@@ -946,6 +946,38 @@ CORPUS_R4_BATCH10 = [
        WHERE x NOT IN (SELECT x FROM (VALUES (3), (4)) s(x))""",
     """SELECT count(*) AS n FROM (VALUES (1), (4), (NULL)) t(x)
        WHERE x + 1 NOT IN (SELECT y FROM (VALUES (2), (7)) s(y))""",
+    # min/max frame EXCLUDE (round 5): two-level restructure — the
+    # one-sided ROWS helpers are only read at the first/last peer row
+    """SELECT k, coalesce(e, -1) AS e,
+      coalesce(min(e) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW EXCLUDE GROUP), -999) AS mg,
+      coalesce(min(e) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW EXCLUDE TIES), -999) AS mt,
+      coalesce(min(e) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW EXCLUDE CURRENT ROW), -999) AS mc,
+      coalesce(max(e) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW EXCLUDE GROUP), -999) AS xg
+    FROM (VALUES (1,5),(2,3),(2,9),(2,NULL),(3,1),(3,1)) t(k,e)
+    ORDER BY k, e NULLS LAST""",
+    """SELECT p, k, e,
+      coalesce(min(e) OVER (PARTITION BY p ORDER BY k RANGE BETWEEN
+                   UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   EXCLUDE GROUP), -999) AS mg,
+      max(e) OVER (PARTITION BY p ORDER BY k RANGE BETWEEN UNBOUNDED
+                   PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS xt,
+      coalesce(min(e) OVER (PARTITION BY p ORDER BY k RANGE BETWEEN
+                   UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   EXCLUDE CURRENT ROW), -999) AS mc
+    FROM (VALUES (1,1,5),(1,2,3),(1,2,9),(1,3,1),(2,1,7),(2,1,8)) t(p,k,e)
+    ORDER BY p, k, e""",
+    """SELECT k, e,
+      coalesce(min(e) OVER (ORDER BY k RANGE BETWEEN CURRENT ROW AND
+                   UNBOUNDED FOLLOWING EXCLUDE GROUP), -999) AS mg,
+      coalesce(max(e) OVER (ORDER BY k RANGE BETWEEN CURRENT ROW AND
+                   UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW), -999) AS xc,
+      min(e) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW EXCLUDE NO OTHERS) AS mn
+    FROM (VALUES (1,5),(2,3),(2,9),(3,1)) t(k,e) ORDER BY k, e""",
     # 's' = dotall (maps to (?s)); 'c' = case-sensitive default no-op
     """SELECT regexp_replace('a' || chr(10) || 'b', 'a.b', 'X', 's')
                   AS dotall_first,

@@ -2957,7 +2957,7 @@ def rewrite_list_comprehension(sql: str) -> str:
 
 
 _WINDOW_EXCLUDE = re.compile(
-    r"\b(sum|count|avg)\s*\(\s*([^()]*?)\s*\)\s+OVER\s+\(([^()]*?)\s*"
+    r"\b(sum|count|avg|min|max)\s*\(\s*([^()]*?)\s*\)\s+OVER\s+\(([^()]*?)\s*"
     r"EXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\s*\)",
     re.IGNORECASE,
 )
@@ -3075,6 +3075,168 @@ def rewrite_window_distinct(sql: str) -> str:
     return _WINDOW_DISTINCT.sub(sub, sql)
 
 
+_MINMAX_EXCLUDE = re.compile(
+    r"\b(min|max)\s*\(\s*([^()]*?)\s*\)\s+OVER\s+\(([^()]*?)\s*"
+    r"EXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES)\s*\)",
+    re.IGNORECASE,
+)
+
+_FRAME_LO = re.compile(
+    r"RANGE\s+(?:BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+CURRENT\s+ROW"
+    r"|UNBOUNDED\s+PRECEDING)\s*$",
+    re.IGNORECASE,
+)
+_FRAME_HI = re.compile(
+    r"RANGE\s+BETWEEN\s+CURRENT\s+ROW\s+AND\s+UNBOUNDED\s+FOLLOWING\s*$",
+    re.IGNORECASE,
+)
+_FRAME_FULL = re.compile(
+    r"RANGE\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND"
+    r"\s+UNBOUNDED\s+FOLLOWING\s*$",
+    re.IGNORECASE,
+)
+
+
+def _depth_at(sql: str, pos: int) -> int:
+    return sql.count("(", 0, pos) - sql.count(")", 0, pos)
+
+
+def _top_level_find(sql: str, pattern: str, start: int = 0) -> int:
+    """Position of the first depth-0 match of ``pattern``, or -1."""
+    for m in re.finditer(pattern, sql, re.IGNORECASE):
+        if m.start() >= start and _depth_at(sql, m.start()) == 0:
+            return m.start()
+    return -1
+
+
+def rewrite_minmax_exclude(sql: str) -> str:
+    """``min/max(e) OVER (w EXCLUDE GROUP|TIES|CURRENT ROW)``.
+
+    Unlike sum/count/avg, min/max are not algebraically removable (you
+    can't subtract the excluded rows' contribution), and the exact
+    answer — combine one-sided mins split around the peer group — needs
+    window functions OVER window results, which SQL forbids in one
+    SELECT. So this rewrite RESTRUCTURES the statement into two levels:
+
+      inner:  SELECT *, e, row_number/rank/peer-count over w,
+                     fn(e) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+                                 1 PRECEDING)        AS lo   [and/or]
+                     fn(e) OVER (w ROWS 1 FOLLOWING …) AS hi
+      outer:  fn(CASE WHEN rn = rk           THEN lo END) OVER (peers)
+              fn(CASE WHEN rn = rk + pc - 1  THEN hi END) OVER (peers)
+
+    The ROWS helper is only consumed at the FIRST (resp. LAST) row of
+    each peer group, where "rows before me" is exactly "rows strictly
+    below my key" — deterministic even though intra-peer order isn't.
+    Modes: GROUP = the one-sided (or both-sided for full frames) group
+    min; TIES = least/greatest(GROUP, current e); CURRENT ROW = GROUP
+    combined with the peers-minus-self split ordered by the unique rn.
+
+    Scope (anything else stays loud): single SELECT without WITH /
+    GROUP BY / set ops / star projection, calls at paren depth 0,
+    peer-aligned frames [UNBOUNDED PRECEDING, CURRENT ROW],
+    [CURRENT ROW, UNBOUNDED FOLLOWING] or the full partition."""
+    matches = list(_MINMAX_EXCLUDE.finditer(sql))
+    if not matches:
+        return sql
+    head = re.match(r"\s*SELECT\s+(DISTINCT\s+)?", sql, re.IGNORECASE)
+    if head is None:
+        return sql
+    # calls may sit inside scalar expressions (coalesce(min(...) OVER …))
+    # but not inside a nested SUBQUERY — a second SELECT before the call
+    # means another scope owns it, and this statement-level restructure
+    # would mis-place the helpers.
+    if any(
+        re.search(r"\bSELECT\b", sql[head.end() : m.start()], re.IGNORECASE)
+        for m in matches
+    ):
+        return sql
+    for kw in (r"\bGROUP\s+BY\b", r"\bHAVING\b", r"\bQUALIFY\b",
+               r"\bUNION\b", r"\bINTERSECT\b", r"\bEXCEPT\b",
+               r"\bWITH\b"):
+        if _top_level_find(sql, kw) != -1:
+            return sql
+    from_pos = _top_level_find(sql, r"\bFROM\b")
+    if from_pos == -1 or from_pos < matches[0].start():
+        return sql
+    sel = sql[head.end() : from_pos]
+    if re.search(r"(?<![\w.])\*", re.sub(r"\x00LIT\d+\x00", "", sel)):
+        return sql  # a star projection would leak the helper columns
+    rest = sql[from_pos + 4 :]
+    tail_pos = _top_level_find(rest, r"\bORDER\s+BY\b|\bLIMIT\b|\bOFFSET\b")
+    src, tail = (
+        (rest, "") if tail_pos == -1 else (rest[:tail_pos], rest[tail_pos:])
+    )
+
+    helpers: list[str] = []
+    new_sel = sel
+    for i, m in enumerate(matches):
+        fn, e, body = m.group(1).lower(), m.group(2).strip(), m.group(3).strip()
+        mode = re.sub(r"\s+", " ", m.group(4).upper())
+        bm = _WINDOW_BODY.match(body)
+        if bm is None or not bm.group("order"):
+            return sql
+        frame = (bm.group("frame") or "").strip()
+        lo_f = bool(_FRAME_LO.fullmatch(frame))
+        hi_f = bool(_FRAME_HI.fullmatch(frame))
+        full_f = bool(_FRAME_FULL.fullmatch(frame))
+        if not (lo_f or hi_f or full_f):
+            return sql
+        peer = _peer_partition(body)
+        if peer is None:
+            return sql
+        w = body[: body.rfind(frame)].strip() if frame else body
+        b = f"__mx{i}"
+        lg = "least" if fn == "min" else "greatest"
+        helpers += [
+            f"({e}) AS {b}_e",
+            f"row_number() OVER ({w}) AS {b}_rn",
+            f"rank() OVER ({w}) AS {b}_rk",
+            f"count(*) OVER ({peer}) AS {b}_pc",
+        ]
+        parts = []
+        if lo_f or full_f:
+            helpers.append(
+                f"{fn}({e}) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING "
+                f"AND 1 PRECEDING) AS {b}_lo"
+            )
+            parts.append(
+                f"{fn}(CASE WHEN {b}_rn = {b}_rk THEN {b}_lo END) "
+                f"OVER ({peer})"
+            )
+        if hi_f or full_f:
+            helpers.append(
+                f"{fn}({e}) OVER ({w} ROWS BETWEEN 1 FOLLOWING "
+                f"AND UNBOUNDED FOLLOWING) AS {b}_hi"
+            )
+            parts.append(
+                f"{fn}(CASE WHEN {b}_rn = {b}_rk + {b}_pc - 1 "
+                f"THEN {b}_hi END) OVER ({peer})"
+            )
+        grp = parts[0] if len(parts) == 1 else f"{lg}({', '.join(parts)})"
+        if mode == "GROUP":
+            repl = grp
+        elif mode == "TIES":
+            repl = f"{lg}({grp}, {b}_e)"
+        else:  # CURRENT ROW: group-exclusion ∪ peers-minus-self
+            before = (
+                f"{fn}({b}_e) OVER ({peer} ORDER BY {b}_rn "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+            )
+            after = (
+                f"{fn}({b}_e) OVER ({peer} ORDER BY {b}_rn "
+                f"ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+            )
+            repl = f"{lg}({grp}, {lg}({before}, {after}))"
+        new_sel = new_sel.replace(m.group(0), f"({repl})")
+    distinct = head.group(1) or ""
+    return (
+        f"SELECT {distinct}{new_sel.strip()} "
+        f"FROM (SELECT *, {', '.join(helpers)} FROM {src.strip()}) __mxsub"
+        f"{(' ' + tail.strip()) if tail else ''}"
+    )
+
+
 def rewrite_window_exclude(sql: str) -> str:
     """``agg(e) OVER (w EXCLUDE …)`` for sum/count/avg — Spark has no
     frame-exclusion clause, but these three are algebraic:
@@ -3099,6 +3261,11 @@ def rewrite_window_exclude(sql: str) -> str:
         mode = re.sub(r"\s+", " ", m.group(4).upper())
         if mode == "NO OTHERS":
             return f"{fn}({e}) OVER ({w})"
+        if fn in ("min", "max"):
+            # GROUP/TIES/CURRENT ROW for min/max are handled by the
+            # statement-level restructure (rewrite_minmax_exclude, which
+            # runs first); a call still here is out of its scope → loud.
+            return m.group(0)
         star = e in ("*", "1")
         cur_cnt = "1" if star else f"(CASE WHEN ({e}) IS NULL THEN 0 ELSE 1 END)"
         cur_sum = f"coalesce({e}, 0)"
@@ -3352,6 +3519,7 @@ def transpile(
         flags=re.IGNORECASE,
     )
     sql = rewrite_window_distinct(sql)
+    sql = rewrite_minmax_exclude(sql)
     sql = rewrite_window_exclude(sql)
     sql = rewrite_like_escape(sql, stash)
     sql = rewrite_ignore_nulls(sql)
