@@ -629,9 +629,10 @@ def test_create_macro_scalar(spark, sf_dir):
     with _pytest.raises(ValueError):
         run_sql(spark, "DROP MACRO add_tax")
     run_sql(spark, "DROP MACRO IF EXISTS add_tax")
-    # table macros stay loud with a clear message
-    with _pytest.raises(NotImplementedError):
-        run_sql(spark, "CREATE MACRO t1() AS TABLE SELECT 1")
+    # table macros are supported as of round 5 (zero-param form)
+    run_sql(spark, "CREATE MACRO t1() AS TABLE SELECT 1 AS one")
+    assert run_sql(spark, "SELECT one FROM t1()").first()["one"] == 1
+    run_sql(spark, "DROP MACRO t1")
     run_sql(spark, "DROP MACRO IF EXISTS taxed_twice")
     run_sql(spark, "DROP MACRO IF EXISTS initial")
 
@@ -667,6 +668,45 @@ def test_macro_literal_protection(spark):
         run_sql(spark, "SELECT j2('x,y') AS v").collect()
     run_sql(spark, "DROP MACRO IF EXISTS suff")
     run_sql(spark, "DROP MACRO IF EXISTS j2")
+
+
+def test_table_macros_and_param_defaults(spark):
+    """Round 5: CREATE MACRO ... AS TABLE (FROM-position expansion into
+    a derived table) and `name := value` parameter defaults / named-call
+    arguments — differential against DuckDB on identical text."""
+    import duckdb
+
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    con = duckdb.connect()
+    for ddl in (
+        "CREATE MACRO add_t(p, rate := 0.1) AS p * (1 + rate)",
+        "CREATE MACRO nums(n) AS TABLE SELECT * FROM range(0, n) t(x)",
+        "CREATE MACRO pair(a, b := 5) AS TABLE SELECT a AS x, b AS y",
+    ):
+        run_sql(spark, ddl)
+        con.execute(ddl)
+    for q in (
+        "SELECT round(add_t(100), 3) AS v1, "
+        "round(add_t(100, rate := 0.2), 3) AS v2",
+        "SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM nums(5)",
+        "SELECT t.x FROM nums(3) t ORDER BY t.x",
+        "SELECT x, y FROM pair(7)",
+        "SELECT x, y FROM pair(1, b := 9)",
+        "SELECT count(*) AS n FROM nums(4) a JOIN nums(4) b ON a.x = b.x",
+    ):
+        got = [tuple(r) for r in run_sql(spark, q).collect()]
+        assert got == con.execute(q).fetchall(), q
+    # missing required arg stays loud (both engines error)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run_sql(spark, "SELECT add_t() AS v").collect()
+    # qualified-by-macro-name refs fail on both engines (unnamed binding)
+    with _pytest.raises(Exception):
+        run_sql(spark, "SELECT nums.x FROM nums(3)").collect()
+    for name in ("add_t", "nums", "pair"):
+        run_sql(spark, f"DROP MACRO IF EXISTS {name}")
 
 
 def test_regexp_replace_unsupported_flags_loud(spark):

@@ -93,12 +93,65 @@ _DROP_MACRO = re.compile(
     re.IGNORECASE,
 )
 
-# session-scoped scalar macros: id(spark) → {lower_name: (params, body)}
-_session_macros: dict[int, dict[str, tuple[list[str], str]]] = {}
+# session-scoped macros: id(spark) → {lower_name: (params, body, is_table)}
+# where params is a list of (name, default_text_or_None) — DuckDB's
+# `name := value` parameter defaults ride along as raw expression text.
+_session_macros: dict[
+    int, dict[str, tuple[list[tuple[str, str | None]], str, bool]]
+] = {}
 
 
-def session_macros(spark: SparkSession) -> dict[str, tuple[list[str], str]]:
+def session_macros(
+    spark: SparkSession,
+) -> dict[str, tuple[list[tuple[str, str | None]], str, bool]]:
     return _session_macros.setdefault(id(spark), {})
+
+
+def _parse_macro_params(text: str) -> list[tuple[str, str | None]]:
+    """``a, b := 10`` → [('a', None), ('b', '10')]; loud on bad shapes."""
+    params: list[tuple[str, str | None]] = []
+    for p in (x.strip() for x in text.split(",") if x.strip()):
+        name, sep, default = p.partition(":=")
+        name = name.strip()
+        if not re.fullmatch(r"[A-Za-z_]\w*", name):
+            raise NotImplementedError(
+                f"unsupported macro parameter shape {p!r}"
+            )
+        params.append((name, default.strip() if sep else None))
+    return params
+
+
+def _bind_args(
+    params: list[tuple[str, str | None]], args: list[str]
+) -> dict[str, str] | None:
+    """Map parameter names to argument texts: positional args first,
+    then DuckDB's named ``name := value`` call form, then declaration
+    defaults. None (→ call left unexpanded, loud) on arity/name errors
+    or a positional arg after a named one."""
+    named: dict[str, str] = {}
+    pos: list[str] = []
+    for a in args:
+        m = re.match(r"^\s*([A-Za-z_]\w*)\s*:=\s*(.+)$", a, re.DOTALL)
+        if m is not None:
+            named[m.group(1).lower()] = m.group(2).strip()
+        elif named:
+            return None
+        else:
+            pos.append(a)
+    if len(pos) > len(params):
+        return None
+    bound: dict[str, str] = {}
+    for (name, default), val in zip(params, pos):
+        bound[name.lower()] = val
+    for name, default in params[len(pos):]:
+        key = name.lower()
+        if key in named:
+            bound[key] = named.pop(key)
+        elif default is not None:
+            bound[key] = default
+        else:
+            return None
+    return None if named else bound
 
 
 def expand_macros(spark: SparkSession, sql: str, _depth: int = 0) -> str:
@@ -132,36 +185,96 @@ def expand_macros(spark: SparkSession, sql: str, _depth: int = 0) -> str:
 
         return _LITERAL.sub(keep, text)
 
-    for name, (params, raw_body) in macros.items():
+    def substitute(body: str, bound: dict[str, str]) -> str:
+        expanded = body
+        for p, a in bound.items():
+            # bare identifiers/literals substitute unparenthesized —
+            # extra parens would defeat identifier-anchored dialect
+            # rewrites ((x)[1:1] misses the 1-based subscript rule);
+            # anything else gets precedence parens
+            rep = (
+                a
+                if re.fullmatch(r"[\w.']+|\x00LIT\d+\x00", a)
+                else f"({a})"
+            )
+            expanded = re.sub(
+                rf"(?<![\w.]){re.escape(p)}(?![\w(])",
+                rep.replace("\\", "\\\\"),
+                expanded,
+                flags=re.IGNORECASE,
+            )
+        return expanded
+
+    for name, (params, raw_body, is_table) in macros.items():
         body = protect_into(raw_body)
 
+        if is_table:
+            # table macros are relations: expand at FROM/JOIN position
+            # into a named derived table (DuckDB binds the macro name as
+            # the relation alias unless the call carries its own).
+            out = _expand_table_macro(out, name, params, body, substitute)
+            continue
+
         def sub(args, params=params, body=body):
-            if len(args) != len(params):
+            bound = _bind_args(params, args)
+            if bound is None:
                 return None
-            expanded = body
-            for p, a in zip(params, args):
-                # bare identifiers/literals substitute unparenthesized —
-                # extra parens would defeat identifier-anchored dialect
-                # rewrites ((x)[1:1] misses the 1-based subscript rule);
-                # anything else gets precedence parens
-                rep = (
-                    a
-                    if re.fullmatch(r"[\w.']+|\x00LIT\d+\x00", a)
-                    else f"({a})"
-                )
-                expanded = re.sub(
-                    rf"(?<![\w.]){re.escape(p)}(?![\w(])",
-                    rep.replace("\\", "\\\\"),
-                    expanded,
-                    flags=re.IGNORECASE,
-                )
-            return f"({expanded})"
+            return f"({substitute(body, bound)})"
 
         out = _rewrite_calls(out, name, sub)
     out = _restore_literals(out, stash)
     if out != sql:  # macros calling macros: iterate to fixpoint
         return expand_macros(spark, out, _depth + 1)
     return out
+
+
+def _expand_table_macro(
+    sql: str, name: str, params, body: str, substitute
+) -> str:
+    """Replace ``FROM|JOIN <name>(args)`` with the parameter-substituted
+    macro body as a derived table. Keeps a user alias if one follows the
+    call; otherwise aliases by the macro name (DuckDB's binding)."""
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        _balanced_span,
+        _split_top_level,
+    )
+
+    pat = re.compile(rf"\b(FROM|JOIN)\s+{name}\s*\(", re.IGNORECASE)
+    out, pos, n_call = [], 0, 0
+    while True:
+        m = pat.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        open_idx = m.end() - 1
+        close_idx = _balanced_span(sql, open_idx)
+        if close_idx == -1:
+            out.append(sql[pos:])
+            return "".join(out)
+        arg_text = sql[open_idx + 1 : close_idx].strip()
+        args = _split_top_level(arg_text) if arg_text else []
+        bound = _bind_args(params, [a.strip() for a in args])
+        if bound is None:  # arity/name error: leave the call (loud)
+            out.append(sql[pos : close_idx + 1])
+            pos = close_idx + 1
+            continue
+        after = sql[close_idx + 1 :]
+        has_alias = re.match(
+            r"\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b|OFFSET\b"
+            r"|JOIN\b|ON\b|USING\b|UNION\b|INTERSECT\b|EXCEPT\b|LEFT\b"
+            r"|RIGHT\b|FULL\b|INNER\b|CROSS\b|QUALIFY\b|HAVING\b|WINDOW\b)"
+            r"[A-Za-z_]\w*",
+            after,
+            re.IGNORECASE,
+        )
+        # synthetic alias, NOT the macro name: DuckDB binds an unnamed
+        # relation here, so macro-name-qualified column refs must fail
+        # on both engines the same way.
+        alias = "" if has_alias else f" __tm_{name}{n_call}"
+        n_call += 1
+        out.append(sql[pos : m.start()])
+        out.append(f"{m.group(1)} ({substitute(body, bound)}){alias}")
+        pos = close_idx + 1
 
 
 def try_rewrite_ddl(
@@ -173,20 +286,14 @@ def try_rewrite_ddl(
     m = _CREATE_MACRO.match(sql)
     if m is not None:
         body = m.group("body").strip()
-        if re.match(r"TABLE\b", body, re.IGNORECASE):
-            raise NotImplementedError(
-                "CREATE MACRO ... AS TABLE is not supported; use "
-                "CREATE VIEW / CTAS for reusable relations"
-            )
-        params = [
-            p.strip() for p in m.group("params").split(",") if p.strip()
-        ]
-        if any(":=" in p or not re.fullmatch(r"[A-Za-z_]\w*", p) for p in params):
-            raise NotImplementedError(
-                "macro parameter defaults (name := value) are not "
-                "supported; pass every argument explicitly"
-            )
-        session_macros(spark)[m.group("name").lower()] = (params, body)
+        tm = re.match(r"TABLE\b\s*", body, re.IGNORECASE)
+        is_table = tm is not None
+        if is_table:
+            body = body[tm.end():].strip()
+        params = _parse_macro_params(m.group("params"))
+        session_macros(spark)[m.group("name").lower()] = (
+            params, body, is_table,
+        )
         return local_df(spark, [], _SUCCESS_SCHEMA)
 
     m = _DROP_MACRO.match(sql)
