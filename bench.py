@@ -90,8 +90,18 @@ def main() -> None:
         # Sub-GB inputs fit the hash build in memory with room to spare:
         # shuffled-hash beats sort-merge by skipping both sort passes
         # (interleaved min-of-3 A/B at sf1: join-heavy subset ~6% faster).
-        # At ≥1 GiB the default stands — SMJ's graceful spill is the
-        # right risk posture for 100 TB joins.
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    else:
+        # Large profile: the hot tables are cached hash-partitioned on
+        # their join keys (workload._CACHE_KEYS), so the fact joins run
+        # exchange-free — but only a shuffled-HASH join exploits that
+        # without re-sorting 60 M rows per query (SMJ keeps its two Sort
+        # passes even when the Exchange is elided). The hash build is
+        # bounded by the cache's size-derived partitioning (~8 MiB of
+        # source rows per partition per table), so per-task build memory
+        # is small by construction; on a true 100 TB deployment with
+        # unbounded-skew inputs the SMJ default is the safer posture and
+        # this stays a conf, not code.
         spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
 
     # Ad-hoc conf overrides for A/B experiments, e.g.

@@ -64,6 +64,15 @@ _DEFAULTS = {
     # Broadcast dimension tables aggressively; at 100 TB the fact table is
     # huge but region/nation/part-style dims still fit on every executor.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # HotSpot never JIT-compiles a method beyond 8000 bytecode bytes
+    # (-XX:DontCompileHugeMethods), so a whole-stage-codegen'd pipeline
+    # that fuses past that size runs INTERPRETED — measured as
+    # intermittent 10× stage slowdowns (3 s → 34 s, zero GC/IO) on a
+    # 5-join fused probe stage. Spark's default limit (65535) trusts the
+    # JVM to cope; capping at the JIT's real limit falls such stages back
+    # to the volcano iterator path, which is ~30% slower than compiled
+    # codegen but 10× faster than interpreted codegen.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
     # Respect parquet min/max + dictionary filters at scan time.
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
