@@ -2484,41 +2484,113 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     sql = _rewrite_calls(sql, "first", first_last_x(False))
     sql = _rewrite_calls(sql, "last", first_last_x(True))
 
-    # array_agg / list with an in-call ORDER BY (any DuckDB aggregate
-    # accepts one; Spark's array_agg doesn't): DISTINCT x ORDER BY x →
-    # sort_array(collect_set(x)); x ORDER BY k → sort-by-key via a
-    # struct array (ties keep engine-specific order in both engines —
-    # deterministic inputs should order by the aggregated value itself)
-    def array_agg_x(a):
-        if len(a) != 1:
+    # array_agg / list: DuckDB keeps NULL elements (plain, DISTINCT —
+    # where NULL is a distinct value — and ORDER BY forms alike;
+    # reference users hit this via duckdb-backend.ts pass-through) while
+    # Spark's array_agg/collect_list silently drop them. Lower every
+    # 1-arg form through collect_list(struct(x AS __v)) — null FIELDS
+    # survive aggregation — then unwrap with transform. Trailing FILTER
+    # and OVER clauses must ride on the aggregate, not the transform
+    # wrapper, so this is a custom scan (not _rewrite_calls) that
+    # absorbs those suffixes into the replacement. In-call ORDER BY
+    # sorts by key with DuckDB's NULLS-LAST-both-directions default via
+    # an explicit comparator (array_sort+reverse would flip nulls
+    # first); ties keep engine-specific order in both engines.
+    def _lower_list_agg(args, filt, over):
+        if len(args) != 1:
             return None
-        body = a[0]
+        body = args[0]
         m = re.search(r"\bORDER\s+BY\b", body, re.IGNORECASE)
-        if not (m and _depth_at(body, m.start()) == 0):
-            return None
-        head = body[: m.start()].strip()
-        order = body[m.end() :].strip()
-        om = re.fullmatch(
-            r"(.*?)\s*\b(ASC|DESC)\b\s*", order, re.IGNORECASE | re.DOTALL
-        )
-        if om:
-            key, desc = om.group(1).strip(), om.group(2).upper() == "DESC"
+        if m and _depth_at(body, m.start()) == 0:
+            head = body[: m.start()].strip()
+            order = body[m.end() :].strip()
         else:
-            key, desc = order, False
+            head, order = body.strip(), None
         dm = re.match(r"DISTINCT\s+(.*)$", head, re.IGNORECASE | re.DOTALL)
+        expr = dm.group(1).strip() if dm else head
+        if order is None:
+            inner = f"collect_list(struct({expr} AS __v)){filt}{over}"
+            if dm:
+                inner = f"array_distinct({inner})"
+            return f"transform({inner}, __s -> __s.__v)"
+        nm = re.search(r"\s*\bNULLS\s+(FIRST|LAST)\s*$", order, re.IGNORECASE)
+        nulls_first = False  # DuckDB default: NULLS LAST, both directions
+        if nm:
+            nulls_first = nm.group(1).upper() == "FIRST"
+            order = order[: nm.start()].strip()
+        am = re.search(r"\s*\b(ASC|DESC)\s*$", order, re.IGNORECASE)
+        desc = False
+        if am:
+            desc = am.group(1).upper() == "DESC"
+            order = order[: am.start()].strip()
+        key = order
+        if dm and expr.lower() != key.lower():
+            return None  # DuckDB itself rejects this shape
+        structs = f"collect_list(struct(({key}) AS __k, ({expr}) AS __v)){filt}{over}"
         if dm:
-            expr = dm.group(1).strip()
-            if expr.lower() != key.lower():
-                return None  # DuckDB itself rejects this shape
-            base = f"sort_array(collect_set({expr}))"
-            return f"reverse({base})" if desc else base
-        structs = f"array_sort(collect_list(struct({key} AS __k, {head} AS __v)))"
-        if desc:
-            structs = f"reverse({structs})"
-        return f"transform({structs}, __p -> __p.__v)"
+            structs = f"array_distinct({structs})"
+        a_null, b_null = (-1, 1) if nulls_first else (1, -1)
+        lt, gt = (1, -1) if desc else (-1, 1)
+        cmp = (
+            "(__a, __b) -> CASE"
+            " WHEN __a.__k IS NULL AND __b.__k IS NULL THEN 0"
+            f" WHEN __a.__k IS NULL THEN {a_null}"
+            f" WHEN __b.__k IS NULL THEN {b_null}"
+            f" WHEN __a.__k < __b.__k THEN {lt}"
+            f" WHEN __a.__k > __b.__k THEN {gt}"
+            " ELSE 0 END"
+        )
+        return f"transform(array_sort({structs}, {cmp}), __p -> __p.__v)"
 
-    sql = _rewrite_calls(sql, "array_agg", array_agg_x)
-    sql = _rewrite_calls(sql, "list", array_agg_x)
+    def _list_agg_pass(sql: str, name: str) -> str:
+        pat = re.compile(rf"(?<![\w.]){name}\s*\(", re.IGNORECASE)
+        out, pos = [], 0
+        while True:
+            m = pat.search(sql, pos)
+            if m is None:
+                out.append(sql[pos:])
+                return "".join(out)
+            open_idx = m.end() - 1
+            close_idx = _balanced_span(sql, open_idx)
+            if close_idx == -1:
+                out.append(sql[pos:])
+                return "".join(out)
+            args = [
+                a.strip()
+                for a in _split_top_level(sql[open_idx + 1 : close_idx])
+            ]
+            end = close_idx + 1
+            filt = ""
+            fm = re.match(r"\s+FILTER\s*\(", sql[end:], re.IGNORECASE)
+            if fm:
+                fclose = _balanced_span(sql, end + fm.end() - 1)
+                if fclose != -1:
+                    filt = " " + sql[end : fclose + 1].strip()
+                    end = fclose + 1
+            over = ""
+            om = re.match(
+                r"\s+OVER\s*(\w+|\()", sql[end:], re.IGNORECASE
+            )
+            if om:
+                if om.group(1) == "(":
+                    oclose = _balanced_span(sql, end + om.end() - 1)
+                    if oclose != -1:
+                        over = " " + sql[end : oclose + 1].strip()
+                        end = oclose + 1
+                else:
+                    over = " " + sql[end : end + om.end()].strip()
+                    end = end + om.end()
+            repl = _lower_list_agg(args, filt, over)
+            out.append(sql[pos : m.start()])
+            if repl is None:
+                out.append(sql[m.start() : close_idx + 1])
+                pos = close_idx + 1
+            else:
+                out.append(repl)
+                pos = end
+
+    sql = _list_agg_pass(sql, "array_agg")
+    sql = _list_agg_pass(sql, "list")
 
     # list_unique / array_unique: count of distinct non-null elements
     for _lu_name in ("list_unique", "array_unique"):
