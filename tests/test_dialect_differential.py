@@ -204,7 +204,10 @@ def _norm(v):
 
 
 def _rowset(rows):
-    return sorted(tuple(sorted((_norm(v) for v in r), key=repr)) for r in rows)
+    return sorted(
+        (tuple(sorted((_norm(v) for v in r), key=repr)) for r in rows),
+        key=repr,
+    )
 
 
 @pytest.mark.parametrize("sql", CORPUS, ids=range(len(CORPUS)))
@@ -946,6 +949,28 @@ CORPUS_R4_BATCH10 = [
        WHERE x NOT IN (SELECT x FROM (VALUES (3), (4)) s(x))""",
     """SELECT count(*) AS n FROM (VALUES (1), (4), (NULL)) t(x)
        WHERE x + 1 NOT IN (SELECT y FROM (VALUES (2), (7)) s(y))""",
+    # round 6: NOT IN context guards — the anti-join rewrite only fires
+    # on top-level filter conjuncts; expression contexts (projection,
+    # NOT (…), OR) get a null-faithful CASE-over-EXISTS, and empty
+    # subqueries keep NULL-key rows (x NOT IN (empty) ≡ TRUE)
+    """SELECT count(*) AS n FROM (VALUES (1), (2), (NULL)) t(x)
+       WHERE x NOT IN (SELECT y FROM (VALUES (2)) s(y) WHERE y > 100)""",
+    """SELECT x, x NOT IN (SELECT y FROM (VALUES (2), (5)) s(y)) AS f
+       FROM (VALUES (1), (2), (NULL)) t(x) ORDER BY x NULLS LAST""",
+    """SELECT x, x NOT IN (SELECT y FROM (VALUES (2), (NULL)) s(y)) AS f
+       FROM (VALUES (1), (2), (NULL)) t(x) ORDER BY x NULLS LAST""",
+    """SELECT x, x NOT IN (SELECT y FROM (VALUES (2)) s(y) WHERE FALSE)
+         AS f FROM (VALUES (1), (NULL)) t(x) ORDER BY x NULLS LAST""",
+    """SELECT count(*) AS n FROM (VALUES (1), (2), (NULL)) t(x)
+       WHERE NOT (x NOT IN (SELECT y FROM (VALUES (2), (5)) s(y)))""",
+    """SELECT count(*) AS n FROM (VALUES (1), (2), (NULL)) t(x)
+       WHERE NOT (x NOT IN (SELECT y FROM (VALUES (2), (NULL)) s(y)))""",
+    """SELECT count(*) AS n FROM (VALUES (1), (2), (3)) t(x)
+       WHERE CASE WHEN x > 1 THEN x ELSE 0 END
+             NOT IN (SELECT y FROM (VALUES (2)) s(y))""",
+    """SELECT count(*) AS n FROM (VALUES (1), (2), (NULL)) t(x)
+       WHERE x NOT IN (SELECT y FROM (VALUES (2), (NULL)) s(y))
+          OR x = 1""",
     # min/max frame EXCLUDE (round 5): two-level restructure — the
     # one-sided ROWS helpers are only read at the first/last peer row
     """SELECT k, coalesce(e, -1) AS e,

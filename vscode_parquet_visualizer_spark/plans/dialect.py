@@ -1322,11 +1322,22 @@ def rewrite_not_in_subquery(sql: str) -> str:
     renames the subquery output, so a same-named outer column still
     resolves to the OUTER scope exactly as it did inside NOT IN.
 
-    Only fires for a *simple (possibly qualified) column* on the left —
-    a preceding operator character means the identifier is the tail of a
-    larger expression whose NOT IN binds wider, and a non-identifier
-    operand keeps the (correct, slower) NAAJ path. The uncorrelated
-    null-probe subquery is one column-pruned scan, executed once."""
+    Only fires when the predicate is a *top-level filter conjunct* — the
+    token before the key is WHERE/AND/HAVING/ON (so FALSE-vs-NULL is
+    indistinguishable: both filter the row) and the token after the
+    subquery is a clause boundary, not OR or an operator. Projected
+    ``SELECT x NOT IN (…)`` must yield NULL for NULL x, and under
+    ``NOT (…)`` / ``… OR …`` the FALSE-for-NULL collapse changes which
+    rows survive — those shapes keep Spark's native (correct, slower)
+    null-aware anti join. Reserved words (END, THEN, NULL, …) are never
+    a key — ``CASE … END NOT IN (SELECT …)`` stays on the NAAJ path.
+
+    The trailing ``OR NOT EXISTS (… LIMIT 1)`` branch covers the empty-
+    subquery case: ``x NOT IN (empty)`` is TRUE even for NULL x, which
+    the ``key IS NOT NULL`` conjunct would otherwise mis-filter. It is
+    uncorrelated — one column-pruned, early-terminating probe — and the
+    correlated NOT EXISTS under OR still plans as a hash ExistenceJoin
+    on Spark 4, not a driver-side NAAJ set."""
     out, pos, n = [], 0, 0
     while True:
         m = _NOT_IN_SUBQ.search(sql, pos)
@@ -1336,26 +1347,89 @@ def rewrite_not_in_subquery(sql: str) -> str:
         open_idx = m.end() - 1
         close_idx = _balanced_span(sql, open_idx)
         inner = sql[open_idx + 1 : close_idx].strip() if close_idx != -1 else ""
-        prev = sql[: m.start()].rstrip()[-1:]
-        if (
-            close_idx == -1
-            or not re.match(r"SELECT\b", inner, re.IGNORECASE)
-            or prev in set("+-*/%^|&~.")
-        ):
+        if close_idx == -1 or not re.match(r"SELECT\b", inner, re.IGNORECASE):
             out.append(sql[pos : m.end()])
             pos = m.end()
             continue
         key = m.group("key")
+        before = sql[: m.start()].rstrip()
+        after = sql[close_idx + 1 :].lstrip()
+        prev_word = re.search(r"([A-Za-z_]\w*)$", before)
+        conjunct = (
+            prev_word is not None
+            and prev_word.group(1).upper() in ("WHERE", "AND", "HAVING", "ON")
+            # `BETWEEN lo AND key NOT IN …`: that AND belongs to BETWEEN,
+            # the predicate is `(expr BETWEEN lo AND key) NOT IN …`.
+            and not re.search(
+                r"\bBETWEEN\b(?:(?!\bAND\b).)*\bAND\s*$",
+                before,
+                re.IGNORECASE | re.DOTALL,
+            )
+            # follower must close the conjunct: clause keyword, `)`, or end
+            and (
+                after == ""
+                or after[0] == ")"
+                or re.match(
+                    r"(?:AND|GROUP|ORDER|HAVING|QUALIFY|WINDOW|LIMIT"
+                    r"|OFFSET|FETCH|UNION|INTERSECT|EXCEPT)\b",
+                    after,
+                    re.IGNORECASE,
+                )
+            )
+            and key.upper()
+            not in (
+                "END", "ELSE", "THEN", "WHEN", "CASE", "NULL", "TRUE",
+                "FALSE", "AND", "OR", "NOT", "IS", "IN", "BETWEEN", "LIKE",
+                "EXISTS", "SELECT", "DISTINCT", "ALL", "ANY", "SOME",
+            )
+        )
+        if not conjunct:
+            prev_ch = before[-1:]
+            reserved = key.upper() in (
+                "END", "ELSE", "THEN", "WHEN", "CASE", "NULL", "TRUE",
+                "FALSE", "AND", "OR", "NOT", "IS", "IN", "BETWEEN", "LIKE",
+                "EXISTS", "SELECT", "DISTINCT", "ALL", "ANY", "SOME",
+            )
+            if reserved or prev_ch in set("+-*/%^|&~."):
+                # key is the tail of a larger expression — native path;
+                # still recurse into the subquery for rewritable shapes
+                out.append(sql[pos : open_idx + 1])
+                out.append(
+                    rewrite_not_in_subquery(sql[open_idx + 1 : close_idx])
+                )
+                out.append(")")
+                pos = close_idx + 1
+                continue
+            # expression context (projection, under NOT/OR, …): Spark's
+            # native ExistenceJoin lowering projects FALSE where ANSI /
+            # DuckDB yield NULL — use a null-faithful CASE over EXISTS
+            # probes (all hash-joinable ExistenceJoins, no NAAJ)
+            inner = rewrite_not_in_subquery(inner)
+            a, b, c = f"__nin{n}a", f"__nin{n}b", f"__nin{n}c"
+            n += 1
+            out.append(sql[pos : m.start()])
+            out.append(
+                f"(CASE WHEN NOT EXISTS (SELECT 1 FROM ({inner}) {c}(__k))"
+                f" THEN TRUE"
+                f" WHEN EXISTS (SELECT 1 FROM ({inner}) {a}(__k)"
+                f" WHERE {a}.__k = {key}) THEN FALSE"
+                f" WHEN {key} IS NULL OR EXISTS (SELECT 1 FROM ({inner})"
+                f" {b}(__k) WHERE {b}.__k IS NULL) THEN NULL"
+                f" ELSE TRUE END)"
+            )
+            pos = close_idx + 1
+            continue
         inner = rewrite_not_in_subquery(inner)  # nested NOT INs
-        a, b = f"__nin{n}a", f"__nin{n}b"
+        a, b, c = f"__nin{n}a", f"__nin{n}b", f"__nin{n}c"
         n += 1
         out.append(sql[pos : m.start()])
         out.append(
-            f"({key} IS NOT NULL"
+            f"(({key} IS NOT NULL"
             f" AND NOT EXISTS (SELECT 1 FROM ({inner}) {a}(__k)"
             f" WHERE {a}.__k = {key})"
             f" AND NOT EXISTS (SELECT 1 FROM ({inner}) {b}(__k)"
             f" WHERE {b}.__k IS NULL))"
+            f" OR NOT EXISTS (SELECT 1 FROM ({inner}) {c}(__k)))"
         )
         pos = close_idx + 1
 
@@ -3167,10 +3241,6 @@ _FRAME_FULL = re.compile(
     r"\s+UNBOUNDED\s+FOLLOWING\s*$",
     re.IGNORECASE,
 )
-
-
-def _depth_at(sql: str, pos: int) -> int:
-    return sql.count("(", 0, pos) - sql.count(")", 0, pos)
 
 
 def _top_level_find(sql: str, pattern: str, start: int = 0) -> int:
