@@ -198,3 +198,34 @@ def test_ann_join_does_not_duplicate_python_udf(spark, sf_dir):
     assert plan.count("ArrowEvalPython") == 0  # fully JVM-side
     plan = simple_plan(lsh_neighbors(emb, queries, threshold=0.9, dim=64))
     assert plan.count("ArrowEvalPython") == 2  # corpus + query bucketize
+
+
+def test_ivf_centroids_are_data_not_literal_tree(spark, sf_dir):
+    """Round 6: at a 100 TB-realistic cell count (k=256 × dim 64) the
+    per-centroid literal form is ~16k Catalyst nodes — past codegen
+    method limits, silently dropping the corpus pass to the volcano
+    path. The centroid matrix must ride as ONE constant-folded literal
+    (from_json of a string literal), so the plan stays O(1) nodes at
+    any k: still zero Python passes, and the physical plan string stays
+    small (a 16k-node literal tree prints megabytes)."""
+    from vscode_parquet_visualizer_spark.operators.similarity import (
+        ivf_neighbors,
+    )
+
+    emb = registry.read(spark, f"{sf_dir}/embeddings.parquet", "parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = ivf_neighbors(
+        emb, queries, threshold=0.9, n_centroids=256, fit_sample_rows=2000
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 0
+    # the folded literal prints its VALUE (16k doubles) in the plan
+    # string, so string length is no proxy — count expression NODES:
+    # the literal form emitted one zip_with+aggregate pair per centroid
+    # (~256 each per pass); the data form has one transform per pass.
+    assert plan.count("zip_with") < 20, plan.count("zip_with")
+    assert plan.count("transform") >= 1
+    # the probe stage still executes end-to-end at k=256
+    assert df.limit(1).count() >= 0
