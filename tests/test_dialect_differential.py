@@ -571,6 +571,48 @@ CORPUS_WINDOW_EXCLUDE = [
               sum(x) OVER (ORDER BY k DESC RANGE BETWEEN UNBOUNDED
                 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS sg_desc
        FROM (VALUES (1, 10), (1, NULL), (2, 30)) t(k, x)""",
+    # round 6: min/max EXCLUDE on arbitrary frames — the general
+    # collect-filter path (two-sided sliding ROWS, bounded one-sided,
+    # offset RANGE, frames not containing the current row)
+    """SELECT k, min(e) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND
+       2 FOLLOWING EXCLUDE CURRENT ROW) AS m
+       FROM (VALUES (1,5),(2,3),(3,9),(4,1),(5,7),(6,2),(7,NULL),(8,4))
+       t(k,e) ORDER BY k""",
+    """SELECT k, max(e) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND
+       3 FOLLOWING EXCLUDE CURRENT ROW) AS m
+       FROM (VALUES (1,5),(2,3),(3,9),(4,1),(5,7),(6,2),(7,NULL),(8,4))
+       t(k,e) ORDER BY k""",
+    """SELECT k, min(e) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND
+       1 PRECEDING EXCLUDE CURRENT ROW) AS m
+       FROM (VALUES (1,5),(2,3),(3,9),(4,1),(5,7),(6,2)) t(k,e)
+       ORDER BY k""",
+    """SELECT k, g, min(e) OVER (ORDER BY g RANGE BETWEEN 1 PRECEDING
+       AND 1 FOLLOWING EXCLUDE GROUP) AS m
+       FROM (VALUES (1,1,5),(2,1,3),(3,2,9),(4,2,1),(5,2,7),(6,3,2))
+       t(k,g,e) ORDER BY k""",
+    """SELECT k, g, max(e) OVER (ORDER BY g RANGE BETWEEN 0 PRECEDING
+       AND 1 FOLLOWING EXCLUDE TIES) AS m
+       FROM (VALUES (1,1,5),(2,1,3),(3,2,9),(4,2,1),(5,2,7),(6,3,2))
+       t(k,g,e) ORDER BY k""",
+    """SELECT k, min(e) OVER (PARTITION BY g ORDER BY k ROWS BETWEEN
+       1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m
+       FROM (VALUES (1,1,5),(2,1,3),(3,2,9),(4,2,1),(5,2,7),(6,3,2))
+       t(k,g,e) ORDER BY k""",
+    """SELECT k, g, min(e) OVER (ORDER BY g, k ROWS BETWEEN 4 PRECEDING
+       AND 4 FOLLOWING EXCLUDE GROUP) AS m
+       FROM (VALUES (1,1,5),(2,1,3),(3,2,9),(4,2,1),(5,2,7),(6,3,2))
+       t(k,g,e) ORDER BY k""",
+    # round 6: EXCLUDE CURRENT ROW on a frame that does NOT contain the
+    # current row is a no-op — the algebraic path must not subtract
+    # (count went negative before the fix). Only the PRECEDING side is
+    # corpus-tested: DuckDB 1.0 has a quirk where EXCLUDE CURRENT ROW
+    # clamps an n-FOLLOWING frame START to the current row (count WITH
+    # exclude > count without — exclusion growing the frame), which the
+    # SQL standard and this engine both reject; we keep standard
+    # semantics there rather than mirroring the engine bug.
+    """SELECT k, sum(e) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND
+       1 PRECEDING EXCLUDE CURRENT ROW) AS s
+       FROM (VALUES (1,5),(2,3),(3,9),(4,1)) t(k,e) ORDER BY k""",
 ]
 
 

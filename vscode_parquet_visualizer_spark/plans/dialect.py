@@ -3274,10 +3274,16 @@ def rewrite_minmax_exclude(sql: str) -> str:
     min; TIES = least/greatest(GROUP, current e); CURRENT ROW = GROUP
     combined with the peers-minus-self split ordered by the unique rn.
 
-    Scope (anything else stays loud): single SELECT without WITH /
-    GROUP BY / set ops / star projection, calls at paren depth 0,
-    peer-aligned frames [UNBOUNDED PRECEDING, CURRENT ROW],
-    [CURRENT ROW, UNBOUNDED FOLLOWING] or the full partition."""
+    Peer-aligned frames ([UNBOUNDED PRECEDING, CURRENT ROW],
+    [CURRENT ROW, UNBOUNDED FOLLOWING], full partition) take the O(1)
+    helper-window path above. Any OTHER explicit ROWS/RANGE frame
+    (two-sided sliding, bounded one-sided, frames not containing the
+    current row) takes a general path: collect the frame's rows as
+    (value, order-key, row_number) structs and drop the excluded region
+    with an array filter — O(frame) per row, the engine's own cost for
+    frame exclusion. Scope (anything else stays loud): single SELECT
+    without WITH / GROUP BY / set ops / star projection, calls at paren
+    depth 0; GROUPS frames have no Spark equivalent."""
     matches = list(_MINMAX_EXCLUDE.finditer(sql))
     if not matches:
         return sql
@@ -3322,14 +3328,60 @@ def rewrite_minmax_exclude(sql: str) -> str:
         lo_f = bool(_FRAME_LO.fullmatch(frame))
         hi_f = bool(_FRAME_HI.fullmatch(frame))
         full_f = bool(_FRAME_FULL.fullmatch(frame))
-        if not (lo_f or hi_f or full_f):
-            return sql
-        peer = _peer_partition(body)
-        if peer is None:
-            return sql
+        general = not (lo_f or hi_f or full_f)
+        if general and (
+            not frame or re.match(r"GROUPS\b", frame, re.IGNORECASE)
+        ):
+            return sql  # GROUPS frames: Spark has no equivalent — loud
         w = body[: body.rfind(frame)].strip() if frame else body
         b = f"__mx{i}"
         lg = "least" if fn == "min" else "greatest"
+        if general:
+            # Arbitrary explicit frame (two-sided sliding ROWS/RANGE,
+            # bounded one-sided, …): collect the frame's rows as
+            # (value, order-key, row_number) structs and drop the
+            # excluded region with an array filter — rn identifies the
+            # current row, the order-key struct (null-safe <=>) its peer
+            # group. O(frame length) per row, the same cost profile as
+            # the engine's own frame re-aggregation for EXCLUDE frames
+            # (reference passes this straight to DuckDB,
+            # src/duckdb-backend.ts:142-146); the helper rn/key columns
+            # come from the same two-level restructure as the
+            # peer-aligned path.
+            okeys = []
+            for kx in _split_top_level(bm.group("order")):
+                kx = re.sub(
+                    r"\s+(ASC|DESC)\b", "", kx.strip(), flags=re.IGNORECASE
+                )
+                kx = re.sub(
+                    r"\s+NULLS\s+(FIRST|LAST)\b", "", kx, flags=re.IGNORECASE
+                )
+                okeys.append(kx.strip())
+            kstruct = "struct(" + ", ".join(
+                f"({kx}) AS k{j}" for j, kx in enumerate(okeys)
+            ) + ")"
+            helpers += [
+                f"({e}) AS {b}_e",
+                f"row_number() OVER ({w}) AS {b}_rn",
+                f"{kstruct} AS {b}_k",
+            ]
+            if mode == "CURRENT ROW":
+                cond = f"x.rn != {b}_rn"
+            elif mode == "GROUP":
+                cond = f"NOT (x.k <=> {b}_k)"
+            else:  # TIES: drop peers, keep self
+                cond = f"(NOT (x.k <=> {b}_k) OR x.rn = {b}_rn)"
+            repl = (
+                f"array_{fn}(transform(filter("
+                f"collect_list(struct({b}_e AS v, {b}_k AS k, "
+                f"{b}_rn AS rn)) OVER ({w} {frame}), "
+                f"x -> x.v IS NOT NULL AND {cond}), x -> x.v))"
+            )
+            new_sel = new_sel.replace(m.group(0), f"({repl})")
+            continue
+        peer = _peer_partition(body)
+        if peer is None:
+            return sql
         helpers += [
             f"({e}) AS {b}_e",
             f"row_number() OVER ({w}) AS {b}_rn",
@@ -3412,6 +3464,18 @@ def rewrite_window_exclude(sql: str) -> str:
         cur_cnt = "1" if star else f"(CASE WHEN ({e}) IS NULL THEN 0 ELSE 1 END)"
         cur_sum = f"coalesce({e}, 0)"
         if mode == "CURRENT ROW":
+            # A frame that lies entirely before or after the current row
+            # ([3 PRECEDING, 1 PRECEDING] / [2 FOLLOWING, …]) never
+            # contains it — EXCLUDE CURRENT ROW is a no-op there, and
+            # subtracting anyway silently mis-counts (found round 6:
+            # count went NEGATIVE on [2 FOLLOWING, 3 FOLLOWING]).
+            wb = _WINDOW_BODY.match(w)
+            fr = (wb.group("frame") or "").strip() if wb else ""
+            if fr and (
+                re.search(r"BETWEEN\s+\S+\s+FOLLOWING", fr, re.IGNORECASE)
+                or re.search(r"AND\s+\S+\s+PRECEDING", fr, re.IGNORECASE)
+            ):
+                return f"{fn}({e}) OVER ({w})"
             minus_cnt, minus_sum = cur_cnt, cur_sum
         else:
             peer = _peer_partition(w)

@@ -2329,7 +2329,16 @@ SELECT r_regionkey,
            EXCLUDE GROUP) AS BIGINT) AS wex_group,
        CAST(sum(r_regionkey) OVER (ORDER BY r_regionkey % 2
            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           EXCLUDE TIES) AS BIGINT) AS wex_ties
+           EXCLUDE TIES) AS BIGINT) AS wex_ties,
+       -- round-6: min/max EXCLUDE on two-sided sliding ROWS frames
+       -- (the general collect-filter path; unique order key keeps the
+       -- ROWS tie order, and hence the gate, deterministic)
+       CAST(min(r_regionkey) OVER (ORDER BY r_regionkey
+           ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING
+           EXCLUDE CURRENT ROW) AS BIGINT) AS wex_mm_cur,
+       CAST(max(r_regionkey * 3) OVER (ORDER BY r_regionkey
+           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+           EXCLUDE GROUP) AS BIGINT) AS wex_mm_grp
 FROM (SELECT * REPLACE (upper(r_name) AS r_name) FROM region) t
 ORDER BY ALL
 """
