@@ -874,6 +874,29 @@ CORPUS_WINDOW_DISTINCT = [
                 RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
                 AS sd_whole
        FROM (VALUES (1,5),(2,5),(3,7)) t(k,x)""",
+    # round-6: SLIDING frames — collect/array_distinct/fold path (the
+    # first-occurrence mark is unsound when a value's first occurrence
+    # falls off the frame edge). Shared CASTs align the DOUBLE
+    # accumulator with DuckDB's integer-typed distinct sums.
+    """SELECT k, CAST(sum(DISTINCT e) OVER (ORDER BY k ROWS BETWEEN
+         2 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS s,
+       CAST(count(DISTINCT e) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING
+         AND CURRENT ROW) AS BIGINT) AS c,
+       round(avg(DISTINCT e) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING
+         AND 1 FOLLOWING), 4) AS a,
+       CAST(count(DISTINCT e) OVER (ORDER BY k ROWS BETWEEN 3 FOLLOWING
+         AND 4 FOLLOWING) AS BIGINT) AS c_empty
+       FROM (VALUES (1,5),(2,3),(3,5),(4,5),(5,3),(6,NULL),(7,2))
+       t(k,e) ORDER BY k""",
+    """SELECT k, CAST(sum(DISTINCT e) OVER (PARTITION BY k % 2
+         ORDER BY k ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+         AS DOUBLE) AS s
+       FROM (VALUES (1,5),(2,3),(3,5),(4,5),(5,3),(6,NULL),(7,2))
+       t(k,e) ORDER BY k""",
+    """SELECT k, CAST(sum(DISTINCT e) OVER (ORDER BY g RANGE BETWEEN
+         1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS s
+       FROM (VALUES (1,1,5),(2,1,5),(3,2,3),(4,2,7),(5,3,3))
+       t(k,g,e) ORDER BY k""",
 ]
 
 

@@ -3179,9 +3179,11 @@ def rewrite_window_distinct(sql: str) -> str:
     peer-aligned PREFIX (default, RANGE UNBOUNDED PRECEDING … CURRENT
     ROW / UNBOUNDED FOLLOWING) or the whole partition — verified
     against DuckDB for running distinct sums/counts including tied
-    order keys. Sliding frames (a value's first occurrence can fall off
-    the left edge) and ROWS prefix frames with tied keys (the marked
-    peer may sit after the current row) stay loud."""
+    order keys. Sliding and ROWS-prefix frames (a value's first
+    occurrence can fall off the frame edge, so marking is unsound)
+    take a collect/array_distinct/fold path instead — O(frame) per
+    row; see the inline comment. GROUPS frames and EXCLUDE tails on
+    DISTINCT aggs stay loud."""
 
     def sub(m: re.Match) -> str:
         fn, e, body = m.group(1).lower(), m.group(2).strip(), m.group(3)
@@ -3208,7 +3210,33 @@ def rewrite_window_distinct(sql: str) -> str:
             re.IGNORECASE,
         )
         if frame and not (whole or (order and prefix)):
-            return m.group(0)  # sliding/ROWS-prefix shapes: loud
+            # Sliding / ROWS-prefix frames (round 6): a value's first
+            # occurrence can fall off the frame edge, so first-
+            # occurrence marking is unsound — instead collect the
+            # frame's values (collect_list skips NULLs, matching
+            # DISTINCT-agg null handling), dedupe with array_distinct,
+            # and fold. O(frame) per row — the engine-native cost of a
+            # distinct frame aggregate. sum/avg accumulate in DOUBLE
+            # (element type is unknown at transpile time; exact to
+            # 2^53 — cast the argument if integral exactness beyond
+            # that matters). EXCLUDE tails and GROUPS frames fall
+            # through loud.
+            if re.search(
+                r"\bGROUPS\b|\bEXCLUDE\b", frame, re.IGNORECASE
+            ):
+                return m.group(0)
+            arr = (
+                f"array_distinct(collect_list({e}) OVER ({body.strip()}))"
+            )
+            if fn == "count":
+                return f"CAST(coalesce(size({arr}), 0) AS BIGINT)"
+            ssum = (
+                f"aggregate({arr}, CAST(NULL AS DOUBLE), "
+                f"(s, x) -> coalesce(s, CAST(0 AS DOUBLE)) + x)"
+            )
+            if fn == "sum":
+                return f"({ssum})"
+            return f"(({ssum}) / size({arr}))"
         mark_part = ([part.strip()] if part else []) + [f"({e})"]
         mark = (
             f"row_number() OVER (PARTITION BY {', '.join(mark_part)} "
