@@ -217,3 +217,56 @@ def test_avro_export_dispatch(spark, tmp_path):
     export(df, p, "avro")
     back = read_avro_fallback(spark, p)
     assert sorted(r["v"] for r in back.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_multi_branch_union_round_trip(spark, tmp_path):
+    """Round 6: general non-null multi-branch unions in the fallback
+    (reference reads these via DuckDB's avro extension; spark-avro maps
+    them to memberN structs — this follows the same convention). Writes
+    a union-schema file with the pure-Python encoder, reads it back
+    distributed without spark-avro on the classpath."""
+    from vscode_parquet_visualizer_spark.sources.avro import (
+        file_spark_schema,
+        read_avro_fallback,
+        write_avro,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "U",
+        "fields": [
+            {"name": "id", "type": "long"},
+            # general union: int | string | nested record, nullable
+            {"name": "u", "type": [
+                "null", "int", "string",
+                {"type": "record", "name": "Pt",
+                 "fields": [{"name": "x", "type": "int"}]},
+            ]},
+            # numeric widening unions collapse to one Spark type
+            {"name": "n", "type": ["null", "int", "long"]},
+            {"name": "f", "type": ["float", "double"]},
+        ],
+    }
+    s = file_spark_schema(schema)
+    kinds = {f.name: f.dataType.simpleString() for f in s.fields}
+    assert kinds["u"] == "struct<member0:int,member1:string,member2:struct<x:int>>"
+    assert s["u"].nullable
+    assert kinds["n"] == "bigint" and s["n"].nullable
+    assert kinds["f"] == "double" and not s["f"].nullable
+
+    rows = [
+        (0, {"member0": 7, "member1": None, "member2": None}, 5, 1.5),
+        (1, {"member0": None, "member1": "hi", "member2": None}, None, 2.5),
+        (2, {"member0": None, "member1": None, "member2": {"x": 3}},
+         2**40, 0.25),
+        (3, None, 1, 3.0),
+    ]
+    p = str(tmp_path / "u.avro")
+    write_avro(p, schema, rows)
+    back = {r["id"]: r for r in read_avro_fallback(spark, p).collect()}
+    assert back[0]["u"]["member0"] == 7 and back[0]["u"]["member1"] is None
+    assert back[1]["u"]["member1"] == "hi"
+    assert back[2]["u"]["member2"]["x"] == 3
+    assert back[3]["u"] is None
+    assert back[2]["n"] == 2**40 and back[1]["n"] is None
+    assert back[1]["f"] == 2.5 and back[3]["f"] == 3.0

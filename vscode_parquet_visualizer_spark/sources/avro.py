@@ -17,9 +17,12 @@ sync markers; ``registry.read`` prefers the jar automatically when it is
 on the classpath and only falls back here.
 
 Supported schema surface: all primitives, records (incl. named-type
-reuse), enums, fixed, arrays, maps, 2-branch null unions (→ nullable),
-and the common logical types (date, timestamp-millis/micros, decimal,
-uuid). General unions raise with a clear message.
+reuse), enums, fixed, arrays, maps, unions — 2-branch null unions map
+onto nullability, numeric widening unions collapse ([int,long] → long,
+[float,double] → double), and general multi-branch unions follow the
+spark-avro convention of a struct with one ``memberN`` field per
+non-null branch — and the common logical types (date,
+timestamp-millis/micros, decimal, uuid).
 
 A matching encoder (``write_avro``) exists so tests can produce real
 container files without any Avro library.
@@ -82,13 +85,24 @@ def to_spark_type(schema: Any, names: dict[str, Any] | None = None) -> tuple[T.D
         raise ValueError(f"unknown Avro type name {schema!r}")
     if isinstance(schema, list):  # union
         non_null = [s for s in schema if s != "null"]
+        nullable = len(non_null) < len(schema)
         if len(non_null) == 1:
             dtype, _ = to_spark_type(non_null[0], names)
             return dtype, True
-        raise NotImplementedError(
-            f"general Avro unions are not supported (got {schema!r}); "
-            "only 2-branch null unions map onto Spark's nullability"
-        )
+        # Multi-branch unions follow the spark-avro convention: numeric
+        # widenings collapse ([int,long] → long, [float,double] →
+        # double); anything else becomes a struct with one memberN
+        # field per non-null branch, exactly one non-null per value.
+        prims = {s if isinstance(s, str) else None for s in non_null}
+        if prims <= {"int", "long"}:
+            return T.LongType(), nullable
+        if prims <= {"float", "double"}:
+            return T.DoubleType(), nullable
+        fields = []
+        for i, b in enumerate(non_null):
+            dtype, _ = to_spark_type(b, names)
+            fields.append(T.StructField(f"member{i}", dtype, True))
+        return T.StructType(fields), nullable
     t = schema["type"]
     logical = schema.get("logicalType")
     if logical:
@@ -174,7 +188,22 @@ def _decode_value(r: _Reader, schema: Any, names: dict[str, Any]) -> Any:
     schema = _resolve(schema, names)
     if isinstance(schema, list):  # union: long index then value
         idx = r.read_long()
-        return _decode_value(r, schema[idx], names)
+        branch = schema[idx]
+        v = _decode_value(r, branch, names)
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) <= 1:
+            return v
+        prims = {s if isinstance(s, str) else None for s in non_null}
+        if prims <= {"int", "long"} or prims <= {"float", "double"}:
+            return v  # numeric widening union: plain value
+        if branch == "null":
+            return None
+        # memberN struct (dict: Arrow's pandas→struct accepts mappings)
+        j = idx - (1 if "null" in schema and schema.index("null") < idx else 0)
+        return {
+            f"member{i}": (v if i == j else None)
+            for i in range(len(non_null))
+        }
     if isinstance(schema, str):
         t, logical = schema, None
         node: dict = {}
@@ -333,10 +362,39 @@ def _write_bytes(out: io.BytesIO, b: bytes) -> None:
 
 def _encode_value(out: io.BytesIO, schema: Any, v: Any, names: dict[str, Any]) -> None:
     schema = _resolve(schema, names)
-    if isinstance(schema, list):  # null union: pick branch by value
-        idx = schema.index("null") if v is None else 1 - schema.index("null")
+    if isinstance(schema, list):  # union: pick branch by value
+        non_null = [s for s in schema if s != "null"]
+        if v is None:
+            _write_long(out, schema.index("null"))  # no null branch: loud
+            return None
+        if len(non_null) == 1:
+            branch = non_null[0]
+        else:
+            prims = {s if isinstance(s, str) else None for s in non_null}
+            if prims <= {"int", "long"}:
+                branch = "long" if "long" in prims else "int"
+            elif prims <= {"float", "double"}:
+                branch = "double" if "double" in prims else "float"
+            else:
+                # memberN struct value (dict from the reader, or a
+                # positional sequence): the single non-null member
+                # selects the branch
+                members = {f"member{i}" for i in range(len(non_null))}
+                if isinstance(v, dict) and set(v.keys()) == members:
+                    vals = [v[f"member{i}"] for i in range(len(non_null))]
+                else:
+                    vals = list(v)
+                j = next(
+                    (i for i, x in enumerate(vals) if x is not None), None
+                )
+                if j is None:
+                    _write_long(out, schema.index("null"))
+                    return None
+                branch = non_null[j]
+                v = vals[j]
+        idx = schema.index(branch)
         _write_long(out, idx)
-        return _encode_value(out, schema[idx], v, names)
+        return _encode_value(out, branch, v, names)
     if isinstance(schema, str):
         t, node = schema, {}
     else:
