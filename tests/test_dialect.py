@@ -690,3 +690,27 @@ def test_columns_applied_and_lambda_forms():
     assert "`n_nationkey`" in out and "`n_regionkey`" not in out
     # no columns supplied: untouched (loud downstream)
     assert "COLUMNS" in transpile("SELECT min(COLUMNS(*)) FROM t")
+
+
+def test_window_exclude_loud_transpile_error():
+    # Frame EXCLUDE that no rewrite pass can handle must raise at
+    # TRANSPILE time, not leak Spark's PARSE_SYNTAX_ERROR (round-6 q74)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="EXCLUDE"):
+        transpile(
+            "SELECT min(e) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m FROM t"
+        )
+    # star PROJECTION item: restructure correctly bails -> loud error
+    with _pytest.raises(NotImplementedError, match="EXCLUDE"):
+        transpile(
+            "SELECT *, min(e) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING "
+            "AND 1 PRECEDING EXCLUDE CURRENT ROW) AS m FROM t"
+        )
+    # multiplication in the select list must NOT defeat the restructure
+    out = transpile(
+        "SELECT k, e * 3 AS t, min(e) OVER (ORDER BY k ROWS BETWEEN "
+        "2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS m FROM t"
+    )
+    assert "EXCLUDE" not in out.upper()

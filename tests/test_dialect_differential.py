@@ -613,6 +613,22 @@ CORPUS_WINDOW_EXCLUDE = [
     """SELECT k, sum(e) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND
        1 PRECEDING EXCLUDE CURRENT ROW) AS s
        FROM (VALUES (1,5),(2,3),(3,9),(4,1)) t(k,e) ORDER BY k""",
+    # round 7: a 0 offset IS the current row — the no-op guard above
+    # must NOT fire on `… AND 0 PRECEDING` / `0 FOLLOWING AND …`
+    # (exclusion was silently dropped before the fix)
+    """SELECT k, count(e) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND
+       0 PRECEDING EXCLUDE CURRENT ROW) AS c,
+       sum(e) OVER (ORDER BY k ROWS BETWEEN 2 PRECEDING AND
+       0 PRECEDING EXCLUDE CURRENT ROW) AS s
+       FROM (VALUES (1,5),(2,3),(3,9),(4,1)) t(k,e) ORDER BY k""",
+    """SELECT k, sum(e) OVER (ORDER BY k ROWS BETWEEN 0 FOLLOWING AND
+       2 FOLLOWING EXCLUDE CURRENT ROW) AS s
+       FROM (VALUES (1,5),(2,3),(3,9),(4,1)) t(k,e) ORDER BY k""",
+    # round 7: q74 regression shape — a `*` used as MULTIPLICATION in
+    # the select list must not defeat the min/max-EXCLUDE restructure
+    """SELECT k, e * 3 AS t, min(e * 2) OVER (ORDER BY k ROWS BETWEEN
+       2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS m
+       FROM (VALUES (1,5),(2,3),(3,9),(4,1),(5,7)) t(k,e) ORDER BY k""",
 ]
 
 

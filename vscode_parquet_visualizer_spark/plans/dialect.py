@@ -3336,8 +3336,16 @@ def rewrite_minmax_exclude(sql: str) -> str:
     if from_pos == -1 or from_pos < matches[0].start():
         return sql
     sel = sql[head.end() : from_pos]
-    if re.search(r"(?<![\w.])\*", re.sub(r"\x00LIT\d+\x00", "", sel)):
-        return sql  # a star projection would leak the helper columns
+    # A star PROJECTION ITEM (`*`, `t.*`, `* EXCEPT (…)`) would leak the
+    # helper columns — but a `*` elsewhere in the select list is just
+    # multiplication (`max(x * 3)`), which is fine. Round-6 regression:
+    # an any-`*`-anywhere regex bailed on arithmetic and let EXCLUDE
+    # leak to Spark's parser (q74).
+    for item in _split_top_level(re.sub(r"\x00LIT\d+\x00", "", sel)):
+        if re.match(
+            r"(?:[A-Za-z_][A-Za-z0-9_]*\s*\.\s*)?\*", item.strip()
+        ):
+            return sql
     rest = sql[from_pos + 4 :]
     tail_pos = _top_level_find(rest, r"\bORDER\s+BY\b|\bLIMIT\b|\bOFFSET\b")
     src, tail = (
@@ -3499,9 +3507,15 @@ def rewrite_window_exclude(sql: str) -> str:
             # count went NEGATIVE on [2 FOLLOWING, 3 FOLLOWING]).
             wb = _WINDOW_BODY.match(w)
             fr = (wb.group("frame") or "").strip() if wb else ""
+            # a 0 offset IS the current row (0 PRECEDING/FOLLOWING ≡
+            # CURRENT ROW) — the no-op guard must not fire on it
             if fr and (
-                re.search(r"BETWEEN\s+\S+\s+FOLLOWING", fr, re.IGNORECASE)
-                or re.search(r"AND\s+\S+\s+PRECEDING", fr, re.IGNORECASE)
+                re.search(
+                    r"BETWEEN\s+(?!0\s)\S+\s+FOLLOWING", fr, re.IGNORECASE
+                )
+                or re.search(
+                    r"AND\s+(?!0\s)\S+\s+PRECEDING", fr, re.IGNORECASE
+                )
             ):
                 return f"{fn}({e}) OVER ({w})"
             minus_cnt, minus_sum = cur_cnt, cur_sum
@@ -3763,4 +3777,17 @@ def transpile(
     sql = rewrite_function_renames(sql)
     sql = rewrite_qualify(sql)
     sql = sql.replace("\x00RANGE\x00", "range")
+    # Frame-EXCLUDE that survived every rewrite pass (GROUPS frames,
+    # out-of-scope statement shapes) must fail HERE, not as an opaque
+    # Spark PARSE_SYNTAX_ERROR downstream (round-6 q74 lesson).
+    leftover = re.search(
+        r"\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\s*\)",
+        sql,
+        re.IGNORECASE,
+    )
+    if leftover:
+        raise NotImplementedError(
+            "window frame EXCLUDE clause not rewritable in this statement "
+            f"shape: …{sql[max(0, leftover.start() - 60) : leftover.end()]}"
+        )
     return _restore_literals(sql, stash)
