@@ -126,3 +126,35 @@ def parquet_num_rows(path: str) -> int:
     """O(1) row count from footers — the reference's fast path for Parquet
     (src/duckdb-backend.ts:97-98) vs a COUNT(*) scan for CSV/Avro."""
     return sum(m["num_rows"] for m in parquet_file_metadata(path))
+
+
+def parquet_column_bounds(path: str, column: str) -> tuple | None:
+    """(min, max) of a numeric column from row-group footer statistics —
+    O(footer), never a scan. Returns None when any row group lacks stats
+    for the column (caller falls back to a scan). The reference's DuckDB
+    uses the same footer stats for zone-map pruning; here they seed the
+    quantile refinement's first histogram so the per-group min/max scan
+    can be skipped (operators/quantiles.py)."""
+    files = (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    mn = mx = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+    return None if mn is None else (mn, mx)
