@@ -256,7 +256,13 @@ def main() -> None:
         # FIRST-rep times — the single-shot cold number rounds 2-3
         # reported — kept alongside for trend comparison.
         "rep_protocol": f"min-of-{reps}, rep1 cold incl. construction",
-        "cold_sec": round(sum(v for v in cold.values() if v >= 0), 4),
+        # a query that failed on a LATER rep keeps a cold[] entry but a
+        # -1 timing — exclude it so cold_sec stays consistent with
+        # `failed` (ADVICE r6)
+        "cold_sec": round(
+            sum(v for k, v in cold.items() if v >= 0 and timings.get(k, -1) >= 0),
+            4,
+        ),
     }
     # Full per-query detail goes to a file; the stdout JSON line must
     # stay under the driver's 2000-char stdout-tail capture or it
@@ -282,8 +288,16 @@ def main() -> None:
         import glob as _glob
 
         here = os.path.dirname(os.path.abspath(__file__))
+        def _round_no(path):
+            # numeric round order, not lexicographic ("r10" > "r2")
+            import re as _re
+
+            m = _re.search(r"CROSSOVER_r(\d+)", os.path.basename(path))
+            return int(m.group(1)) if m else -1
+
         latest = max(
             _glob.glob(os.path.join(here, "CROSSOVER_r*.json")),
+            key=_round_no,
             default=None,
         )
         if latest:

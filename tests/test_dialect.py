@@ -714,3 +714,31 @@ def test_window_exclude_loud_transpile_error():
         "2 PRECEDING AND 2 FOLLOWING EXCLUDE CURRENT ROW) AS m FROM t"
     )
     assert "EXCLUDE" not in out.upper()
+
+
+def test_window_distinct_sliding_integral_accumulator(spark):
+    # sliding sum(DISTINCT bigint) folds in DECIMAL(38,0): exact past
+    # 2^53 where the DOUBLE accumulator silently rounds (ADVICE r6)
+    big = 9007199254740993  # 2^53 + 1: not representable in double
+    out = transpile(
+        "SELECT k, sum(DISTINCT v) OVER (ORDER BY k ROWS BETWEEN 1 "
+        "PRECEDING AND CURRENT ROW) AS s FROM data",
+        integral_columns={"v"},
+    )
+    assert "DECIMAL(38,0)" in out
+    df = spark.createDataFrame(
+        [(1, big), (2, 2), (3, 2)], "k int, v long"
+    )
+    df.createOrReplaceTempView("data")
+    rows = spark.sql(out).orderBy("k").collect()
+    assert int(rows[0]["s"]) == big          # exact, not 9007199254740992.0
+    assert int(rows[1]["s"]) == big + 2
+    assert int(rows[2]["s"]) == 2            # distinct collapses the tie
+    # double columns keep the DOUBLE accumulator (decimal folding of a
+    # double element is an analysis-time type error + wrong semantics)
+    out2 = transpile(
+        "SELECT k, sum(DISTINCT v) OVER (ORDER BY k ROWS BETWEEN 1 "
+        "PRECEDING AND CURRENT ROW) AS s FROM data",
+        integral_columns={"other"},
+    )
+    assert "DECIMAL" not in out2 and "DOUBLE" in out2

@@ -241,6 +241,13 @@ class Dataset:
                 for f in self.df.schema.fields
                 if isinstance(f.dataType, T.ArrayType)
             },
+            # integral columns let the sliding agg(DISTINCT) fold use an
+            # exact DECIMAL(38,0) accumulator instead of DOUBLE
+            integral_columns={
+                f.name
+                for f in self.df.schema.fields
+                if isinstance(f.dataType, T.IntegralType)
+            },
         )
         if not materialize:
             return df

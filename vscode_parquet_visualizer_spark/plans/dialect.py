@@ -1409,8 +1409,8 @@ def rewrite_not_in_subquery(sql: str) -> str:
             n += 1
             out.append(sql[pos : m.start()])
             out.append(
-                f"(CASE WHEN NOT EXISTS (SELECT 1 FROM ({inner}) {c}(__k))"
-                f" THEN TRUE"
+                f"(CASE WHEN NOT EXISTS (SELECT 1 FROM ({inner}) {c}(__k)"
+                f" LIMIT 1) THEN TRUE"
                 f" WHEN EXISTS (SELECT 1 FROM ({inner}) {a}(__k)"
                 f" WHERE {a}.__k = {key}) THEN FALSE"
                 f" WHEN {key} IS NULL OR EXISTS (SELECT 1 FROM ({inner})"
@@ -1429,7 +1429,7 @@ def rewrite_not_in_subquery(sql: str) -> str:
             f" WHERE {a}.__k = {key})"
             f" AND NOT EXISTS (SELECT 1 FROM ({inner}) {b}(__k)"
             f" WHERE {b}.__k IS NULL))"
-            f" OR NOT EXISTS (SELECT 1 FROM ({inner}) {c}(__k)))"
+            f" OR NOT EXISTS (SELECT 1 FROM ({inner}) {c}(__k) LIMIT 1))"
         )
         pos = close_idx + 1
 
@@ -3170,7 +3170,9 @@ _WINDOW_DISTINCT = re.compile(
 )
 
 
-def rewrite_window_distinct(sql: str) -> str:
+def rewrite_window_distinct(
+    sql: str, integral_columns: set[str] | None = None
+) -> str:
     """``agg(DISTINCT e) OVER (…)`` — Spark rejects DISTINCT in window
     aggregates. min/max(DISTINCT) ≡ min/max. For sum/count/avg, mark
     each value's FIRST occurrence (row_number over the partition keys +
@@ -3230,13 +3232,27 @@ def rewrite_window_distinct(sql: str) -> str:
             )
             if fn == "count":
                 return f"CAST(coalesce(size({arr}), 0) AS BIGINT)"
+            # a bare INTEGRAL column (schema known to the caller) folds
+            # in DECIMAL(38,0) — exact past 2^53 where the DOUBLE
+            # accumulator silently loses integer exactness (ADVICE r6);
+            # non-integral / unresolvable expressions keep DOUBLE
+            # (a decimal accumulator is an analysis-time type error for
+            # double elements, and float inputs WANT float semantics)
+            acc = "DOUBLE"
+            if integral_columns and re.fullmatch(
+                r"[A-Za-z_][A-Za-z0-9_]*", e
+            ) and e in integral_columns:
+                acc = "DECIMAL(38,0)"
             ssum = (
-                f"aggregate({arr}, CAST(NULL AS DOUBLE), "
-                f"(s, x) -> coalesce(s, CAST(0 AS DOUBLE)) + x)"
+                f"aggregate({arr}, CAST(NULL AS {acc}), "
+                f"(s, x) -> coalesce(s, CAST(0 AS {acc})) + x)"
             )
             if fn == "sum":
                 return f"({ssum})"
-            return f"(({ssum}) / size({arr}))"
+            if acc == "DOUBLE":
+                return f"(({ssum}) / size({arr}))"
+            # DuckDB avg(DISTINCT int) is DOUBLE of the exact sum
+            return f"CAST(({ssum}) / size({arr}) AS DOUBLE)"
         mark_part = ([part.strip()] if part else []) + [f"({e})"]
         mark = (
             f"row_number() OVER (PARTITION BY {', '.join(mark_part)} "
@@ -3717,6 +3733,7 @@ def transpile(
     columns: list[str] | None = None,
     dataset_path: str | None = None,
     array_columns: set[str] | None = None,
+    integral_columns: set[str] | None = None,
 ) -> str:
     """Full DuckDB-dialect → Spark SQL rewrite chain. ``columns`` enables
     the schema-aware rewrites (COLUMNS('regex'), ordered * REPLACE);
@@ -3766,7 +3783,7 @@ def transpile(
         sql,
         flags=re.IGNORECASE,
     )
-    sql = rewrite_window_distinct(sql)
+    sql = rewrite_window_distinct(sql, integral_columns)
     sql = rewrite_minmax_exclude(sql)
     sql = rewrite_window_exclude(sql)
     sql = rewrite_like_escape(sql, stash)

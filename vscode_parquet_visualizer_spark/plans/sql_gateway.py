@@ -338,6 +338,7 @@ def run_sql(
     columns: list[str] | None = None,
     dataset_path: str | None = None,
     array_columns: set[str] | None = None,
+    integral_columns: set[str] | None = None,
 ) -> DataFrame:
     """Execute DuckDB-dialect ``sql`` and return the result DataFrame.
 
@@ -449,5 +450,6 @@ def run_sql(
             columns=columns,
             dataset_path=dataset_path,
             array_columns=array_columns,
+            integral_columns=integral_columns,
         )
     )

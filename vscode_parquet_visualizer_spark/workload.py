@@ -641,15 +641,50 @@ sql_query(
     """,
 )
 
-sql_query(
+# Catalyst DOES decorrelate correlated scalar subqueries (capability
+# kept under test by the dialect corpus + q48/q53), but its plan for
+# this one shuffles the full lineitem on l_partkey on BOTH join sides
+# (14.5x DuckDB at the 100x crossover). The registered gate
+# hand-decorrelates around ONE exchange: project the 3 needed columns,
+# repartition by l_partkey once, and build BOTH the per-partkey
+# threshold aggregate and the probe side from that same instance —
+# ReuseExchange collapses them to a single physical shuffle, and the
+# shuffle_hash hint joins co-partitioned sides with no further exchange
+# and no sort. (Broadcasting the agg side was measured WORSE at the
+# 100x crossover — 2M-partkey × 60M-row inputs gain nothing from
+# map-side partial agg, and the ~60 MB broadcast build serializes;
+# 9.0 s vs 4.8 s for this plan. At 100 TB the same single-shuffle
+# layout is a bucketed table on l_partkey.)
+
+
+@q(
     "q17_correlated_subquery",
-    """
+    oracle="""
     SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
     FROM lineitem l1
     WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
                         WHERE l2.l_partkey = l1.l_partkey)
     """,
 )
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li3 = (
+        t["lineitem"]
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .repartition("l_partkey")
+    )
+    thresh = (
+        li3.groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("__thresh"))
+        .hint("shuffle_hash")
+    )
+    return (
+        li3.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
 
 sql_query(
     "q18_filtered_distinct_agg",
@@ -1578,9 +1613,14 @@ sql_query(
     "q54_training_pipeline",
     """
     WITH survivors AS (
+      -- dedup key is a HASH of the normalized text, not the text
+      -- itself: at corpus scale the exact-dedup shuffle must ship
+      -- 16-byte digests, never whole documents (min(doc_id) per group
+      -- is key-representation-independent, so results are identical;
+      -- md5 is computed the same by both engines)
       SELECT min(doc_id) AS doc_id
       FROM documents
-      GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
     ), docs AS (
       SELECT d.doc_id, d.text FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
     ), tok AS (
@@ -1964,15 +2004,28 @@ def q65(spark, sf_dir):
 def q66(spark, sf_dir):
     """approx_count_distinct (HLL) beside the exact count — sketch values
     are engine-specific by design, so this is a rows-only entry; the pytest
-    suite asserts <5% relative error vs exact."""
+    suite asserts <5% relative error vs exact.
+
+    Mixing DISTINCT and non-DISTINCT aggregates in ONE agg makes
+    Catalyst plan an Expand that doubles every input row before the
+    distinct shuffle (round-6 slowest query: 14.9 s at the 100x
+    crossover). Split instead: a partial-deduping dropDuplicates +
+    plain count for the exact side (map-side dedup shrinks the shuffle
+    to distinct pairs), a separate single-pass HLL agg, and a 4-row
+    join — two plain scans, no Expand, each with map-side combine."""
     t = load_tables(spark, sf_dir)
-    return (
-        t["lineitem"]
+    li = t["lineitem"]
+    exact = (
+        li.select("l_returnflag", "l_partkey")
+        .dropDuplicates()
         .groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.count_distinct("l_partkey").alias("exact_parts"),
-        )
+        .agg(F.count("l_partkey").alias("exact_parts"))
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag", "approx_parts", "exact_parts"
     )
 
 
