@@ -25,6 +25,7 @@ to the driver; everything else stays distributed.
 from __future__ import annotations
 
 import time
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark import StorageLevel
@@ -56,6 +57,28 @@ from vscode_parquet_visualizer_spark.sources import registry
 
 DEFAULT_QUERY = "SELECT * FROM data LIMIT 1000;"  # reference package.json:62
 
+# FAIR scheduler pools (spark.scheduler.mode=FAIR, session._DEFAULTS):
+# the reference runs a paging worker and a query worker per document so
+# neither starves the other (src/tabular-document-editor.ts:154-186).
+# Here every interactive job (page/search/export) runs in the
+# "interactive" pool and query materialization in "query" — with FAIR
+# scheduling the pools split executor slots, so a long user query and a
+# page fetch issued from another thread make progress concurrently.
+POOL_QUERY = "query"
+POOL_INTERACTIVE = "interactive"
+
+
+@contextmanager
+def scheduler_pool(spark: SparkSession, name: str):
+    """Run the enclosed jobs in the named FAIR pool (thread-local)."""
+    sc = spark.sparkContext
+    prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", name)
+    try:
+        yield
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", prev)
+
 
 def _with_row_id(df: DataFrame) -> DataFrame:
     """Attach a stable total-order anchor. monotonically_increasing_id is
@@ -75,7 +98,8 @@ class ResultSet:
     def __init__(self, df: DataFrame, name: str = "query_result", settings: Settings | None = None):
         self.settings = settings or Settings()
         self._base = _with_row_id(df).persist(StorageLevel.MEMORY_AND_DISK)
-        self.row_count = self._base.count()  # eager: the CTAS moment
+        with scheduler_pool(df.sparkSession, POOL_QUERY):
+            self.row_count = self._base.count()  # eager: the CTAS moment
         self.name = name
         self._filtered: DataFrame | None = None
         self._filtered_count: int | None = None
@@ -121,7 +145,8 @@ class ResultSet:
                 StorageLevel.MEMORY_AND_DISK
             )
             self._filtered = flt
-            self._filtered_count = flt.count()
+            with scheduler_pool(flt.sparkSession, POOL_INTERACTIVE):
+                self._filtered_count = flt.count()
         return self.current_count
 
     def _ordered(self) -> DataFrame:
@@ -133,7 +158,8 @@ class ResultSet:
     def page(self, page_number: int = 1, page_size: int = 20) -> list[dict[str, Any]]:
         """One page of JSON-safe rows — the webview row contract."""
         pager = self.paginator(page_size)
-        rows = pager.goto(page_number).drop(ROW_ID).collect()
+        with scheduler_pool(self._base.sparkSession, POOL_INTERACTIVE):
+            rows = pager.goto(page_number).drop(ROW_ID).collect()
         return serialize_rows(rows, settings=self.settings)
 
     def page_df(self, page_number: int = 1, page_size: int = 20) -> DataFrame:
@@ -148,7 +174,8 @@ class ResultSet:
 
     # -- export (A13-A18): search+sort applied, like the reference --------
     def export(self, path: str, fmt: str, **kwargs) -> None:
-        export_ops.export(self._ordered().drop(ROW_ID), path, fmt, **kwargs)
+        with scheduler_pool(self._base.sparkSession, POOL_INTERACTIVE):
+            export_ops.export(self._ordered().drop(ROW_ID), path, fmt, **kwargs)
 
     def unpersist(self) -> None:
         if self._filtered is not None:

@@ -53,6 +53,14 @@ def ship_package(spark: SparkSession) -> None:
     _shipped.add(id(spark))
 
 _DEFAULTS = {
+    # FAIR job scheduling: the reference isolates each document's query
+    # worker from its paging worker with two OS threads + two DuckDB
+    # instances (src/tabular-document-editor.ts:154-186). One
+    # SparkSession multiplexes instead: jobs tagged with a scheduler
+    # pool (engine.scheduler_pool) share executors fairly, so a
+    # long-running user query cannot starve pagination. Pools are
+    # auto-created on first use (default weight 1, FIFO within a pool).
+    "spark.scheduler.mode": "FAIR",
     # Runtime re-planning: coalesce post-shuffle partitions, convert
     # sort-merge→broadcast when runtime stats allow, split skewed partitions.
     "spark.sql.adaptive.enabled": "true",

@@ -26,6 +26,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vscode_parquet_visualizer_spark.sources import parquet_compat
+
 # extension (lowercase, no dot) → spark format
 EXTENSION_FORMATS = {
     "parquet": "parquet",
@@ -190,6 +192,17 @@ def read(spark: SparkSession, path: str, fmt: str | None = None, **options) -> D
         # grading driver's own SparkSession) still need ns-timestamp
         # columns readable. Runtime-settable SQL conf.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Exotic codecs (BROTLI/LZO) fail inside the JVM reader with an
+        # opaque executor error — route through the pyarrow-decoded scan
+        # (the reference's parquet-wasm second backend, Spark-first).
+        # Footer check is local-file only; object-store paths go native.
+        if os.path.exists(path):
+            try:
+                exotic = parquet_compat.unsupported_codecs(path)
+            except Exception:
+                exotic = set()
+            if exotic:
+                return parquet_compat.read_parquet_pyarrow(spark, path)
         return _restore_nano_timestamps(reader.format(fmt).load(path), path)
     if fmt == "avro":
         # Prefer the spark-avro connector (splits large files on sync
