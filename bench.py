@@ -87,6 +87,15 @@ def main() -> None:
         # same reason (32 near-empty tasks cost ~ms each to schedule).
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # Broadcast only true dimension tables (region/nation-sized) on
+        # the interactive profile: every broadcast is a per-ACTION
+        # driver collect + rebuild (~0.1-0.3 s), while the hot tables
+        # are cached hash-partitioned on their join keys so a
+        # shuffled-hash join runs exchange-free. Min-of-3 A/B over the
+        # 9 join-heavy heads: 2.27 s @ 64m -> 1.42 s @ 512k (q04
+        # 0.39->0.12, q03 0.34->0.16). The 64m default stays for the
+        # large profile, where broadcasts amortize over real scan work.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "512k")
     # Both profiles prefer shuffled-hash over sort-merge, for different
     # reasons: sub-GB builds fit in memory with room to spare and skip
     # both sort passes (interleaved min-of-3 A/B at sf1: join-heavy

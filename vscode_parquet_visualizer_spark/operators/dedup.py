@@ -79,17 +79,32 @@ def shingles(text: F.Column, n: int = 3) -> F.Column:
     return F.array_distinct(grams)
 
 
-def _parallelize(df: DataFrame) -> DataFrame:
-    """Raise parallelism to the cluster's when the scan yields fewer
-    partitions (one small parquet file reads as a single split and would
-    run the whole shingle/hash stage on one core). The round-robin
-    repartition moves only the filtered projection input once; at real
-    scale the scan already produces >= defaultParallelism splits and this
-    is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+def _parallelize(df: DataFrame, per_partition_bytes: int = 4 << 20) -> DataFrame:
+    """Size the shingle/hash stage's parallelism to the DATA, both ways.
+
+    Up: one small parquet file reads as a single split and would run the
+    whole stage on one core — spread big single-split inputs across the
+    cluster. Down: a few hundred filtered docs spread over
+    defaultParallelism partitions make every downstream stage schedule
+    32 near-empty tasks (q36 at sf0.1: 347 tasks for 410 docs — the
+    scheduling floor WAS the query). Catalyst's optimized-plan size
+    estimate (exact for materialized caches) picks the partition count
+    at ~4 MiB of text per task; at real scale this saturates the
+    cluster exactly like the old always-repartition(target) did."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        size = 1 << 60
+    want = max(1, min(target, size // per_partition_bytes + 1))
+    if want >= target:
+        if df.rdd.getNumPartitions() >= target:
+            return df
         return df.repartition(target)
-    return df
+    return df.repartition(want)
 
 
 def _minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
