@@ -1103,3 +1103,64 @@ def test_differential_batch10(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-7 hunt batch 11: breadth fixes probed against DuckDB — boundary
+# date_diff, dow rebases, negative left/right, floored fdiv/fmod,
+# julian, try_strptime, list_prepend arg order, list_product/bool/resize
+CORPUS_R7_BATCH11 = [
+    """SELECT date_diff('month', DATE '2024-01-31', DATE '2024-02-01') AS a,
+              date_diff('day', DATE '2024-01-01', DATE '2024-03-01') AS b,
+              date_diff('year', DATE '2023-12-31', DATE '2024-01-01') AS c,
+              date_diff('quarter', DATE '2024-03-31', DATE '2024-04-01') AS d,
+              date_diff('week', DATE '2024-01-07', DATE '2024-01-08') AS e,
+              date_diff('decade', DATE '1999-12-31', DATE '2000-01-01') AS f""",
+    """SELECT datediff('hour', TIMESTAMP '2024-01-01 00:59:59',
+                       TIMESTAMP '2024-01-01 01:00:01') AS a,
+              date_diff('second', TIMESTAMP '2024-01-01 00:00:00.9',
+                        TIMESTAMP '2024-01-01 00:00:01.1') AS b,
+              date_diff('minute', TIMESTAMP '2024-01-01 00:00:59',
+                        TIMESTAMP '2024-01-01 00:01:01') AS c,
+              date_diff('ms', TIMESTAMP '2024-01-01 00:00:00.0009',
+                        TIMESTAMP '2024-01-01 00:00:00.0011') AS d""",
+    """SELECT date_sub('month', DATE '2024-01-31', DATE '2024-02-28') AS a,
+              date_sub('month', DATE '2024-01-31', DATE '2024-02-29') AS b""",
+    """SELECT weekday(DATE '2024-02-04') AS sun, weekday(DATE '2024-02-05')
+              AS mon, weekday(DATE '2024-02-10') AS sat,
+              isodow(DATE '2024-02-05') AS iso_mon,
+              dayofweek(DATE '2024-02-05') AS dow_mon,
+              isoyear(DATE '2024-01-01') AS iy24,
+              isoyear(DATE '2022-01-01') AS iy22""",
+    """SELECT left('hello', -2) AS a, right('hello', -2) AS b,
+              left('ab', -5) AS c, right('ab', -5) AS d,
+              left('hello', 2) AS e, right('hello', 2) AS f,
+              left('hello', 1+1) AS g""",
+    """SELECT editdist3('kitten','sitting') AS a, mismatches('duck','luck') AS b""",
+    """SELECT fdiv(7,2) AS a, fdiv(-7,2) AS b, fdiv(7.5,2.0) AS c,
+              fmod(7,2) AS d, fmod(-7,2) AS e, fmod(7.5,2.0) AS f""",
+    """SELECT julian(DATE '2024-01-01') AS a,
+              julian(TIMESTAMP '2024-01-01 12:00:00') AS b""",
+    """SELECT try_strptime('2024-02-05', '%Y-%m-%d') AS ok,
+              try_strptime('garbage', '%Y-%m-%d') AS bad""",
+    """SELECT list_prepend(0, [1,2]) AS a, array_prepend(0, [1,2]) AS b,
+              list_append([1,2], 3) AS c""",
+    """SELECT list_product([2,3,4]) AS a, list_product([2,NULL]) AS b,
+              list_product([]) AS c""",
+    """SELECT list_bool_and([true,true]) AS a, list_bool_and([true,NULL]) AS b,
+              list_bool_and([]) AS c, list_bool_or([false,NULL]) AS d,
+              list_bool_and([true,false]) AS e""",
+    """SELECT list_resize([1,2,3,4], 2) AS a, list_resize([1,2], 4) AS b,
+              list_resize([1,2], 4, 9) AS c, list_resize([], 2) AS d""",
+    """SELECT datepart(['year','month'], DATE '2024-02-05') AS v""",
+    """SELECT date_part(['hour','minute'], TIMESTAMP '2024-02-05 10:30:00') AS v""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R7_BATCH11, ids=range(len(CORPUS_R7_BATCH11))
+)
+def test_differential_batch11(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

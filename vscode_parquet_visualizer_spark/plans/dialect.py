@@ -261,7 +261,7 @@ def rewrite_strftime(sql: str, stash: list[str] | None = None) -> str:
         return f"to_timestamp({m.group(1)}, {_stash_add(stash, lit)})"
 
     return re.sub(
-        r"\bstrptime\s*\(\s*([^,()]+?)\s*,\s*\x00LIT(\d+)\x00\s*\)",
+        r"\b(?:try_)?strptime\s*\(\s*([^,()]+?)\s*,\s*\x00LIT(\d+)\x00\s*\)",
         sub_parse,
         sql,
         flags=re.IGNORECASE,
@@ -1622,6 +1622,27 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     ):
         sql = _rewrite_calls(sql, _fn, posix_fn(_fn))
 
+    # DuckDB date_diff counts unit BOUNDARIES CROSSED, not complete
+    # units: date_diff('month', Jan-31, Feb-01) = 1 (round-7 hunt found
+    # the old timestampdiff lowering silently returning 0). Truncate
+    # both operands to the unit first — then complete-unit diff equals
+    # boundary count. date_sub/datesub keep the plain timestampdiff
+    # (their contract IS complete units, probed against DuckDB).
+    _DD_UNITS = {
+        "year": "YEAR", "years": "YEAR", "y": "YEAR", "yr": "YEAR",
+        "quarter": "QUARTER", "quarters": "QUARTER",
+        "month": "MONTH", "months": "MONTH", "mon": "MONTH",
+        "week": "WEEK", "weeks": "WEEK", "w": "WEEK",
+        "day": "DAY", "days": "DAY", "d": "DAY",
+        "hour": "HOUR", "hours": "HOUR", "h": "HOUR",
+        "minute": "MINUTE", "minutes": "MINUTE", "min": "MINUTE",
+        "second": "SECOND", "seconds": "SECOND", "s": "SECOND",
+        "millisecond": "MILLISECOND", "milliseconds": "MILLISECOND",
+        "ms": "MILLISECOND",
+        "microsecond": "MICROSECOND", "microseconds": "MICROSECOND",
+        "us": "MICROSECOND",
+    }
+
     def date_diff_x(a):
         if len(a) != 3:
             return None
@@ -1629,22 +1650,86 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         m = re.fullmatch(r"\x00LIT(\d+)\x00", part)
         if m:
             part = _lit_text(stash, m.group(1))
-        return f"timestampdiff({part.strip().strip(chr(39))}, {a[1]}, {a[2]})"
+        part = part.strip().strip(chr(39)).lower()
+        unit = _DD_UNITS.get(part)
+        if unit is None:
+            if part in ("decade", "century", "millennium"):
+                per = {"decade": 10, "century": 100, "millennium": 1000}[part]
+                return (
+                    f"(CAST(floor(year({a[2]}) / {per}) AS BIGINT) - "
+                    f"CAST(floor(year({a[1]}) / {per}) AS BIGINT))"
+                )
+            return None  # unknown part: stay loud
+        ph = _stash_add(stash, f"'{unit}'")
+        return (
+            f"timestampdiff({unit}, date_trunc({ph}, {a[1]}), "
+            f"date_trunc({ph}, {a[2]}))"
+        )
 
     sql = _rewrite_calls(sql, "date_diff", date_diff_x)
-    # DuckDB's THREE-arg date_sub(part, a, b) counts COMPLETE units —
-    # exactly timestampdiff's contract. Spark's own 2-arg
-    # date_sub(date, days) passes through untouched (len check).
-    sql = _rewrite_calls(
-        sql,
-        "date_sub",
-        lambda a: date_diff_x(a) if len(a) == 3 else None,
+    sql = _rewrite_calls(  # 3-arg DuckDB alias; Spark's own 2-arg passes
+        sql, "datediff", lambda a: date_diff_x(a) if len(a) == 3 else None
     )
-    sql = _rewrite_calls(  # 3-arg alias of date_sub
-        sql,
-        "datesub",
-        lambda a: date_diff_x(a) if len(a) == 3 else None,
-    )
+
+    # DuckDB's THREE-arg date_sub(part, a, b) counts COMPLETE units.
+    # Spark's timestampdiff is NOT that contract at the month-add clamp
+    # boundary (probed: duck date_sub('month', Jan-31, Feb-29) = 1 —
+    # Jan-31 + 1 month clamps to Feb-29 — but timestampdiff says 0), so
+    # lower it directly: fixed-width units truncate the microsecond
+    # difference; month-family takes the year-month boundary diff and
+    # corrects by one clamped interval-add comparison. Spark's own
+    # 2-arg date_sub(date, days) passes through untouched (len check).
+    _DS_MICROS = {
+        "microsecond": 1, "microseconds": 1, "us": 1,
+        "millisecond": 1000, "milliseconds": 1000, "ms": 1000,
+        "second": 10**6, "seconds": 10**6, "s": 10**6,
+        "minute": 60 * 10**6, "minutes": 60 * 10**6, "min": 60 * 10**6,
+        "hour": 3600 * 10**6, "hours": 3600 * 10**6, "h": 3600 * 10**6,
+        "day": 86400 * 10**6, "days": 86400 * 10**6, "d": 86400 * 10**6,
+        "week": 7 * 86400 * 10**6, "weeks": 7 * 86400 * 10**6,
+        "w": 7 * 86400 * 10**6,
+    }
+    _DS_MONTHS = {
+        "month": 1, "months": 1, "mon": 1,
+        "quarter": 3, "quarters": 3,
+        "year": 12, "years": 12, "y": 12, "yr": 12,
+        "decade": 120, "decades": 120,
+        "century": 1200, "centuries": 1200,
+        "millennium": 12000, "millennia": 12000,
+    }
+
+    def date_sub_x(a):
+        if len(a) != 3:
+            return None
+        part = a[0]
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", part)
+        if m:
+            part = _lit_text(stash, m.group(1))
+        part = part.strip().strip(chr(39)).lower()
+        lo, hi = a[1], a[2]
+        if part in _DS_MICROS:
+            w = _DS_MICROS[part]
+            return (
+                f"((unix_micros(CAST({hi} AS TIMESTAMP)) - "
+                f"unix_micros(CAST({lo} AS TIMESTAMP))) DIV {w})"
+            )
+        if part in _DS_MONTHS:
+            k = _DS_MONTHS[part]
+            md = (
+                f"((year({hi}) * 12 + month({hi})) - "
+                f"(year({lo}) * 12 + month({lo})))"
+            )
+            add = f"({lo} + make_interval(0, {md}, 0, 0, 0, 0, 0))"
+            corr = (
+                f"(CASE WHEN {md} > 0 AND {add} > {hi} THEN {md} - 1 "
+                f"WHEN {md} < 0 AND {add} < {hi} THEN {md} + 1 "
+                f"ELSE {md} END)"
+            )
+            return f"CAST({corr} DIV {k} AS BIGINT)"
+        return None  # unknown part: stay loud
+
+    sql = _rewrite_calls(sql, "date_sub", date_sub_x)
+    sql = _rewrite_calls(sql, "datesub", date_sub_x)
     # DuckDB's date_add returns TIMESTAMP even for DATE input — mirror
     # with an explicit cast (no-op when the operand is already one)
     sql = _rewrite_calls(
@@ -1662,6 +1747,164 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         "to_base",
         lambda a: f"conv({a[0]}, 10, {a[1]})" if len(a) == 2 else None,
     )
+
+    # --- round-7 hunt batch: breadth fixes probed against DuckDB ---
+    # weekday(x): DuckDB weekday == dow (Sunday=0); Spark's own weekday
+    # is Monday=0 — rebase. (Runs before rewrite_function_renames, whose
+    # isodow lowering EMITS Spark weekday — ordering keeps both right.)
+    # pure-arithmetic dow (1970-01-04 was a Sunday) so the later
+    # rename pass can't re-rebase the emitted expression
+    sql = _rewrite_calls(
+        sql,
+        "weekday",
+        lambda a: f"(pmod(datediff({a[0]}, DATE '1970-01-04'), 7))"
+        if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "editdist3",  # DuckDB alias of levenshtein
+        lambda a: f"levenshtein({', '.join(a)})" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "isoyear",  # ISO week-numbering year
+        lambda a: f"extract(YEAROFWEEK FROM {a[0]})" if len(a) == 1 else None,
+    )
+    # left/right with NEGATIVE n: all-but-|n|-from-the-other-end
+    # (Spark returns ''). Non-negative literal counts stay untouched.
+    def _lr(fn):
+        def x(a):
+            if len(a) != 2 or re.fullmatch(r"\d+", a[1].strip()):
+                return None
+            if fn == "left":
+                neg = f"substr({a[0]}, 1, greatest(length({a[0]}) + ({a[1]}), 0))"
+            else:
+                neg = f"substr({a[0]}, (-({a[1]})) + 1)"
+            return (
+                f"(CASE WHEN ({a[1]}) >= 0 THEN {fn}({a[0]}, {a[1]}) "
+                f"ELSE {neg} END)"
+            )
+        return x
+
+    sql = _rewrite_calls(sql, "left", _lr("left"))
+    sql = _rewrite_calls(sql, "right", _lr("right"))
+    # fdiv = floor division, fmod = FLOORED modulo, both DOUBLE (probed:
+    # fdiv(-7,2) = -4.0, fmod(-7,2) = 1.0 — not C fmod)
+    sql = _rewrite_calls(
+        sql,
+        "fdiv",
+        lambda a: f"CAST(floor(({a[0]}) / ({a[1]})) AS DOUBLE)"
+        if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "fmod",
+        lambda a: (
+            f"CAST(({a[0]}) - floor(({a[0]}) / ({a[1]})) * ({a[1]}) "
+            f"AS DOUBLE)"
+        )
+        if len(a) == 2 else None,
+    )
+    # julian day number: days since -4713-11-24 = unix days + 2440588
+    sql = _rewrite_calls(
+        sql,
+        "julian",
+        lambda a: (
+            f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) / 86400000000.0 "
+            f"+ 2440588.0)"
+        )
+        if len(a) == 1 else None,
+    )
+    # list/array_prepend(elem, list): Spark's array_prepend takes
+    # (list, elem) — emit array_insert instead so the two rules can't
+    # re-swap each other's output
+    for _pre in ("list_prepend", "array_prepend"):
+        sql = _rewrite_calls(
+            sql,
+            _pre,
+            lambda a: f"array_insert({a[1]}, 1, {a[0]})"
+            if len(a) == 2 else None,
+        )
+
+    def _nn(l):  # non-null elements
+        return f"filter({l}, __hv -> __hv IS NOT NULL)"
+
+    # list_product: DOUBLE, NULL elements skipped, all-null/empty -> NULL
+    sql = _rewrite_calls(
+        sql,
+        "list_product",
+        lambda a: (
+            f"(CASE WHEN size({_nn(a[0])}) = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE aggregate({_nn(a[0])}, CAST(1 AS DOUBLE), "
+            f"(__s, __hv) -> __s * __hv) END)"
+        )
+        if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "list_bool_and",
+        lambda a: (
+            f"(CASE WHEN size({_nn(a[0])}) = 0 THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE forall({_nn(a[0])}, __hv -> __hv) END)"
+        )
+        if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "list_bool_or",
+        lambda a: (
+            f"(CASE WHEN size({_nn(a[0])}) = 0 THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE exists({_nn(a[0])}, __hv -> __hv) END)"
+        )
+        if len(a) == 1 else None,
+    )
+
+    def list_resize_x(a):
+        if len(a) not in (2, 3):
+            return None
+        l, n = a[0], a[1]
+        # rename-proof spellings only (get/flatten): later passes rewrite
+        # concat -> concat_ws and element_at -> the 1-based duck shim,
+        # which would mangle this generated Spark code
+        fill = a[2] if len(a) == 3 else (
+            f"nullif(get({l}, 0), get({l}, 0))"
+        )
+        return (
+            f"(CASE WHEN ({n}) <= size({l}) THEN slice({l}, 1, {n}) "
+            f"ELSE flatten(array({l}, array_repeat({fill}, "
+            f"({n}) - size({l})))) END)"
+        )
+
+    sql = _rewrite_calls(sql, "list_resize", list_resize_x)
+
+    # datepart(['year','month'], x) -> STRUCT of the named parts
+    _DP_SIMPLE = {
+        "year": "year", "month": "month", "day": "day", "hour": "hour",
+        "minute": "minute", "second": "second", "quarter": "quarter",
+        "week": "weekofyear", "dayofyear": "dayofyear",
+    }
+
+    def datepart_list_x(a):
+        if len(a) != 2 or not a[0].strip().lower().startswith("array("):
+            return None
+        inner = a[0].strip()[6:-1]
+        parts = []
+        for item in _split_top_level(inner):
+            m = re.fullmatch(r"\x00LIT(\d+)\x00", item.strip())
+            if m is None:
+                return None
+            parts.append(_lit_text(stash, m.group(1)).lower())
+        if not all(pt in _DP_SIMPLE for pt in parts):
+            return None  # exotic part in list form: stay loud
+        fields = ", ".join(
+            f"{_stash_add(stash, repr(pt))}, "
+            f"CAST({_DP_SIMPLE[pt]}({a[1]}) AS BIGINT)"
+            for pt in parts
+        )
+        return f"named_struct({fields})"
+
+    sql = _rewrite_calls(sql, "datepart", datepart_list_x)
+    sql = _rewrite_calls(sql, "date_part", datepart_list_x)
 
     def histogram_x(a):
         # DuckDB histogram(e): MAP(value → count), keys sorted, NULLs
