@@ -1164,3 +1164,42 @@ def test_differential_batch11(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-7 hunt batch 12: string predicates, LIKE-escape functions,
+# kahan aggs, RE2 QuoteMeta, full-unicode chr, path parsing
+CORPUS_R7_BATCH12 = [
+    """SELECT suffix('hello','lo') AS a, prefix('hello','he') AS b,
+              ends_with('hello','lo') AS c, starts_with('hello','he') AS d,
+              ends_with('hello','xx') AS e""",
+    """SELECT like_escape('a_b', 'a$_b', '$') AS a,
+              ilike_escape('A_B', 'a$_b', '$') AS b,
+              not_like_escape('a_b','a$_b','$') AS c,
+              not_ilike_escape('A_B','a$_b','$') AS d,
+              like_escape('axb', 'a$_b', '$') AS e""",
+    """SELECT sumkahan(x) AS a, fsum(x) AS b, favg(x) AS c
+       FROM (VALUES (1.5),(2.5),(NULL)) t(x)""",
+    """SELECT regexp_escape('a.b*c') AS a,
+              regexp_escape('x[1]{2}(3)?+|^$') AS b,
+              regexp_escape('plain') AS c""",
+    """SELECT chr(10) AS a, chr(65) AS b, chr(127) AS c, chr(128) AS d,
+              chr(255) AS e, chr(955) AS f, chr(65537) AS g,
+              chr(20013) AS h""",
+    """SELECT parse_path('/a/b/c.txt') AS a, parse_dirname('/a/b/c.txt') AS b,
+              parse_filename('/a/b/c.txt') AS c, parse_path('rel/x.txt') AS d""",
+    """SELECT parse_dirname('c.txt') AS a, parse_filename('/a/b/') AS b,
+              parse_dirname('/a/b/') AS c, parse_dirname('a/b/c') AS d""",
+    """SELECT parse_filename('/a/b/c.txt', true) AS a,
+              parse_filename('/a/b/c.tar.gz', true) AS b,
+              parse_filename('noext', true) AS c""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R7_BATCH12, ids=range(len(CORPUS_R7_BATCH12))
+)
+def test_differential_batch12(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -1906,6 +1906,140 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     sql = _rewrite_calls(sql, "datepart", datepart_list_x)
     sql = _rewrite_calls(sql, "date_part", datepart_list_x)
 
+    # --- round-7 hunt batch 12 ---
+    # string predicates: DuckDB spellings -> Spark's
+    sql = _rewrite_calls(
+        sql, "ends_with",
+        lambda a: f"endswith({', '.join(a)})" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "suffix",
+        lambda a: f"endswith({', '.join(a)})" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "prefix",
+        lambda a: f"startswith({', '.join(a)})" if len(a) == 2 else None,
+    )
+    # LIKE-with-escape function forms -> Spark's like/ilike functions
+    sql = _rewrite_calls(
+        sql, "like_escape",
+        lambda a: f"like({', '.join(a)})" if len(a) == 3 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "ilike_escape",
+        lambda a: f"ilike({', '.join(a)})" if len(a) == 3 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "not_like_escape",
+        lambda a: f"(NOT like({', '.join(a)}))" if len(a) == 3 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "not_ilike_escape",
+        lambda a: f"(NOT ilike({', '.join(a)}))" if len(a) == 3 else None,
+    )
+    # Kahan-compensated float aggs: Spark's JVM sum/avg match DuckDB's
+    # result type (DOUBLE); the compensation itself is an accumulation-
+    # noise concern below the workload's rounding contract
+    sql = _rewrite_calls(
+        sql, "sumkahan",
+        lambda a: f"sum(CAST({a[0]} AS DOUBLE))" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "fsum",
+        lambda a: f"sum(CAST({a[0]} AS DOUBLE))" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "favg",
+        lambda a: f"avg(CAST({a[0]} AS DOUBLE))" if len(a) == 1 else None,
+    )
+    # RE2 QuoteMeta: escape regex metacharacters only. The 'g' flag
+    # matters: this emission still flows through the DuckDB
+    # first-match-only regexp_replace shim, which strips the flag and
+    # leaves the (all-match) Spark call.
+    sql = _rewrite_calls(
+        sql, "regexp_escape",
+        lambda a: (
+            "regexp_replace(" + a[0] + ", "
+            + _stash_add(stash, r"'([.+*?()|\[\]{}^$\\])'") + ", "
+            + _stash_add(stash, r"'\\\1'") + ", "
+            + _stash_add(stash, "'g'") + ")"
+        )
+        if len(a) == 1 else None,
+    )
+    # chr beyond latin-1: build the UTF-8 byte sequence arithmetically
+    # (Spark's chr truncates to one byte -> mojibake for chr(955))
+    def chr_x(a):
+        if len(a) != 1:
+            return None
+        x = f"({a[0]})"
+        b = (
+            f"(CASE WHEN {x} < 128 THEN {x} "
+            f"WHEN {x} < 2048 THEN (192 + {x} DIV 64) * 256 "
+            f"+ 128 + {x} % 64 "
+            f"WHEN {x} < 65536 THEN (224 + {x} DIV 4096) * 65536 "
+            f"+ (128 + ({x} DIV 64) % 64) * 256 + 128 + {x} % 64 "
+            f"ELSE (240 + {x} DIV 262144) * 16777216 "
+            f"+ (128 + ({x} DIV 4096) % 64) * 65536 "
+            f"+ (128 + ({x} DIV 64) % 64) * 256 + 128 + {x} % 64 END)"
+        )
+        hexs = f"conv({b}, 10, 16)"
+        ph = _stash_add(stash, "'0'")
+        utf = _stash_add(stash, "'UTF-8'")
+        return (
+            f"decode(unhex(lpad({hexs}, length({hexs}) "
+            f"+ length({hexs}) % 2, {ph})), {utf})"
+        )
+
+    sql = _rewrite_calls(sql, "chr", chr_x)
+
+    # path parsing (forward-slash form)
+    def _pp_components(p):
+        sep = _stash_add(stash, "'/'")
+        lead = _stash_add(stash, "'/%'")
+        root = _stash_add(stash, "'/'")
+        return (
+            f"flatten(array(slice(array({root}), 1, "
+            f"CASE WHEN {p} LIKE {lead} THEN 1 ELSE 0 END), "
+            f"filter(split({p}, {sep}), __pp -> __pp != '')))"
+        )
+
+    sql = _rewrite_calls(
+        sql, "parse_path",
+        lambda a: _pp_components(a[0]) if len(a) == 1 else None,
+    )
+
+    def parse_dirname_x(a):
+        if len(a) != 1:
+            return None
+        pp = _pp_components(a[0])
+        empty = _stash_add(stash, "''")
+        return (
+            f"(CASE WHEN size({pp}) < 2 THEN {empty} "
+            f"ELSE get({pp}, 0) END)"
+        )
+
+    sql = _rewrite_calls(sql, "parse_dirname", parse_dirname_x)
+
+    def parse_filename_x(a):
+        if len(a) not in (1, 2):
+            return None
+        sep = _stash_add(stash, "'/'")
+        f = f"substring_index({a[0]}, {sep}, -1)"
+        if len(a) == 2:
+            trim = a[1].strip().lower()
+            m = re.fullmatch(r"\x00LIT(\d+)\x00", trim)
+            if m:
+                trim = _lit_text(stash, m.group(1)).lower()
+            if trim in ("true", "1"):
+                pat = _stash_add(stash, r"'\.[^.]*$'")
+                empty = _stash_add(stash, "''")
+                return f"regexp_replace({f}, {pat}, {empty})"
+            if trim not in ("false", "0"):
+                return None  # separator variants: stay loud
+        return f"({f})"
+
+    sql = _rewrite_calls(sql, "parse_filename", parse_filename_x)
+
     def histogram_x(a):
         # DuckDB histogram(e): MAP(value → count), keys sorted, NULLs
         # ignored. One collect_list per group feeds both the distinct
