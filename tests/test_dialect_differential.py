@@ -1203,3 +1203,99 @@ def test_differential_batch12(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-7 hunt batch 13: time_bucket full widths + offsets, age()
+# component extraction, interval fields, make_timestamp(µs), timezone(),
+# epoch_ns, nextafter, unicode(''), char-set jaccard, list null
+# semantics (contains/has_any/has_all/distinct), list_reduce, ordered
+# any_value/first/last, quantile_disc lists, struct_insert
+CORPUS_R7_BATCH13 = [
+    """SELECT time_bucket(INTERVAL '15 minutes', TIMESTAMP '2024-02-05 10:37:22') AS a,
+              time_bucket(INTERVAL '7 minutes', TIMESTAMP '2024-02-05 10:37:22') AS b,
+              time_bucket(INTERVAL '90 seconds', TIMESTAMP '2024-02-05 10:37:22') AS c,
+              time_bucket(INTERVAL '15 minutes', TIMESTAMP '1969-12-31 23:50:00') AS d""",
+    """SELECT time_bucket(INTERVAL '1 month', DATE '2024-02-15') AS a,
+              time_bucket(INTERVAL '3 months', DATE '2024-02-15') AS b,
+              time_bucket(INTERVAL '1 year', DATE '2023-07-01') AS c,
+              time_bucket(INTERVAL '1 week', DATE '2024-02-15') AS d,
+              time_bucket(INTERVAL '2 weeks', DATE '2024-02-15') AS e,
+              time_bucket(INTERVAL '10 days', DATE '2000-01-01') AS f,
+              time_bucket(INTERVAL '10 days', DATE '1999-12-31') AS g""",
+    """SELECT time_bucket(INTERVAL '10 minutes',
+                          TIMESTAMP '2024-02-05 10:37:22',
+                          INTERVAL '2 minutes') AS a""",
+    """SELECT time_bucket(INTERVAL '1 hour', o_orderdate) AS b, count(*) AS n
+       FROM orders GROUP BY 1 ORDER BY 1 LIMIT 10""",
+    """SELECT date_part('year', age(TIMESTAMP '2024-03-15 10:00:00',
+                                    TIMESTAMP '2023-01-20 12:30:00')) AS y,
+              date_part('month', age(TIMESTAMP '2024-03-15 10:00:00',
+                                     TIMESTAMP '2023-01-20 12:30:00')) AS m,
+              date_part('day', age(TIMESTAMP '2024-03-15 10:00:00',
+                                   TIMESTAMP '2023-01-20 12:30:00')) AS d,
+              date_part('hour', age(TIMESTAMP '2024-03-15 10:00:00',
+                                    TIMESTAMP '2023-01-20 12:30:00')) AS h""",
+    # negative direction + the DuckDB-specific borrow (earlier month's
+    # length: '1 month 30 days', not PostgreSQL's 28)
+    """SELECT date_part('day', age(TIMESTAMP '2023-01-20',
+                                   TIMESTAMP '2024-03-15')) AS a,
+              date_part('month', age(TIMESTAMP '2023-01-20',
+                                     TIMESTAMP '2024-03-15')) AS b,
+              date_part('day', age(TIMESTAMP '2024-03-30',
+                                   TIMESTAMP '2024-01-31')) AS c,
+              date_part('month', age(TIMESTAMP '2024-03-30',
+                                     TIMESTAMP '2024-01-31')) AS d""",
+    """SELECT date_part('second', age(TIMESTAMP '2024-03-15 10:00:02.25',
+                                      TIMESTAMP '2023-01-20 12:30:01.5')) AS s,
+              date_part('millisecond', age(TIMESTAMP '2024-03-15 10:00:02.25',
+                                           TIMESTAMP '2023-01-20 12:30:01.5')) AS ms,
+              date_part('microsecond', age(TIMESTAMP '2024-03-15 10:00:02.25',
+                                           TIMESTAMP '2023-01-20 12:30:01.5')) AS us,
+              date_part('epoch', age(TIMESTAMP '2024-03-15 10:00:02.25',
+                                     TIMESTAMP '2023-01-20 12:30:01.5')) AS e""",
+    """SELECT make_timestamp(1700000000000000) AS a,
+              make_timestamp(2024, 2, 5, 10, 30, 21.5) AS b""",
+    """SELECT CAST(timezone('Asia/Tokyo',
+                            TIMESTAMP '2024-01-01 10:00:00') AS TIMESTAMP) AS a,
+              CAST(timezone('America/New_York',
+                            TIMESTAMP '2024-06-01 12:00:00') AS TIMESTAMP) AS b""",
+    """SELECT epoch_ns(TIMESTAMP '2024-01-01 00:00:01.123456') AS a""",
+    """SELECT nextafter(1.0, 2.0) AS a, nextafter(1.0, 0.0) AS b""",
+    """SELECT unicode('héllo') AS a, unicode('é') AS b, unicode('') AS c,
+              unicode(NULL) AS d""",
+    """SELECT jaccard('duckdb', 'luckdb') AS a, jaccard('ab', 'ba') AS b,
+              jaccard('abc', 'abd') AS c""",
+    """SELECT list_contains([1, 2], NULL) AS a,
+              list_contains([NULL, 3], 3) AS b,
+              list_contains([NULL, 3], 7) AS c,
+              list_contains(['x', 'y'], 'y') AS d,
+              array_contains([1, 2], 2) AS e""",
+    """SELECT list_has_all([1, 2, 3], [2, NULL]) AS a,
+              list_has_all([1, NULL], [NULL]) AS b,
+              list_has_any([1, NULL], [NULL]) AS c,
+              list_has_any([1, 2], [2, 9]) AS d,
+              list_has_all([1], NULL) AS e,
+              list_has_any([1, 2], []) AS f""",
+    """SELECT list_sort(list_distinct([1, 2, 2, NULL])) AS a,
+              list_sort(list_distinct(['b', 'a', 'b'])) AS b""",
+    """SELECT list_reduce([5], (x, y) -> x + y) AS a,
+              list_reduce([1, 2, 3], (x, y) -> x * 10 + y) AS b,
+              reduce([2, 3], (x, y) -> x * y) AS c""",
+    """SELECT any_value(x ORDER BY y DESC) AS a, first(x ORDER BY y) AS b,
+              last(x ORDER BY y) AS c
+       FROM (VALUES (1, 9), (2, 5), (3, 7)) t(x, y)""",
+    """SELECT quantile_disc(x, [0.25, 0.75]) AS q
+       FROM (VALUES (1.0::DOUBLE), (2.0), (3.0), (4.0)) t(x)""",
+    """SELECT struct_insert({'a': 1, 'c': 'q'}, b := 2) AS s""",
+    """SELECT struct_insert(s, d := 9) AS s2 FROM (SELECT {'a': 1} AS s) t""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R7_BATCH13, ids=range(len(CORPUS_R7_BATCH13))
+)
+def test_differential_batch13(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

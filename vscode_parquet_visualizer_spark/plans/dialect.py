@@ -34,7 +34,10 @@ _TYPE = r"[A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
 # deliberately left for the SQL parser to reject loudly rather than
 # silently misinterpret.
 FUNCTION_RENAMES = {
-    "list_contains": "array_contains",
+    # list_contains / list_distinct / list_has_any are NOT plain renames
+    # (round-7 hunt 13): DuckDB's contains is FALSE for a miss even with
+    # NULL elements present, list_distinct drops NULLs, list_has_any
+    # never matches on NULL — rewrite_function_shapes lowers all three.
     # list_sort is NOT a plain rename: DuckDB defaults NULLS LAST in
     # both directions while sort_array(l) puts nulls first — lowered in
     # rewrite_function_shapes (array_sort default / comparator forms).
@@ -43,7 +46,6 @@ FUNCTION_RENAMES = {
     "array_length": "size",
     "regexp_matches": "regexp_like",
     "epoch_ms": "unix_millis",
-    "list_distinct": "array_distinct",
     "array_to_string": "array_join",  # both (array, delimiter)
     "list_append": "array_append",
     "list_prepend": "array_prepend",
@@ -97,7 +99,6 @@ FUNCTION_RENAMES = {
     "ord": "ascii",
     "gen_random_uuid": "uuid",
     "list_zip": "arrays_zip",
-    "list_has_any": "arrays_overlap",
     # element ORDER diverges (DuckDB hash-set order vs Spark first-list
     # order) — sets have no defined order in either engine's docs;
     # wrap in list_sort for a deterministic result
@@ -1739,6 +1740,87 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         if len(a) == 2 and re.search(r"\bINTERVAL\b", a[1], re.IGNORECASE)
         else None,
     )
+    # date_part(part, age(a, b)): DuckDB age() decomposes the difference
+    # into years/months/days/time with calendar borrows (probed, round 7):
+    # whole months first; a negative day diff borrows day(last_day(LO))
+    # days — the EARLIER operand's month length (NOT PostgreSQL's
+    # preceding-month rule: age('2024-03-30','2024-01-31') is
+    # '1 month 30 days' on DuckDB, 28 days under the PG rule); a negative
+    # time-of-day diff borrows one day; a<b negates every field. The
+    # composed form is lowered to that arithmetic directly — Spark has no
+    # mixed year-month-day interval to extract from. Bare age() keeps the
+    # (a - b) day-time lowering below (docstring'd divergence).
+    def _age_part_expr(part, a_raw, b_raw):
+        A = f"CAST({a_raw} AS TIMESTAMP)"
+        B = f"CAST({b_raw} AS TIMESTAMP)"
+        hi = f"greatest({A}, {B})"
+        lo = f"least({A}, {B})"
+        sgn = f"(CASE WHEN {A} >= {B} THEN 1 ELSE -1 END)"
+        tod_h = f"pmod(unix_micros({hi}), 86400000000)"
+        tod_l = f"pmod(unix_micros({lo}), 86400000000)"
+        tbor = f"(CASE WHEN {tod_h} < {tod_l} THEN 1 ELSE 0 END)"
+        tus = f"({tod_h} - {tod_l} + {tbor} * 86400000000)"
+        dayd = f"(day({hi}) - day({lo}) - {tbor})"
+        dbor = f"(CASE WHEN {dayd} < 0 THEN 1 ELSE 0 END)"
+        days = f"({dayd} + {dbor} * day(last_day({lo})))"
+        months = (
+            f"((year({hi}) - year({lo})) * 12 + month({hi}) - month({lo})"
+            f" - {dbor})"
+        )
+        exprs = {
+            "year": f"({months} DIV 12)",
+            "years": f"({months} DIV 12)",
+            "month": f"pmod({months}, 12)",
+            "months": f"pmod({months}, 12)",
+            "day": days,
+            "days": days,
+            "hour": f"({tus} DIV 3600000000)",
+            "hours": f"({tus} DIV 3600000000)",
+            "minute": f"(({tus} DIV 60000000) % 60)",
+            "minutes": f"(({tus} DIV 60000000) % 60)",
+            # 'second' is the truncated integer field; ms/us carry the
+            # fraction (DuckDB interval-field semantics, probed)
+            "second": f"(({tus} DIV 1000000) % 60)",
+            "seconds": f"(({tus} DIV 1000000) % 60)",
+            "millisecond": f"(pmod({tus}, 60000000) DIV 1000)",
+            "milliseconds": f"(pmod({tus}, 60000000) DIV 1000)",
+            "microsecond": f"pmod({tus}, 60000000)",
+            "microseconds": f"pmod({tus}, 60000000)",
+            # epoch: 365.25-day years, 30-day months (probed)
+            "epoch": (
+                f"(({months} DIV 12) * 31557600.0"
+                f" + pmod({months}, 12) * 2592000.0"
+                f" + {days} * 86400.0 + {tus} / 1000000.0)"
+            ),
+        }
+        body = exprs.get(part)
+        if body is None:
+            return None
+        if part == "epoch":
+            return f"(CAST({sgn} AS DOUBLE) * {body})"
+        return f"(CAST({sgn} * {body} AS BIGINT))"
+
+    def _age_datepart_x(a):
+        if len(a) != 2:
+            return None
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", a[0])
+        part = _lit_text(stash, m.group(1)).lower() if m else None
+        if part is None:
+            return None
+        inner = a[1].strip()
+        m2 = re.match(r"age\s*\(", inner, re.IGNORECASE)
+        if m2 is None:
+            return None
+        close = _balanced_span(inner, m2.end() - 1)
+        if close != len(inner) - 1:
+            return None
+        args = _split_top_level(inner[m2.end() : close])
+        if len(args) != 2:
+            return None
+        return _age_part_expr(part, args[0].strip(), args[1].strip())
+
+    sql = _rewrite_calls(sql, "date_part", _age_datepart_x)
+    sql = _rewrite_calls(sql, "datepart", _age_datepart_x)
     sql = _rewrite_calls(
         sql, "age", lambda a: f"({a[0]} - {a[1]})" if len(a) == 2 else None
     )
@@ -2169,17 +2251,25 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
 
     sql = _rewrite_calls(sql, "string_agg", string_agg_x)
     sql = _rewrite_calls(sql, "group_concat", string_agg_x)  # alias
+    def quantile_disc_x(a):
+        if len(a) != 2:
+            return None
+        q = a[1].strip()
+        m = re.fullmatch(r"array\s*\((.*)\)", q, re.IGNORECASE | re.DOTALL)
+        if m is not None:  # list of fractions → array of per-q aggs
+            parts = [
+                f"percentile_disc({f.strip()}) WITHIN GROUP (ORDER BY {a[0]})"
+                for f in _split_top_level(m.group(1))
+                if f.strip()
+            ]
+            return f"array({', '.join(parts)})" if parts else None
+        return f"percentile_disc({q}) WITHIN GROUP (ORDER BY {a[0]})"
+
     for _qd in ("quantile_disc", "quantile"):  # quantile = disc alias
-        sql = _rewrite_calls(
-            sql,
-            _qd,
-            lambda a: f"percentile_disc({a[1]}) WITHIN GROUP (ORDER BY {a[0]})"
-            if len(a) == 2
-            else None,
-        )
+        sql = _rewrite_calls(sql, _qd, quantile_disc_x)
 
     def time_bucket_x(a):
-        if len(a) != 2:
+        if len(a) not in (2, 3):
             return None
         width = a[0]
         m = re.fullmatch(
@@ -2197,15 +2287,68 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             n, unit = int(m2.group(1)), m2.group(2).lower()
         else:
             n, unit = int(m.group(1)), m.group(3).lower()
-        if unit in _TIME_BUCKET_UNITS:
-            secs = n * _TIME_BUCKET_UNITS[unit]
-        elif unit in ("day", "days") and n == 1:
-            secs = 86400
-        else:
+        ts = a[1]
+        # optional 3rd arg: INTERVAL offset — bucket(ts - off) + off
+        # (DATE/TIMESTAMP origin variants are NOT lowered: loud failure)
+        off = None
+        if len(a) == 3:
+            if not re.match(r"INTERVAL\b", a[2].strip(), re.IGNORECASE):
+                return None
+            off = a[2].strip()
+            ts = f"(CAST({ts} AS TIMESTAMP) - {off})"
+
+        def _finish(expr):
+            return f"({expr} + {off})" if off else expr
+
+        # month-granularity widths: whole months since 2000-01 floored
+        # to a multiple of n (DuckDB origin 2000-01-01; probed). DATE in
+        # → DATE out; TIMESTAMP in → TIMESTAMP out (midnight).
+        _MONTH_UNITS = {
+            "month": 1, "months": 1, "mon": 1,
+            "quarter": 3, "quarters": 3,
+            "year": 12, "years": 12, "y": 12,
+            "decade": 120, "decades": 120,
+            "century": 1200, "centuries": 1200,
+        }
+        if unit in _MONTH_UNITS:
+            nm = n * _MONTH_UNITS[unit]
+            months = f"((year({ts}) - 2000) * 12 + month({ts}) - 1)"
+            floored = (
+                f"(CAST(floor({months} / {nm}.0) AS BIGINT) * {nm})"
+            )
+            out = (
+                f"make_date(2000 + CAST(floor({floored} / 12.0) AS INT), "
+                f"CAST(pmod({floored}, 12) AS INT) + 1, 1)"
+            )
+            # result is a DATE; DuckDB returns the INPUT's type (midnight
+            # TIMESTAMP for timestamp inputs) — statically unknowable
+            # here, so timestamp callers CAST (documented divergence)
+            return _finish(out)
+
+        # day/week widths anchor at 2000-01-03 (epoch day 10959 — DuckDB
+        # aligns week buckets on Mondays and day buckets with them;
+        # probed: 10-day buckets of 2000-01-01 start 1999-12-24)
+        _DAY_UNITS = {"day": 1, "days": 1, "d": 1, "week": 7, "weeks": 7, "w": 7}
+        if unit in _DAY_UNITS:
+            nd = n * _DAY_UNITS[unit]
+            d = f"CAST({ts} AS DATE)"
+            out = (
+                f"date_add(DATE '2000-01-03', "
+                f"CAST(floor((unix_date({d}) - 10959) / {nd}.0) AS INT)"
+                f" * {nd})"
+            )
+            return _finish(out)
+
+        if unit not in _TIME_BUCKET_UNITS:
             return None
-        return (
-            f"timestamp_seconds(CAST(floor(unix_seconds({a[1]}) / {secs}) "
-            f"* {secs} AS BIGINT))"
+        secs = n * _TIME_BUCKET_UNITS[unit]
+        # sub-day widths anchor at the same 2000-01-03 00:00:00 origin
+        # (946857600 s): identical to a plain epoch floor for widths
+        # dividing 86400, and DuckDB-exact for the odd ones (7 min, 90 s)
+        return _finish(
+            f"timestamp_seconds(CAST(floor((unix_seconds(CAST({ts} AS "
+            f"TIMESTAMP)) - 946857600) / {secs}.0) AS BIGINT) * {secs} "
+            f"+ 946857600)"
         )
 
     sql = _rewrite_calls(sql, "time_bucket", time_bucket_x)
@@ -2372,11 +2515,22 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         )
     # list_sum/list_avg are lowered later (round-4 hunt batch 10) with
     # DuckDB's NULL semantics: NULL elements ignored, empty/all-NULL → NULL.
+    # NULLs in the needle are IGNORED by DuckDB (probed round 7:
+    # list_has_all([1,NULL],[NULL]) IS TRUE), and an empty needle
+    # literal is array<void> — array_except coerces where a
+    # forall/array_contains lambda fails analysis
     sql = _rewrite_calls(
         sql,
         "list_has_all",
         lambda a: (
-            f"forall({a[1]}, __x -> array_contains({a[0]}, __x))"
+            # the coalesce(…, array()) wrappers keep a bare NULL literal
+            # analyzable (filter/array_except reject NullType); the CASE
+            # still yields NULL for NULL inputs
+            f"(CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL "
+            f"THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE size(array_except(filter(coalesce({a[1]}, array()), "
+            f"__lha -> __lha IS NOT NULL), "
+            f"coalesce({a[0]}, array()))) = 0 END)"
             if len(a) == 2
             else None
         ),
@@ -2851,11 +3005,14 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         else None,
     )
     # unicode(s): first codepoint — Spark's ascii() already returns the
-    # full codepoint despite its name
+    # full codepoint despite its name; DuckDB returns -1 for '' where
+    # ascii('') is 0 on both engines (probed round 7)
     sql = _rewrite_calls(
         sql,
         "unicode",
-        lambda a: f"ascii({a[0]})" if len(a) == 1 else None,
+        lambda a: (
+            f"(CASE WHEN length({a[0]}) = 0 THEN -1 ELSE ascii({a[0]}) END)"
+        ) if len(a) == 1 else None,
     )
 
     # CAST('90 minutes' AS INTERVAL) with a literal operand → a typed
@@ -3286,6 +3443,150 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         return f"named_struct({', '.join(fields)})"
 
     sql = _rewrite_calls(sql, "regexp_extract", regexp_extract_named_x)
+
+    # ---- round-7 hunt batch 13 ------------------------------------
+    # make_timestamp(µs) single-arg form (6-arg form is Spark-native)
+    sql = _rewrite_calls(
+        sql, "make_timestamp",
+        lambda a: f"timestamp_micros({a[0]})" if len(a) == 1 else None,
+    )
+    # timezone(tz, ts): instant of naive ts interpreted in tz, shown in
+    # the (UTC) session zone — Spark's to_utc_timestamp with args swapped
+    sql = _rewrite_calls(
+        sql, "timezone",
+        lambda a: f"to_utc_timestamp({a[1]}, {a[0]})" if len(a) == 2 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "epoch_ns",
+        lambda a: f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) * 1000)"
+        if len(a) == 1 else None,
+    )
+    # IEEE-754 step via the JVM (no Spark builtin)
+    sql = _rewrite_calls(
+        sql, "nextafter",
+        lambda a: (
+            "CAST(reflect('java.lang.Math', 'nextAfter', "
+            f"CAST({a[0]} AS DOUBLE), CAST({a[1]} AS DOUBLE)) AS DOUBLE)"
+        ) if len(a) == 2 else None,
+    )
+    # character-set Jaccard (DuckDB jaccard(s1, s2))
+    def jaccard_x(a):
+        if len(a) != 2:
+            return None
+        cs = lambda s: f"array_distinct(split({s}, ''))"  # noqa: E731
+        return (
+            f"(CAST(size(array_intersect({cs(a[0])}, {cs(a[1])})) AS DOUBLE)"
+            f" / size(array_union({cs(a[0])}, {cs(a[1])})))"
+        )
+
+    sql = _rewrite_calls(sql, "jaccard", jaccard_x)
+
+    # list_contains/array_contains: DuckDB returns FALSE (not NULL) when
+    # the probe is absent from a list that contains NULLs; NULL only for
+    # NULL inputs (probed: list_contains([NULL,3], 7) IS FALSE)
+    def list_contains_x(a):
+        if len(a) != 2:
+            return None
+        return (
+            f"(CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL "
+            f"THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE coalesce(array_position({a[0]}, {a[1]}) > 0, false) END)"
+        )
+
+    sql = _rewrite_calls(sql, "list_contains", list_contains_x)
+    sql = _rewrite_calls(sql, "array_contains", list_contains_x)
+    # list_has_any: NULL elements never match (arrays_overlap would
+    # return NULL); list_has_all ignores NULLs in the needle entirely
+    # (probed: list_has_all([1,NULL],[NULL]) IS TRUE)
+    sql = _rewrite_calls(
+        sql, "list_has_any",
+        lambda a: (
+            f"(CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL "
+            f"THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE coalesce(arrays_overlap({a[0]}, {a[1]}), false) END)"
+        ) if len(a) == 2 else None,
+    )
+    # list_distinct drops NULL elements in DuckDB (result order is
+    # engine-arbitrary in BOTH engines — callers sort)
+    sql = _rewrite_calls(
+        sql, "list_distinct",
+        lambda a: (
+            f"array_distinct(filter({a[0]}, __ld -> __ld IS NOT NULL))"
+        ) if len(a) == 1 else None,
+    )
+    # list_reduce has no init arg: seed with the first element. DuckDB
+    # errors on an empty list; this lowering yields NULL instead
+    # (documented softening). get() is 0-based and rename-proof.
+    def list_reduce_x(a):
+        if len(a) != 2:
+            return None
+        lst, lam = a[0], a[1]
+        return (
+            f"aggregate(slice({lst}, 2, greatest(size({lst}) - 1, 0)), "
+            f"get({lst}, 0), {lam})"
+        )
+
+    sql = _rewrite_calls(sql, "list_reduce", list_reduce_x)
+    sql = _rewrite_calls(
+        sql, "reduce",
+        lambda a: list_reduce_x(a) if len(a) == 2 else None,
+    )
+
+    # any_value/first/last with an ORDER BY modifier → min_by/max_by
+    # (single sort key; the ordered-first row's value)
+    def ordered_first_x(invert):
+        def x(a):
+            if len(a) != 1:
+                return None
+            m = re.match(
+                r"(?s)(.*?)\s+ORDER\s+BY\s+(.+?)\s*(ASC|DESC)?\s*$",
+                a[0],
+                re.IGNORECASE,
+            )
+            if m is None:
+                return None
+            val, key, direction = m.group(1), m.group(2), m.group(3)
+            if re.search(r"\bNULLS\b|,", key, re.IGNORECASE):
+                return None  # multi-key / NULLS order: stay unresolved
+            desc = (direction or "ASC").upper() == "DESC"
+            if invert:
+                desc = not desc
+            fn = "max_by" if desc else "min_by"
+            return f"{fn}({val}, {key})"
+
+        return x
+
+    sql = _rewrite_calls(sql, "any_value", ordered_first_x(False))
+    sql = _rewrite_calls(sql, "first", ordered_first_x(False))
+    sql = _rewrite_calls(sql, "last", ordered_first_x(True))
+
+    # struct_insert: append fields to a struct. Literal structs merge
+    # textually; column references splat via struct(col.*, …)
+    def struct_insert_x(a):
+        if len(a) < 2:
+            return None
+        extra = []
+        for item in a[1:]:
+            k, sep, v = item.partition(":=")
+            if not sep:
+                return None
+            extra.append((k.strip(), v.strip()))
+        base = a[0].strip()
+        m = re.fullmatch(r"named_struct\s*\((.*)\)", base, re.DOTALL)
+        if m is not None:
+            pairs = ", ".join(f"'{k}', {v}" for k, v in extra)
+            inner = m.group(1).strip()
+            return (
+                f"named_struct({inner}, {pairs})"
+                if inner
+                else f"named_struct({pairs})"
+            )
+        if re.fullmatch(r"[A-Za-z_][\w.]*", base):
+            fields = ", ".join(f"{v} AS {k}" for k, v in extra)
+            return f"struct({base}.*, {fields})"
+        return None
+
+    sql = _rewrite_calls(sql, "struct_insert", struct_insert_x)
     return sql
 
 
