@@ -1299,3 +1299,49 @@ def test_differential_batch13(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-7 hunt batch 14: Python-UDF parity shims (functions/udf_compat.py)
+# — string-distance metrics, Unicode normalization, gamma family —
+# probed against DuckDB (empty-side jaro = 0, UNRESTRICTED
+# damerau_levenshtein: 'ca'->'abc' is 2 not OSA's 3)
+CORPUS_R7_BATCH14 = [
+    """SELECT jaro_similarity('duck', 'luck') AS a,
+              jaro_similarity('martha', 'marhta') AS b,
+              jaro_similarity('abc', '') AS c,
+              jaro_similarity('', '') AS d,
+              jaro_similarity('abc', 'abc') AS e""",
+    """SELECT jaro_winkler_similarity('martha', 'marhta') AS a,
+              jaro_winkler_similarity('dixon', 'dicksonx') AS b,
+              jaro_winkler_similarity('duck', 'luck') AS c""",
+    """SELECT damerau_levenshtein('ca', 'abc') AS a,
+              damerau_levenshtein('abcdef', 'abcfad') AS b,
+              damerau_levenshtein('kitten', 'sitting') AS c,
+              damerau_levenshtein('ab', 'ba') AS d,
+              damerau_levenshtein('', 'abc') AS e""",
+    """SELECT strip_accents('café') AS a,
+              strip_accents('Crème Brûlée') AS b,
+              strip_accents('ñoño') AS c,
+              nfc_normalize('cafe' || chr(769)) AS d,
+              length(nfc_normalize('e' || chr(769))) AS e""",
+    """SELECT length_grapheme('héllo') AS a,
+              length_grapheme('e' || chr(769)) AS b,
+              length_grapheme('') AS c,
+              length_grapheme('abc') AS d""",
+    """SELECT gamma(5) AS a, round(gamma(0.5), 6) AS b,
+              round(lgamma(5), 6) AS c, round(lgamma(100), 4) AS d""",
+    # shims compose with table scans and the rest of the dialect
+    """SELECT r_name, round(jaro_winkler_similarity(r_name, 'EUROPE'), 6) AS jw,
+              damerau_levenshtein(r_name, 'ASIA') AS dl
+       FROM region ORDER BY r_regionkey""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R7_BATCH14, ids=range(len(CORPUS_R7_BATCH14))
+)
+def test_differential_batch14(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -155,7 +155,14 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # DuckDB scalar functions with no Spark builtin (jaro_*, strip_accents,
+    # gamma, …) resolve through Python-UDF shims — parity surface only,
+    # never a pipeline hot path (functions/udf_compat.py docstring)
+    from vscode_parquet_visualizer_spark.functions import udf_compat
+
+    udf_compat.register(spark)
+    return spark
 
 
 def local_df(spark: SparkSession, rows, schema, parts: int = 1):
