@@ -1345,3 +1345,52 @@ def test_differential_batch14(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-7 hunt batch 15: JSON family completion (json_structure
+# unification lattice, RFC-7386 merge patch, json_type incl. path form,
+# json_array_length 0-for-non-array + path, recursive json_contains)
+# plus MAP/to_timestamp comparator-safe forms
+CORPUS_R7_BATCH15 = [
+    """SELECT json_structure('{"a":[1,2]}') AS a,
+              json_structure('{"a":{"b":"x"},"c":1.5}') AS b,
+              json_structure('[{"a":1},{"a":2.5}]') AS c,
+              json_structure('[1,"x"]') AS d,
+              json_structure('[{"a":1},{"b":2}]') AS e,
+              json_structure('[]') AS f,
+              json_structure('[1,-1]') AS g""",
+    """SELECT json_merge_patch('{"a":1,"b":2}', '{"b":null,"c":3}') AS a,
+              json_merge_patch('{"a":{"x":1}}', '{"a":{"y":2}}') AS b,
+              json_merge_patch('{"a":1}', '[1]') AS c""",
+    """SELECT json_type('{"a":1}') AS a, json_type('[1]') AS b,
+              json_type('"x"') AS c, json_type('1') AS d,
+              json_type('1.5') AS e, json_type('true') AS f,
+              json_type('{"a":1,"b":[1]}', 'b') AS g,
+              json_type('[10,"x"]', '$[1]') AS h""",
+    """SELECT json_array_length('[1,2,3]') AS a,
+              json_array_length('{}') AS b,
+              json_array_length('{"a":[1,2]}', 'a') AS c,
+              json_array_length('{"a":[1,2]}', '$.a') AS d""",
+    """SELECT json_contains('{"a":{"b":1}}', '{"b":1}') AS a,
+              json_contains('[1,[2,3]]', '[2]') AS b,
+              json_contains('{"a":1,"b":2}', '{"a":1,"c":3}') AS c,
+              json_contains('[1,2,3]', '[3,1]') AS d,
+              json_contains('[1,2]', '3') AS e""",
+    # MAP family through to_json (the raw python representations of MAP
+    # differ between clients; the JSON text is the engine contract)
+    """SELECT to_json(map_from_entries([{'k': 'x', 'v': 1},
+                                        {'k': 'y', 'v': 2}])) AS a,
+              to_json(map_concat(MAP(['a'], [1]), MAP(['b'], [2]))) AS b,
+              element_at(MAP(['k1', 'k2'], [10, 20]), 'k2') AS c""",
+    """SELECT CAST(to_timestamp(1700000000.25) AS TIMESTAMP) AS a""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R7_BATCH15, ids=range(len(CORPUS_R7_BATCH15))
+)
+def test_differential_batch15(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -152,6 +152,151 @@ def _lgamma(x) -> float | None:
         return None
 
 
+_JSON_NUM_ORDER = {"NULL": 0, "UBIGINT": 1, "BIGINT": 2, "DOUBLE": 3}
+
+
+def _json_unify(a, b):
+    if a == b:
+        return a
+    if a == "NULL":
+        return b
+    if b == "NULL":
+        return a
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = _json_unify(out[k], v) if k in out else v
+        return out
+    if isinstance(a, list) and isinstance(b, list):
+        return [_json_unify(a[0], b[0])]
+    if a in _JSON_NUM_ORDER and b in _JSON_NUM_ORDER:
+        return a if _JSON_NUM_ORDER[a] >= _JSON_NUM_ORDER[b] else b
+    return "JSON"
+
+
+def _json_struct_of(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "BOOLEAN"
+    if isinstance(v, int):
+        return "UBIGINT" if v >= 0 else "BIGINT"
+    if isinstance(v, float):
+        return "DOUBLE"
+    if isinstance(v, str):
+        return "VARCHAR"
+    if isinstance(v, dict):
+        return {k: _json_struct_of(x) for k, x in v.items()}
+    if isinstance(v, list):
+        if not v:
+            return ["NULL"]
+        out = _json_struct_of(v[0])
+        for x in v[1:]:
+            out = _json_unify(out, _json_struct_of(x))
+        return [out]
+    return "JSON"
+
+
+def json_structure(j: str | None) -> str | None:
+    """DuckDB json_structure: the value's shape with scalar type names;
+    heterogeneous arrays collapse to ["JSON"], numerics widen
+    NULL→UBIGINT→BIGINT→DOUBLE, object arrays merge keys (probed)."""
+    import json as _json
+
+    if j is None:
+        return None
+    try:
+        v = _json.loads(j)
+    except ValueError:
+        return None
+    return _json.dumps(_json_struct_of(v), separators=(",", ":"))
+
+
+def json_merge_patch(a: str | None, b: str | None) -> str | None:
+    """RFC 7386 merge patch (DuckDB json_merge_patch): recursive object
+    merge, null deletes, non-object patch replaces wholesale."""
+    import json as _json
+
+    if a is None or b is None:
+        return None
+
+    def patch(target, p):
+        if not isinstance(p, dict):
+            return p
+        out = dict(target) if isinstance(target, dict) else {}
+        for k, v in p.items():
+            if v is None:
+                out.pop(k, None)
+            else:
+                out[k] = patch(out.get(k), v)
+        return out
+
+    try:
+        va, vb = _json.loads(a), _json.loads(b)
+    except ValueError:
+        return None
+    return _json.dumps(patch(va, vb), separators=(",", ":"))
+
+
+def json_type_of(j: str | None) -> str | None:
+    """DuckDB json_type scalar names (OBJECT/ARRAY/VARCHAR/UBIGINT/
+    BIGINT/DOUBLE/BOOLEAN/NULL). The 2-arg path form is spliced to
+    json_type(json_extract(j, path)) by the dialect."""
+    import json as _json
+
+    if j is None:
+        return None
+    try:
+        v = _json.loads(j)
+    except ValueError:
+        return None
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "BOOLEAN"
+    if isinstance(v, int):
+        return "UBIGINT" if v >= 0 else "BIGINT"
+    if isinstance(v, float):
+        return "DOUBLE"
+    if isinstance(v, str):
+        return "VARCHAR"
+    if isinstance(v, dict):
+        return "OBJECT"
+    return "ARRAY"
+
+
+def json_contains(haystack: str | None, needle: str | None) -> bool | None:
+    """DuckDB json_contains: the needle value is contained anywhere in
+    the haystack — recursive descent, set-like array containment,
+    subset object containment (probed: {"b":1} IS in {"a":{"b":1}})."""
+    import json as _json
+
+    if haystack is None or needle is None:
+        return None
+
+    def c(h, n):
+        if type(h) is type(n) and h == n:
+            return True
+        if isinstance(h, dict):
+            if isinstance(n, dict) and all(
+                k in h and c(h[k], v) for k, v in n.items()
+            ):
+                return True
+            return any(c(v, n) for v in h.values())
+        if isinstance(h, list):
+            if isinstance(n, list) and all(
+                any(c(e, x) for e in h) for x in n
+            ):
+                return True
+            return any(c(e, n) for e in h)
+        return False
+
+    try:
+        return c(_json.loads(haystack), _json.loads(needle))
+    except ValueError:
+        return None
+
+
 _REGISTERED: set[int] = set()
 
 
@@ -179,4 +324,10 @@ def register(spark) -> None:
     spark.udf.register("length_grapheme", length_grapheme, IntegerType())
     spark.udf.register("gamma", _gamma, DoubleType())
     spark.udf.register("lgamma", _lgamma, DoubleType())
+    spark.udf.register("json_structure", json_structure, StringType())
+    spark.udf.register("json_merge_patch", json_merge_patch, StringType())
+    from pyspark.sql.types import BooleanType
+
+    spark.udf.register("json_type", json_type_of, StringType())
+    spark.udf.register("json_contains", json_contains, BooleanType())
     _REGISTERED.add(key)

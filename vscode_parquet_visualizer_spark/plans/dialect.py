@@ -3065,6 +3065,55 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     sql = _rewrite_calls(sql, "json_extract", json_extract_x)
     sql = _rewrite_calls(sql, "json_extract_path", json_extract_x)
 
+    # json_type / json_array_length path forms: splice the path through
+    # VARIANT extraction (to_json keeps string values QUOTED, which
+    # get_json_object would strip — json_type('"x"') must stay VARCHAR).
+    # json_type itself is a Python shim (functions/udf_compat.py).
+    def _json_path_ph(raw):
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", raw.strip())
+        if m is None:
+            return None
+        p = _lit_text(stash, m.group(1))
+        if p.startswith("/"):
+            p = "$." + ".".join(p.strip("/").split("/"))
+        elif not p.startswith("$"):
+            p = "$." + p
+        return _stash_add(stash, "'" + p.replace("'", "''") + "'")
+
+    def json_type_path_x(a):
+        if len(a) != 2:
+            return None
+        ph = _json_path_ph(a[1])
+        if ph is None:
+            return None
+        return (
+            f"json_type(to_json(try_variant_get("
+            f"try_parse_json({a[0]}), {ph})))"
+        )
+
+    sql = _rewrite_calls(sql, "json_type", json_type_path_x)
+
+    def json_array_length_x(a):
+        # DuckDB: 0 for any valid non-array JSON (probed: '{}' and '"x"'
+        # are 0), NULL for NULL input; optional JSONPath 2nd arg
+        if len(a) == 1:
+            target = a[0]
+        elif len(a) == 2:
+            ph = _json_path_ph(a[1])
+            if ph is None:
+                return None
+            target = (
+                f"to_json(try_variant_get(try_parse_json({a[0]}), {ph}))"
+            )
+        else:
+            return None
+        return (
+            f"(CASE WHEN ({a[0]}) IS NULL THEN NULL "
+            f"ELSE coalesce(json_array_length({target}), 0) END)"
+        )
+
+    sql = _rewrite_calls(sql, "json_array_length", json_array_length_x)
+
     # first/last with an in-call ORDER BY → min_by/max_by (the value at
     # the smallest/largest key — ties arbitrary on both engines)
     def first_last_x(is_last):
@@ -3532,8 +3581,8 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         lambda a: list_reduce_x(a) if len(a) == 2 else None,
     )
 
-    # any_value/first/last with an ORDER BY modifier → min_by/max_by
-    # (single sort key; the ordered-first row's value)
+    # any_value with an ORDER BY modifier → min_by/max_by (single sort
+    # key; first/last get the same lowering earlier in this function)
     def ordered_first_x(invert):
         def x(a):
             if len(a) != 1:
@@ -3557,8 +3606,6 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         return x
 
     sql = _rewrite_calls(sql, "any_value", ordered_first_x(False))
-    sql = _rewrite_calls(sql, "first", ordered_first_x(False))
-    sql = _rewrite_calls(sql, "last", ordered_first_x(True))
 
     # struct_insert: append fields to a struct. Literal structs merge
     # textually; column references splat via struct(col.*, …)
