@@ -1394,3 +1394,31 @@ def test_differential_batch15(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-7 hunt batch 16: vector-math regression anchors (already
+# lowered JVM-side), gcd/lcm shims, even/signbit
+CORPUS_R7_BATCH16 = [
+    """SELECT round(list_cosine_similarity([1.0, 2, 3], [2.0, 4, 6]), 6) AS a,
+              list_dot_product([1.0, 2], [3.0, 4]) AS b,
+              list_inner_product([1.0, 2], [3.0, 4]) AS c,
+              list_distance([0.0, 0], [3.0, 4]) AS d,
+              list_grade_up([30, 10, 20]) AS e""",
+    """SELECT even(2.5) AS a, even(-2.5) AS b, even(0) AS c, even(3) AS d,
+              signbit(-1.5) AS e, signbit(2.0) AS f""",
+    """SELECT gcd(12, 18) AS a, lcm(4, 6) AS b, gcd(0, 5) AS c,
+              lcm(0, 5) AS d, greatest_common_divisor(21, 14) AS e,
+              least_common_multiple(3, 7) AS f""",
+    """SELECT bit_count(7) AS a, round(cot(1.0), 6) AS b,
+              round(cbrt(27), 6) AS c, factorial(5) AS d""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R7_BATCH16, ids=range(len(CORPUS_R7_BATCH16))
+)
+def test_differential_batch16(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

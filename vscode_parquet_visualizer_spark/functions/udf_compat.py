@@ -134,6 +134,18 @@ def length_grapheme(s: str | None) -> int | None:
     return sum(1 for c in s if not unicodedata.combining(c))
 
 
+def _gcd(a, b) -> int | None:
+    if a is None or b is None:
+        return None
+    return math.gcd(int(a), int(b))
+
+
+def _lcm(a, b) -> int | None:
+    if a is None or b is None:
+        return None
+    return math.lcm(int(a), int(b))
+
+
 def _gamma(x) -> float | None:
     if x is None:
         return None
@@ -324,6 +336,12 @@ def register(spark) -> None:
     spark.udf.register("length_grapheme", length_grapheme, IntegerType())
     spark.udf.register("gamma", _gamma, DoubleType())
     spark.udf.register("lgamma", _lgamma, DoubleType())
+    from pyspark.sql.types import LongType
+
+    spark.udf.register("gcd", _gcd, LongType())
+    spark.udf.register("lcm", _lcm, LongType())
+    spark.udf.register("greatest_common_divisor", _gcd, LongType())
+    spark.udf.register("least_common_multiple", _lcm, LongType())
     spark.udf.register("json_structure", json_structure, StringType())
     spark.udf.register("json_merge_patch", json_merge_patch, StringType())
     from pyspark.sql.types import BooleanType
