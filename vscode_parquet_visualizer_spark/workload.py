@@ -172,6 +172,45 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+_projection_cache: dict[tuple[int, str], DataFrame] = {}
+
+
+def lineitem_partkey_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A cached 4-column slice of lineitem hash-partitioned on
+    ``l_partkey`` — the in-memory analogue of a C-Store/Vertica-style
+    bucketed PROJECTION (on a cluster: a bucketed derived table written
+    once beside the base data). The base cache is keyed on l_orderkey
+    for the orderkey fact joins (_CACHE_KEYS); partkey-keyed analytics
+    (q17's decorrelated avg-per-part probe, q66's exact-distinct
+    (flag, partkey) dedup) would otherwise re-shuffle all of lineitem
+    per query — the single largest exchange in the workload at sf10.
+    HashPartitioning(l_partkey) satisfies any ClusteredDistribution
+    whose keys INCLUDE l_partkey, so both the groupBy(l_partkey) agg,
+    the probe join, and dropDuplicates(flag, partkey) plan with zero
+    exchanges. Built lazily from the (already cached) base table; one
+    exchange at build time, amortized across every partkey query."""
+    key = (id(spark), sf_dir)
+    proj = _projection_cache.get(key)
+    if proj is not None:
+        return proj
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    cores = spark.sparkContext.defaultParallelism
+    path = f"{sf_dir}/lineitem.parquet"
+    parts = min(cores, max(8, _table_bytes(path) // (8 << 20)))
+    proj = (
+        t["lineitem"]
+        .select(
+            "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"
+        )
+        .repartition(parts, "l_partkey")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _projection_cache[key] = proj
+    return proj
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -645,16 +684,16 @@ sql_query(
 # kept under test by the dialect corpus + q48/q53), but its plan for
 # this one shuffles the full lineitem on l_partkey on BOTH join sides
 # (14.5x DuckDB at the 100x crossover). The registered gate
-# hand-decorrelates around ONE exchange: project the 3 needed columns,
-# repartition by l_partkey once, and build BOTH the per-partkey
-# threshold aggregate and the probe side from that same instance —
-# ReuseExchange collapses them to a single physical shuffle, and the
-# shuffle_hash hint joins co-partitioned sides with no further exchange
-# and no sort. (Broadcasting the agg side was measured WORSE at the
-# 100x crossover — 2M-partkey × 60M-row inputs gain nothing from
-# map-side partial agg, and the ~60 MB broadcast build serializes;
-# 9.0 s vs 4.8 s for this plan. At 100 TB the same single-shuffle
-# layout is a bucketed table on l_partkey.)
+# hand-decorrelates over the cached partkey PROJECTION
+# (lineitem_partkey_projection): both the per-partkey threshold
+# aggregate and the probe side read the same hash-partitioned cache,
+# so the query plans with ZERO exchanges — the one build shuffle is
+# amortized across every partkey-keyed query (q17, q66).
+# (Broadcasting the agg side was measured WORSE at the 100x crossover —
+# 2M-partkey × 60M-row inputs gain nothing from map-side partial agg,
+# and the ~60 MB broadcast build serializes; 9.0 s vs 4.8 s for the
+# previous single-shuffle plan. At 100 TB the projection IS a bucketed
+# derived table on l_partkey.)
 
 
 @q(
@@ -667,11 +706,8 @@ sql_query(
     """,
 )
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
-    li3 = (
-        t["lineitem"]
-        .select("l_partkey", "l_quantity", "l_extendedprice")
-        .repartition("l_partkey")
+    li3 = lineitem_partkey_projection(spark, sf_dir).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
     )
     thresh = (
         li3.groupBy("l_partkey")
@@ -2013,8 +2049,7 @@ def q66(spark, sf_dir):
     plain count for the exact side (map-side dedup shrinks the shuffle
     to distinct pairs), a separate single-pass HLL agg, and a 4-row
     join — two plain scans, no Expand, each with map-side combine."""
-    t = load_tables(spark, sf_dir)
-    li = t["lineitem"]
+    li = lineitem_partkey_projection(spark, sf_dir)
     exact = (
         li.select("l_returnflag", "l_partkey")
         .dropDuplicates()
