@@ -445,8 +445,18 @@ def test_bracket_slice():
 
     out = rewrite_bracket_slice("SELECT name[2:5], tags[1:2] FROM t", {"tags"})
     assert out == "SELECT substring(name, 2, 4), slice(tags, 1, 2) FROM t"
-    # plain subscripts untouched (different 0/1-base semantics)
-    assert rewrite_bracket_slice("SELECT a[1] FROM t") == "SELECT a[1] FROM t"
+    # unknown-type integer subscripts default to substring (1-based
+    # chars, like the slice convention) — an actual array column fails
+    # loudly instead of silently reading 0-based (round-7 hunt 17)
+    assert (
+        rewrite_bracket_slice("SELECT a[1] FROM t")
+        == "SELECT substring(a, 1, 1) FROM t"
+    )
+    # string-key subscripts stay untouched (struct/map access)
+    assert (
+        rewrite_bracket_slice("SELECT a['k'] FROM t")
+        == "SELECT a['k'] FROM t"
+    )
 
 
 def test_struct_literals():

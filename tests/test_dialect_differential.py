@@ -1422,3 +1422,34 @@ def test_differential_batch16(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-7 hunt batch 17: 1-based subscripts on EXPRESSION bases —
+# fn(...)[i] (Spark's bare [i] is 0-based: silent off-by-one),
+# [literal,list][i], 'string literal'[i] / [a:b] incl. negatives,
+# MAP(...)[k] returning a LIST ([v] / [] when missing, DuckDB quirk)
+CORPUS_R7_BATCH17 = [
+    """SELECT [10, 20, 30][1] AS a, [10, 20, 30][-1] AS b,
+              [10, 20, 30][0] AS c, [[1, 2], [3]][1] AS d""",
+    """SELECT split('a,b,c', ',')[2] AS a,
+              list_sort([3, 1, 2])[1] AS b,
+              regexp_extract_all('a1b2', '[0-9]')[2] AS c,
+              string_split('x-y', '-')[2] AS d""",
+    """SELECT 'hello'[2] AS a, 'hello'[-2] AS b, 'hello'[0] AS c,
+              'hello'[2:4] AS d, 'hello'[-3:-2] AS e""",
+    """SELECT MAP(['a','b'], [1,2])['a'] AS a,
+              MAP(['a'], [1])['z'] AS b""",
+    """SELECT [10, 20, 30][-2:-1] AS x, [1, 2, 3, 4][2:3] AS y""",
+    """SELECT r_name[2] AS ch, r_name[-3:-1] AS tail
+       FROM region ORDER BY r_regionkey""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R7_BATCH17, ids=range(len(CORPUS_R7_BATCH17))
+)
+def test_differential_batch17(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -853,6 +853,140 @@ def rewrite_arithmetic_operators(sql: str) -> str:
     return sql
 
 
+_EXPR_SUBSCRIPT_FNS = {"try_element_at", "get"}
+_MAP_PRODUCING = {"map", "map_from_entries", "map_from_arrays"}
+_SUBSCRIPT_IDX = r"-?\d+|\x00LIT\d+\x00"
+
+
+def rewrite_expr_subscripts(sql: str) -> str:
+    """1-based subscripts whose BASE is an expression, not a column
+    identifier (round-7 hunt 17 — all were silent 0-based off-by-ones
+    or loud failures before):
+
+    - ``fn(...)[i]`` for array-producing functions (split, list_sort,
+      regexp_extract_all, …) → ``try_element_at`` (1-based, NULL OOB)
+    - ``[literal, list][i]`` and ``[...][a:b]`` (incl. both-negative
+      bounds) — runs BEFORE rewrite_array_literals, so the base is
+      still bracket-form
+    - ``'string literal'[i]`` / ``[a:b]`` — literals are stash
+      placeholders at this point; negative indexes count from the end
+      (Spark's substring supports negative starts natively)
+    - ``MAP(...)[k]``: DuckDB returns a LIST — ``[value]``, or ``[]``
+      when the key is missing (probed)
+
+    Mixed-sign slice bounds keep their text (clamping semantics differ
+    — loud failure downstream beats a silent wrong window)."""
+
+    def str_idx(m):
+        ph, i = m.group(1), int(m.group(2))
+        if i == 0:
+            return "''"  # DuckDB s[0] is ''
+        return f"substring({ph}, {i}, 1)"
+
+    sql = re.sub(r"(\x00LIT\d+\x00)\s*\[\s*(-?\d+)\s*\]", str_idx, sql)
+
+    def str_slice(m):
+        ph, a, b = m.group(1), int(m.group(2)), int(m.group(3))
+        if (a < 0) != (b < 0):
+            return m.group(0)
+        if b < a:
+            return "''"
+        return f"substring({ph}, {a}, {b - a + 1})"
+
+    sql = re.sub(
+        r"(\x00LIT\d+\x00)\s*\[\s*(-?\d+)\s*:\s*(-?\d+)\s*\]", str_slice, sql
+    )
+
+    array_fns = (
+        _ARRAY_PRODUCING | _EXPR_SUBSCRIPT_FNS
+    )
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch not in ")]":
+            out.append(ch)
+            i += 1
+            continue
+        rest = sql[i + 1 :]
+        m_idx = re.match(rf"\s*\[\s*({_SUBSCRIPT_IDX})\s*\]", rest)
+        m_slc = re.match(r"\s*\[\s*(-?\d+)\s*:\s*(-?\d+)\s*\]", rest)
+        if m_idx is None and m_slc is None:
+            out.append(ch)
+            i += 1
+            continue
+        done = "".join(out) + ch
+        open_ch = "(" if ch == ")" else "["
+        depth, j = 0, len(done) - 1
+        while j >= 0:
+            if done[j] == ch:
+                depth += 1
+            elif done[j] == open_ch:
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            out.append(ch)
+            i += 1
+            continue
+        is_map = False
+        if ch == ")":
+            fm = re.search(r"([A-Za-z_][\w.]*)\s*$", done[:j])
+            fname = fm.group(1).split(".")[-1].lower() if fm else None
+            base_start = fm.start(1) if fm else None
+            is_map = fname in _MAP_PRODUCING
+            if not (is_map or fname in array_fns):
+                out.append(ch)
+                i += 1
+                continue
+        else:
+            base_start = j
+            pre = done[:j]
+            # '[' directly abutting an identifier/)/]/placeholder is a
+            # SUBSCRIPT of that base (column rewrites own those), not a
+            # list literal
+            if pre and (pre[-1].isalnum() or pre[-1] in "_.)]\x00"):
+                out.append(ch)
+                i += 1
+                continue
+        base = done[base_start:]
+        if m_idx is not None:
+            idx = m_idx.group(1)
+            if is_map:
+                repl = (
+                    f"(CASE WHEN map_contains_key({base}, {idx}) "
+                    f"THEN array({base}[{idx}]) ELSE array() END)"
+                )
+            elif re.fullmatch(r"\x00LIT\d+\x00", idx):
+                out.append(ch)  # quoted key on an array base: leave
+                i += 1
+                continue
+            elif int(idx) == 0:
+                repl = f"try_element_at({base}, CAST(NULL AS INT))"
+            else:
+                repl = f"try_element_at({base}, {idx})"
+            consumed = m_idx.end()
+        else:
+            if is_map:
+                out.append(ch)
+                i += 1
+                continue
+            a, b = int(m_slc.group(1)), int(m_slc.group(2))
+            if (a < 0) != (b < 0):
+                out.append(ch)
+                i += 1
+                continue
+            repl = (
+                "array()" if b < a else f"slice({base}, {a}, {b - a + 1})"
+            )
+            consumed = m_slc.end()
+        out = list(done[:base_start])
+        out.append(repl)
+        i = i + 1 + consumed
+    return "".join(out)
+
+
 def rewrite_bracket_slice(
     sql: str, array_columns: set[str] | None = None
 ) -> str:
@@ -865,9 +999,16 @@ def rewrite_bracket_slice(
     ``try_element_at`` (Spark's bare ``[i]`` is 0-based — a silent
     off-by-one otherwise; DuckDB returns NULL for index 0 and
     out-of-range, which try_element_at matches, with an explicit NULL
-    for the 0 case try_element_at rejects). Only literal integer
-    bounds/indexes are rewritten; open-ended/negative slices are left to
-    fail loudly (their clamping semantics differ)."""
+    for the 0 case try_element_at rejects). Unknown-type identifiers
+    default to SUBSTRING for integer indexes, matching the slice
+    convention below — on an actual array column that fails loudly,
+    which beats the silent 0-based access it replaced (round-7 hunt
+    17). Both-negative slice bounds share the b-a+1 length formula
+    (substring/slice accept negative starts); mixed-sign bounds are
+    left to fail loudly (their clamping semantics differ). Expression
+    bases — ``fn(...)[i]``, ``[1,2][i]``, ``'lit'[i]``, ``MAP(..)[k]``
+    — are handled by rewrite_expr_subscripts first."""
+    sql = rewrite_expr_subscripts(sql)
     arr = {c.lower() for c in (array_columns or set())}
 
     def is_arr(name: str) -> bool:
@@ -895,11 +1036,17 @@ def rewrite_bracket_slice(
 
     def sub(m: re.Match) -> str:
         name, a, b = m.group(1), int(m.group(2)), int(m.group(3))
+        if (a < 0) != (b < 0):
+            return m.group(0)  # mixed signs: clamping differs — loud
         fn = "slice" if is_arr(name) else "substring"
+        if b < a:
+            return "array()" if is_arr(name) else "''"
         return f"{fn}({name}, {a}, {b - a + 1})"
 
     sql = re.sub(
-        r"([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*(\d+)\s*:\s*(\d+)\s*\]", sub, sql
+        r"([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*(-?\d+)\s*:\s*(-?\d+)\s*\]",
+        sub,
+        sql,
     )
 
     def sub_open(m: re.Match) -> str:
@@ -925,7 +1072,17 @@ def rewrite_bracket_slice(
     def sub_index(m: re.Match) -> str:
         name = m.group(1)
         if not is_arr(name):
-            return m.group(0)
+            # unknown type: DuckDB integer subscripts on strings are
+            # 1-based chars (negative = from the end) — substring
+            # matches; an actual array column fails loudly here, which
+            # beats the silent 0-based access Spark would do natively
+            im = re.fullmatch(r"\s*\[\s*(-?\d+)\s*\]\s*", m.group(2))
+            if im is None:
+                return m.group(0)  # chained subscripts: leave as-is
+            i = int(im.group(1))
+            if i == 0:
+                return "''"
+            return f"substring({name}, {i}, 1)"
         # Rewrite the WHOLE subscript chain (x[1][2][3]) in one go —
         # rewriting only the first index left try_element_at(x, 1)[2]
         # behind, a silent 0-based access for every trailing subscript.
