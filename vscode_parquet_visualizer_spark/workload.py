@@ -1940,9 +1940,26 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs 2-3 embarrassingly parallel histogram-refinement scans with
     O(groups x ranks) driver state instead."""
     t = load_tables(spark, sf_dir)
-    bounds = metadata.parquet_column_bounds(
-        f"{sf_dir}/orders.parquet", "o_totalprice"
-    )
+    path = f"{sf_dir}/orders.parquet"
+    # Size-adaptive: the histogram refinement exists because percentile's
+    # per-group buffer is all-values-in-one-task at scale — but it costs
+    # 2-3 scans (jobs). Below ~256 MB the buffer is a few MB per task and
+    # the single-pass builtin wins (same exact interpolation formula);
+    # above, the bounded-memory refinement is the only safe plan.
+    if _table_bytes(path) <= 256 << 20:
+        return (
+            t["orders"]
+            .groupBy("o_orderstatus")
+            .agg(
+                *[
+                    F.round(
+                        F.expr(f"percentile(o_totalprice, {q_})"), 4
+                    ).alias(a)
+                    for q_, a in [(0.5, "med"), (0.9, "p90"), (0.99, "p99")]
+                ]
+            )
+        )
+    bounds = metadata.parquet_column_bounds(path, "o_totalprice")
     rows = quant.exact_quantiles(
         t["orders"], ["o_orderstatus"], "o_totalprice", [0.5, 0.9, 0.99],
         bounds=bounds,
