@@ -1453,3 +1453,29 @@ def test_differential_batch17(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-7 hunt batch 18: strftime week-based codes — Spark 3+ rejects
+# the Java week-based pattern letters, so %V/%G/%U/%W/%w/%u splice
+# computed fields between date_format chunks (C-strftime week-0
+# semantics for %U/%W probed against DuckDB)
+CORPUS_R7_BATCH18 = [
+    """SELECT strftime(DATE '2024-01-01', '%V %U %W %w %u %G') AS a,
+              strftime(DATE '2023-01-01', '%V=%G') AS b,
+              strftime(DATE '2024-12-30', 'wk %V yr %G') AS c""",
+    """SELECT strftime(DATE '2024-01-07', '%U|%W') AS a,
+              strftime(DATE '2024-02-05', '%Y-%m-%d %u') AS b,
+              strftime(TIMESTAMP '2024-02-05 10:30:00', '%Y%V%w') AS c""",
+    """SELECT strftime(o_orderdate, '%G-%V') AS iso_wk, count(*) AS n
+       FROM orders WHERE o_orderkey < 200 GROUP BY 1 ORDER BY 1 LIMIT 5""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R7_BATCH18, ids=range(len(CORPUS_R7_BATCH18))
+)
+def test_differential_batch18(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

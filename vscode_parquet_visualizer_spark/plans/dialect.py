@@ -242,10 +242,57 @@ def rewrite_strftime(sql: str, stash: list[str] | None = None) -> str:
         sql, local = _protect_literals(sql)
         return _restore_literals(rewrite_strftime(sql, local), local)
 
+    # week-based codes have no Spark pattern letter (Spark 3+ rejects
+    # the Java week-based ones): splice computed fields between
+    # date_format chunks. Emitted in DUCK spellings (weekday/isodow/
+    # isoyear, '//') — the later shape/arithmetic passes normalize them
+    # (round-7 lesson: rename-proof > pre-translated).
+    _WEEK_CODES = {
+        # ISO week number, zero-padded
+        "%V": "lpad(CAST(weekofyear({x}) AS VARCHAR), 2, '0')",
+        # ISO year
+        "%G": "CAST(isoyear({x}) AS VARCHAR)",
+        # weekday, Sunday=0 / ISO weekday, Monday=1
+        "%w": "CAST(weekday({x}) AS VARCHAR)",
+        "%u": "CAST(isodow({x}) AS VARCHAR)",
+        # Sunday-first / Monday-first week of year (week 0 = days
+        # before the first Sunday/Monday — C strftime semantics)
+        "%U": (
+            "lpad(CAST((dayofyear({x}) + 6 - weekday({x})) DIV 7"
+            " AS VARCHAR), 2, '0')"
+        ),
+        "%W": (
+            "lpad(CAST((dayofyear({x}) + 7 - isodow({x})) DIV 7"
+            " AS VARCHAR), 2, '0')"
+        ),
+    }
+    _WEEK_SPLIT = re.compile("(" + "|".join(_WEEK_CODES) + ")")
+
     def sub(m: re.Match) -> str:
-        fmt = translate_strftime_pattern(_lit_text(stash, m.group(2)))
+        raw = _lit_text(stash, m.group(2))
+        x = m.group(1)
+        if _WEEK_SPLIT.search(raw):
+            parts = []
+            for seg in _WEEK_SPLIT.split(raw):
+                if not seg:
+                    continue
+                if seg in _WEEK_CODES:
+                    parts.append(_WEEK_CODES[seg].format(x=x))
+                elif "%" in seg:
+                    fmt = translate_strftime_pattern(seg)
+                    lit = "'" + fmt.replace("'", "''") + "'"
+                    parts.append(
+                        f"date_format({x}, {_stash_add(stash, lit)})"
+                    )
+                else:
+                    lit = "'" + seg.replace("'", "''") + "'"
+                    parts.append(_stash_add(stash, lit))
+            if len(parts) == 1:
+                return parts[0]
+            return f"concat({', '.join(parts)})"
+        fmt = translate_strftime_pattern(raw)
         lit = "'" + fmt.replace("'", "''") + "'"
-        return f"date_format({m.group(1)}, {_stash_add(stash, lit)})"
+        return f"date_format({x}, {_stash_add(stash, lit)})"
 
     sql = re.sub(
         r"\bstrftime\s*\(\s*([^,()]+?)\s*,\s*\x00LIT(\d+)\x00\s*\)",
