@@ -229,3 +229,45 @@ def test_ivf_centroids_are_data_not_literal_tree(spark, sf_dir):
     assert plan.count("transform") >= 1
     # the probe stage still executes end-to-end at k=256
     assert df.limit(1).count() >= 0
+
+
+def test_partkey_projection_queries_plan_exchange_free(spark, sf_dir):
+    """q17/q66 read the cached l_partkey projection
+    (workload.lineitem_partkey_projection): HashPartitioning(l_partkey)
+    must satisfy the agg + probe-join (q17) and the exact-distinct
+    dedup (q66) with NO data exchange above the cache — only the final
+    scalar/3-row aggregation may shuffle. The projection build (inside
+    InMemoryRelation) is excluded: it is the one amortized shuffle."""
+    from vscode_parquet_visualizer_spark import workload
+
+    # the lineitem fixture clearCache()s — rebuild and REmaterialize the
+    # projection so its HashPartitioning is known at planning time
+    workload._projection_cache.pop((id(spark), sf_dir), None)
+    proj = workload.lineitem_partkey_projection(spark, sf_dir)
+    proj.count()
+    for name, allowed in [
+        ("q17_correlated_subquery", 1),  # final global agg only
+        # two per-flag aggs (3 rows each) + one 3-row broadcast; the
+        # (flag, partkey) dedup exchange is the one that must be gone
+        ("q66_approx_distinct", 3),
+    ]:
+        df = workload.QUERIES[name](spark, sf_dir)
+
+        def count_ex(p):
+            # walk the JVM plan, stopping at cache boundaries — the
+            # projection's one build shuffle lives INSIDE the
+            # InMemoryTableScan and is the amortized exception
+            kind = p.getClass().getSimpleName()
+            if "InMemoryTableScan" in kind:
+                return 0
+            n = 1 if ("Exchange" in kind and "Reused" not in kind) else 0
+            ch = p.children()
+            for i in range(ch.size()):
+                n += count_ex(ch.apply(i))
+            return n
+
+        jp = df._jdf.queryExecution().executedPlan()
+        if "AdaptiveSparkPlan" in jp.getClass().getSimpleName():
+            jp = jp.initialPlan()
+        n_ex = count_ex(jp)
+        assert n_ex <= allowed, f"{name}: {n_ex} exchanges\n{plan_of(df)}"
