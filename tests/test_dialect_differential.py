@@ -1479,3 +1479,44 @@ def test_differential_batch18(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-7 hunt batch 19: fractional epoch, strptime format lists,
+# split_part 0, literal regex flags folded to (?ism), list_aggregate
+# aliases + full name map, unnest(STRUCT) -> inline, generate_subscripts,
+# bitstring, to_weeks/to_months/... interval makers, millennium/era
+CORPUS_R7_BATCH19 = [
+    """SELECT extract(epoch FROM TIMESTAMP '2024-01-01 00:00:01.5') AS a,
+              date_part('epoch', TIMESTAMP '2024-01-01 00:00:01.5') AS b,
+              date_part('millennium', DATE '2001-01-01') AS c,
+              date_part('era', DATE '2001-01-01') AS d""",
+    """SELECT strptime('2024-02-05', ['%d/%m/%Y', '%Y-%m-%d'])::TIMESTAMP AS a,
+              try_strptime('05/02/2024', ['%d/%m/%Y', '%Y-%m-%d'])::TIMESTAMP AS b""",
+    """SELECT split_part('a,b', ',', 0) AS a, split_part('a,b', ',', 2) AS b""",
+    """SELECT regexp_matches('AbC', 'abc', 'i') AS a,
+              regexp_extract('aXb', 'x', 0, 'i') AS b,
+              regexp_extract_all('aXbxc', 'x', 0, 'i') AS c,
+              regexp_matches('a' || chr(10) || 'b', 'a.b', 's') AS d""",
+    """SELECT list_aggr([1, 2, 3], 'sum') AS a,
+              list_apply([1, 2], x -> x * 2) AS b,
+              array_aggregate([1, 2], 'max') AS c,
+              aggregate([1.5, 2.5], 'avg') AS d,
+              list_aggregate([3, 1], 'min') AS e""",
+    """SELECT unnest({'a': 1, 'b': 2})""",
+    """SELECT generate_subscripts([10, 20, 30], 1) AS g""",
+    """SELECT bitstring('0101', 8) AS a""",
+    """SELECT CAST(DATE '2024-01-31' + to_months(1) AS DATE) AS a,
+              CAST(DATE '2024-02-29' + to_years(1) AS DATE) AS b,
+              CAST(DATE '2024-01-01' + to_centuries(1) AS DATE) AS c,
+              CAST(DATE '2024-01-01' + to_weeks(2) AS DATE) AS d""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R7_BATCH19, ids=range(len(CORPUS_R7_BATCH19))
+)
+def test_differential_batch19(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

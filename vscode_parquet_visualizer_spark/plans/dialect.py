@@ -108,6 +108,7 @@ FUNCTION_RENAMES = {
     "list_pack": "array",
     "strlen": "length",
     "apply": "transform",  # 2-param forms get the 1-based idx shape first
+    "list_apply": "transform",
     "to_hex": "hex",
     "from_hex": "unhex",
     "epoch_us": "unix_micros",
@@ -207,7 +208,15 @@ def rewrite_function_renames(sql: str) -> str:
 # type-preserving ones map cleanly onto Spark array functions ('sum'/'avg'
 # would change result types vs DuckDB's HUGEINT promotion — left to fail
 # loudly rather than silently drift).
-_LIST_AGG_SAFE = {"min": "array_min", "max": "array_max", "count": "size"}
+# targets emitted here are themselves lowered later in the chain
+# (list_sum/list_avg/... get DuckDB NULL semantics in the shapes pass)
+_LIST_AGG_SAFE = {
+    "min": "array_min", "max": "array_max", "count": "size",
+    "sum": "list_sum", "avg": "list_avg", "mean": "list_avg",
+    "median": "list_median", "first": "list_first", "last": "list_last",
+    "product": "list_product", "bool_and": "list_bool_and",
+    "bool_or": "list_bool_or",
+}
 
 
 def rewrite_list_aggregate(sql: str, stash: list[str] | None = None) -> str:
@@ -224,7 +233,7 @@ def rewrite_list_aggregate(sql: str, stash: list[str] | None = None) -> str:
         return f"{fn}({m.group(1)})" if fn else m.group(0)
 
     return re.sub(
-        r"\blist_aggregate\s*\(\s*"
+        r"\b(?:list_aggregate|list_aggr|array_aggregate|array_aggr|aggregate)\s*\(\s*"
         r"((?:[^(),\[\]]|\([^()]*\)|\[[^\[\]]*\])+?)"
         r"\s*,\s*\x00LIT(\d+)\x00\s*\)",
         la,
@@ -308,9 +317,31 @@ def rewrite_strftime(sql: str, stash: list[str] | None = None) -> str:
         lit = "'" + fmt.replace("'", "''") + "'"
         return f"to_timestamp({m.group(1)}, {_stash_add(stash, lit)})"
 
-    return re.sub(
+    sql = re.sub(
         r"\b(?:try_)?strptime\s*\(\s*([^,()]+?)\s*,\s*\x00LIT(\d+)\x00\s*\)",
         sub_parse,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    # format-LIST form: strptime(s, ['%d/%m/%Y', '%Y-%m-%d']) tries each
+    # in order → coalesce over try_to_timestamp (DuckDB raises when none
+    # match; this yields NULL — documented softening)
+    def sub_parse_list(m: re.Match) -> str:
+        x = m.group(1)
+        parts = []
+        for lid in re.findall(r"\x00LIT(\d+)\x00", m.group(2)):
+            fmt = translate_strftime_pattern(_lit_text(stash, lid))
+            lit = "'" + fmt.replace("'", "''") + "'"
+            parts.append(
+                f"try_to_timestamp({x}, {_stash_add(stash, lit)})"
+            )
+        return f"coalesce({', '.join(parts)})" if parts else m.group(0)
+
+    return re.sub(
+        r"\b(?:try_)?strptime\s*\(\s*([^,()\[\]]+?)\s*,\s*"
+        r"\[((?:\s*\x00LIT\d+\x00\s*,?)+)\]\s*\)",
+        sub_parse_list,
         sql,
         flags=re.IGNORECASE,
     )
@@ -2609,6 +2640,14 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             return f"CAST(ceil(year({x}) / 100.0) AS BIGINT)"
         if part == "decade":
             return f"CAST(floor(year({x}) / 10.0) AS BIGINT)"
+        if part == "millennium":
+            return f"CAST(ceil(year({x}) / 1000.0) AS BIGINT)"
+        if part == "era":
+            return f"(CASE WHEN year({x}) > 0 THEN 1 ELSE 0 END)"
+        if part == "epoch":
+            # DuckDB epoch() is a fractional DOUBLE (probed: 1.5-second
+            # timestamps return ....5) — unix_seconds would truncate
+            return f"(unix_micros(CAST({x} AS TIMESTAMP)) / 1000000.0)"
         return None
 
     def datepart_x(a):
@@ -2646,15 +2685,13 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             return None
         m = re.match(
             r"^\s*(dow|isodow|epoch|milliseconds?|microseconds?"
-            r"|century|decade)\s+FROM\s+(.+)$",
+            r"|century|decade|millennium|era)\s+FROM\s+(.+)$",
             a[0],
             re.IGNORECASE | re.DOTALL,
         )
         if m is None:
             return None
         part, x = m.group(1).lower(), m.group(2).strip()
-        if part == "epoch":
-            return f"unix_seconds(CAST({x} AS TIMESTAMP))"
         return _part_expr(part, x)
 
     sql = _rewrite_calls(sql, "extract", extract_x)
@@ -3566,9 +3603,9 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
 
     # round-4 hunt batch 8: date-part derivations and interval makers
     # (century/decade/yearweek per the measured DuckDB values; the
-    # to_* interval family maps onto day-time intervals — to_months/
-    # to_years stay loud, Spark's year-month interval type round-trips
-    # differently)
+    # to_* interval family: day-time widths onto make_dt_interval,
+    # month-granularity ones onto make_ym_interval — exercised through
+    # date arithmetic, where both engines agree calendar-wise)
     sql = _rewrite_calls(
         sql,
         "century",
@@ -3594,6 +3631,22 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         sql, "epoch_ns",
         lambda a: f"(unix_micros({a[0]}) * 1000)" if len(a) == 1 else None,
     )
+    sql = _rewrite_calls(
+        sql, "to_weeks",
+        lambda a: f"make_dt_interval(({a[0]}) * 7, 0, 0, 0)"
+        if len(a) == 1 else None,
+    )
+    for _fn, _mul in (
+        ("to_months", 1), ("to_years", 12), ("to_decades", 120),
+        ("to_centuries", 1200), ("to_millennia", 12000)
+    ):
+        def _mkym(a, mul=_mul):
+            if len(a) != 1:
+                return None
+            n = a[0] if mul == 1 else f"({a[0]}) * {mul}"
+            return f"make_ym_interval(0, {n})"
+
+        sql = _rewrite_calls(sql, _fn, _mkym)
     for _fn, _pos in (
         ("to_days", 0), ("to_hours", 1), ("to_minutes", 2), ("to_seconds", 3)
     ):
@@ -3838,6 +3891,78 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         return None
 
     sql = _rewrite_calls(sql, "struct_insert", struct_insert_x)
+
+    # ---- round-7 hunt batch 19 ------------------------------------
+    # split_part index 0 is '' in DuckDB (Spark raises)
+    def split_part_x(a):
+        if len(a) == 3 and a[2].strip() == "0":
+            return _stash_add(stash, "''")
+        return None
+
+    sql = _rewrite_calls(sql, "split_part", split_part_x)
+
+    # literal regex flags ('i','s','m','x'; 'c' default, 'g' replace-
+    # only) fold into a (?ism) prefix on LITERAL patterns — Spark's
+    # regexp fns have no flags argument
+    def _fold_flags(pat_ph, flags_ph):
+        fm = re.fullmatch(r"\x00LIT(\d+)\x00", flags_ph.strip())
+        pm = re.fullmatch(r"\x00LIT(\d+)\x00", pat_ph.strip())
+        if fm is None or pm is None:
+            return None
+        flags = _lit_text(stash, fm.group(1))
+        if not re.fullmatch(r"[ismxcg]*", flags):
+            return None
+        keep = "".join(c for c in "ismx" if c in flags)
+        pat = _lit_text(stash, pm.group(1))
+        if keep:
+            pat = f"(?{keep}){pat}"
+        return _stash_add(stash, "'" + pat.replace("'", "''") + "'")
+
+    def regexp_flags_x(fn, nargs_flags):
+        def x(a):
+            if len(a) != nargs_flags:
+                return None
+            ph = _fold_flags(a[1], a[-1])
+            if ph is None:
+                return None
+            return f"{fn}({', '.join([a[0], ph, *a[2:-1]])})"
+
+        return x
+
+    for _fn in ("regexp_matches", "regexp_like"):
+        sql = _rewrite_calls(sql, _fn, regexp_flags_x(_fn, 3))
+    sql = _rewrite_calls(
+        sql, "regexp_extract", regexp_flags_x("regexp_extract", 4)
+    )
+    sql = _rewrite_calls(
+        sql, "regexp_extract_all", regexp_flags_x("regexp_extract_all", 4)
+    )
+
+    # unnest(STRUCT) emits one column per field — Spark's inline over a
+    # one-element array does exactly that
+    sql = _rewrite_calls(
+        sql, "unnest",
+        lambda a: (
+            f"inline(array({a[0]}))"
+            if len(a) == 1
+            and re.match(r"named_struct\s*\(", a[0].strip(), re.IGNORECASE)
+            else None
+        ),
+    )
+    # generate_subscripts(arr, 1): one row per 1-based index
+    sql = _rewrite_calls(
+        sql, "generate_subscripts",
+        lambda a: (
+            f"explode(sequence(1, size({a[0]})))"
+            if len(a) == 2 and a[1].strip() == "1"
+            else None
+        ),
+    )
+    # bitstring(s, n): zero-pad the bit string to width n
+    sql = _rewrite_calls(
+        sql, "bitstring",
+        lambda a: f"lpad({a[0]}, {a[1]}, '0')" if len(a) == 2 else None,
+    )
     return sql
 
 
