@@ -482,8 +482,13 @@ def test_list_aggregate_safe_names():
     assert "array_min(tags) AS mn" in out
     assert "array_max(array(3,1)) AS mx" in out
     assert "size(tags) AS n" in out
-    # 'sum' deliberately untouched (type-promotion drift) -> parser rejects
-    assert "list_aggregate(tags, 'sum')" in out
+    # 'sum' routes through the list_sum shim (DuckDB NULL semantics,
+    # duck-validated in the batch-10/19 corpus — the old type-promotion
+    # concern predated that shim); unknown names still stay loud
+    assert "list_aggregate(tags, 'sum')" not in out
+    assert "list_aggregate(tags, 'entropy')" in transpile(
+        "SELECT list_aggregate(tags, 'entropy') FROM data"
+    )
 
 
 def test_from_first_insert_select_star():
