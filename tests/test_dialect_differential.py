@@ -1520,3 +1520,39 @@ def test_differential_batch19(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-7 hunt batch 20: regression anchors for surfaces probed green
+# (SEMI/ANTI join syntax, interval RANGE frames, FROM-first EXISTS,
+# alias GROUP BY, lambda capture, named windows) + the DISTINCT ON
+# fix for ORDER BY over non-projected tiebreak columns
+CORPUS_R7_BATCH20 = [
+    """SELECT r_name FROM region SEMI JOIN nation
+       ON r_regionkey = n_regionkey ORDER BY r_name""",
+    """SELECT r_name FROM region ANTI JOIN nation
+       ON r_regionkey = n_regionkey + 100 ORDER BY r_name LIMIT 3""",
+    """SELECT o_orderkey, count(*) OVER (ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS c
+       FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey""",
+    """SELECT count(*) AS n FROM region HAVING count(*) > 2""",
+    """SELECT r_regionkey % 2 AS par, count(*) AS n FROM region
+       GROUP BY par ORDER BY par""",
+    """SELECT r_regionkey, list_transform([1, 2], x -> x + r_regionkey) AS lt
+       FROM region ORDER BY r_regionkey LIMIT 2""",
+    """SELECT DISTINCT ON (n_regionkey % 2, n_regionkey % 3) n_regionkey
+       FROM nation
+       ORDER BY n_regionkey % 2, n_regionkey % 3, n_nationkey""",
+    """SELECT EXISTS(SELECT 1 FROM nation WHERE n_regionkey = 99) AS e1,
+              EXISTS(FROM nation) AS e2""",
+    """FROM region SELECT r_name ORDER BY r_regionkey LIMIT 2""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R7_BATCH20, ids=range(len(CORPUS_R7_BATCH20))
+)
+def test_differential_batch20(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -824,9 +824,19 @@ def _rewrite_distinct_on_scope(sql: str) -> str:
                 re.IGNORECASE | re.DOTALL,
             )
             body, sfx = im.group(1), im.group(2)
-            if re.fullmatch(r'[\w."]+|\x00LIT\d+\x00', body):
+            sel_text = rest[: fm.start()]
+            projected = "*" in sel_text or re.search(
+                rf'(?<![\w."]){re.escape(body.split(".")[-1])}(?![\w"])',
+                sel_text,
+            )
+            if (
+                re.fullmatch(r'[\w."]+|\x00LIT\d+\x00', body) and projected
+            ):
                 out_items.append(it.strip())
             else:
+                # expressions AND non-projected columns both vanish after
+                # the projection — carry them as hidden __ord columns
+                # (round-7 hunt 20: ORDER BY a non-selected tiebreak)
                 hidden.append(f"{body} AS __ord{idx}")
                 out_items.append(f"__ord{idx}{sfx}")
         outer_order = "ORDER BY " + ", ".join(out_items)
