@@ -2035,7 +2035,7 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             "epoch": (
                 f"(({months} DIV 12) * 31557600.0"
                 f" + pmod({months}, 12) * 2592000.0"
-                f" + {days} * 86400.0 + {tus} / 1000000.0)"
+                f" + {days} * 86400.0 + {tus} / CAST(1e6 AS DOUBLE))"
             ),
         }
         body = exprs.get(part)
@@ -2657,7 +2657,7 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         if part == "epoch":
             # DuckDB epoch() is a fractional DOUBLE (probed: 1.5-second
             # timestamps return ....5) — unix_seconds would truncate
-            return f"(unix_micros(CAST({x} AS TIMESTAMP)) / 1000000.0)"
+            return f"(unix_micros(CAST({x} AS TIMESTAMP)) / CAST(1e6 AS DOUBLE))"
         return None
 
     def datepart_x(a):

@@ -2465,7 +2465,21 @@ SELECT r_regionkey,
            EXCLUDE CURRENT ROW) AS BIGINT) AS wex_mm_cur,
        CAST(max(r_regionkey * 3) OVER (ORDER BY r_regionkey
            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
-           EXCLUDE GROUP) AS BIGINT) AS wex_mm_grp
+           EXCLUDE GROUP) AS BIGINT) AS wex_mm_grp,
+       -- round-7 hunt batches 13-19, driver-gated end-to-end:
+       CAST(time_bucket(INTERVAL '15 minutes',
+                   TIMESTAMP '2024-02-05 10:37:22') AS VARCHAR) AS tb_min,
+       CAST(CAST(time_bucket(INTERVAL '3 months', DATE '2024-02-15')
+                 AS DATE) AS VARCHAR) AS tb_mon,
+       CAST(date_part('day', age(TIMESTAMP '2024-03-30',
+                                 TIMESTAMP '2024-01-31')) AS BIGINT) AS age_d,
+       list_contains([NULL, 3], 7) AS lc_null,
+       json_structure('[{"a":1},{"a":2.5}]') AS jstruct,
+       CAST(unicode('') AS BIGINT) AS uni_empty,
+       date_part('epoch', TIMESTAMP '2024-01-01 00:00:01.5') AS ep_frac,
+       split_part('a,b', ',', 0) AS sp_zero,
+       strftime(DATE '2024-12-30', '%G-%V') AS iso_wk,
+       split('x-y', '-')[2] AS expr_subscript
 FROM (SELECT * REPLACE (upper(r_name) AS r_name) FROM region) t
 ORDER BY ALL
 """
