@@ -1556,3 +1556,35 @@ def test_differential_batch20(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-7 hunt batch 21: pg-cast composite types (T[], STRUCT(...)
+# bodies, bracket/struct-literal operands), string->array via
+# from_json, 4-arg stepped list_slice, string array_slice,
+# ARRAY[...] keyword literals, || on lists, unicode case fold
+CORPUS_R7_BATCH21 = [
+    """SELECT [1, 2] || [3] AS a, 'ab' || 'cd' AS b""",
+    """SELECT list_slice([1, 2, 3, 4, 5, 6], 2, 6, 2) AS a,
+              array_slice('abcdef', 2, 5) AS b""",
+    """SELECT '[1,2]'::INT[] AS a, CAST('[1.5]' AS DOUBLE[]) AS b,
+              ['1', '2']::INT[] AS c""",
+    """SELECT {'a': 1}::STRUCT(a DOUBLE) AS a""",
+    """SELECT 'CAFÉ' ILIKE 'café' AS a""",
+    """SELECT nullif([1, 2], [1, 2]) AS a, coalesce(NULL, [7]) AS b""",
+    """SELECT DATE '2024-02-05' BETWEEN '2024-01-01' AND '2024-12-31' AS a""",
+    """SELECT flatten([[1, 2], [3]]) AS a,
+              to_json(flatten([[[1]], [[2]]])) AS b""",
+    """SELECT repeat('ab', 0) AS a, repeat('ab', -1) AS b""",
+    """SELECT ARRAY[1, 2, 3] AS a""",
+    """SELECT octet_length('abc'::BLOB) AS b""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R7_BATCH21, ids=range(len(CORPUS_R7_BATCH21))
+)
+def test_differential_batch21(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

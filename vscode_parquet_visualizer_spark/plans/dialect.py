@@ -25,7 +25,9 @@ from __future__ import annotations
 
 import re
 
-_TYPE = r"[A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"
+# type spelling after ``::``: base name, optional (args) — DECIMAL(10,2)
+# or composite STRUCT(a DOUBLE)/MAP(K,V) bodies — and [] array suffixes
+_TYPE = r"[A-Za-z_][A-Za-z0-9_]*(?:\s*\([^()]*\))?(?:\s*\[\s*\])*"
 
 # DuckDB function name → Spark function name. Only functions whose
 # argument shapes match exactly are renamed (applied by transpile);
@@ -388,6 +390,8 @@ def rewrite_pg_cast(sql: str) -> str:
       | \x00LIT\d+\x00              # protected string literal
       | "[^"]+"                     # quoted identifier
       | \([^()]*\)                  # parenthesized (non-nested)
+      | \[[^\[\]]*\]                # bracket list literal
+      | \{[^{}]*\}                  # struct literal (pre-rewrite)
       | [A-Za-z_][A-Za-z0-9_.]*\([^()]*\)   # simple call
       | [A-Za-z_][A-Za-z0-9_.]*     # identifier / dotted path
       | \d+(?:\.\d+)?               # number
@@ -566,7 +570,9 @@ def rewrite_array_literals(sql: str) -> str:
     after an operator, comma, open paren, or SQL keyword); after an
     identifier or closing bracket it is a subscript and is left alone.
     (Note DuckDB subscripts are 1-based vs Spark's 0-based ``element_at``
-    counting — subscripts are deliberately not rewritten.)"""
+    counting — subscripts are deliberately not rewritten.) The optional
+    ``ARRAY`` keyword prefix (``ARRAY[1, 2]``) is dropped first."""
+    sql = re.sub(r"\bARRAY\s*(?=\[)", "", sql, flags=re.IGNORECASE)
     out, i, n = [], 0, len(sql)
     while i < n:
         ch = sql[i]
@@ -1817,6 +1823,10 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     def slice_x(a):
         if len(a) != 3:
             return None
+        # DuckDB array_slice also slices STRINGS — literal sources get
+        # substring (same 1-based inclusive bounds); columns keep slice
+        if re.fullmatch(r"\x00LIT\d+\x00", a[0].strip()):
+            return f"substring({a[0]}, {a[1]}, ({a[2]})-({a[1]})+1)"
         return f"slice({a[0]}, {a[1]}, ({a[2]})-({a[1]})+1)"
 
     sql = _rewrite_calls(sql, "array_slice", slice_x)
@@ -3973,6 +3983,50 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         sql, "bitstring",
         lambda a: f"lpad({a[0]}, {a[1]}, '0')" if len(a) == 2 else None,
     )
+
+    # CAST('<json list>' AS ARRAY<…>): DuckDB parses list syntax out of
+    # strings; Spark's CAST rejects string→array — route through
+    # from_json (malformed text yields NULL instead of an error:
+    # documented softening). Literal sources only.
+    def cast_str_array_x(a):
+        if len(a) != 1:
+            return None
+        m = re.fullmatch(
+            r"(\x00LIT\d+\x00)\s+AS\s+(ARRAY\s*<.+>)\s*",
+            a[0],
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m is None:
+            return None
+        schema = _stash_add(
+            stash, "'" + m.group(2).replace("'", "''") + "'"
+        )
+        return f"from_json({m.group(1)}, {schema})"
+
+    sql = _rewrite_calls(sql, "CAST", cast_str_array_x)
+
+    # list_slice/array_slice 4-arg stepped form (1-based inclusive,
+    # positive literal step): positions a, a+c, … ≤ min(b, len)
+    def slice_step_x(a):
+        if len(a) != 4:
+            return None
+        if not (re.fullmatch(r"\d+", a[1]) and re.fullmatch(r"\d+", a[2])
+                and re.fullmatch(r"\d+", a[3])):
+            return None
+        lo, hi, st = int(a[1]), int(a[2]), int(a[3])
+        if lo < 1 or st < 1:
+            return None
+        if hi < lo:
+            return "array()"
+        l = a[0]
+        return (
+            f"(CASE WHEN size({l}) >= {lo} THEN "
+            f"transform(sequence({lo}, least({hi}, size({l})), {st}), "
+            f"__ss -> try_element_at({l}, __ss)) ELSE array() END)"
+        )
+
+    sql = _rewrite_calls(sql, "list_slice", slice_step_x)
+    sql = _rewrite_calls(sql, "array_slice", slice_step_x)
     return sql
 
 
