@@ -1588,3 +1588,28 @@ def test_differential_batch21(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-7 hunt batch 22: numeric-edge regression anchors — all matched
+# with NO fixes needed (division-by-zero -> NULL on both engines in
+# non-ANSI mode, NaN sorts last, -0.0 == 0.0, half-away rounding on
+# DECIMAL, decimal ceil/floor)
+CORPUS_R7_BATCH22 = [
+    """SELECT 1/0 AS a, 1.0/0 AS b, 1%0 AS c, 0.0/0.0 AS d, 7//0 AS e""",
+    """SELECT x FROM (VALUES (1.0), ('nan'::DOUBLE), (2.0)) t(x) ORDER BY x""",
+    """SELECT -0.0 = 0.0 AS a, 0^0 AS b, power(0, 0) AS c""",
+    """SELECT mod(7.5, 2) AS a, mod(-7, 2) AS b""",
+    """SELECT round(0.5) AS a, round(1.5) AS b, round(2.5) AS c,
+              round(-0.5) AS d""",
+    """SELECT ceil(2.000001) AS a, ceiling(-2.5) AS b, floor(-2.5) AS c""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R7_BATCH22, ids=range(len(CORPUS_R7_BATCH22))
+)
+def test_differential_batch22(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)
