@@ -4,7 +4,13 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 over the same sf dir, then compares row count, column names, and values
 (order-insensitive: rows sorted by all columns, columns sorted by name).
 
-Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
+Usage: python tools/oracle_check.py [--vanilla] [sf_dir] [query_name ...]
+
+``--vanilla`` builds a bare ``SparkSession.builder.getOrCreate()`` exactly
+like the correctness driver does, instead of session.get_spark — this is
+the only way to catch "works in our session, dies in the driver's"
+regressions (rounds 6 AND 7 both shipped a red q74 with a green pytest
+because every test path went through get_spark).
 """
 
 from __future__ import annotations
@@ -107,9 +113,18 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 def main() -> int:
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
     only = [a for a in args if "/" not in a]
-    spark = get_spark(shuffle_partitions=8)
+    if vanilla:
+        # Exactly what the driver does: no get_spark, no conf beyond what
+        # workload.load_tables pins defensively on first use.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.getOrCreate()
+    else:
+        spark = get_spark(shuffle_partitions=8)
     con = duck_connection(sf_dir)
     qs, oracles = workload.queries(), workload.oracle_sql()
     failures = 0

@@ -124,6 +124,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     from vscode_parquet_visualizer_spark.session import ship_package
 
     ship_package(spark)
+    # Vanilla sessions (the driver's) never pass through session.get_spark,
+    # so the SQL compat shims (json_structure, jaro_winkler, ...) must be
+    # registered here too; register() is idempotent per-session.
+    from vscode_parquet_visualizer_spark.functions import udf_compat
+
+    udf_compat.register(spark)
     from pyspark import StorageLevel
 
     out = {}
@@ -873,11 +879,17 @@ sql_query(
 
 sql_query(
     "q31_json_extract",
+    # One from_json parse per row feeding both aggregates: two
+    # get_json_object(props, '$.k') calls are two full JSON parses per
+    # row in the JVM (no CSE across JsonToStructs-free paths) and were
+    # 24x DuckDB at sf10; mirrors the reference's one-pass TO_JSON
+    # discipline (src/worker.ts:381-383).
     """
     SELECT event_type,
-           round(avg(CAST(get_json_object(props, '$.k') AS INTEGER)), 4) AS avg_k,
-           max(CAST(get_json_object(props, '$.k') AS INTEGER)) AS max_k
-    FROM events GROUP BY event_type
+           round(avg(j.k), 4) AS avg_k,
+           max(j.k) AS max_k
+    FROM (SELECT event_type, from_json(props, 'k INT') AS j FROM events)
+    GROUP BY event_type
     """,
     oracle="""
     SELECT event_type,
