@@ -1613,3 +1613,30 @@ def test_differential_batch22(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-8 batch 23 (ADVICE anchors): any_value(x ORDER BY y) must skip
+# NULL values (min_by would return the NULL at the extreme key);
+# epoch_ns over DATE needs the explicit CAST AS TIMESTAMP lowering (the
+# plain unix_micros registration shadowed it until round 8)
+CORPUS_R8_BATCH23 = [
+    """SELECT any_value(v ORDER BY k) AS a, any_value(v ORDER BY k DESC) AS b
+       FROM (VALUES (1, NULL), (2, 'x'), (3, 'y'), (4, NULL)) t(k, v)""",
+    """SELECT any_value(v ORDER BY k) AS a
+       FROM (VALUES (1, NULL::VARCHAR), (2, NULL)) t(k, v)""",
+    """SELECT epoch_ns(DATE '2024-03-01') AS a,
+              epoch_us(DATE '2024-03-01') AS b,
+              epoch_ms(DATE '2024-03-01') AS c""",
+    """SELECT epoch_ms(1704067200123) AS t,
+              epoch_ms(TIMESTAMP '2024-01-01 00:00:00.5') AS c""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R8_BATCH23, ids=range(len(CORPUS_R8_BATCH23))
+)
+def test_differential_batch23(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

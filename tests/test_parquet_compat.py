@@ -80,3 +80,31 @@ def test_engine_open_brotli(spark, brotli_file):
     ds = eng.open(brotli_file)
     rs = ds.query("SELECT i, s FROM data WHERE i IS NOT NULL ORDER BY i")
     assert [r["i"] for r in rs.page(1, 10)] == [1, 2, 3]
+
+
+def test_fallback_ns_timestamp_parity(spark, tmp_path):
+    """ns-timestamp columns must come back identical through the
+    pyarrow fallback (brotli) and the native reader (nanosAsLong +
+    _restore_nano_timestamps): TimestampType, truncated to µs."""
+    tbl = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1, 0, 0, 0, 123456)] * 2,
+                pa.timestamp("ns"),
+            ),
+        }
+    )
+    pb, pn = str(tmp_path / "b.parquet"), str(tmp_path / "n.parquet")
+    pq.write_table(tbl, pb, compression="BROTLI")
+    pq.write_table(tbl, pn, compression="SNAPPY")
+    a, b = registry.read(spark, pb), registry.read(spark, pn)
+    assert a.schema == b.schema
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_fallback_rejects_reader_options(spark, brotli_file):
+    """The pyarrow scan can't honor JVM reader options — loud failure,
+    not silent ignore."""
+    with pytest.raises(NotImplementedError, match="reader options"):
+        registry.read(spark, brotli_file, "parquet", mergeSchema=True)

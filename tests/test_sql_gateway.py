@@ -730,3 +730,22 @@ def test_regexp_replace_unsupported_flags_loud(spark):
         ).first()["v"]
         == "___"
     )
+
+
+def test_information_schema_columns_query_result(spark):
+    """The reference drives its Excel type filter from
+    information_schema.columns (src/worker.ts:331-336): the engine's
+    query_result view must be enumerable with DuckDB type spellings."""
+    spark.createDataFrame(
+        [(1, "a", 1.5)], "k int, s string, f double"
+    ).createOrReplaceTempView("query_result")
+    out = run_sql(
+        spark,
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name = 'query_result' ORDER BY ordinal_position",
+    )
+    assert [tuple(r) for r in out.collect()] == [
+        ("k", "INTEGER"),
+        ("s", "VARCHAR"),
+        ("f", "DOUBLE"),
+    ]

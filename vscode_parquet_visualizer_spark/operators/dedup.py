@@ -104,6 +104,10 @@ def _parallelize(df: DataFrame, per_partition_bytes: int = 4 << 20) -> DataFrame
         if df.rdd.getNumPartitions() >= target:
             return df
         return df.repartition(target)
+    # downsize: skip the shuffle when the input is already at (or below)
+    # the computed target, mirroring the upsize guard
+    if df.rdd.getNumPartitions() <= want:
+        return df
     return df.repartition(want)
 
 

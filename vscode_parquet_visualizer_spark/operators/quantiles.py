@@ -267,6 +267,21 @@ def exact_quantiles(
     # ---- candidate collection ----------------------------------------
     intervals = _intervals(limit_only=False)
     if intervals:
+        # Refinement can stall at max_iters with an interval still far
+        # above candidate_limit (pathological distributions); collecting
+        # it would buffer unbounded rows on the driver. The live counts
+        # are already known from `state` — fail loudly instead.
+        hard_cap = 8 * candidate_limit
+        for (key, _lo, _hi, _off), ranks in intervals.items():
+            cnt = state[(key, ranks[0])][3]
+            if cnt > hard_cap:
+                raise RuntimeError(
+                    f"exact_quantiles: group {key} still holds {cnt} "
+                    f"candidate rows after max_iters={max_iters} "
+                    f"refinement rounds (candidate_limit="
+                    f"{candidate_limit}); raise max_iters or "
+                    "candidate_limit"
+                )
         ikeys, tagged = _tagged(intervals, with_bucket=False)
         cands = (
             tagged.groupBy("__iid")
@@ -276,7 +291,16 @@ def exact_quantiles(
         by_iid = {row["__iid"]: row["__vs"] for row in cands}
         for iid, ikey in enumerate(ikeys):
             key, _lo, _hi, off = ikey
-            vs = by_iid[iid]
+            vs = by_iid.get(iid)
+            if vs is None:
+                # zero matches would mean the histogram's bucket bounds
+                # and the range filter disagree on this interval —
+                # surface it rather than KeyError deep in rank lookup
+                raise RuntimeError(
+                    f"exact_quantiles: interval {ikey} matched no rows "
+                    "at candidate collection (histogram/range-filter "
+                    "bound drift)"
+                )
             for rank in intervals[ikey]:
                 resolved[(key, rank)] = vs[rank - off]
 

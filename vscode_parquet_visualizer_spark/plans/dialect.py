@@ -47,7 +47,6 @@ FUNCTION_RENAMES = {
     "list_filter": "filter",
     "array_length": "size",
     "regexp_matches": "regexp_like",
-    "epoch_ms": "unix_millis",
     "array_to_string": "array_join",  # both (array, delimiter)
     "list_append": "array_append",
     "list_prepend": "array_prepend",
@@ -113,7 +112,6 @@ FUNCTION_RENAMES = {
     "list_apply": "transform",
     "to_hex": "hex",
     "from_hex": "unhex",
-    "epoch_us": "unix_micros",
     # NOT renamed on purpose: list_unique (a count, not a dedup —
     # handled in rewrite_function_shapes), string_agg (ORDER BY
     # argument shape — rewrite_function_shapes lowers it to listagg).
@@ -3647,10 +3645,9 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         )
         if len(a) == 1 else None,
     )
-    sql = _rewrite_calls(
-        sql, "epoch_ns",
-        lambda a: f"(unix_micros({a[0]}) * 1000)" if len(a) == 1 else None,
-    )
+    # (epoch_ns is lowered once, below, with an explicit CAST AS
+    # TIMESTAMP so DATE arguments resolve — a plain unix_micros(x)
+    # registration here would consume every occurrence first.)
     sql = _rewrite_calls(
         sql, "to_weeks",
         lambda a: f"make_dt_interval(({a[0]}) * 7, 0, 0, 0)"
@@ -3787,6 +3784,28 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         lambda a: f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) * 1000)"
         if len(a) == 1 else None,
     )
+
+    # epoch_ms/epoch_us are overloaded in DuckDB: temporal → count, and
+    # BIGINT → TIMESTAMP (the inverse). Bare integer literals take the
+    # inverse form; everything else gets CAST AS TIMESTAMP so DATE
+    # arguments resolve (unix_millis/micros are TIMESTAMP-only).
+    def _epoch_conv(spark_fn: str, inverse_fn: str):
+        def x(a):
+            if len(a) != 1:
+                return None
+            arg = a[0].strip()
+            if re.fullmatch(r"[-+]?\d+", arg):
+                return f"{inverse_fn}({arg})"
+            return f"{spark_fn}(CAST({arg} AS TIMESTAMP))"
+
+        return x
+
+    sql = _rewrite_calls(
+        sql, "epoch_ms", _epoch_conv("unix_millis", "timestamp_millis")
+    )
+    sql = _rewrite_calls(
+        sql, "epoch_us", _epoch_conv("unix_micros", "timestamp_micros")
+    )
     # IEEE-754 step via the JVM (no Spark builtin)
     sql = _rewrite_calls(
         sql, "nextafter",
@@ -3878,7 +3897,15 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             if invert:
                 desc = not desc
             fn = "max_by" if desc else "min_by"
-            return f"{fn}({val}, {key})"
+            # DuckDB's any_value(x ORDER BY y) returns the first
+            # NON-NULL x in y order; min_by/max_by would return a NULL
+            # x sitting at the extreme key. Null the key for NULL
+            # values so those rows can never win (min_by ignores
+            # NULL-key rows).
+            return (
+                f"{fn}({val}, CASE WHEN ({val}) IS NULL "
+                f"THEN NULL ELSE ({key}) END)"
+            )
 
         return x
 

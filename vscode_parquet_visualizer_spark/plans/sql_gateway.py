@@ -313,6 +313,59 @@ def _route_parquet_metadata(spark: SparkSession, sql: str) -> str:
     return _PARQUET_META_FN.sub(sub, sql)
 
 
+_INFO_SCHEMA_COLS = re.compile(
+    r"\binformation_schema\s*\.\s*columns\b", re.IGNORECASE
+)
+
+_IS_SCHEMA = (
+    "table_catalog string, table_schema string, table_name string, "
+    "column_name string, ordinal_position int, column_default string, "
+    "is_nullable string, data_type string"
+)
+
+
+def _route_information_schema(spark: SparkSession, sql: str) -> str:
+    """User-typed ``information_schema.columns`` — the reference drives
+    its Excel type filter from this catalog view (src/worker.ts:331-336).
+    The engine's datasets and materialized results live as temp views
+    (mirroring the reference's in-memory DuckDB catalog), so enumerate
+    them driver-side — O(#columns), no job — with DuckDB type spellings
+    and the ANSI column set the reference selects from."""
+    from pyspark.sql import Row
+
+    from vscode_parquet_visualizer_spark.functions.schema_format import (
+        duckdb_type_string,
+    )
+
+    rows = []
+    for tbl in spark.catalog.listTables():
+        name = tbl.name
+        if name.startswith("__"):  # gateway-internal helper views
+            continue
+        try:
+            schema = spark.table(name).schema
+        except Exception:  # view over a dropped dependency etc.
+            continue
+        for i, f in enumerate(schema.fields, start=1):
+            rows.append(
+                Row(
+                    table_catalog="memory",
+                    table_schema="main",
+                    table_name=name,
+                    column_name=f.name,
+                    ordinal_position=i,
+                    column_default=None,
+                    is_nullable="YES" if f.nullable else "NO",
+                    data_type=duckdb_type_string(f.dataType),
+                )
+            )
+    view = "__information_schema_columns"
+    spark.createDataFrame(rows, schema=_IS_SCHEMA).coalesce(
+        1
+    ).createOrReplaceTempView(view)
+    return _INFO_SCHEMA_COLS.sub(view, sql)
+
+
 def _route_read_lists(spark: SparkSession, sql: str) -> str:
     """``read_parquet(['a.parquet', 'b.parquet'])`` — the multi-file
     list form — → one temp view over a multi-path read (each path keeps
@@ -431,6 +484,8 @@ def run_sql(
         bound = _route_parquet_metadata(spark, bound)
     if _READ_LIST_FN.search(bound):
         bound = _route_read_lists(spark, bound)
+    if _INFO_SCHEMA_COLS.search(bound):
+        bound = _route_information_schema(spark, bound)
     if _ROUTED_JOIN.search(bound):
         routed = try_rewrite_asof(spark, bound) or try_rewrite_positional(
             spark, bound

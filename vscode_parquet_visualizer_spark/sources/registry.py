@@ -202,6 +202,20 @@ def read(spark: SparkSession, path: str, fmt: str | None = None, **options) -> D
             except Exception:
                 exotic = set()
             if exotic:
+                # The pyarrow scan can't honor JVM reader options
+                # (mergeSchema, rebase modes, ...) — reject loudly
+                # rather than silently ignore them. ns-timestamp parity
+                # needs no special casing here: Arrow ns columns map to
+                # TimestampType (µs truncation), the same result the
+                # native path reaches via nanosAsLong +
+                # _restore_nano_timestamps (pinned by
+                # tests/test_parquet_compat.py).
+                if options:
+                    raise NotImplementedError(
+                        f"parquet codec(s) {sorted(exotic)} in {path!r} "
+                        "route through the pyarrow fallback scan, which "
+                        f"does not support reader options {sorted(options)}"
+                    )
                 return parquet_compat.read_parquet_pyarrow(spark, path)
         return _restore_nano_timestamps(reader.format(fmt).load(path), path)
     if fmt == "avro":

@@ -3144,6 +3144,30 @@ def q9b(spark, sf_dir):
     return run_sql(spark, _VECTOR_SQL)
 
 
+_INFO_SCHEMA_SQL = """
+    SELECT table_name, column_name, ordinal_position, is_nullable, data_type
+    FROM information_schema.columns
+    WHERE table_name IN ('lineitem', 'events', 'embeddings')
+    ORDER BY table_name, ordinal_position
+"""
+
+
+@q("q9c_information_schema", _INFO_SCHEMA_SQL)
+def q9c(spark, sf_dir):
+    """User-typed ``information_schema.columns`` — the reference queries
+    it to drive the Excel export's type filter (src/worker.ts:331-336).
+    Routed by the SQL gateway to a driver-side catalog enumeration
+    (plans/sql_gateway._route_information_schema) with DuckDB type
+    spellings; the oracle runs the identical text natively. Filtered to
+    the shared tables so ambient temp views created by other gates can't
+    destabilize the row set. (Key sorts after q89: outside bench totals
+    and the driver window.)"""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    load_tables(spark, sf_dir)
+    return run_sql(spark, _INFO_SCHEMA_SQL)
+
+
 @q("q9a_media_codecs")
 def q9a(spark, sf_dir):
     """REAL media decode in the multimodal pipeline (operators/codecs.py:
