@@ -355,7 +355,11 @@ def q02(spark, sf_dir):
     agg. nation/region broadcast explicitly — documents intent and
     survives stats loss at 100 TB; when orders outgrows broadcast at
     true scale, AQE degrades this exact plan to a shuffled join with no
-    code change."""
+    code change. (r8 A/B at sf10: force-broadcasting a custkey→
+    nationkey map instead of the aligned customer join measured 1.68 s
+    vs 2.05 s min-of-4 — a ~20% local win rejected because a forced
+    1.5 M-row broadcast inverts at 1000× while the aligned shuffle
+    shape degrades gracefully.)"""
     t = load_tables(spark, sf_dir)
     orders_f = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -879,17 +883,19 @@ sql_query(
 
 sql_query(
     "q31_json_extract",
-    # One from_json parse per row feeding both aggregates: two
-    # get_json_object(props, '$.k') calls are two full JSON parses per
-    # row in the JVM (no CSE across JsonToStructs-free paths) and were
-    # 24x DuckDB at sf10; mirrors the reference's one-pass TO_JSON
-    # discipline (src/worker.ts:381-383).
+    # Measured at sf10 (noop-write protocol, min-of-3): this shape
+    # 1.84 s — the two textually-identical get_json_object calls are
+    # single-parse already (whole-stage codegen subexpression
+    # elimination CSEs deterministic duplicates inside the partial
+    # agg). A from_json(props, 'k INT') subquery — nominally "one
+    # parse" — ran 11-134 s: JsonToStructs is CodegenFallback
+    # (interpreted) and allocation-heavy per row. json_tuple ties gjo
+    # (1.85 s) with clunkier syntax. Keep the codegen'd path.
     """
     SELECT event_type,
-           round(avg(j.k), 4) AS avg_k,
-           max(j.k) AS max_k
-    FROM (SELECT event_type, from_json(props, 'k INT') AS j FROM events)
-    GROUP BY event_type
+           round(avg(CAST(get_json_object(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           max(CAST(get_json_object(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
     """,
     oracle="""
     SELECT event_type,
@@ -2173,7 +2179,7 @@ def q67(spark, sf_dir):
     return dd.dup_clusters(star)
 
 
-sql_query(
+@q(
     "q68_two_dim_instances",
     """
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
@@ -2189,6 +2195,65 @@ sql_query(
     GROUP BY cn.n_name, sn.n_name
     """,
 )
+def q68(spark, sf_dir):
+    """Two instances of one dimension (the r4-flagged broadcast-star
+    constant), shaped for scale: the region filter is resolved to its
+    ≤25 nationkeys driver-side (bounded collect, the pivot-values
+    precedent) so only 1/R of customer — two int columns, no strings —
+    is broadcast instead of all 1.5 M (custkey, name) rows; the fact
+    probes int→int maps and drops to 1/R of its rows at the FIRST
+    broadcast join; and the n_name strings attach AFTER the (c_nat,
+    s_nat) aggregate, when 25² rows remain, so no dimension string ever
+    rides through a fact exchange. sum-of-sums over the per-(nat,nat)
+    partials is exact (DECIMAL accumulator). At true 100 TB the
+    region-filtered slice outgrows broadcast; drop the two F.broadcast
+    hints and AQE keeps the same plan shape with shuffled joins —
+    the post-agg name attachment (the structural win) is unaffected."""
+    t = load_tables(spark, sf_dir)
+    nat = t["nation"]
+    r0 = [
+        r[0]
+        for r in nat.filter(F.col("n_regionkey") == 0)
+        .select("n_nationkey")
+        .collect()
+    ]
+    cust = (
+        t["customer"]
+        .filter(F.col("c_nationkey").isin(r0))
+        .select("c_custkey", "c_nationkey")
+    )
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    rev = F.expr(
+        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))"
+    )
+    agg = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("c_nationkey", "s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(rev).alias("rev"))
+    )
+    cn = nat.select(
+        F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        agg.join(F.broadcast(cn), F.col("c_nationkey") == F.col("__ck"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("__sk"))
+        .select(
+            "cust_nation",
+            "supp_nation",
+            "n",
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        )
+    )
 
 
 @q(
