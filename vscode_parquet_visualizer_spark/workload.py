@@ -471,7 +471,9 @@ def q05(spark, sf_dir):
     custkey-partitioned customer cache: that join is exchange-free too
     (broadcasting 1.5 M customers instead was measured SLOWER — the
     per-run broadcast build of a ~60 MB named-row table costs more than
-    the aligned join). sum-of-sums re-aggregation is exact."""
+    the aligned join; without the shuffle_hash hint Catalyst picked
+    exactly that broadcast at sf10, 6.6 s vs 2.3 s min-of-4).
+    sum-of-sums re-aggregation is exact."""
     t = load_tables(spark, sf_dir)
     per_cust = (
         t["lineitem"]
@@ -486,7 +488,9 @@ def q05(spark, sf_dir):
     )
     return (
         per_cust.join(
-            t["customer"].select("c_custkey", "c_name", "c_nationkey"),
+            t["customer"]
+            .select("c_custkey", "c_name", "c_nationkey")
+            .hint("shuffle_hash"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
