@@ -1640,3 +1640,101 @@ def test_differential_batch23(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-8 hunt batch 24: probed ~100 surfaces (stat aggregates, date
+# parts, NULL edges, list lambdas, window frames, JSON aggregates).
+# Fixed this round: date_trunc decade/century/millennium/isoyear
+# (silent NULL in Spark), date_part/extract isoyear+yearweek, mad()
+# (let-binding expansion — a textual one hung the analyzer), zipped
+# multi-unnest (Spark misaligns a second generator), arbitrary(ORDER
+# BY), format() alignment specs, bar(), postfix factorial, literal
+# DATE arithmetic types, json_group_array/object. The rest below are
+# regression anchors for surfaces probed green.
+CORPUS_R8_BATCH24 = [
+    # date_trunc units Spark lacks — and DuckDB's floor semantics
+    # (century of 2024 → 2000-01-01, though century() the PART is 21)
+    """SELECT date_trunc('decade', DATE '2024-08-15') AS a,
+              date_trunc('century', DATE '2024-08-15') AS b,
+              date_trunc('millennium', DATE '2024-08-15') AS c,
+              date_trunc('isoyear', DATE '2021-01-01') AS d,
+              date_trunc('decade', o_orderdate) AS e
+       FROM orders ORDER BY o_orderkey LIMIT 3""",
+    """SELECT date_part('isoyear', DATE '2021-01-01') AS iy,
+              date_part('yearweek', DATE '2021-01-01') AS yw,
+              extract(isoyear FROM DATE '2022-01-03') AS iy2""",
+    # mad: median absolute deviation, grouped and ungrouped
+    """SELECT mad(x) AS m FROM (VALUES (1.0),(2.0),(4.0),(100.0)) t(x)""",
+    """SELECT g, mad(x) AS m
+       FROM (VALUES (1, 1.0),(1, 3.0),(2, 5.0),(2, 5.0),(2, 11.0)) t(g, x)
+       GROUP BY g ORDER BY g""",
+    # zipped multi-unnest: longest wins, shorter NULL-pads; expressions
+    # over unnest participate; single unnest untouched
+    """SELECT unnest([1,2,3]) AS a, unnest(['x','y','z']) AS b ORDER BY a""",
+    """SELECT unnest([1,2,3]) AS a, unnest([10,20]) AS b ORDER BY a""",
+    """SELECT unnest([1,2]) + 100 AS a, unnest([5,6,7]) AS b ORDER BY b""",
+    """SELECT n_nationkey, unnest([n_nationkey, n_regionkey]) AS u,
+              unnest([n_nationkey * 10, 1]) AS v
+       FROM nation WHERE n_nationkey < 3 ORDER BY n_nationkey, u, v""",
+    # arbitrary = first alias, ordered and plain
+    """SELECT arbitrary(n_name ORDER BY n_nationkey) AS a,
+              arbitrary(n_name ORDER BY n_nationkey DESC) AS z
+       FROM nation""",
+    # format alignment specs
+    """SELECT format('{:.2f}|{:>5}|{:<4}!', 3.14159, 'x', 'y') AS f""",
+    # bar chart rendering: exact boundary, eighths, clamp-high
+    """SELECT bar(3,0,10,10) AS b1, bar(3.7,0,10,10) AS b2,
+              bar(0.33,0,1,5) AS b3, bar(12,0,10,10) AS b4""",
+    # postfix factorial on literal / parenthesized expression
+    """SELECT 5! AS f, factorial(6) AS f2, (2+2)! AS f3""",
+    # JSON aggregates
+    """SELECT json_group_array(n_nationkey) AS ja,
+              json_group_object(n_name, n_nationkey) AS jo
+       FROM nation WHERE n_regionkey = 0""",
+    # literal date arithmetic: DATE-DATE is BIGINT days, DATE+INTERVAL
+    # is TIMESTAMP
+    """SELECT DATE '2024-03-01' - DATE '2024-02-01' AS days,
+              DATE '2024-01-31' + INTERVAL 1 MONTH AS ts""",
+    # regression anchors probed green in the batch-24 sweep ----------
+    """SELECT round(skewness(o_totalprice),4) AS s,
+              round(kurtosis(o_totalprice),4) AS k FROM orders""",
+    """SELECT round(regr_slope(l_extendedprice,l_quantity),4) AS sl,
+              round(regr_intercept(l_extendedprice,l_quantity),2) AS ic,
+              round(regr_r2(l_extendedprice,l_quantity),6) AS r2,
+              CAST(regr_count(l_extendedprice,l_quantity) AS BIGINT) AS n
+       FROM lineitem""",
+    """SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs,
+              quantile_disc(o_totalprice, [0.1, 0.9]) AS qd FROM orders""",
+    """SELECT date_part('dow', DATE '2024-03-03') AS dow,
+              date_part('isodow', DATE '2024-03-03') AS iso,
+              dayname(DATE '2024-03-05') AS dn,
+              monthname(DATE '2024-03-05') AS mn""",
+    """SELECT greatest(1, NULL, 3) AS g, least(2, NULL) AS l,
+              concat('a', NULL, 'b') AS c,
+              (1 IN (2, NULL)) IS NULL AS i""",
+    """SELECT o_orderkey, lag(o_totalprice, 2, -1.0) OVER (ORDER BY o_orderkey) AS l,
+              nth_value(o_totalprice, 3) OVER (ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv
+       FROM orders ORDER BY o_orderkey LIMIT 8""",
+    """SELECT o_orderkey, CAST(count(*) OVER (ORDER BY o_totalprice
+              RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS BIGINT) AS c
+       FROM orders ORDER BY o_orderkey LIMIT 10""",
+    """SELECT list_transform([1,2,3], x -> x * 2) AS t,
+              list_filter([1,2,3,4], x -> x % 2 = 0) AS f,
+              list_reduce([1,2,3,4], (a, b) -> a + b) AS r,
+              flatten([[1,2],[3]]) AS fl""",
+    """SELECT string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS s,
+              count_if(o_totalprice > 100000) AS c FROM orders""",
+    """SELECT entropy(o_orderstatus) > 1.5 AS e,
+              bit_count(7) AS bc, even(3.5) AS ev FROM orders LIMIT 1""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R8_BATCH24, ids=range(len(CORPUS_R8_BATCH24))
+)
+def test_differential_batch24(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -60,6 +60,9 @@ FUNCTION_RENAMES = {
     # rewrite_function_shapes lowers it (and scalar range) with guards.
     "arg_max": "max_by",
     "arg_min": "min_by",
+    # arbitrary() = DuckDB alias of first(); the ORDER BY form is
+    # lowered to min_by/max_by in rewrite_function_shapes first
+    "arbitrary": "first",
     # DuckDB list()/array_agg() keep NULL elements; Spark's array_agg
     # drops them — documented divergence (null elements are rare in
     # aggregation keys; the alternative is failing every list() query).
@@ -1792,6 +1795,187 @@ _TIME_BUCKET_UNITS = {
 }
 
 
+def rewrite_postfix_factorial(sql: str) -> str:
+    """DuckDB's postfix factorial ``5!`` / ``(n+1)!`` → ``factorial(x)``
+    (a Spark builtin, BIGINT for 0–20). Runs on literal-protected text;
+    ``!=`` and the regex operators (already consumed upstream) are
+    excluded. Operands: a number/identifier/placeholder token, or a
+    parenthesized expression including a preceding function name."""
+    out = sql
+    i = len(out) - 1
+    while i >= 0:
+        if out[i] != "!" or (i + 1 < len(out) and out[i + 1] in "=~"):
+            i -= 1
+            continue
+        j = i - 1
+        while j >= 0 and out[j] in " \t\n":
+            j -= 1
+        if j < 0:
+            i -= 1
+            continue
+        if out[j] == ")":
+            depth = 0
+            k = j
+            while k >= 0:
+                if out[k] == ")":
+                    depth += 1
+                elif out[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            if k < 0:
+                i -= 1
+                continue
+            # absorb a function name directly before the '('
+            m = re.search(r"[\w.\x00]+$", out[:k])
+            start = m.start() if m else k
+        elif re.match(r"[\w.\x00]", out[j]):
+            m = re.search(r"[\w.\x00]+$", out[: j + 1])
+            start = m.start()
+            kw = out[start : j + 1].upper()
+            if kw in ("NOT", "AND", "OR", "WHERE", "WHEN", "THEN", "ELSE"):
+                i -= 1
+                continue
+        else:
+            i -= 1
+            continue
+        operand = out[start : j + 1]
+        out = out[:start] + f"factorial({operand})" + out[i + 1 :]
+        i = start - 1
+    return out
+
+
+def rewrite_multi_unnest(sql: str) -> str:
+    """DuckDB zips MULTIPLE select-position ``unnest()`` calls in one
+    SELECT list positionally, NULL-padding the shorter lists to the
+    longest (probed: ``SELECT unnest([1,2,3]), unnest([10,20])`` →
+    ``(1,10),(2,20),(3,NULL)``). Spark allows one generator per SELECT
+    and misaligns a second one — rewrite to ONE explode over
+    index-built structs in a wrapping subquery. Runs after
+    FROM-position unnests are consumed (rewrite_series_table_functions)
+    and before the unnest→explode rename.
+
+    Handled shape: plain SELECT scope whose tail is FROM <tables>
+    [WHERE …] [ORDER BY …] [LIMIT …]; WHERE stays with the base rows
+    (DuckDB unnests after the filter), ORDER/LIMIT move outside the
+    wrap. GROUP BY / HAVING / window scopes are left untouched (their
+    DuckDB-side interaction with unnest is out of scope)."""
+    pat = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
+
+    def scope_unnest_spans(text):
+        """Spans of unnest( calls belonging to THIS scope (not inside a
+        nested parenthesized SELECT)."""
+        spans, i, n = [], 0, len(text)
+        while i < n:
+            c = text[i]
+            if c == "(":
+                close = _balanced_span(text, i)
+                if close == -1:
+                    return spans
+                if re.match(r"\(\s*SELECT\b", text[i:], re.IGNORECASE):
+                    i = close + 1
+                    continue
+                i += 1
+                continue
+            m = pat.match(text, i)
+            if m:
+                close = _balanced_span(text, m.end() - 1)
+                if close == -1:
+                    return spans
+                spans.append((m.start(), m.end(), close))
+                i = close + 1
+                continue
+            i += 1
+        return spans
+
+    for sm in re.finditer(r"\bSELECT\b", sql, re.IGNORECASE):
+        start = sm.end()
+        # select-list end: first top-level FROM / clause keyword / ';'
+        i, depth, list_end, has_from = start, 0, len(sql), False
+        while i < len(sql):
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    list_end = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                m = re.match(
+                    r"\b(FROM|WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER"
+                    r"|LIMIT|UNION|INTERSECT|EXCEPT)\b",
+                    sql[i:],
+                    re.IGNORECASE,
+                )
+                if m and sql[i - 1] in " \t\n)":
+                    list_end = i
+                    has_from = m.group(1).upper() == "FROM"
+                    break
+            i += 1
+        sel = sql[start:list_end]
+        spans = scope_unnest_spans(sel)
+        if len(spans) < 2:
+            continue
+        exprs = [sel[b + 0 : c] for (_, b, c) in spans]
+        # replace back-to-front so earlier spans stay valid
+        new_sel = sel
+        for k in range(len(spans) - 1, -1, -1):
+            a, _, c = spans[k]
+            new_sel = new_sel[:a] + f"__uz.__c{k}" + new_sel[c + 1 :]
+        g = "greatest(" + ", ".join(f"size({e})" for e in exprs) + ")"
+        fields = ", ".join(
+            f"'__c{k}', try_element_at({e}, __i)"
+            for k, e in enumerate(exprs)
+        )
+        zip_expr = (
+            f"explode(slice(transform(sequence(1, greatest(1, {g})), "
+            f"__i -> named_struct({fields})), 1, greatest(0, {g}))) AS __uz"
+        )
+        tail = sql[list_end:]
+        if not has_from:
+            inner = f"SELECT {zip_expr}"
+            wrapped = f"SELECT {new_sel.strip()} FROM ({inner}) __uzt {tail}"
+            return rewrite_multi_unnest(sql[: sm.start()] + wrapped)
+        # split tail: FROM <tables+where> | <order/limit rest>; bail on
+        # GROUP/HAVING/QUALIFY/WINDOW/set-ops (unsupported interaction)
+        j, depth2, cut = 0, 0, len(tail)
+        bail = False
+        while j < len(tail):
+            c = tail[j]
+            if c == "(":
+                depth2 += 1
+            elif c == ")":
+                if depth2 == 0:
+                    cut = j
+                    break
+                depth2 -= 1
+            elif depth2 == 0:
+                m = re.match(
+                    r"\b(GROUP|HAVING|QUALIFY|WINDOW|UNION|INTERSECT"
+                    r"|EXCEPT|ORDER|LIMIT)\b",
+                    tail[j:],
+                    re.IGNORECASE,
+                )
+                if m:
+                    if m.group(1).upper() in (
+                        "GROUP", "HAVING", "QUALIFY", "WINDOW",
+                        "UNION", "INTERSECT", "EXCEPT",
+                    ):
+                        bail = True
+                    cut = j
+                    break
+            j += 1
+        if bail:
+            continue
+        base, rest = tail[:cut], tail[cut:]
+        inner = f"SELECT *, {zip_expr} {base.strip()}"
+        wrapped = f"SELECT {new_sel.strip()} FROM ({inner}) __uzt {rest}"
+        return rewrite_multi_unnest(sql[: sm.start()] + wrapped)
+    return sql
+
+
 def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     """DuckDB functions whose Spark twin takes a different ARG SHAPE
     (a plain rename can't fix them; SURVEY §2B scalar-function rows):
@@ -2448,16 +2632,25 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             spec = g.group(2)
             if not spec:
                 return f"%{pos}s"
-            sm = re.fullmatch(r"(,?)(\d*)(?:\.(\d+))?([dfs]?)", spec)
+            sm = re.fullmatch(
+                r"([<>]?)(,?)(\d*)(?:\.(\d+))?([dfs]?)", spec
+            )
             if sm is None:
                 return g.group(0)  # unsupported spec: leave, abort below
-            comma, width, prec, conv = sm.groups()
+            align, comma, width, prec, conv = sm.groups()
+            if align and not width:
+                return g.group(0)  # align without width: meaningless
             if not conv:
-                if not comma:
+                if align:
+                    conv = "s"  # '{:>5}' / '{:<5}' — explicit alignment
+                elif comma:
+                    conv = "d"  # '{:,}' — DuckDB's integer thousands form
+                else:
                     return g.group(0)
-                conv = "d"  # '{:,}' — DuckDB's integer thousands form
             if comma and conv != "d":
                 return g.group(0)  # DuckDB rejects ',' for floats: loud
+            if align == "<":
+                width = "-" + width  # Java left-justify flag
             conv_for_arg[idx] = conv
             return (
                 "%" + pos + (comma or "") + (width or "")
@@ -2662,6 +2855,13 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             return f"CAST(ceil(year({x}) / 1000.0) AS BIGINT)"
         if part == "era":
             return f"(CASE WHEN year({x}) > 0 THEN 1 ELSE 0 END)"
+        if part == "isoyear":
+            return f"extract(YEAROFWEEK FROM {x})"
+        if part == "yearweek":
+            return (
+                f"CAST(extract(YEAROFWEEK FROM {x}) * 100 "
+                f"+ weekofyear({x}) AS BIGINT)"
+            )
         if part == "epoch":
             # DuckDB epoch() is a fractional DOUBLE (probed: 1.5-second
             # timestamps return ....5) — unix_seconds would truncate
@@ -2703,7 +2903,8 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             return None
         m = re.match(
             r"^\s*(dow|isodow|epoch|milliseconds?|microseconds?"
-            r"|century|decade|millennium|era)\s+FROM\s+(.+)$",
+            r"|century|decade|millennium|era|isoyear|yearweek)"
+            r"\s+FROM\s+(.+)$",
             a[0],
             re.IGNORECASE | re.DOTALL,
         )
@@ -2723,9 +2924,25 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         if m is None:
             return None
         part = _lit_text(stash, m.group(1)).lower()
-        if part in ("day", "week", "month", "quarter", "year", "isoyear",
-                    "decade", "century", "millennium"):
-            return f"CAST(date_trunc({a[0]}, {a[1]}) AS DATE)"
+        x = a[1]
+        # Spark's date_trunc lacks these units (returns NULL): build the
+        # floor explicitly. DuckDB FLOORS century/millennium here
+        # (2024→2000-01-01) even though its century() PART is ceil-based
+        # (2024→21) — probed, batch 24.
+        if part in ("decade", "century", "millennium"):
+            n = {"decade": 10, "century": 100, "millennium": 1000}[part]
+            return (
+                f"make_date(CAST(floor(year({x}) / {n}.0) AS INT) * {n}, "
+                f"1, 1)"
+            )
+        if part == "isoyear":
+            # Monday of ISO week 1 = week-trunc of Jan 4 of the ISO year
+            return (
+                f"CAST(date_trunc('WEEK', make_date(CAST(extract("
+                f"YEAROFWEEK FROM {x}) AS INT), 1, 4)) AS DATE)"
+            )
+        if part in ("day", "week", "month", "quarter", "year"):
+            return f"CAST(date_trunc({a[0]}, {x}) AS DATE)"
         return None
 
     sql = _rewrite_calls(sql, "datetrunc", datetrunc_x)
@@ -3373,6 +3590,51 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
 
     sql = _rewrite_calls(sql, "json_array_length", json_array_length_x)
 
+    # bar(x, min, max[, width=80]): unicode bar chart — full blocks plus
+    # a floor-of-eighths partial block, a trailing space on an exact
+    # block boundary below full width (probed: bar(3,0,10,10)='███ ',
+    # bar(3.7,0,10,10)='███▋', bar(12,0,10,10) has no trailing space).
+    # Out-of-range negatives diverge (DuckDB pads spaces) — documented.
+    def bar_x(a):
+        if len(a) not in (3, 4):
+            return None
+        x, mn, mx = a[0], a[1], a[2]
+        width = a[3] if len(a) == 4 else "80"
+        w = (
+            f"least(greatest(CAST(({width}) AS DOUBLE) * (({x}) - ({mn}))"
+            f" / (({mx}) - ({mn})), 0D), CAST(({width}) AS DOUBLE))"
+        )
+        full = f"CAST(floor({w}) AS INT)"
+        rem = f"CAST(floor(({w} - floor({w})) * 8) AS INT)"
+        return (
+            f"concat(repeat('█', {full}), "
+            f"CASE WHEN {full} >= CAST(({width}) AS INT) THEN '' "
+            f"WHEN {rem} = 0 THEN ' ' "
+            f"ELSE substr('▏▎▍▌▋▊▉', {rem}, 1) END)"
+        )
+
+    sql = _rewrite_calls(sql, "bar", bar_x)
+
+    # json_group_array / json_group_object: DuckDB's JSON aggregates →
+    # to_json over null-preserving collects (struct fields survive
+    # aggregation; bare collect_list drops NULL elements). Duplicate
+    # object keys raise here (Spark map dedup policy) where DuckDB
+    # emits both — documented divergence.
+    sql = _rewrite_calls(
+        sql, "json_group_array",
+        lambda a: (
+            f"to_json(transform(collect_list(struct(({a[0]}) AS __v)), "
+            f"__s -> __s.__v))"
+        ) if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql, "json_group_object",
+        lambda a: (
+            f"to_json(map_from_entries(collect_list(struct("
+            f"CAST({a[0]} AS STRING), ({a[1]})))))"
+        ) if len(a) == 2 else None,
+    )
+
     # first/last with an in-call ORDER BY → min_by/max_by (the value at
     # the smallest/largest key — ties arbitrary on both engines)
     def first_last_x(is_last):
@@ -3399,6 +3661,9 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
 
     sql = _rewrite_calls(sql, "first", first_last_x(False))
     sql = _rewrite_calls(sql, "last", first_last_x(True))
+    # arbitrary() is DuckDB's alias of first(); the plain (no ORDER BY)
+    # form falls through to the arbitrary→first rename
+    sql = _rewrite_calls(sql, "arbitrary", first_last_x(False))
 
     # array_agg / list: DuckDB keeps NULL elements (plain, DISTINCT —
     # where NULL is a distinct value — and ORDER BY forms alike;
@@ -3748,6 +4013,37 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             f"+ try_element_at({ms}, CAST({n} div 2 + 1 AS INT))) / 2 END)"
         )
 
+    def mad_x(a):
+        # DuckDB mad(x) = median(|x - median(x)|), numeric args —
+        # parity path, not hot path. Lambda vars act as let-bindings
+        # (transform over a 1-element array) so the collect_list
+        # aggregate appears exactly ONCE: a textual expansion repeating
+        # it ~20× was measured to hang Spark 4.1's analyzer. The median
+        # of a sorted array s is elem((n+1)÷2)/elem((n+2)÷2) averaged —
+        # one formula for both parities.
+        if len(a) != 1:
+            return None
+
+        def med(v):
+            return (
+                f"((try_element_at({v}, CAST((size({v}) + 1) div 2 AS INT))"
+                f" + try_element_at({v}, CAST((size({v}) + 2) div 2 AS INT))"
+                f") / 2.0)"
+            )
+
+        src = (
+            f"array_sort(filter(collect_list(CAST({a[0]} AS DOUBLE)), "
+            f"__x -> __x IS NOT NULL))"
+        )
+        devs = f"array_sort(transform(__s, __v -> abs(__v - {med('__s')})))"
+        body = (
+            f"CASE WHEN size(__s) = 0 THEN CAST(NULL AS DOUBLE) "
+            f"ELSE try_element_at(transform(array({devs}), "
+            f"__t -> {med('__t')}), 1) END"
+        )
+        return f"try_element_at(transform(array({src}), __s -> {body}), 1)"
+
+    sql = _rewrite_calls(sql, "mad", mad_x)
     sql = _rewrite_calls(sql, "list_median", list_median_x)
 
     def regexp_extract_named_x(a):
@@ -4903,6 +5199,22 @@ def transpile(
     sql = rewrite_string_split(sql, stash)
     sql = rewrite_list_aggregate(sql, stash)
     sql = rewrite_timestamp_literals(sql)
+    # Literal-date arithmetic parity (batch 24): DuckDB types
+    # DATE - DATE as BIGINT days (Spark: INTERVAL) and DATE ± INTERVAL
+    # as TIMESTAMP (Spark: DATE). Literal operands only — column types
+    # aren't knowable textually; the tables here store timestamps.
+    sql = re.sub(
+        r"\bDATE\s+(\x00LIT\d+\x00)\s*-\s*DATE\s+(\x00LIT\d+\x00)",
+        r"datediff(DATE \1, DATE \2)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\b(DATE\s+\x00LIT\d+\x00)(\s*[+-]\s*INTERVAL\b)",
+        r"CAST(\1 AS TIMESTAMP)\2",
+        sql,
+        flags=re.IGNORECASE,
+    )
     sql = rewrite_pg_cast(sql)
     sql = rewrite_cast_type_names(sql)
     sql = rewrite_distinct_on(sql)
@@ -4914,11 +5226,13 @@ def transpile(
     sql = rewrite_struct_literals(sql)
     sql = rewrite_array_literals(sql)
     sql = rewrite_len(sql, array_columns)
+    sql = rewrite_postfix_factorial(sql)
     sql = rewrite_arithmetic_operators(sql)
     sql = rewrite_sample(sql)
     sql = rewrite_collate(sql)
     sql = rewrite_window_chain(sql)
     sql = rewrite_series_table_functions(sql)
+    sql = rewrite_multi_unnest(sql)
     sql = rewrite_function_shapes(sql, stash)
     # DuckDB's FILTER (pred) shorthand (no WHERE keyword) — only after a
     # closing paren, so the filter() higher-order FUNCTION is untouched
