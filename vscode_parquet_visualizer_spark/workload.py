@@ -2230,14 +2230,25 @@ def q68(spark, sf_dir):
     rev = F.expr(
         "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))"
     )
+    # Pre-filter orders through the broadcast customer map BEFORE the
+    # fact join: the orderkey hash build shrinks R× (15 M → 3 M rows at
+    # sf10) and lineitem drops to 1/R of its rows at its FIRST probe.
+    # The broadcast probe + projection preserve the orderkey
+    # partitioning of the cached orders slice, so the fact join stays
+    # exchange-free shuffled-hash. Measured sf10 min-of-8 in-process:
+    # 2.16 s (was 2.30 with the full-orders build; DuckDB 0.57 — the
+    # residual is probe/agg row-at-a-time codegen vs vectorization,
+    # same acceptance as q59's honest-plan gap).
+    ord_f = (
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
     agg = (
         t["lineitem"]
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(
-            t["orders"].select("o_orderkey", "o_custkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("c_nationkey", "s_nationkey")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(rev).alias("rev"))
