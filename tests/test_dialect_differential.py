@@ -1738,3 +1738,66 @@ def test_differential_batch24(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-8 hunt batch 25: method-call chaining, ^@ / GLOB operators,
+# temporal series table functions (DATE endpoints type as TIMESTAMP
+# rows; range() is end-exclusive), AT TIME ZONE, FILTER on window
+# aggregates, grouping-paren subscript bases, UNION-type shims.
+# Probed divergences NOT fixed (documented): bare age() (DuckDB
+# calendar months vs Spark day intervals), list_intersect element
+# order (unspecified in DuckDB).
+CORPUS_R8_BATCH25 = [
+    # ^@ starts-with operator, column and expression operands
+    """SELECT count(*) AS n FROM nation WHERE n_name ^@ 'A'""",
+    """SELECT r_name FROM region WHERE lower(r_name) ^@ 'a' ORDER BY r_name""",
+    # GLOB / NOT GLOB with *, ?, [!...] classes; regex specials escaped
+    """SELECT count(*) AS n FROM nation WHERE n_name GLOB 'A*A'""",
+    """SELECT r_name FROM region WHERE r_name GLOB 'A[!S]*' ORDER BY r_name""",
+    # (this container's DuckDB rejects the infix NOT GLOB spelling;
+    # our rewrite supports it — anchor the semantics via NOT (...))
+    """SELECT count(*) AS n FROM nation WHERE NOT (n_name GLOB '*N*')""",
+    # temporal generate_series/range: DATE endpoints -> TIMESTAMP rows,
+    # inclusive vs end-exclusive
+    """SELECT * FROM generate_series(DATE '2024-01-01', DATE '2024-01-04',
+              INTERVAL 1 DAY) t(d) ORDER BY d""",
+    """SELECT * FROM range(DATE '2024-01-01', DATE '2024-01-04',
+              INTERVAL 1 DAY) t(d) ORDER BY d""",
+    """SELECT * FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+              TIMESTAMP '2024-01-01 03:00:00', INTERVAL 1 HOUR) t(ts)
+       ORDER BY ts""",
+    # method-call chaining on columns and parenthesized expressions
+    """SELECT r_name.lower() AS l, (r_name).substr(1, 2).lower() AS s2
+       FROM region ORDER BY r_regionkey""",
+    """SELECT ('  x  ').trim().upper() AS t""",
+    # grouping-paren subscript bases: list (1-based, negatives from the
+    # end) and string literal
+    """SELECT ([1,2,3,4])[-2] AS e, ([10,20,30])[2] AS m, ('hello')[2] AS c""",
+    # AT TIME ZONE: naive -> instant, and the chained two-hop form
+    """SELECT CAST(TIMESTAMP '2024-01-01 10:00:00'
+              AT TIME ZONE 'America/New_York' AS TIMESTAMP) AS t""",
+    """SELECT CAST(TIMESTAMP '2024-01-01 10:00:00' AT TIME ZONE 'UTC'
+              AT TIME ZONE 'Asia/Tokyo' AS TIMESTAMP) AS t2""",
+    # FILTER on window aggregates (Spark-unsupported natively)
+    """SELECT o_orderkey,
+              CAST(count(*) FILTER (WHERE o_totalprice > 100000)
+                   OVER (ORDER BY o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c,
+              round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O')
+                   OVER (ORDER BY o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS s
+       FROM orders ORDER BY o_orderkey LIMIT 8""",
+    # UNION-type constructor/extractor via the named-struct shim
+    """SELECT union_extract(union_value(num := 2), 'num') AS v""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R8_BATCH25, ids=range(len(CORPUS_R8_BATCH25))
+)
+def test_differential_batch25(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

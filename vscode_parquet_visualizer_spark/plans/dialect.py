@@ -953,6 +953,14 @@ _MAP_PRODUCING = {"map", "map_from_entries", "map_from_arrays"}
 _SUBSCRIPT_IDX = r"-?\d+|\x00LIT\d+\x00"
 
 
+_NON_CALL_KEYWORDS = {
+    "select", "where", "and", "or", "not", "then", "else", "when", "end",
+    "by", "on", "from", "in", "as", "case", "union", "all", "distinct",
+    "having", "join", "like", "ilike", "between", "is", "exists", "over",
+    "partition", "order", "group", "limit", "offset", "values",
+}
+
+
 def rewrite_expr_subscripts(sql: str) -> str:
     """1-based subscripts whose BASE is an expression, not a column
     identifier (round-7 hunt 17 — all were silent 0-based off-by-ones
@@ -1030,8 +1038,34 @@ def rewrite_expr_subscripts(sql: str) -> str:
             fm = re.search(r"([A-Za-z_][\w.]*)\s*$", done[:j])
             fname = fm.group(1).split(".")[-1].lower() if fm else None
             base_start = fm.start(1) if fm else None
+            if fname in _NON_CALL_KEYWORDS:
+                # a keyword before '(' means grouping paren, not a call
+                fname, base_start = None, None
             is_map = fname in _MAP_PRODUCING
-            if not (is_map or fname in array_fns):
+            if fname is None:
+                # grouping paren, not a call: subscriptable when the
+                # group's CONTENT pins the type — a bracket-form list
+                # literal (array semantics) or a string literal
+                # (substring) — e.g. ([1,2,3,4])[-2] (batch 25)
+                inner = done[j + 1 : len(done) - 1].strip()
+                if re.fullmatch(r"\[.*\]", inner, re.DOTALL):
+                    base_start = j
+                elif re.fullmatch(r"\x00LIT\d+\x00", inner) and m_idx:
+                    idx = m_idx.group(1)
+                    repl = (
+                        "''"
+                        if idx.lstrip("-").isdigit() and int(idx) == 0
+                        else f"substring({inner}, {idx}, 1)"
+                    )
+                    out = list(done[:j])
+                    out.append(repl)
+                    i = i + 1 + m_idx.end()
+                    continue
+                else:
+                    out.append(ch)
+                    i += 1
+                    continue
+            elif not (is_map or fname in array_fns):
                 out.append(ch)
                 i += 1
                 continue
@@ -1268,6 +1302,62 @@ def rewrite_regex_operators(sql: str, stash: list[str] | None = None) -> str:
     def anchored(idx: str) -> str:
         pat = stash[int(idx)][1:-1]  # keep '' escapes verbatim
         return _stash_add(stash, f"'^(?:{pat})$'")
+
+    # ^@ starts-with operator (before the power-^ arithmetic pass);
+    # LHS operand found with the right-to-left scanner so call and
+    # parenthesized operands work (lower(x) ^@ 'a')
+    while True:
+        m = re.search(r"\s*\^@\s*(\x00LIT\d+\x00|[A-Za-z_][A-Za-z0-9_.]*)", sql)
+        if m is None:
+            break
+        s = _operand_start(sql, m.start() - 1)
+        if s is None:
+            break  # malformed: leave for Spark's parser — loud
+        sql = (
+            sql[:s]
+            + f"startswith({sql[s : m.start()].strip()}, {m.group(1)})"
+            + sql[m.end() :]
+        )
+
+    # GLOB: full-match shell patterns → anchored RLIKE ('*'→'.*',
+    # '?'→'.', '[!..]'→'[^..]', regex specials escaped). Non-literal
+    # patterns fall through to Spark's parser — loud, not silent.
+    def glob_re(idx: str) -> str:
+        pat = stash[int(idx)][1:-1]
+        out, i = [], 0
+        while i < len(pat):
+            c = pat[i]
+            if c == "*":
+                out.append(".*")
+            elif c == "?":
+                out.append(".")
+            elif c == "[":
+                j = pat.find("]", i + 1)
+                if j == -1:
+                    out.append(re.escape(c))
+                else:
+                    body = pat[i + 1 : j]
+                    if body.startswith("!"):
+                        body = "^" + body[1:]
+                    out.append("[" + body + "]")
+                    i = j
+            else:
+                out.append(re.escape(c))
+            i += 1
+        return _stash_add(stash, "'^(?:" + "".join(out) + ")$'")
+
+    sql = re.sub(
+        ident + r"\s+GLOB\s+" + ph,
+        lambda m: f"{m.group(1)} RLIKE {glob_re(m.group(2))}",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        ident + r"\s+NOT\s+GLOB\s+" + ph,
+        lambda m: f"{m.group(1)} NOT RLIKE {glob_re(m.group(2))}",
+        sql,
+        flags=re.IGNORECASE,
+    )
 
     sql = re.sub(
         ident + r"\s*!~\s*" + ph,
@@ -1703,22 +1793,46 @@ def rewrite_series_table_functions(sql: str) -> str:
     ``sequence`` via rewrite_function_renames' table. Timestamp ranges
     with INTERVAL steps lower through sequence() on both forms."""
 
+    def _temporal_args(args: str) -> list[str] | None:
+        """For a temporal series call, the arg list with DATE literal
+        endpoints cast to TIMESTAMP (DuckDB yields TIMESTAMP rows for
+        date series — probed, batch 25); None if not temporal."""
+        if "\x00" not in args and not re.search(
+            r"\bINTERVAL\b", args, re.IGNORECASE
+        ):
+            return None
+        items = _split_top_level(args)
+        out = []
+        for i, it in enumerate(items):
+            it = it.strip()
+            if i < 2 and re.match(r"DATE\b", it, re.IGNORECASE):
+                it = f"CAST({it} AS TIMESTAMP)"
+            out.append(it)
+        return out
+
     def render_range(kw: str, args: str) -> str:
-        if "\x00" in args or re.search(r"\bINTERVAL\b", args, re.IGNORECASE):
-            # temporal range: Spark range() is numeric-only; sequence()
-            # handles timestamps and is end-inclusive — DuckDB's range
-            # is end-exclusive, so this stays unsupported loudly rather
-            # than silently off-by-one.
-            return f"{kw} range({args})"
+        temporal = _temporal_args(args)
+        if temporal is not None:
+            # DuckDB's temporal range is end-EXCLUSIVE; sequence() is
+            # inclusive — drop an element equal to the end bound (covers
+            # both step signs). Numeric-only Spark range() can't help.
+            if len(temporal) != 3:
+                return f"{kw} range({args})"  # loud: shape unsupported
+            a, b, s = temporal
+            return (
+                f"{kw} (SELECT explode(filter(sequence({a}, {b}, {s}), "
+                f"__x -> __x != {b})) AS range)"
+            )
         # \x00RANGE\x00 shields Spark's native table function from the
         # scalar-range shape rewrite; transpile unshields at the end.
         return f"{kw} (SELECT id AS range FROM \x00RANGE\x00({args}))"
 
     def render_gs(kw: str, args: str) -> str:
-        if "\x00" in args or re.search(r"\bINTERVAL\b", args, re.IGNORECASE):
+        temporal = _temporal_args(args)
+        if temporal is not None:
             # temporal series keep their timestamp element type
             return (
-                f"{kw} (SELECT explode(sequence({args})) "
+                f"{kw} (SELECT explode(sequence({', '.join(temporal)})) "
                 "AS generate_series)"
             )
         # DuckDB generate_series yields BIGINT; Spark sequence() of int
@@ -5168,6 +5282,214 @@ def rewrite_order_by_nulls(sql: str) -> str:
         pos = end
 
 
+def _operand_start(sql: str, end: int) -> int | None:
+    """Start index of the expression operand ENDING at ``end``
+    (inclusive): a right-to-left chain of identifier / placeholder
+    tokens, ``.`` links, ``::`` pg-casts, and balanced ``()`` / ``[]``
+    groups (with their function name, if any) — ``upper(x)``,
+    ``t.col``, ``('  x  ')``, ``x[1]``, ``s::timestamp``. None when no
+    valid operand ends there."""
+    k = end
+    while True:
+        if k < 0:
+            return None
+        c = sql[k]
+        if c in ")]":
+            open_ch = "(" if c == ")" else "["
+            depth, j = 0, k
+            while j >= 0:
+                if sql[j] == c:
+                    depth += 1
+                elif sql[j] == open_ch:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j < 0:
+                return None
+            k = j - 1
+            while k >= 0 and (sql[k].isalnum() or sql[k] in "_\x00"):
+                k -= 1
+        elif c.isalnum() or c in "_\x00":
+            while k >= 0 and (sql[k].isalnum() or sql[k] in "_\x00"):
+                k -= 1
+        else:
+            return None
+        if k >= 0 and sql[k] == ".":
+            k -= 1
+            continue
+        if k >= 1 and sql[k] == ":" and sql[k - 1] == ":":
+            k -= 2
+            continue
+        return k + 1
+
+
+_DOT_CALL = re.compile(r"\.\s*([A-Za-z_]\w*)\s*\(")
+
+
+def rewrite_dot_calls(sql: str) -> str:
+    """DuckDB method-call syntax ``expr.fn(args)`` → ``fn(expr, args)``
+    (docs/sql/functions/overview: "function chaining"; reference users
+    reach it through pass-through SQL, src/duckdb-backend.ts). Chains
+    left-fold naturally: ``('x').trim().upper()`` rewrites innermost
+    first on each scan restart. A dotted prefix stays part of the
+    operand (``s.a.lower()`` → ``lower(s.a)``), matching DuckDB's
+    resolution rule (rightmost name is the function, rest the first
+    argument). Runs on literal-protected text, after subscript/array
+    rewrites so ``x[1].fn()`` bases are already calls."""
+    while True:
+        for m in _DOT_CALL.finditer(sql):
+            s = _operand_start(sql, m.start() - 1)
+            if s is None:
+                continue
+            close_idx = _balanced_span(sql, m.end() - 1)
+            if close_idx == -1:
+                continue
+            base = sql[s : m.start()].strip()
+            args = sql[m.end() : close_idx].strip()
+            call = f"{m.group(1)}({base}, {args})" if args else f"{m.group(1)}({base})"
+            sql = sql[:s] + call + sql[close_idx + 1 :]
+            break
+        else:
+            return sql
+
+
+_AT_TIME_ZONE = re.compile(
+    r"\s+AT\s+TIME\s+ZONE\s+(\x00LIT\d+\x00)", re.IGNORECASE
+)
+
+
+def rewrite_at_time_zone(sql: str) -> str:
+    """``x AT TIME ZONE 'z'``: DuckDB interprets a NAIVE timestamp as
+    wall time in zone z and returns the instant (TIMESTAMPTZ) — exactly
+    Spark's ``to_utc_timestamp(x, z)`` under the engine's pinned UTC
+    session zone. A chained second hop (operand is already a
+    ``to_utc_timestamp(...)`` call, i.e. an instant) converts back to
+    wall time — ``from_utc_timestamp``. A ``TIMESTAMPTZ`` literal
+    operand is left untouched (loud downstream) rather than guessed."""
+    pos = 0
+    while True:
+        m = _AT_TIME_ZONE.search(sql, pos)
+        if m is None:
+            return sql
+        s = _operand_start(sql, m.start() - 1)
+        if s is None:
+            pos = m.end()
+            continue
+        base = sql[s : m.start()]
+        km = re.search(r"(TIMESTAMPTZ|TIMESTAMP|DATE)\s+$", sql[:s], re.IGNORECASE)
+        if km and km.group(1).upper() == "TIMESTAMPTZ":
+            pos = m.end()
+            continue
+        if km:
+            s = km.start(1)
+            base = sql[s : m.start()]
+        fn = (
+            "from_utc_timestamp"
+            if re.match(r"\s*to_utc_timestamp\s*\(", base, re.IGNORECASE)
+            else "to_utc_timestamp"
+        )
+        sql = sql[:s] + f"{fn}({base.strip()}, {m.group(1)})" + sql[m.end() :]
+        pos = s  # rescan from here: chained hops see the new call
+
+
+_WF_CALL = re.compile(r"(?<![\w.\x00])([A-Za-z_]\w*)\s*\(")
+
+
+def rewrite_window_filter(sql: str) -> str:
+    """``agg(x) FILTER (WHERE p) OVER w``: Spark rejects window
+    aggregates with a filter clause outright ("not supported yet",
+    probed on 4.1) while DuckDB accepts them. Lower to conditional
+    aggregation — each argument wrapped ``CASE WHEN p THEN arg END``
+    (``*`` → a guarded 1) — which every null-ignoring aggregate treats
+    as row exclusion. DISTINCT stays outside the CASE. Aggregates with
+    an in-call ORDER BY are left alone (their dedicated passes run
+    earlier and absorb FILTER themselves); plain non-window FILTER is
+    Spark-native and untouched."""
+    out, pos = [], 0
+    while True:
+        m = _WF_CALL.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        open_idx = m.end() - 1
+        close_idx = _balanced_span(sql, open_idx)
+        if close_idx == -1:
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
+        fm = re.match(r"\s*FILTER\s*\(", sql[close_idx + 1 :], re.IGNORECASE)
+        if fm is None:
+            out.append(sql[pos : open_idx + 1])
+            pos = open_idx + 1
+            continue
+        fopen = close_idx + 1 + fm.end() - 1
+        fclose = _balanced_span(sql, fopen)
+        if fclose == -1:
+            out.append(sql[pos : open_idx + 1])
+            pos = open_idx + 1
+            continue
+        om = re.match(r"\s*OVER\s*(\(|[A-Za-z_]\w*)", sql[fclose + 1 :], re.IGNORECASE)
+        body = sql[open_idx + 1 : close_idx]
+        if om is None or re.search(
+            r"\bORDER\s+BY\b", body, re.IGNORECASE
+        ) and any(
+            _depth_at(body, bm.start()) == 0
+            for bm in re.finditer(r"\bORDER\s+BY\b", body, re.IGNORECASE)
+        ):
+            out.append(sql[pos : open_idx + 1])
+            pos = open_idx + 1
+            continue
+        inner = sql[fopen + 1 : fclose].strip()
+        wm = re.match(r"WHERE\b(.*)$", inner, re.IGNORECASE | re.DOTALL)
+        pred = (wm.group(1) if wm else inner).strip()
+        distinct = ""
+        bm = re.match(r"\s*DISTINCT\b(.*)$", body, re.IGNORECASE | re.DOTALL)
+        if bm:
+            distinct, body = "DISTINCT ", bm.group(1)
+        args = [a.strip() for a in _split_top_level(body)]
+        if args == ["*"]:
+            new_args = [f"CASE WHEN {pred} THEN 1 END"]
+        else:
+            new_args = [f"CASE WHEN {pred} THEN {a} END" for a in args if a]
+        out.append(sql[pos : m.start()])
+        out.append(f"{m.group(1)}({distinct}{', '.join(new_args)})")
+        pos = fclose + 1  # keep OVER onwards, drop the FILTER clause
+
+
+def rewrite_union_functions(sql: str, stash: list[str]) -> str:
+    """DuckDB UNION-type constructor/extractor (probed batch 25):
+    ``union_value(tag := x)`` → ``named_struct('tag', x)`` and
+    ``union_extract(u, 'tag')`` → parenthesized struct field access.
+    Parquet has no union type (DuckDB materializes tagged structs), so
+    the struct mapping is exact for anything a reference user can
+    round-trip through files. ``union_tag`` is left unresolved — loud —
+    rather than guessed from an unknowable runtime tag."""
+
+    def uv(args):
+        if len(args) != 1:
+            return None
+        am = re.match(r"([A-Za-z_]\w*)\s*:=\s*(.+)$", args[0], re.DOTALL)
+        if am is None:
+            return None
+        tag = _stash_add(stash, f"'{am.group(1)}'")
+        return f"named_struct({tag}, {am.group(2).strip()})"
+
+    def ux(args):
+        if len(args) != 2:
+            return None
+        lm = re.fullmatch(r"\x00LIT(\d+)\x00", args[1])
+        if lm is None:
+            return None
+        tag = stash[int(lm.group(1))][1:-1]
+        if not re.fullmatch(r"[A-Za-z_]\w*", tag):
+            return None
+        return f"({args[0]}).{tag}"
+
+    sql = _rewrite_calls(sql, "union_value", uv)
+    return _rewrite_calls(sql, "union_extract", ux)
+
+
 def transpile(
     sql: str,
     view: str = "data",
@@ -5199,6 +5521,7 @@ def transpile(
     sql = rewrite_string_split(sql, stash)
     sql = rewrite_list_aggregate(sql, stash)
     sql = rewrite_timestamp_literals(sql)
+    sql = rewrite_at_time_zone(sql)
     # Literal-date arithmetic parity (batch 24): DuckDB types
     # DATE - DATE as BIGINT days (Spark: INTERVAL) and DATE ± INTERVAL
     # as TIMESTAMP (Spark: DATE). Literal operands only — column types
@@ -5225,6 +5548,7 @@ def transpile(
     sql = rewrite_map_literals(sql)  # before struct literals eat MAP {…}
     sql = rewrite_struct_literals(sql)
     sql = rewrite_array_literals(sql)
+    sql = rewrite_dot_calls(sql)
     sql = rewrite_len(sql, array_columns)
     sql = rewrite_postfix_factorial(sql)
     sql = rewrite_arithmetic_operators(sql)
@@ -5234,6 +5558,7 @@ def transpile(
     sql = rewrite_series_table_functions(sql)
     sql = rewrite_multi_unnest(sql)
     sql = rewrite_function_shapes(sql, stash)
+    sql = rewrite_union_functions(sql, stash)
     # DuckDB's FILTER (pred) shorthand (no WHERE keyword) — only after a
     # closing paren, so the filter() higher-order FUNCTION is untouched
     sql = re.sub(
@@ -5242,6 +5567,7 @@ def transpile(
         sql,
         flags=re.IGNORECASE,
     )
+    sql = rewrite_window_filter(sql)
     sql = rewrite_window_distinct(sql, integral_columns)
     sql = rewrite_minmax_exclude(sql)
     sql = rewrite_window_exclude(sql)
