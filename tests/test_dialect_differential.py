@@ -1801,3 +1801,80 @@ def test_differential_batch25(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-8 hunt batch 26: probed ~60 surfaces (top-N/bit/bool/product/
+# histogram/mode aggregates, string+date scalars, struct_pack family,
+# regexp forms, list predicates). Fixes: typeof() mapped to DuckDB
+# type spellings, regexp_full_match anchored, unnest(recursive :=
+# true) flattened. Probed-green anchors below; known representation
+# divergences (histogram MAP render, Row field names in list_zip/row,
+# tz-aware render of timezone()) are client-side only.
+CORPUS_R8_BATCH26 = [
+    # fixes
+    """SELECT typeof(1::INTEGER) AS t1, typeof('x') AS t2,
+              typeof(1.5::DECIMAL(18,4)) AS t3, typeof(DATE '2024-01-01') AS t4""",
+    """SELECT regexp_matches('abc123', '[0-9]+') AS m,
+              regexp_full_match('abc', '[a-z]+') AS f,
+              regexp_full_match('abc', '[a-z]') AS g""",
+    """SELECT unnest([[1,2],[3]], recursive := true) AS u""",
+    # aggregate anchors
+    """SELECT bool_and(o_totalprice > 0) AS ba,
+              bool_or(o_totalprice > 400000) AS bo FROM orders""",
+    """SELECT bit_and(o_orderkey) AS a, bit_or(o_orderkey) AS o,
+              bit_xor(o_orderkey) AS x FROM orders WHERE o_orderkey < 50""",
+    """SELECT round(product(1.0 + o_totalprice/1e9),6) AS p
+       FROM orders WHERE o_orderkey < 200""",
+    """SELECT mode(o_orderpriority) AS m FROM orders""",
+    """SELECT median(x) AS m FROM (VALUES (1),(2),(3),(4)) t(x)""",
+    """SELECT arg_min(o_orderkey, o_totalprice) AS am,
+              arg_max(o_orderkey, o_totalprice) AS ax FROM orders""",
+    # string scalars
+    """SELECT left(r_name, 3) AS l, right(r_name, 3) AS r,
+              left(r_name, -2) AS ln, right(r_name, -2) AS rn
+       FROM region ORDER BY r_regionkey""",
+    """SELECT translate('ABCA', 'AB', 'xy') AS t, repeat('ab', 3) AS rp,
+              reverse('abc') AS rv""",
+    """SELECT ascii('A') AS a, chr(66) AS c, unicode('€') AS u""",
+    """SELECT levenshtein('kitten', 'sitting') AS d, hamming('abc', 'abd') AS h""",
+    """SELECT format('{} x {}', 2, 'b') AS f, printf('%d-%s', 7, 'z') AS p""",
+    """SELECT hex(255) AS h, unhex('4142') AS u, bin(5) AS b,
+              to_base(255, 16) AS b16""",
+    """SELECT md5('abc') AS m, sha256('abc') AS s""",
+    """SELECT split_part('a,b,c', ',', 2) AS s, split_part('a,b', ',', 9) AS oob,
+              instr('hello', 'll') AS i, position('ll' IN 'hello') AS po""",
+    """SELECT regexp_split_to_array('a1b22c', '[0-9]+') AS r,
+              regexp_extract('ab12cd', '([a-z]+)([0-9]+)', 2) AS g""",
+    # date/time scalars
+    """SELECT last_day(DATE '2024-02-05') AS ld, make_date(2024, 3, 5) AS d,
+              make_timestamp(2024, 3, 5, 10, 30, 0) AS ts""",
+    """SELECT week(DATE '2024-03-05') AS w, quarter(DATE '2024-03-05') AS q,
+              dayofyear(DATE '2024-03-05') AS dy""",
+    """SELECT date_diff('day', DATE '2024-01-01', DATE '2024-03-01') AS dd,
+              datediff('month', DATE '2024-01-15', DATE '2024-03-10') AS dm""",
+    """SELECT round(julian(DATE '2024-01-01'), 1) AS j""",
+    # list + struct anchors
+    """SELECT list_has_any([1,2],[2,3]) AS a, list_has_all([1,2,3],[1,3]) AS b,
+              list_position([7,8,9], 8) AS p, list_position([7], 99) AS miss""",
+    """SELECT list_value(1, 2, 3) AS l, list_reverse_sort([2,3,1]) AS r,
+              list_sort(list_distinct([3,1,3,2])) AS d""",
+    """SELECT range(1, 6) AS r, range(0, 10, 3) AS s, range(5) AS z""",
+    """SELECT struct_pack(a := 1, b := 'x') AS s""",
+    """SELECT struct_extract(struct_pack(a := 7), 'a') AS v""",
+    """SELECT struct_insert(struct_pack(a := 1), b := 2) AS s""",
+    """SELECT generate_subscripts([10,20,30], 1) AS g""",
+    # misc
+    """SELECT if(1 > 2, 'a', 'b') AS i, ifnull(NULL, 9) AS f""",
+    """SELECT (NULL IS DISTINCT FROM NULL) AS a,
+              (1 IS NOT DISTINCT FROM 1) AS b""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R8_BATCH26, ids=range(len(CORPUS_R8_BATCH26))
+)
+def test_differential_batch26(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -4415,6 +4415,60 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             else None
         ),
     )
+    # unnest(x, recursive := true): DuckDB fully flattens nested lists;
+    # one flatten level covers the list<list<T>> case (deeper nesting
+    # or struct spreading stays loud)
+    sql = _rewrite_calls(
+        sql, "unnest",
+        lambda a: (
+            f"explode(flatten({a[0]}))"
+            if len(a) == 2
+            and re.fullmatch(
+                r"recursive\s*:=\s*true", a[1].strip(), re.IGNORECASE
+            )
+            else None
+        ),
+    )
+    # regexp_full_match(s, p): DuckDB's named form of the ~ operator —
+    # anchor literal patterns in the stash; non-literal via concat
+    def full_match_x(a):
+        if len(a) != 2:
+            return None
+        lm = re.fullmatch(r"\x00LIT(\d+)\x00", a[1])
+        if lm is not None and stash is not None:
+            pat = stash[int(lm.group(1))][1:-1]
+            ph = _stash_add(stash, f"'^(?:{pat})$'")
+            return f"regexp_like({a[0]}, {ph})"
+        return f"regexp_like({a[0]}, concat('^(?:', {a[1]}, ')$'))"
+
+    sql = _rewrite_calls(sql, "regexp_full_match", full_match_x)
+
+    # typeof(x): map Spark's lowercase type names onto DuckDB's
+    # spellings for the scalar types (batch 26); the upper() fallback
+    # keeps DECIMAL(p,s) exact and leaves exotic nested renders loud
+    # rather than silently wrong
+    _TYPEOF_MAP = (
+        ("int", "INTEGER"), ("string", "VARCHAR"), ("bigint", "BIGINT"),
+        ("smallint", "SMALLINT"), ("tinyint", "TINYINT"),
+        ("float", "FLOAT"), ("double", "DOUBLE"),
+        ("boolean", "BOOLEAN"), ("date", "DATE"), ("binary", "BLOB"),
+        ("void", '"NULL"'), ("timestamp", "TIMESTAMP"),
+        ("timestamp_ntz", "TIMESTAMP"),
+    )
+
+    def typeof_x(a):
+        if len(a) != 1 or stash is None:
+            return None
+        pairs = ", ".join(
+            f"{_stash_add(stash, repr(k))}, {_stash_add(stash, repr(v))}"
+            for k, v in _TYPEOF_MAP
+        )
+        return (
+            f"coalesce(element_at(map({pairs}), typeof({a[0]})), "
+            f"upper(typeof({a[0]})))"
+        )
+
+    sql = _rewrite_calls(sql, "typeof", typeof_x)
     # bitstring(s, n): zero-pad the bit string to width n
     sql = _rewrite_calls(
         sql, "bitstring",
