@@ -1878,3 +1878,81 @@ def test_differential_batch26(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-8 hunt batch 27: statement-level spellings (SEMI/ANTI JOIN,
+# LIMIT p%, FETCH FIRST, OFFSET ... ROWS, [NOT] MATERIALIZED CTEs),
+# ordered-set aggregates, // float semantics, epoch of INTERVAL,
+# try_strptime, listagg alias, array_* lambda aliases. Documented-not-
+# fixed: ``[1] || NULL`` (untyped NULL, loud Spark type error) and
+# float-typed COLUMNS under // (statically unknowable — stays div).
+CORPUS_R8_BATCH27 = [
+    # joins — SEMI/ANTI keyword spellings (probed green: pass-through)
+    """SELECT count(*) AS n FROM nation SEMI JOIN region
+       ON n_regionkey = r_regionkey AND r_name ^@ 'A'""",
+    """SELECT count(*) AS n FROM nation ANTI JOIN region
+       ON n_regionkey = r_regionkey AND r_name ^@ 'A'""",
+    # ANSI/statement spellings
+    """SELECT o_orderkey FROM orders ORDER BY o_orderkey
+       FETCH FIRST 3 ROWS ONLY""",
+    """SELECT count(*) AS n FROM (SELECT * FROM orders
+       ORDER BY o_orderkey OFFSET 9990) t""",
+    """WITH t AS MATERIALIZED (SELECT r_regionkey, r_name FROM region)
+       SELECT count(*) AS n FROM t""",
+    """WITH t AS NOT MATERIALIZED (SELECT r_regionkey FROM region)
+       SELECT count(*) AS n FROM t""",
+    # LIMIT p%: floor(n*p/100) rows, ORDER BY respected
+    """SELECT count(*) AS n FROM (SELECT * FROM orders LIMIT 10%) t""",
+    """SELECT r_regionkey FROM region ORDER BY r_regionkey DESC LIMIT 40%""",
+    # ordered-set aggregates
+    """SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+              percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25
+       FROM orders""",
+    """SELECT mode() WITHIN GROUP (ORDER BY o_orderpriority) AS m FROM orders""",
+    # // semantics: float literal operand -> plain division; ints truncate
+    """SELECT 7 // 2 AS i, -7 // 2 AS ni, 7.0 // 2 AS f, 7.5 // 2 AS f2""",
+    # epoch of INTERVAL (day-time, fractional seconds, year-month)
+    """SELECT extract(epoch FROM INTERVAL 90 MINUTE) AS e,
+              extract(epoch FROM INTERVAL '1.5 seconds') AS f,
+              date_part('minute', INTERVAL 90 MINUTE) AS m""",
+    """SELECT extract(epoch FROM INTERVAL 14 MONTH) AS em""",
+    # parse/format
+    """SELECT try_strptime('2024-03-05', '%Y-%m-%d') AS ok,
+              try_strptime('bogus', '%Y-%m-%d') AS bad""",
+    """SELECT listagg(o_orderstatus, '|' ORDER BY o_orderstatus) AS la
+       FROM (SELECT DISTINCT o_orderstatus FROM orders) t""",
+    # lambda aliases
+    """SELECT list_apply([1,2], x -> x + 1) AS a,
+              array_transform([1,2], x -> x * 3) AS t,
+              array_filter([1,2,3,4], x -> x % 2 = 0) AS f""",
+    # misc anchors probed green
+    """SELECT TIME '10:30:00' AS t""",
+    """SELECT round(stddev(o_totalprice),4) AS s,
+              round(stddev_pop(o_totalprice),4) AS sp,
+              round(corr(o_totalprice, o_orderkey),6) AS c FROM orders""",
+    """SELECT o_orderstatus, grouping(o_orderstatus) AS g,
+              CAST(count(*) AS BIGINT) AS n
+       FROM orders GROUP BY ROLLUP(o_orderstatus)
+       ORDER BY g, o_orderstatus NULLS LAST""",
+    """SELECT map_keys(map(['a','b'],[1,2])) AS k,
+              map_values(map(['a'],[9])) AS v,
+              cardinality(map(['a','b'],[1,2])) AS c""",
+    """SELECT list_where([10,20,30], [true,false,true]) AS w,
+              list_select([10,20,30], [1,3]) AS s""",
+    """SELECT o_orderkey, ntile(4) OVER (ORDER BY o_orderkey) AS nt,
+              round(cume_dist() OVER (ORDER BY o_orderkey), 6) AS cd
+       FROM orders ORDER BY o_orderkey LIMIT 8""",
+    """WITH orders AS (SELECT 1 AS x) SELECT x FROM orders""",
+    """SELECT json_keys('{"a":1,"b":{"c":2}}') AS k,
+              json_valid('{"a":1}') AS v, json_valid('nope') AS nv""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R8_BATCH27, ids=range(len(CORPUS_R8_BATCH27))
+)
+def test_differential_batch27(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

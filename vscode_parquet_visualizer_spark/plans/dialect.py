@@ -45,6 +45,9 @@ FUNCTION_RENAMES = {
     # rewrite_function_shapes (array_sort default / comparator forms).
     "list_transform": "transform",
     "list_filter": "filter",
+    "array_transform": "transform",
+    "array_apply": "transform",
+    "array_filter": "filter",
     "array_length": "size",
     "regexp_matches": "regexp_like",
     "array_to_string": "array_join",  # both (array, delimiter)
@@ -314,14 +317,16 @@ def rewrite_strftime(sql: str, stash: list[str] | None = None) -> str:
     )
 
     # the parse direction: strptime(str, '%d/%m/%Y') → to_timestamp with
-    # the same pattern translation
+    # the same pattern translation; try_strptime keeps its NULL-on-
+    # failure contract via try_to_timestamp (batch 27)
     def sub_parse(m: re.Match) -> str:
-        fmt = translate_strftime_pattern(_lit_text(stash, m.group(2)))
+        fmt = translate_strftime_pattern(_lit_text(stash, m.group(3)))
         lit = "'" + fmt.replace("'", "''") + "'"
-        return f"to_timestamp({m.group(1)}, {_stash_add(stash, lit)})"
+        fn = "try_to_timestamp" if m.group(1) else "to_timestamp"
+        return f"{fn}({m.group(2)}, {_stash_add(stash, lit)})"
 
     sql = re.sub(
-        r"\b(?:try_)?strptime\s*\(\s*([^,()]+?)\s*,\s*\x00LIT(\d+)\x00\s*\)",
+        r"\b(try_)?strptime\s*\(\s*([^,()]+?)\s*,\s*\x00LIT(\d+)\x00\s*\)",
         sub_parse,
         sql,
         flags=re.IGNORECASE,
@@ -939,7 +944,22 @@ def rewrite_arithmetic_operators(sql: str) -> str:
     Operand scope: simple operands (identifier/number/paren group), the
     common case; anything fancier is left for the parser."""
     operand = r"(\([^()]*\)|[A-Za-z_][A-Za-z0-9_.]*(?:\([^()]*\))?|\d+(?:\.\d+)?)"
-    sql = re.sub(operand + r"\s*//\s*", r"\1 div ", sql)
+
+    # // on a FLOAT literal operand is plain division in DuckDB
+    # (probed batch 27: 7.5 // 2 = 3.75, typed DOUBLE); integer
+    # operands truncate toward zero, which Spark's div matches
+    # (-7 // 2 = -3 in both). Column-typed floats are not statically
+    # knowable — they keep div (documented divergence).
+    def intdiv(m: re.Match) -> str:
+        a, b = m.group(1), m.group(2)
+        if re.fullmatch(r"\d+\.\d+", a) or re.fullmatch(r"\d+\.\d+", b):
+            return f"{a} / {b}"
+        return f"{a} div {b}"
+
+    prev = None
+    while prev != sql:  # left-fold chains: a//b//c -> (a div b) div c
+        prev = sql
+        sql = re.sub(operand + r"\s*//\s*" + operand, intdiv, sql, count=1)
     pow_pat = re.compile(operand + r"\s*(?:\*\*|\^)\s*" + operand)
     prev = None
     while prev != sql:  # left-fold chains: a^b^c -> power(power(a,b),c)
@@ -2811,6 +2831,7 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
 
     sql = _rewrite_calls(sql, "string_agg", string_agg_x)
     sql = _rewrite_calls(sql, "group_concat", string_agg_x)  # alias
+    sql = _rewrite_calls(sql, "listagg", string_agg_x)  # alias (batch 27)
     def quantile_disc_x(a):
         if len(a) != 2:
             return None
@@ -2977,6 +2998,39 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
                 f"+ weekofyear({x}) AS BIGINT)"
             )
         if part == "epoch":
+            if re.match(r"INTERVAL\b", x.strip(), re.IGNORECASE):
+                # epoch of an INTERVAL (batch 27, probed): DOUBLE total
+                # seconds; 365.25-day years / 30-day months (the age()
+                # convention). Literal units pick the path — Spark's
+                # year-month and day-time intervals are distinct types.
+                # Units may hide inside a protected string literal
+                # (INTERVAL '1.5 seconds') — expand the stash to probe.
+                probe = x
+                if stash is not None:
+                    probe = re.sub(
+                        r"\x00LIT(\d+)\x00",
+                        lambda lm: _lit_text(stash, lm.group(1)),
+                        probe,
+                    )
+                if re.search(
+                    r"\b(YEARS?|MONTHS?)\b", probe, re.IGNORECASE
+                ) and not re.search(
+                    r"\b(DAYS?|HOURS?|MINUTES?|SECONDS?|WEEKS?)\b",
+                    probe,
+                    re.IGNORECASE,
+                ):
+                    months = f"CAST(CAST(({x}) AS INTERVAL MONTH) AS BIGINT)"
+                    return (
+                        f"(({months} DIV 12) * 31557600.0"
+                        f" + pmod({months}, 12) * 2592000.0)"
+                    )
+                secs = f"CAST(CAST(({x}) AS INTERVAL SECOND) AS BIGINT)"
+                if not re.search(r"\bSECONDS?\b", probe, re.IGNORECASE):
+                    # no SECOND field in the literal: extract(SECOND)
+                    # would be an INVALID_EXTRACT_FIELD — whole seconds
+                    return f"CAST({secs} AS DOUBLE)"
+                frac = f"CAST(extract(SECOND FROM ({x})) AS DOUBLE)"
+                return f"({secs} + ({frac} - floor({frac})))"
             # DuckDB epoch() is a fractional DOUBLE (probed: 1.5-second
             # timestamps return ....5) — unix_seconds would truncate
             return f"(unix_micros(CAST({x} AS TIMESTAMP)) / CAST(1e6 AS DOUBLE))"
@@ -3484,7 +3538,10 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     sql = _rewrite_calls(sql, "list_transform", idx_lambda("transform"))
     sql = _rewrite_calls(sql, "apply", idx_lambda("transform"))
     sql = _rewrite_calls(sql, "list_apply", idx_lambda("transform"))
+    sql = _rewrite_calls(sql, "array_transform", idx_lambda("transform"))
+    sql = _rewrite_calls(sql, "array_apply", idx_lambda("transform"))
     sql = _rewrite_calls(sql, "list_filter", idx_lambda("filter"))
+    sql = _rewrite_calls(sql, "array_filter", idx_lambda("filter"))
 
     # printf: Java's %f/%d/%x reject the DECIMAL/INT types Spark gives
     # literals — cast each arg to what its conversion expects
@@ -5336,6 +5393,81 @@ def rewrite_order_by_nulls(sql: str) -> str:
         pos = end
 
 
+def rewrite_ansi_fetch(sql: str) -> str:
+    """ANSI limit spellings (batch 27): ``OFFSET n ROWS`` → ``OFFSET
+    n``; ``FETCH FIRST|NEXT [n] ROW[S] ONLY`` → ``LIMIT n`` (count
+    defaults to 1). ``WITH TIES`` has no Spark equivalent and is left
+    for the parser — loud."""
+    sql = re.sub(
+        r"\bOFFSET\s+(\d+)\s+ROWS?\b", r"OFFSET \1", sql, flags=re.IGNORECASE
+    )
+    return re.sub(
+        r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+\s+)?ROWS?\s+ONLY\b",
+        lambda m: f"LIMIT {(m.group(1) or '1').strip()}",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def rewrite_cte_materialized(sql: str) -> str:
+    """``WITH t AS [NOT] MATERIALIZED (...)``: DuckDB materialization
+    hints carry no semantics Spark can honor per-CTE — strip them (the
+    global spark.sql.cteRecursionCacheEnabled/plan caching decide)."""
+    return re.sub(
+        r"\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(",
+        "AS (",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def rewrite_limit_percent(sql: str) -> str:
+    """DuckDB percentage limits ``LIMIT p%`` (probed: floor(n*p/100)
+    rows, ORDER BY respected) have no Spark spelling. Lower the query
+    block to a windowed form: its top-level ORDER BY moves into a
+    row_number() window, count(*) OVER () supplies n, and the helper
+    columns are dropped by the outer projection. A block with no ORDER
+    BY keeps arbitrary-subset semantics (OVER () is unordered) — the
+    same contract DuckDB documents."""
+    while True:
+        m = re.search(r"\bLIMIT\s+(\d+(?:\.\d+)?)\s*%", sql, re.IGNORECASE)
+        if m is None:
+            return sql
+        pct = m.group(1)
+        depth, start = 0, 0
+        for i in range(m.start() - 1, -1, -1):
+            c = sql[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    start = i + 1
+                    break
+                depth -= 1
+        q = sql[start : m.start()].strip()
+        tail = sql[m.end() :]
+        ob = ""
+        for om in re.finditer(r"\bORDER\s+BY\b", q, re.IGNORECASE):
+            if _depth_at(q, om.start()) == 0:
+                ob = q[om.end() :].strip()
+                q = q[: om.start()].rstrip()
+                break
+        win = (
+            f"OVER (ORDER BY {ob})"
+            if ob
+            # Spark's row_number demands an ordered window; with no
+            # ORDER BY any subset is valid — order on the rows' arrival
+            else "OVER (ORDER BY monotonically_increasing_id())"
+        )
+        repl = (
+            f"SELECT * EXCEPT (__rn, __pn) FROM ("
+            f"SELECT __q.*, row_number() {win} AS __rn, "
+            f"count(*) OVER () AS __pn FROM ({q}) __q) __lp "
+            f"WHERE __rn <= floor(__pn * {pct} / 100.0) ORDER BY __rn"
+        )
+        sql = sql[:start] + repl + tail
+
+
 def _operand_start(sql: str, end: int) -> int | None:
     """Start index of the expression operand ENDING at ``end``
     (inclusive): a right-to-left chain of identifier / placeholder
@@ -5572,6 +5704,9 @@ def transpile(
     sql = rewrite_regex_operators(sql, stash)
     sql = rewrite_any_all(sql)
     sql = rewrite_not_in_subquery(sql)
+    sql = rewrite_cte_materialized(sql)
+    sql = rewrite_ansi_fetch(sql)
+    sql = rewrite_limit_percent(sql)
     sql = rewrite_string_split(sql, stash)
     sql = rewrite_list_aggregate(sql, stash)
     sql = rewrite_timestamp_literals(sql)
