@@ -1956,3 +1956,100 @@ def test_differential_batch27(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-8 hunt batch 28: regression-stats aggregates, bit surfaces
+# (BITSTRING literal accessors, width-aware bit_count), DuckDB function
+# spellings of arithmetic (divide/fdiv/fmod — floor-division pair),
+# temporal isfinite/isinf, and ~20 probed-green anchors. Documented-not-
+# fixed (representation, not value): map_from_entries/list_zip return
+# shapes differ pythonside; GROUPS frames and 3-arg arg_max are not in
+# the oracle's DuckDB build, so no differential is possible.
+CORPUS_R8_BATCH28 = [
+    # linear-regression aggregate family (probed green: same names)
+    """SELECT round(regr_slope(o_totalprice, o_orderkey), 6) AS s,
+              round(regr_intercept(o_totalprice, o_orderkey), 4) AS i,
+              round(regr_r2(o_totalprice, o_orderkey), 6) AS r2,
+              regr_count(o_totalprice, o_orderkey) AS c FROM orders""",
+    """SELECT round(regr_avgx(o_totalprice, o_orderkey), 4) AS ax,
+              round(regr_avgy(o_totalprice, o_orderkey), 4) AS ay,
+              round(regr_sxx(o_totalprice, o_orderkey), 2) AS sxx,
+              round(regr_syy(o_totalprice, o_orderkey), 2) AS syy,
+              round(regr_sxy(o_totalprice, o_orderkey), 2) AS sxy
+       FROM orders""",
+    # function spellings of / and floor-division (fdiv/fmod: remainder
+    # takes the divisor's sign, both DOUBLE)
+    """SELECT divide(7, 2) AS a, divide(7.5, 2) AS b, divide(-7, 2) AS c""",
+    """SELECT fdiv(7.5, 2) AS a, fdiv(-7.5, 2) AS b, fdiv(7, 2) AS c,
+              fmod(7.5, 2) AS d, fmod(-7.5, 2) AS e, fmod(7, 3) AS f""",
+    # bit_count counts within the CAST width; bitstring literal accessors
+    """SELECT bit_count(CAST(-1 AS TINYINT)) AS a,
+              bit_count(CAST(-1 AS SMALLINT)) AS b,
+              bit_count(CAST(-1 AS INTEGER)) AS c, bit_count(7) AS d""",
+    """SELECT get_bit(BITSTRING '0101', 1) AS g,
+              CAST(set_bit(BITSTRING '0101', 0, 1) AS VARCHAR) AS s,
+              CAST(set_bit(BITSTRING '0101', 3, 0) AS VARCHAR) AS s2,
+              bit_length(BITSTRING '0101') AS bl,
+              bit_position(BITSTRING '01', BITSTRING '0101') AS bp,
+              bit_length('ab') AS bytes8""",
+    # temporal finiteness (Spark types have no ±infinity sentinels)
+    """SELECT isfinite(DATE '2024-01-01') AS f,
+              isfinite(TIMESTAMP '2024-01-01') AS ft, isfinite(1.0) AS fn,
+              isfinite(CAST('inf' AS DOUBLE)) AS fi,
+              isfinite(CAST(NULL AS DATE)) AS nn,
+              isinf(DATE '2024-01-01') AS i""",
+    # probed-green anchors
+    """SELECT o_orderkey, lag(v IGNORE NULLS) OVER (ORDER BY o_orderkey) AS p
+       FROM (SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 0
+                                     THEN o_orderkey END AS v
+             FROM orders ORDER BY o_orderkey LIMIT 6) t
+       ORDER BY o_orderkey""",
+    """SELECT to_base(255, 16) AS h, to_base(10, 2) AS b, bin(5) AS bn,
+              hex(255) AS hx""",
+    """SELECT format('{} and {}', 1, 'x') AS f,
+              format('{:.2f}', 3.14159) AS f2""",
+    """SELECT left('hello', -2) AS l, right('hello', -2) AS r,
+              left('hello', 2) AS l2, right('hello', 2) AS r2""",
+    """SELECT unicode('A') AS u, ord('B') AS o, chr(67) AS c,
+              repeat('ab', -1) AS rn, repeat('ab', 0) AS rz""",
+    """SELECT nextafter(1.0, 2.0) AS n, even(2.5) AS e, even(-2.5) AS ne,
+              signbit(-0.0) AS s, round(cot(1.0), 6) AS c""",
+    """SELECT regexp_split_to_array('a1b22c', '[0-9]+') AS a,
+              string_split_regex('x.y.z', '\\.') AS b""",
+    """SELECT quantile_cont(o_totalprice, [0.25, 0.5]) AS q FROM orders""",
+    """SELECT greatest(1, NULL, 3) AS g, least(NULL, NULL) AS l,
+              greatest('a', 'b') AS gs""",
+    """SELECT string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus)
+       AS s FROM orders""",
+    """SELECT ends_with('hello', 'lo') AS e, starts_with('hello', 'he') AS s,
+              suffix('hello', 'lo') AS sx, prefix('hello', 'he') AS px""",
+    """SELECT list_sort([3,1,2], 'DESC') AS d, list_reverse_sort([3,1,2]) AS r,
+              list_sort([3,NULL,1], 'ASC', 'NULLS FIRST') AS nf""",
+    """SELECT md5('abc') AS m, sha256('abc') AS s, hamming('abc','abd') AS h,
+              mismatches('abc','abd') AS mm""",
+    """SELECT s.* FROM (SELECT {'a': 1, 'b': 2} AS s) t""",
+    """SELECT list_reduce([1,2,3], (x, y) -> x + y) AS r,
+              reduce([1,2,3,4], (x, y) -> x * y) AS p,
+              flatten([[1,2],[3]]) AS f""",
+    """SELECT map_entries(map(['a','b'],[1,2])) AS e,
+              map_extract(map(['a'],[9]), 'a') AS x""",
+    """SELECT position('lo' IN 'hello') AS p, strpos('hello', 'lo') AS s,
+              instr('hello', 'lo') AS i,
+              substring('hello' FROM 2 FOR 3) AS sb,
+              substring('hello' FROM 3) AS sb2""",
+    """SELECT trim(BOTH 'x' FROM 'xxaxx') AS b,
+              trim(LEADING 'x' FROM 'xxaxx') AS l,
+              trim(TRAILING 'x' FROM 'xxaxx') AS t""",
+    """SELECT last_day(DATE '2024-02-05') AS ld,
+              last_day(TIMESTAMP '2023-06-05 10:00:00') AS lt""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R8_BATCH28, ids=range(len(CORPUS_R8_BATCH28))
+)
+def test_differential_batch28(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -953,7 +953,8 @@ def rewrite_arithmetic_operators(sql: str) -> str:
     def intdiv(m: re.Match) -> str:
         a, b = m.group(1), m.group(2)
         if re.fullmatch(r"\d+\.\d+", a) or re.fullmatch(r"\d+\.\d+", b):
-            return f"{a} / {b}"
+            # DOUBLE like DuckDB — Spark would type this DECIMAL
+            return f"CAST({a} / {b} AS DOUBLE)"
         return f"{a} div {b}"
 
     prev = None
@@ -3199,17 +3200,168 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
 
     # float classification: isfinite/isinf have no Spark spelling
     # (NaN compares greater than any value in Spark, so abs(x) < inf is
-    # false for NaN — exactly DuckDB's isfinite)
+    # false for NaN — exactly DuckDB's isfinite). DuckDB also accepts
+    # DATE/TIMESTAMP (finite unless the ±infinity sentinels, which
+    # Spark's types cannot represent): a temporal-literal/cast arg
+    # lowers to a NULL-propagating constant instead of abs() (batch 28).
+    def _temporal_arg(x: str) -> bool:
+        return bool(
+            re.search(
+                r"\b(?:DATE|TIMESTAMP(?:TZ)?)\s*\x00LIT\d+\x00"
+                r"|\bAS\s+(?:DATE|TIMESTAMP(?:_NTZ|TZ)?)\s*\)",
+                x,
+                re.IGNORECASE,
+            )
+        )
+
     sql = _rewrite_calls(
         sql,
         "isfinite",
-        lambda a: f"(abs({a[0]}) < double('Infinity'))" if len(a) == 1 else None,
+        lambda a: (
+            (
+                f"(({a[0]}) = ({a[0]}))"
+                if _temporal_arg(a[0])
+                else f"(abs({a[0]}) < double('Infinity'))"
+            )
+            if len(a) == 1
+            else None
+        ),
     )
     sql = _rewrite_calls(
         sql,
         "isinf",
-        lambda a: f"(abs({a[0]}) = double('Infinity'))" if len(a) == 1 else None,
+        lambda a: (
+            (
+                f"(({a[0]}) <> ({a[0]}))"
+                if _temporal_arg(a[0])
+                else f"(abs({a[0]}) = double('Infinity'))"
+            )
+            if len(a) == 1
+            else None
+        ),
     )
+
+    # divide(): the function form of `/`, which for DuckDB integers is
+    # TRUNCATING integer division (divide(7,2)=3, divide(-7,2)=-3 —
+    # Spark's div) but plain division once a float is involved. Same
+    # static heuristic as the `//` operator: a decimal literal operand
+    # picks the float path; float-typed columns are not statically
+    # knowable and keep div (documented divergence, batch 28).
+    def divide_x(a):
+        if len(a) != 2:
+            return None
+        if any(re.fullmatch(r"-?\d+\.\d+", x.strip()) for x in a):
+            # DOUBLE like DuckDB — Spark would type a decimal-literal
+            # division DECIMAL
+            return f"CAST(({a[0]}) / ({a[1]}) AS DOUBLE)"
+        return f"(({a[0]}) div ({a[1]}))"
+
+    sql = _rewrite_calls(sql, "divide", divide_x)
+    # fdiv/fmod: DuckDB's FLOOR-division pair (fdiv(-7.5,2) = -4,
+    # fmod(-7.5,2) = 0.5 — remainder takes the divisor's sign), both
+    # DOUBLE. Spark's `%` truncates, so spell the floor identity out.
+    sql = _rewrite_calls(
+        sql,
+        "fdiv",
+        lambda a: (
+            f"CAST(floor(({a[0]}) / ({a[1]})) AS DOUBLE)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "fmod",
+        lambda a: (
+            f"CAST(({a[0]}) - floor(({a[0]}) / ({a[1]})) * ({a[1]})"
+            f" AS DOUBLE)"
+            if len(a) == 2
+            else None
+        ),
+    )
+
+    # bit_count counts ones in the value's OWN width in DuckDB
+    # (bit_count(-1::SMALLINT) = 16) while Spark sign-extends to 64
+    # bits. A visible narrow CAST in the argument masks to that width;
+    # narrow-typed COLUMNS are not statically knowable and keep the
+    # 64-bit count (documented divergence, batch 28).
+    def bit_count_x(a):
+        if len(a) != 1:
+            return None
+        m = re.search(
+            r"\bAS\s+(TINYINT|INT1|SMALLINT|INT2|SHORT|INTEGER|INT4|INT)\s*\)",
+            a[0],
+            re.IGNORECASE,
+        )
+        if m is None:
+            return None  # leave for Spark's builtin
+        width = {
+            "TINYINT": 255,
+            "INT1": 255,
+            "SMALLINT": 65535,
+            "INT2": 65535,
+            "SHORT": 65535,
+        }.get(m.group(1).upper(), 4294967295)
+        return f"bit_count(({a[0]}) & {width})"
+
+    sql = _rewrite_calls(sql, "bit_count", bit_count_x)
+
+    # BITSTRING literals (batch 28): Spark has no bit type, and the
+    # repo's data model never stores one — support the literal surface
+    # by lowering ``BITSTRING '0101'`` to its text and the bit accessors
+    # to string ops. Column-typed bitstrings can't exist here (no
+    # source produces them), so literal-scope is the whole surface.
+    def _strip_bits(x: str) -> str:
+        return re.sub(
+            r"\b(?:BITSTRING|BIT)\s+(\x00LIT\d+\x00)",
+            r"\1",
+            x,
+            flags=re.IGNORECASE,
+        )
+
+    sql = _rewrite_calls(
+        sql,
+        "get_bit",
+        lambda a: (
+            f"CAST(substring({_strip_bits(a[0])}, ({a[1]}) + 1, 1) AS INT)"
+            if len(a) == 2
+            else None
+        ),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "set_bit",
+        lambda a: (
+            f"concat(substring({_strip_bits(a[0])}, 1, ({a[1]})), "
+            f"CAST(({a[2]}) AS STRING), "
+            f"substring({_strip_bits(a[0])}, ({a[1]}) + 2))"
+            if len(a) == 3
+            else None
+        ),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "bit_position",
+        lambda a: (
+            f"instr({_strip_bits(a[1])}, {_strip_bits(a[0])})"
+            if len(a) == 2
+            else None
+        ),
+    )
+    sql = _rewrite_calls(
+        sql,
+        "bit_length",
+        lambda a: (
+            # bitstring literal: its length in bits IS the text length;
+            # other args keep Spark's builtin (8 × octets, same as Duck)
+            f"length({_strip_bits(a[0])})"
+            if len(a) == 1
+            and re.search(r"\b(?:BITSTRING|BIT)\s+\x00LIT", a[0], re.IGNORECASE)
+            else None
+        ),
+    )
+    # bare literals that reached no accessor (SELECT BITSTRING '0101')
+    sql = _strip_bits(sql)
 
     # json_valid → VARIANT try-parse probe (NULL in, NULL out like DuckDB)
     sql = _rewrite_calls(
