@@ -450,6 +450,39 @@ def test_pragma_table_info(spark, sf_dir):
     assert rows[0]["pk"] is False and rows[0]["notnull"] is False
 
 
+def test_pragma_table_info_table_function(spark, sf_dir):
+    """``FROM pragma_table_info('t')`` — usable inside a full SELECT
+    (projection + WHERE), matching DuckDB's table-function form."""
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(
+        "region_ti2"
+    )
+    rows = run_sql(
+        spark,
+        "SELECT name, type FROM pragma_table_info('region_ti2') "
+        "WHERE cid = 1",
+    ).collect()
+    assert [(r["name"], r["type"]) for r in rows] == [("r_name", "VARCHAR")]
+
+
+def test_pragma_show_tables_and_version(spark, sf_dir):
+    """PRAGMA show_tables (SHOW TABLES row shape), show_tables_expanded
+    (column_names/column_types arrays), and version (one row)."""
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(
+        "region_pst"
+    )
+    names = [r["name"] for r in run_sql(spark, "PRAGMA show_tables").collect()]
+    assert "region_pst" in names and names == sorted(names)
+    exp = {
+        r["name"]: r
+        for r in run_sql(spark, "PRAGMA show_tables_expanded").collect()
+    }
+    row = exp["region_pst"]
+    assert row["column_names"] == ["r_regionkey", "r_name"]
+    assert row["column_types"] == ["INTEGER", "VARCHAR"]
+    ver = run_sql(spark, "PRAGMA version").collect()
+    assert len(ver) == 1 and ver[0]["library_version"].startswith("spark-")
+
+
 def test_copy_csv_delimiter_and_header_options(spark, tmp_path):
     dest = str(tmp_path / "opt.csv")
     run_sql(

@@ -67,6 +67,17 @@ _PRAGMA_TABLE_INFO = re.compile(
     re.IGNORECASE,
 )
 
+# statement-level pragmas DuckDB exposes as introspection shortcuts
+# (PRAGMA database_size is storage-engine-specific and stays unrouted —
+# loud, like other unsupported statements)
+_PRAGMA_SHOW_TABLES = re.compile(
+    r"^\s*PRAGMA\s+show_tables\s*(;)?\s*$", re.IGNORECASE
+)
+_PRAGMA_SHOW_TABLES_EXPANDED = re.compile(
+    r"^\s*PRAGMA\s+show_tables_expanded\s*(;)?\s*$", re.IGNORECASE
+)
+_PRAGMA_VERSION = re.compile(r"^\s*PRAGMA\s+version\s*(;)?\s*$", re.IGNORECASE)
+
 _COPY = re.compile(r"^\s*COPY\s+", re.IGNORECASE)
 
 _COUNT_SCHEMA = T.StructType([T.StructField("Count", T.LongType())])
@@ -74,6 +85,34 @@ _SUCCESS_SCHEMA = T.StructType([T.StructField("Success", T.BooleanType())])
 
 # session tables created here, for unpersist-on-replace: (sparkId, name) → df
 _session_tables: dict[tuple[int, str], DataFrame] = {}
+
+
+def table_info_df(spark: SparkSession, name: str) -> DataFrame:
+    """DuckDB ``PRAGMA table_info`` row shape (cid, name, type, notnull,
+    dflt_value, pk) for a registered table/view — shared by the PRAGMA
+    statement route and the ``pragma_table_info()`` table function."""
+    from vscode_parquet_visualizer_spark.functions.schema_format import (
+        duckdb_type_string,
+    )
+
+    df = spark.table(name)
+    rows = [
+        (i, f.name, duckdb_type_string(f.dataType), not f.nullable, None, False)
+        for i, f in enumerate(df.schema.fields)
+    ]
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("type", T.StringType()),
+                T.StructField("notnull", T.BooleanType()),
+                T.StructField("dflt_value", T.StringType()),
+                T.StructField("pk", T.BooleanType()),
+            ]
+        ),
+    ).coalesce(1)
 
 
 def _count_df(spark: SparkSession, n: int | None) -> DataFrame:
@@ -338,25 +377,62 @@ def try_rewrite_ddl(
 
     m = _PRAGMA_TABLE_INFO.match(sql)
     if m is not None:
+        return table_info_df(spark, m.group("name"))
+
+    if _PRAGMA_SHOW_TABLES.match(sql):
+        # identical shape to SHOW TABLES (DuckDB: one sorted name column)
+        names = sorted(
+            t.name for t in spark.catalog.listTables() if not t.name.startswith("__")
+        )
+        return spark.createDataFrame(
+            [(n,) for n in names],
+            T.StructType([T.StructField("name", T.StringType())]),
+        ).coalesce(1)
+
+    if _PRAGMA_SHOW_TABLES_EXPANDED.match(sql):
         from vscode_parquet_visualizer_spark.functions.schema_format import (
             duckdb_type_string,
         )
 
-        df = spark.table(m.group("name"))
-        rows = [
-            (i, f.name, duckdb_type_string(f.dataType), not f.nullable, None, False)
-            for i, f in enumerate(df.schema.fields)
-        ]
+        rows = []
+        for t in sorted(
+            (t for t in spark.catalog.listTables() if not t.name.startswith("__")),
+            key=lambda t: t.name,
+        ):
+            fields = spark.table(t.name).schema.fields
+            rows.append(
+                (
+                    "memory",
+                    "main",
+                    t.name,
+                    [f.name for f in fields],
+                    [duckdb_type_string(f.dataType) for f in fields],
+                    t.tableType == "TEMPORARY",
+                )
+            )
         return spark.createDataFrame(
             rows,
             T.StructType(
                 [
-                    T.StructField("cid", T.IntegerType()),
+                    T.StructField("database", T.StringType()),
+                    T.StructField("schema", T.StringType()),
                     T.StructField("name", T.StringType()),
-                    T.StructField("type", T.StringType()),
-                    T.StructField("notnull", T.BooleanType()),
-                    T.StructField("dflt_value", T.StringType()),
-                    T.StructField("pk", T.BooleanType()),
+                    T.StructField("column_names", T.ArrayType(T.StringType())),
+                    T.StructField("column_types", T.ArrayType(T.StringType())),
+                    T.StructField("temporary", T.BooleanType()),
+                ]
+            ),
+        ).coalesce(1)
+
+    if _PRAGMA_VERSION.match(sql):
+        import pyspark
+
+        return spark.createDataFrame(
+            [(f"spark-{pyspark.__version__}", "")],
+            T.StructType(
+                [
+                    T.StructField("library_version", T.StringType()),
+                    T.StructField("source_id", T.StringType()),
                 ]
             ),
         ).coalesce(1)

@@ -273,6 +273,28 @@ def _route_parquet_schema(spark: SparkSession, sql: str) -> str:
     return _PARQUET_SCHEMA_FN.sub(sub, sql)
 
 
+_PRAGMA_TABLE_INFO_FN = re.compile(
+    r"\bpragma_table_info\s*\(\s*'?([A-Za-z_]\w*)'?\s*\)", re.IGNORECASE
+)
+
+_pti_counter = 0
+
+
+def _route_pragma_table_info(spark: SparkSession, sql: str) -> str:
+    """``FROM pragma_table_info('t')`` — the table-function form of
+    ``PRAGMA table_info`` (same rows), usable inside a full SELECT."""
+    from vscode_parquet_visualizer_spark.plans.ddl_sql import table_info_df
+
+    def sub(m: re.Match) -> str:
+        global _pti_counter
+        _pti_counter += 1
+        view = f"__pragma_table_info_{_pti_counter}"
+        table_info_df(spark, m.group(1)).createOrReplaceTempView(view)
+        return view
+
+    return _PRAGMA_TABLE_INFO_FN.sub(sub, sql)
+
+
 _PARQUET_META_FN = re.compile(
     r"\bparquet_file_metadata\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE
 )
@@ -486,6 +508,8 @@ def run_sql(
         bound = _route_read_lists(spark, bound)
     if _INFO_SCHEMA_COLS.search(bound):
         bound = _route_information_schema(spark, bound)
+    if _PRAGMA_TABLE_INFO_FN.search(bound):
+        bound = _route_pragma_table_info(spark, bound)
     if _ROUTED_JOIN.search(bound):
         routed = try_rewrite_asof(spark, bound) or try_rewrite_positional(
             spark, bound
