@@ -2053,3 +2053,71 @@ def test_differential_batch28(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-8 hunt batch 29: structural probes — 40+ surfaces probed, nearly
+# all already green (ANY/ALL over arrays, row/struct/list comparisons,
+# tuple IN lists, EXISTS/scalar subqueries, WINDOW clause reuse, FROM-
+# first/bare, positional GROUP/ORDER BY, interval arithmetic, list
+# lambdas with index, generate_subscripts, negative-step range). Fixed:
+# stepped slices [a:b:c] on EXPRESSION bases (literals, calls, grouping
+# parens) — identifier bases already lowered, expression bases parsed
+# 0-based or failed. Documented-not-fixed: list_intersect/list_distinct
+# element ORDER (DuckDB's is hash-dependent — anchors sort first), age()
+# calendar-interval comparisons vs Spark's split interval types.
+CORPUS_R8_BATCH29 = [
+    """SELECT [1,2,3,4,5,6][1:5:2] AS s, [1,2,3][2:9:3] AS t,
+              ([1,2,3,4])[1:4:3] AS g""",
+    """SELECT list_sort([10,20,30,40])[1:3:2] AS f""",
+    """SELECT list_sort(list_intersect([1,2,3],[2,3,4])) AS i,
+              list_sort(list_distinct([1,2,2])) AS d,
+              list_unique([1,2,2,NULL]) AS u,
+              list_has_any([1,2],[2,9]) AS ha,
+              list_has_all([1,2,3],[1,3]) AS hl""",
+    """SELECT count(*) AS n FROM nation WHERE n_regionkey = ANY([1, 3])""",
+    """SELECT count(*) AS n FROM nation WHERE n_regionkey <> ALL([1, 3])""",
+    """SELECT ROW(1, 2) = ROW(1, 2) AS a, ROW(1, 2) < ROW(1, 3) AS b,
+              {'a': 1} = {'a': 1} AS e, {'a': 1} < {'a': 2} AS l""",
+    """SELECT [1,2] < [1,3] AS a, [1,2] = [1,2] AS b, [2] > [1,9] AS c""",
+    """SELECT count(*) AS n FROM nation
+       WHERE (n_regionkey, n_nationkey % 2) IN ((1, 0), (3, 1))""",
+    """SELECT EXISTS (SELECT 1 FROM region WHERE r_regionkey = 99) AS e,
+              (SELECT max(r_regionkey) FROM region) AS m""",
+    """SELECT o_orderkey, sum(o_totalprice) OVER w AS s, rank() OVER w AS r
+       FROM orders WINDOW w AS (PARTITION BY o_orderstatus
+                                ORDER BY o_orderkey)
+       ORDER BY o_orderkey LIMIT 4""",
+    """FROM region SELECT r_name ORDER BY r_regionkey LIMIT 2""",
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+       FROM orders GROUP BY 1 ORDER BY 1""",
+    """SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+       HAVING count(*) > 0""",
+    """SELECT DATE '2024-01-01' + INTERVAL 1 MONTH * 3 AS d""",
+    """SELECT list_transform([10,20], (x, i) -> x + i) AS t,
+              list_grade_up([30,10,20]) AS g,
+              generate_subscripts([10,20,30], 1) AS gs""",
+    """SELECT array_agg(r_name ORDER BY r_regionkey DESC) AS a FROM region""",
+    """SELECT list(r_regionkey ORDER BY r_regionkey)
+              FILTER (WHERE r_regionkey > 1) AS l FROM region""",
+    """SELECT first(r_name ORDER BY r_regionkey) AS f,
+              last(r_name ORDER BY r_regionkey) AS l FROM region""",
+    """SELECT count_if(o_totalprice > 100000) AS c FROM orders""",
+    """SELECT range(5, 1, -2) AS r, range(3) AS r2""",
+    """SELECT to_years(2) = INTERVAL 2 YEAR AS y,
+              to_days(10) = INTERVAL 10 DAY AS d,
+              to_hours(5) = INTERVAL 5 HOUR AS h""",
+    """SELECT grouping_id(o_orderstatus, o_orderpriority) AS g,
+              CAST(count(*) AS BIGINT) AS n
+       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       ORDER BY g, n LIMIT 10""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R8_BATCH29, ids=range(len(CORPUS_R8_BATCH29))
+)
+def test_differential_batch29(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

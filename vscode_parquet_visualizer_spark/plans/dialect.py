@@ -1035,7 +1035,10 @@ def rewrite_expr_subscripts(sql: str) -> str:
         rest = sql[i + 1 :]
         m_idx = re.match(rf"\s*\[\s*({_SUBSCRIPT_IDX})\s*\]", rest)
         m_slc = re.match(r"\s*\[\s*(-?\d+)\s*:\s*(-?\d+)\s*\]", rest)
-        if m_idx is None and m_slc is None:
+        m_stp = re.match(
+            r"\s*\[\s*(\d+)\s*:\s*(\d+)\s*:\s*(\d+)\s*\]", rest
+        )
+        if m_idx is None and m_slc is None and m_stp is None:
             out.append(ch)
             i += 1
             continue
@@ -1117,7 +1120,7 @@ def rewrite_expr_subscripts(sql: str) -> str:
             else:
                 repl = f"try_element_at({base}, {idx})"
             consumed = m_idx.end()
-        else:
+        elif m_slc is not None:
             if is_map:
                 out.append(ch)
                 i += 1
@@ -1131,6 +1134,29 @@ def rewrite_expr_subscripts(sql: str) -> str:
                 "array()" if b < a else f"slice({base}, {a}, {b - a + 1})"
             )
             consumed = m_slc.end()
+        else:
+            # stepped slice [a:b:c] on an expression base (batch 29):
+            # positions a, a+c, … ≤ min(b, len) — the same guarded
+            # transform-over-sequence as identifier bases
+            if is_map:
+                out.append(ch)
+                i += 1
+                continue
+            a, b, c = (int(m_stp.group(k)) for k in (1, 2, 3))
+            if a < 1 or c < 1:
+                out.append(ch)
+                i += 1
+                continue
+            repl = (
+                "array()"
+                if b < a
+                else (
+                    f"CASE WHEN size({base}) >= {a} THEN "
+                    f"transform(sequence({a}, least({b}, size({base})), {c}), "
+                    f"__si -> try_element_at({base}, __si)) ELSE array() END"
+                )
+            )
+            consumed = m_stp.end()
         out = list(done[:base_start])
         out.append(repl)
         i = i + 1 + consumed
