@@ -1690,7 +1690,14 @@ def rewrite_from_first(sql: str) -> str:
 
 
 _NOT_IN_SUBQ = re.compile(
-    r"(?P<key>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)\s+NOT\s+IN\s*\(",
+    r"(?P<key>\d+(?:\.\d+)?|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)"
+    r"\s+NOT\s+IN\s*\(",
+    re.IGNORECASE,
+)
+
+_IN_SUBQ = re.compile(
+    r"(?P<key>\d+(?:\.\d+)?|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)"
+    r"\s+(?P<neg>NOT\s+)?IN\s*\(",
     re.IGNORECASE,
 )
 
@@ -1820,6 +1827,71 @@ def rewrite_not_in_subquery(sql: str) -> str:
             f" AND NOT EXISTS (SELECT 1 FROM ({inner}) {b}(__k)"
             f" WHERE {b}.__k IS NULL))"
             f" OR NOT EXISTS (SELECT 1 FROM ({inner}) {c}(__k) LIMIT 1))"
+        )
+        pos = close_idx + 1
+
+
+def rewrite_in_subquery_projection(sql: str) -> str:
+    """Projected ``key IN (SELECT …)`` (batch 30): Spark's ListQuery
+    lowering projects FALSE where ANSI/DuckDB yield NULL — when the
+    subquery can't match but contains a NULL, or the key is NULL and
+    the subquery is non-empty. Same null-faithful CASE-over-EXISTS
+    treatment as the projected NOT IN branch above (all probes plan as
+    hash ExistenceJoins). WHERE/HAVING conjuncts keep the native path:
+    FALSE and NULL filter identically there, and Spark's native semi
+    join is the cheaper plan. Runs AFTER rewrite_not_in_subquery; a
+    ``NOT IN`` match here means that pass deliberately left it native
+    (conjunct) — skipped."""
+    out, pos, n = [], 0, 0
+    while True:
+        m = _IN_SUBQ.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        open_idx = m.end() - 1
+        close_idx = _balanced_span(sql, open_idx)
+        inner = sql[open_idx + 1 : close_idx].strip() if close_idx != -1 else ""
+        if (
+            m.group("neg")
+            or close_idx == -1
+            or not re.match(r"SELECT\b", inner, re.IGNORECASE)
+        ):
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
+        key = m.group("key")
+        before = sql[: m.start()].rstrip()
+        prev_word = re.search(r"([A-Za-z_]\w*)$", before)
+        prev_ch = before[-1:]
+        reserved = key.upper() in (
+            "END", "ELSE", "THEN", "WHEN", "CASE", "NULL", "TRUE",
+            "FALSE", "AND", "OR", "NOT", "IS", "IN", "BETWEEN", "LIKE",
+            "EXISTS", "SELECT", "DISTINCT", "ALL", "ANY", "SOME",
+        )
+        conjunct = prev_word is not None and prev_word.group(1).upper() in (
+            "WHERE", "AND", "HAVING", "ON", "QUALIFY",
+        )
+        if reserved or conjunct or prev_ch in set("+-*/%^|&~."):
+            # conjunct (native semi join is correct there) or the key is
+            # the tail of a larger expression — leave; still recurse
+            # into the subquery
+            out.append(sql[pos : open_idx + 1])
+            out.append(rewrite_in_subquery_projection(inner))
+            out.append(")")
+            pos = close_idx + 1
+            continue
+        inner = rewrite_in_subquery_projection(inner)
+        a, b, c = f"__pin{n}a", f"__pin{n}b", f"__pin{n}c"
+        n += 1
+        out.append(sql[pos : m.start()])
+        out.append(
+            f"(CASE WHEN EXISTS (SELECT 1 FROM ({inner}) {a}(__k)"
+            f" WHERE {a}.__k = {key}) THEN TRUE"
+            f" WHEN NOT EXISTS (SELECT 1 FROM ({inner}) {c}(__k)"
+            f" LIMIT 1) THEN FALSE"
+            f" WHEN {key} IS NULL OR EXISTS (SELECT 1 FROM ({inner})"
+            f" {b}(__k) WHERE {b}.__k IS NULL) THEN NULL"
+            f" ELSE FALSE END)"
         )
         pos = close_idx + 1
 
@@ -5882,6 +5954,7 @@ def transpile(
     sql = rewrite_regex_operators(sql, stash)
     sql = rewrite_any_all(sql)
     sql = rewrite_not_in_subquery(sql)
+    sql = rewrite_in_subquery_projection(sql)
     sql = rewrite_cte_materialized(sql)
     sql = rewrite_ansi_fetch(sql)
     sql = rewrite_limit_percent(sql)
