@@ -2161,6 +2161,13 @@ CORPUS_R8_BATCH30 = [
     """SELECT regexp_extract('2024-03-05', '(\\d+)-(\\d+)', ['y','m']) AS s""",
     """SELECT greatest_common_divisor(12, 18) AS g,
               least_common_multiple(4, 6) AS l""",
+    """SELECT string_split('', ',') AS e, string_split('abc', '') AS byc""",
+    """SELECT formatReadableDecimalSize(1234567) AS c,
+              formatReadableSize(1048576) AS d,
+              formatReadableDecimalSize(999) AS e,
+              formatReadableDecimalSize(999999) AS g,
+              formatReadableDecimalSize(-123456) AS h,
+              formatReadableDecimalSize(9223372036854775807) AS m""",
     """SELECT dayofyear(DATE '2024-03-01') AS d,
               monthname(DATE '2024-03-05') AS m,
               dayname(DATE '2024-03-05') AS dn""",

@@ -1317,7 +1317,14 @@ def rewrite_string_split(sql: str, stash: list[str]) -> str:
         # ']', '^', '\\' can't be bracket-quoted without backslashes —
         # those delimiters stay unrewritten and fail loudly at the
         # parser instead of splitting on the wrong pattern.
-        if not text or any(c in "]^\\" for c in text):
+        if not text:
+            # empty delimiter splits per character in BOTH engines
+            # (probed batch 30: Spark split('abc','') == DuckDB)
+            out.append(sql[pos : m.start()])
+            out.append(f"split({arg}, {_stash_add(stash, chr(39) * 2)})")
+            pos = close + 1
+            continue
+        if any(c in "]^\\" for c in text):
             continue
         pattern = "".join(f"[{c}]" for c in text)
         quoted = _stash_add(stash, "'" + pattern.replace("'", "''") + "'")
@@ -3460,6 +3467,42 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     )
     # bare literals that reached no accessor (SELECT BITSTRING '0101')
     sql = _strip_bits(sql)
+
+    # formatReadableDecimalSize: the DECIMAL-unit sibling of
+    # format_bytes (probed batch 30: '999 bytes', '1.0 kB',
+    # '999.9 kB' — one decimal TRUNCATED, same convention). Same pure
+    # integer arithmetic as format_bytes_x (a double intermediate
+    # mis-rounds at int64 extremes); largest unit PB like DuckDB
+    # (int64 max renders '9223.3 PB', probed).
+    def format_decimal_x(a):
+        if len(a) != 1:
+            return None
+        e = a[0]
+        av = f"abs(CAST({e} AS BIGINT))"
+        branches = []
+        for k, unit in enumerate(["kB", "MB", "GB", "TB", "PB"], 1):
+            u = 1000 ** k
+            rendered = (
+                f"concat(CASE WHEN ({e}) < 0 THEN '-' ELSE '' END, "
+                f"CAST({av} DIV {u}L AS STRING), '.', "
+                f"CAST(({av} % {u}L) * 10 DIV {u}L AS STRING), ' {unit}')"
+            )
+            if k < 5:
+                branches.append(
+                    f"WHEN {av} < {1000 ** (k + 1)}L THEN {rendered}"
+                )
+            else:
+                branches.append(f"ELSE {rendered}")
+        return (
+            f"(CASE WHEN {av} < 1000L "
+            f"THEN concat(CAST({e} AS BIGINT), ' bytes') "
+            + " ".join(branches)
+            + " END)"
+        )
+
+    sql = _rewrite_calls(
+        sql, "formatReadableDecimalSize", format_decimal_x
+    )
 
     # json_valid → VARIANT try-parse probe (NULL in, NULL out like DuckDB)
     sql = _rewrite_calls(
