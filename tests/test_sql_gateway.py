@@ -483,6 +483,35 @@ def test_pragma_show_tables_and_version(spark, sf_dir):
     assert len(ver) == 1 and ver[0]["library_version"].startswith("spark-")
 
 
+def test_set_reset_current_setting(spark):
+    """SET/RESET session configuration + current_setting() resolution
+    (DuckDB returns an empty result for SET; TimeZone maps onto the
+    live session conf)."""
+    assert run_sql(spark, "SET threads=4").collect() == []
+    assert (
+        run_sql(spark, "SELECT current_setting('threads') AS t").collect()[0][
+            "t"
+        ]
+        == "4"
+    )
+    run_sql(spark, "SET TimeZone='America/New_York'")
+    assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    assert (
+        run_sql(spark, "SELECT current_setting('TimeZone') AS z").collect()[
+            0
+        ]["z"]
+        == "America/New_York"
+    )
+    run_sql(spark, "RESET TimeZone")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    run_sql(spark, "RESET threads")
+    assert run_sql(spark, "CHECKPOINT").collect() == []
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unrecognized configuration"):
+        run_sql(spark, "SELECT current_setting('no_such_setting')")
+
+
 def test_copy_csv_delimiter_and_header_options(spark, tmp_path):
     dest = str(tmp_path / "opt.csv")
     run_sql(

@@ -78,6 +78,39 @@ _PRAGMA_SHOW_TABLES_EXPANDED = re.compile(
 )
 _PRAGMA_VERSION = re.compile(r"^\s*PRAGMA\s+version\s*(;)?\s*$", re.IGNORECASE)
 
+# DuckDB session-configuration statements. SET records the value (and
+# maps TimeZone onto the live session conf); RESET restores the default;
+# CHECKPOINT is a WAL flush with no Spark analogue — success no-op.
+_SET_STMT = re.compile(
+    r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?(?!VARIABLE\b)(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:=|\bTO\b)\s*(?P<value>.+?)\s*$",
+    re.IGNORECASE,
+)
+_RESET_STMT = re.compile(
+    r"^\s*RESET\s+(?:SESSION\s+|GLOBAL\s+)?(?P<name>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+_CHECKPOINT_STMT = re.compile(
+    r"^\s*(?:FORCE\s+)?CHECKPOINT\s*(;)?\s*$", re.IGNORECASE
+)
+
+# per-session recorded settings: (sparkId) → {lowercase name: value}
+_session_settings: dict[int, dict[str, str]] = {}
+
+
+def current_setting(spark: SparkSession, name: str) -> str:
+    """Resolve ``current_setting('name')``: recorded SET values first,
+    then the live session mappings DuckDB users actually read."""
+    key = name.lower()
+    rec = _session_settings.get(id(spark), {})
+    if key in rec:
+        return rec[key]
+    if key == "timezone":
+        return spark.conf.get("spark.sql.session.timeZone")
+    if key == "threads":
+        return str(spark.sparkContext.defaultParallelism)
+    raise ValueError(f'unrecognized configuration parameter "{name}"')
+
 _COPY = re.compile(r"^\s*COPY\s+", re.IGNORECASE)
 
 _COUNT_SCHEMA = T.StructType([T.StructField("Count", T.LongType())])
@@ -423,6 +456,29 @@ def try_rewrite_ddl(
                 ]
             ),
         ).coalesce(1)
+
+    m = _SET_STMT.match(sql)
+    if m is not None:
+        name, value = m.group("name"), m.group("value").rstrip(";").strip()
+        if (value.startswith("'") and value.endswith("'")) or (
+            value.startswith('"') and value.endswith('"')
+        ):
+            value = value[1:-1]
+        _session_settings.setdefault(id(spark), {})[name.lower()] = value
+        if name.lower() == "timezone":
+            spark.conf.set("spark.sql.session.timeZone", value)
+        return local_df(spark, [], _SUCCESS_SCHEMA)
+
+    m = _RESET_STMT.match(sql)
+    if m is not None:
+        name = m.group("name").lower()
+        _session_settings.get(id(spark), {}).pop(name, None)
+        if name == "timezone":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return local_df(spark, [], _SUCCESS_SCHEMA)
+
+    if _CHECKPOINT_STMT.match(sql):
+        return local_df(spark, [], _SUCCESS_SCHEMA)
 
     if _PRAGMA_VERSION.match(sql):
         import pyspark

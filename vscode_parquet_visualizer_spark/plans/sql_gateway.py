@@ -277,6 +277,24 @@ _PRAGMA_TABLE_INFO_FN = re.compile(
     r"\bpragma_table_info\s*\(\s*'?([A-Za-z_]\w*)'?\s*\)", re.IGNORECASE
 )
 
+_CURRENT_SETTING_FN = re.compile(
+    r"\bcurrent_setting\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE
+)
+
+
+def _route_current_setting(spark: SparkSession, sql: str) -> str:
+    """``current_setting('name')`` with a literal name — resolved at
+    bind time against recorded SET values + live session conf
+    (plans/ddl_sql.current_setting); unknown names raise like DuckDB."""
+    from vscode_parquet_visualizer_spark.plans.ddl_sql import current_setting
+
+    def sub(m: re.Match) -> str:
+        v = current_setting(spark, m.group(1))
+        return "'" + v.replace("'", "''") + "'"
+
+    return _CURRENT_SETTING_FN.sub(sub, sql)
+
+
 _pti_counter = 0
 
 
@@ -510,6 +528,8 @@ def run_sql(
         bound = _route_information_schema(spark, bound)
     if _PRAGMA_TABLE_INFO_FN.search(bound):
         bound = _route_pragma_table_info(spark, bound)
+    if _CURRENT_SETTING_FN.search(bound):
+        bound = _route_current_setting(spark, bound)
     if _ROUTED_JOIN.search(bound):
         routed = try_rewrite_asof(spark, bound) or try_rewrite_positional(
             spark, bound
