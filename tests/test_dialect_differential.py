@@ -2193,3 +2193,67 @@ def test_differential_batch30(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-8 hunt batch 31: correlated lateral unnest (comma / CROSS JOIN
+# + a(c) alias → LATERAL VIEW explode), date_part fields of INTERVALs
+# (own-field storage semantics: no hour→day rollup), character
+# subscripts on string-RETURNING functions, literal→BOOLEAN cast
+# exactness (t/f/1/0/true/false, NO trim, no yes/no), RANGE value
+# frames, WINDOW-clause frame overrides. Documented-not-fixed: TIME
+# arithmetic (Spark has no TIME type; bare literals render), column-
+# typed string→BOOLEAN casts keep Spark's wider accept set.
+CORPUS_R8_BATCH31 = [
+    """SELECT r_regionkey, u
+       FROM region, unnest([r_regionkey, r_regionkey * 10]) AS t(u)
+       ORDER BY r_regionkey, u""",
+    """SELECT r_regionkey, u FROM region CROSS JOIN unnest([1, 2]) AS t(u)
+       ORDER BY r_regionkey, u""",
+    """SELECT date_part('hour', INTERVAL 90 MINUTE) AS h,
+              date_part('day', INTERVAL 50 HOUR) AS d,
+              date_part('hour', INTERVAL 50 HOUR) AS h2,
+              date_part('minute', INTERVAL 3661 SECOND) AS m,
+              date_part('second', INTERVAL 3661 SECOND) AS s,
+              date_part('month', INTERVAL 26 MONTH) AS mo,
+              date_part('year', INTERVAL 26 MONTH) AS y""",
+    """SELECT upper('abc')[1] AS u, lower('ABC')[2] AS l,
+              trim(' x ')[1] AS t, ('hello')[2] AS h,
+              concat('ab','cd')[2:3] AS c""",
+    """SELECT TRY_CAST('t' AS BOOLEAN) AS a, TRY_CAST('f' AS BOOLEAN) AS b,
+              TRY_CAST('TRUE' AS BOOLEAN) AS c,
+              TRY_CAST(' true ' AS BOOLEAN) AS d,
+              TRY_CAST('1' AS BOOLEAN) AS e, TRY_CAST('yes' AS BOOLEAN) AS f,
+              CAST('0' AS BOOLEAN) AS g""",
+    # probed-green anchors
+    """SELECT n_nationkey, sum(n_nationkey) OVER (ORDER BY n_nationkey
+              RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS s
+       FROM nation ORDER BY n_nationkey""",
+    """SELECT first_value(v RESPECT NULLS) OVER (ORDER BY k) AS f
+       FROM (VALUES (1, CAST(NULL AS INT)), (2, 5)) t(k, v) LIMIT 1""",
+    """SELECT n_nationkey, row_number() OVER (PARTITION BY n_regionkey
+              ORDER BY n_nationkey) AS rn
+       FROM nation QUALIFY rn = 1 ORDER BY n_nationkey""",
+    """SELECT 'ABC' = 'abc' COLLATE NOCASE AS e""",
+    """SELECT {'a': 5, 'b': 'x'}['a'] AS a,
+              struct_extract({'a': 7}, 'a') AS b,
+              struct_insert({'a': 1}, b := 2) AS s""",
+    """SELECT [{'a': 1}, {'a': 2}][2]['a'] AS v,
+              max({'k': n_nationkey}) AS m FROM nation""",
+    """SELECT min_by(o_orderkey, o_totalprice) AS mb,
+              max_by(o_orderkey, o_totalprice) AS xb FROM orders""",
+    """SELECT DISTINCT ON (n_regionkey % 2) n_nationkey, n_regionkey
+       FROM nation ORDER BY n_regionkey % 2, n_nationkey""",
+    """SELECT * FROM (VALUES (1, NULL), (NULL, 'x')) t(a, b)
+       ORDER BY a NULLS LAST""",
+    """SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s FROM orders""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R8_BATCH31, ids=range(len(CORPUS_R8_BATCH31))
+)
+def test_differential_batch31(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -971,6 +971,14 @@ def rewrite_arithmetic_operators(sql: str) -> str:
 
 _EXPR_SUBSCRIPT_FNS = {"try_element_at", "get"}
 _MAP_PRODUCING = {"map", "map_from_entries", "map_from_arrays"}
+# string-returning functions whose [i]/[a:b] subscripts are DuckDB
+# 1-based CHARACTER access (batch 31) — substring, not element_at
+_STRING_PRODUCING = {
+    "upper", "lower", "ucase", "lcase", "trim", "ltrim", "rtrim", "btrim",
+    "concat", "substr", "substring", "replace", "reverse", "repeat",
+    "initcap", "strip_accents", "left", "right", "lpad", "rpad",
+    "format", "printf", "chr", "translate",
+}
 _SUBSCRIPT_IDX = r"-?\d+|\x00LIT\d+\x00"
 
 
@@ -1058,6 +1066,7 @@ def rewrite_expr_subscripts(sql: str) -> str:
             i += 1
             continue
         is_map = False
+        is_str = False
         if ch == ")":
             fm = re.search(r"([A-Za-z_][\w.]*)\s*$", done[:j])
             fname = fm.group(1).split(".")[-1].lower() if fm else None
@@ -1066,6 +1075,7 @@ def rewrite_expr_subscripts(sql: str) -> str:
                 # a keyword before '(' means grouping paren, not a call
                 fname, base_start = None, None
             is_map = fname in _MAP_PRODUCING
+            is_str = fname in _STRING_PRODUCING
             if fname is None:
                 # grouping paren, not a call: subscriptable when the
                 # group's CONTENT pins the type — a bracket-form list
@@ -1089,7 +1099,7 @@ def rewrite_expr_subscripts(sql: str) -> str:
                     out.append(ch)
                     i += 1
                     continue
-            elif not (is_map or fname in array_fns):
+            elif not (is_map or is_str or fname in array_fns):
                 out.append(ch)
                 i += 1
                 continue
@@ -1104,6 +1114,28 @@ def rewrite_expr_subscripts(sql: str) -> str:
                 i += 1
                 continue
         base = done[base_start:]
+        if is_str and m_idx is not None and m_idx.group(1).lstrip("-").isdigit():
+            i_val = int(m_idx.group(1))
+            repl = "''" if i_val == 0 else f"substring({base}, {i_val}, 1)"
+            out = list(done[:base_start])
+            out.append(repl)
+            i = i + 1 + m_idx.end()
+            continue
+        if is_str and m_slc is not None:
+            a, b = int(m_slc.group(1)), int(m_slc.group(2))
+            if (a < 0) != (b < 0):
+                out.append(ch)
+                i += 1
+                continue
+            repl = "''" if b < a else f"substring({base}, {a}, {b - a + 1})"
+            out = list(done[:base_start])
+            out.append(repl)
+            i = i + 1 + m_slc.end()
+            continue
+        if is_str:
+            out.append(ch)
+            i += 1
+            continue
         if m_idx is not None:
             idx = m_idx.group(1)
             if is_map:
@@ -1918,6 +1950,38 @@ def rewrite_series_table_functions(sql: str) -> str:
     Scalar ``generate_series(a,b)`` (returns a LIST in DuckDB) maps to
     ``sequence`` via rewrite_function_renames' table. Timestamp ranges
     with INTERVAL steps lower through sequence() on both forms."""
+    # lateral unnest (batch 31): ``FROM t, unnest(E) AS a(c)`` /
+    # ``CROSS JOIN unnest(E) AS a(c)`` where E may reference t's columns
+    # — the subquery form below can't correlate; LATERAL VIEW explode
+    # can (and is also correct for constant E). Gated on the a(c)
+    # table-alias form so SELECT-position unnests (handled by
+    # rewrite_multi_unnest) are never touched.
+    pat = re.compile(
+        r"(,|\bCROSS\s+JOIN\b)\s*unnest\s*\(", re.IGNORECASE
+    )
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if m is None:
+            break
+        open_idx = m.end() - 1
+        close_idx = _balanced_span(sql, open_idx)
+        if close_idx == -1:
+            break
+        am = re.match(
+            r"\s*(?:AS\s+)?([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)",
+            sql[close_idx + 1 :],
+            re.IGNORECASE,
+        )
+        if am is None:
+            pos = close_idx + 1
+            continue
+        args = sql[open_idx + 1 : close_idx]
+        repl = f" LATERAL VIEW explode({args}) {am.group(1)} AS {am.group(2)}"
+        sql = (
+            sql[: m.start()] + repl + sql[close_idx + 1 + am.end() :]
+        )
+        pos = m.start() + len(repl)
 
     def _temporal_args(args: str) -> list[str] | None:
         """For a temporal series call, the arg list with DATE literal
@@ -3103,6 +3167,55 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
                 f"CAST(extract(YEAROFWEEK FROM {x}) * 100 "
                 f"+ weekofyear({x}) AS BIGINT)"
             )
+        if part in (
+            "hour", "hours", "minute", "minutes", "second", "seconds",
+            "day", "days", "month", "months", "year", "years",
+        ) and re.match(r"INTERVAL\b", x.strip(), re.IGNORECASE):
+            # date_part on an INTERVAL (batch 31, probed): fields come
+            # from the interval's own (months, days, micros) storage —
+            # hour is total-hours of the time part (50 for INTERVAL 50
+            # HOUR, no day rollup), minute/second roll within their
+            # parent, day/month/year read their own field (day of 50
+            # HOUR is 0). Spark's extract demands the field exist in
+            # the literal's type — lower through total-seconds casts.
+            probe = x
+            if stash is not None:
+                probe = re.sub(
+                    r"\x00LIT(\d+)\x00",
+                    lambda lm: _lit_text(stash, lm.group(1)),
+                    probe,
+                )
+            base = part.rstrip("s") if part != "s" else part
+            ym = re.search(
+                r"\b(YEARS?|MONTHS?)\b", probe, re.IGNORECASE
+            ) and not re.search(
+                r"\b(DAYS?|HOURS?|MINUTES?|SECONDS?|WEEKS?)\b",
+                probe,
+                re.IGNORECASE,
+            )
+            if base in ("year", "month"):
+                if not ym:
+                    return "0L"
+                months = f"CAST(CAST(({x}) AS INTERVAL MONTH) AS BIGINT)"
+                return (
+                    f"({months} DIV 12)"
+                    if base == "year"
+                    else f"pmod({months}, 12)"
+                )
+            if ym:
+                return "0L"
+            secs = f"CAST(CAST(({x}) AS INTERVAL SECOND) AS BIGINT)"
+            if base == "day":
+                # the days FIELD only — present iff the literal has a
+                # DAY unit; hours never roll up
+                if re.search(r"\bDAYS?\b", probe, re.IGNORECASE):
+                    return f"extract(DAY FROM ({x}))"
+                return "0L"
+            if base == "hour":
+                return f"({secs} DIV 3600)"
+            if base == "minute":
+                return f"pmod({secs} DIV 60, 60)"
+            return f"pmod({secs}, 60)"
         if part == "epoch":
             if re.match(r"INTERVAL\b", x.strip(), re.IGNORECASE):
                 # epoch of an INTERVAL (batch 27, probed): DOUBLE total
@@ -3503,6 +3616,30 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     sql = _rewrite_calls(
         sql, "formatReadableDecimalSize", format_decimal_x
     )
+
+    # string-literal → BOOLEAN casts (batch 31, probed): DuckDB accepts
+    # exactly t/f/true/false/1/0 case-insensitively, NO trimming —
+    # Spark also accepts y/yes/n/no and trims. Literal casts fold at
+    # transpile time; invalid literals under plain CAST are left (DuckDB
+    # errors there — error-vs-value class, documented). Column-typed
+    # casts are not statically knowable and keep Spark's semantics.
+    def bool_cast(m: re.Match) -> str:
+        low = _lit_text(stash, m.group(2)).lower()
+        if low in ("t", "true", "1"):
+            return "true"
+        if low in ("f", "false", "0"):
+            return "false"
+        if m.group(1):
+            return "CAST(NULL AS BOOLEAN)"
+        return m.group(0)
+
+    if stash is not None:
+        sql = re.sub(
+            r"\b(TRY_)?CAST\s*\(\s*\x00LIT(\d+)\x00\s+AS\s+BOOL(?:EAN)?\s*\)",
+            bool_cast,
+            sql,
+            flags=re.IGNORECASE,
+        )
 
     # json_valid → VARIANT try-parse probe (NULL in, NULL out like DuckDB)
     sql = _rewrite_calls(
