@@ -483,6 +483,48 @@ def test_pragma_show_tables_and_version(spark, sf_dir):
     assert len(ver) == 1 and ver[0]["library_version"].startswith("spark-")
 
 
+def test_typed_create_alter_update_delete(spark):
+    """Mutable session-table DDL (batch 32): typed CREATE TABLE,
+    ALTER ADD/RENAME/DROP COLUMN, UPDATE with WHERE, DELETE, TRUNCATE —
+    all view rebuilds with the CTAS persist-then-swap discipline."""
+    run_sql(spark, "DROP TABLE IF EXISTS mt")
+    assert run_sql(
+        spark, "CREATE TABLE mt (a INTEGER, b VARCHAR NOT NULL)"
+    ).collect()[0]["Count"] == 0
+    run_sql(spark, "INSERT INTO mt VALUES (1, 'x'), (2, 'y'), (3, 'z')")
+    run_sql(spark, "ALTER TABLE mt ADD COLUMN c DOUBLE")
+    assert run_sql(spark, "SELECT * FROM mt").columns == ["a", "b", "c"]
+    assert run_sql(
+        spark, "UPDATE mt SET c = a * 2.0 WHERE a > 1"
+    ).collect()[0]["Count"] == 2
+    rows = {r["a"]: r["c"] for r in run_sql(spark, "SELECT a, c FROM mt").collect()}
+    assert rows == {1: None, 2: 4.0, 3: 6.0}
+    run_sql(spark, "ALTER TABLE mt RENAME COLUMN c TO dbl")
+    assert run_sql(
+        spark, "DELETE FROM mt WHERE dbl IS NULL"
+    ).collect()[0]["Count"] == 1
+    assert run_sql(spark, "SELECT count(*) AS n FROM mt").collect()[0]["n"] == 2
+    run_sql(spark, "ALTER TABLE mt DROP COLUMN dbl")
+    assert run_sql(spark, "SELECT * FROM mt").columns == ["a", "b"]
+    run_sql(spark, "TRUNCATE mt")
+    assert run_sql(spark, "SELECT count(*) AS n FROM mt").collect()[0]["n"] == 0
+    run_sql(spark, "DROP TABLE mt")
+
+
+def test_create_view_column_aliases(spark, sf_dir):
+    """CREATE VIEW v(a, b) AS … — DuckDB column-alias list."""
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(
+        "region_vca"
+    )
+    run_sql(
+        spark,
+        "CREATE OR REPLACE VIEW vca2(k, nm) AS "
+        "SELECT r_regionkey, r_name FROM region_vca",
+    )
+    rows = run_sql(spark, "SELECT k, nm FROM vca2 ORDER BY k LIMIT 1").collect()
+    assert rows[0]["k"] == 0 and rows[0]["nm"]
+
+
 def test_set_reset_current_setting(spark):
     """SET/RESET session configuration + current_setting() resolution
     (DuckDB returns an empty result for SET; TimeZone maps onto the

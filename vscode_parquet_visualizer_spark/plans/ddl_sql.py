@@ -35,8 +35,42 @@ from pyspark.sql import types as T
 
 _CTAS = re.compile(
     r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?:TEMP\s+|TEMPORARY\s+)?"
-    r"(?P<kind>TABLE|VIEW)\s+(?P<name>[A-Za-z_]\w*)\s+AS\s+(?P<body>.+)$",
+    r"(?P<kind>TABLE|VIEW)\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?:\((?P<cols>[A-Za-z_][\w\s,\"]*)\)\s*)?"
+    r"\s+AS\s+(?P<body>.+)$",
     re.IGNORECASE | re.DOTALL,
+)
+
+# typed empty table: CREATE TABLE t (a INTEGER, b VARCHAR NOT NULL, …)
+# — no AS body. Constraint entries (PRIMARY KEY(…), UNIQUE…, CHECK…)
+# are skipped; per-column constraint suffixes are stripped (the engine's
+# INSERT is positional full-arity, so DEFAULT never participates).
+_CREATE_TYPED = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?(?:TEMP\s+|TEMPORARY\s+)?"
+    r"TABLE\s+(?P<name>[A-Za-z_]\w*)\s*\((?P<cols>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ALTER = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_]\w*)\s+(?P<action>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_TRUNCATE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<name>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
 )
 
 _DROP = re.compile(
@@ -548,6 +582,18 @@ def try_rewrite_ddl(
         if not replace and spark.catalog.tableExists(name):
             raise ValueError(f'Table with name "{name}" already exists')
         df = run_sql(spark, m.group("body"), **kw)
+        if m.group("cols"):
+            aliases = [
+                c.strip().strip('"')
+                for c in m.group("cols").split(",")
+                if c.strip()
+            ]
+            if len(aliases) != len(df.columns):
+                raise ValueError(
+                    f"CREATE {kind} {name}: {len(aliases)} column aliases "
+                    f"for {len(df.columns)} columns"
+                )
+            df = df.toDF(*aliases)
         if kind == "VIEW":
             df.createOrReplaceTempView(name)
             return _count_df(spark, None)
@@ -563,9 +609,194 @@ def try_rewrite_ddl(
             old.unpersist()
         return _count_df(spark, n)
 
+    m = _CREATE_TYPED.match(sql)
+    if m is not None:
+        from vscode_parquet_visualizer_spark.plans.dialect import (
+            _split_top_level,
+        )
+
+        name = m.group("name")
+        if not m.group("replace") and spark.catalog.tableExists(name):
+            raise ValueError(f'Table with name "{name}" already exists')
+        exprs = []
+        for item in _split_top_level(m.group("cols")):
+            item = item.strip()
+            if not item or re.match(
+                r"(PRIMARY|UNIQUE|CHECK|FOREIGN|CONSTRAINT)\b",
+                item,
+                re.IGNORECASE,
+            ):
+                continue  # table-level constraint entry
+            cm = re.match(r'("([^"]+)"|[A-Za-z_]\w*)\s+(.+)$', item, re.DOTALL)
+            if cm is None:
+                raise ValueError(f"CREATE TABLE {name}: cannot parse {item!r}")
+            col = cm.group(2) or cm.group(1)
+            typ = re.sub(
+                r"\s+(NOT\s+NULL|NULL|PRIMARY\s+KEY|UNIQUE"
+                r"|DEFAULT\s+.*|CHECK\s*\(.*|COLLATE\s+\w+)\s*$",
+                "",
+                cm.group(3).strip(),
+                flags=re.IGNORECASE | re.DOTALL,
+            )
+            exprs.append(f'CAST(NULL AS {typ}) AS `{col}`')
+        if not exprs:
+            raise ValueError(f"CREATE TABLE {name}: no columns")
+        df = run_sql(
+            spark, f"SELECT {', '.join(exprs)} WHERE false", **kw
+        )
+        _swap_table(spark, name, df)
+        return _count_df(spark, 0)
+
+    m = _ALTER.match(sql)
+    if m is not None:
+        name, action = m.group("name"), m.group("action").strip()
+        if not spark.catalog.tableExists(name):
+            raise ValueError(f'Table with name "{name}" does not exist')
+        cols = spark.table(name).columns
+        am = re.match(
+            r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r'("([^"]+)"|[A-Za-z_]\w*)\s+(.+)$',
+            action,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if am is not None:
+            col = am.group(2) or am.group(1)
+            if col in cols:
+                return local_df(spark, [], _SUCCESS_SCHEMA)
+            typ = am.group(3).strip().rstrip(";")
+            df = run_sql(
+                spark,
+                f'SELECT *, CAST(NULL AS {typ}) AS `{col}` FROM {name}',
+                **kw,
+            )
+            _swap_table(spark, name, df)
+            return local_df(spark, [], _SUCCESS_SCHEMA)
+        rm = re.match(
+            r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$", action, re.IGNORECASE
+        )
+        if rm is not None:
+            df = spark.table(name).withColumnRenamed(
+                rm.group(1), rm.group(2)
+            )
+            _swap_table(spark, name, df)
+            return local_df(spark, [], _SUCCESS_SCHEMA)
+        dm = re.match(
+            r"DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+            action,
+            re.IGNORECASE,
+        )
+        if dm is not None:
+            df = spark.table(name).drop(dm.group(1))
+            _swap_table(spark, name, df)
+            return local_df(spark, [], _SUCCESS_SCHEMA)
+        nm = re.match(r"RENAME\s+TO\s+(\w+)\s*$", action, re.IGNORECASE)
+        if nm is not None:
+            new = nm.group(1)
+            df = spark.table(name)
+            _swap_table(spark, new, df)
+            spark.catalog.dropTempView(name)
+            _session_tables.pop((id(spark), name.lower()), None)
+            return local_df(spark, [], _SUCCESS_SCHEMA)
+        raise ValueError(f"ALTER TABLE: unsupported action {action!r}")
+
+    m = _UPDATE.match(sql)
+    if m is not None:
+        from vscode_parquet_visualizer_spark.plans.dialect import (
+            _split_top_level,
+        )
+
+        name, pred = m.group("name"), m.group("pred")
+        if not spark.catalog.tableExists(name):
+            raise ValueError(f'Table with name "{name}" does not exist')
+        sets = {}
+        for item in _split_top_level(m.group("sets")):
+            col, eq, val = item.partition("=")
+            if not eq:
+                raise ValueError(f"UPDATE: cannot parse assignment {item!r}")
+            sets[col.strip().strip('"').lower()] = val.strip()
+        proj = []
+        for c in spark.table(name).columns:
+            if c.lower() in sets:
+                val = sets[c.lower()]
+                expr = (
+                    f"CASE WHEN ({pred}) THEN ({val}) ELSE `{c}` END"
+                    if pred
+                    else f"({val})"
+                )
+                proj.append(
+                    f"CAST({expr} AS {_col_type(spark, name, c)}) AS `{c}`"
+                )
+            else:
+                proj.append(f"`{c}`")
+        n = (
+            run_sql(spark, f"SELECT count(*) FROM {name} WHERE {pred}", **kw)
+            .collect()[0][0]
+            if pred
+            else spark.table(name).count()
+        )
+        df = run_sql(spark, f"SELECT {', '.join(proj)} FROM {name}", **kw)
+        _swap_table(spark, name, df)
+        return _count_df(spark, n)
+
+    m = _DELETE.match(sql)
+    if m is not None:
+        name, pred = m.group("name"), m.group("pred")
+        if not spark.catalog.tableExists(name):
+            raise ValueError(f'Table with name "{name}" does not exist')
+        if pred is None:
+            n = spark.table(name).count()
+            df = run_sql(spark, f"SELECT * FROM {name} WHERE false", **kw)
+        else:
+            n = (
+                run_sql(
+                    spark, f"SELECT count(*) FROM {name} WHERE {pred}", **kw
+                ).collect()[0][0]
+            )
+            df = run_sql(
+                spark,
+                f"SELECT * FROM {name} "
+                f"WHERE NOT coalesce(CAST(({pred}) AS BOOLEAN), false)",
+                **kw,
+            )
+        _swap_table(spark, name, df)
+        return _count_df(spark, n)
+
+    m = _TRUNCATE.match(sql)
+    if m is not None:
+        name = m.group("name")
+        if not spark.catalog.tableExists(name):
+            raise ValueError(f'Table with name "{name}" does not exist')
+        df = run_sql(spark, f"SELECT * FROM {name} WHERE false", **kw)
+        _swap_table(spark, name, df)
+        return local_df(spark, [], _SUCCESS_SCHEMA)
+
     if _COPY.match(sql):
         return _run_copy(spark, sql, run_sql, **kw)
     return None
+
+
+def _col_type(spark: SparkSession, name: str, col: str) -> str:
+    """Spark DDL type string of ``name.col`` — UPDATE keeps the column's
+    declared type (DuckDB casts the assigned value to it)."""
+    for f in spark.table(name).schema.fields:
+        if f.name == col:
+            return f.dataType.simpleString()
+    raise ValueError(f"no column {col!r} in {name}")
+
+
+def _swap_table(spark: SparkSession, name: str, df: DataFrame) -> int:
+    """Materialize ``df`` atomically as session table ``name`` (persist +
+    eager count first — a failing rebuild surfaces before the swap),
+    mirroring the CTAS/INSERT discipline."""
+    df = df.persist()
+    n = df.count()
+    key = (id(spark), name.lower())
+    old = _session_tables.get(key)
+    df.createOrReplaceTempView(name)
+    _session_tables[key] = df
+    if old is not None:
+        old.unpersist()
+    return n
 
 
 _COPY_PARTS = re.compile(
