@@ -525,6 +525,37 @@ def test_create_view_column_aliases(spark, sf_dir):
     assert rows[0]["k"] == 0 and rows[0]["nm"]
 
 
+def test_read_csv_option_surface(spark, tmp_path):
+    """read_csv names=/columns=/header=false/filename= option parity
+    (batch 33): headerless columns are named column0…, names= renames,
+    columns= disables inference with DuckDB-typed casts, filename=
+    adds the source path."""
+    p = tmp_path / "noh.csv"
+    p.write_text("5,alpha\n6,beta\n")
+    rows = run_sql(
+        spark, f"SELECT * FROM read_csv('{p}', header=false) ORDER BY column0"
+    ).collect()
+    assert [r["column0"] for r in rows] == ["5", "6"]
+    rows = run_sql(
+        spark,
+        f"SELECT * FROM read_csv('{p}', header=false, names=['id','nm']) "
+        "ORDER BY id",
+    ).collect()
+    assert [(r["id"], r["nm"]) for r in rows] == [("5", "alpha"), ("6", "beta")]
+    rows = run_sql(
+        spark,
+        f"SELECT * FROM read_csv('{p}', header=false, "
+        "columns={'id': 'INTEGER', 'nm': 'VARCHAR'}) ORDER BY id",
+    ).collect()
+    assert [(r["id"], r["nm"]) for r in rows] == [(5, "alpha"), (6, "beta")]
+    rows = run_sql(
+        spark,
+        f"SELECT column0, filename FROM read_csv('{p}', header=false, "
+        "filename=true) ORDER BY column0",
+    ).collect()
+    assert rows[0]["filename"] == str(p)
+
+
 def test_set_reset_current_setting(spark):
     """SET/RESET session configuration + current_setting() resolution
     (DuckDB returns an empty result for SET; TimeZone maps onto the

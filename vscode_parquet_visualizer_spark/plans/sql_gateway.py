@@ -93,21 +93,67 @@ def _route_read_functions(
     )
     from vscode_parquet_visualizer_spark.sources import registry
 
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        _split_top_level,
+    )
+
     def sub(m: re.Match) -> str:
         fn, path, rawopts = m.group(1).lower(), m.group(2), m.group(3)
         if path == "path" or (dataset_path and path == dataset_path):
             return m.group(0)
         fmt = _READ_FN_FORMATS.get(fn, "parquet")
         opts: dict[str, str] = {}
+        names: list[str] | None = None
+        columns: list[tuple[str, str]] | None = None
+        filename = False
+        header_false = False
         if rawopts and rawopts.strip():
-            if fmt != "csv":
-                return m.group(0)  # options only supported for CSV
-            for pair in rawopts.split(","):
+            if fmt not in ("csv", "json"):
+                return m.group(0)  # options only supported for CSV/JSON
+            for pair in _split_top_level(rawopts):
                 k, eq, v = pair.partition("=")
-                k, v = k.strip().lower(), v.strip().strip("'\"")
-                if not eq or k not in _CSV_OPT_MAP:
+                if not eq:
+                    k, eq, v = pair.partition(":=")  # named-arg spelling
+                k, v = k.strip().lower(), v.strip()
+                if not eq:
+                    return m.group(0)
+                if k == "names":
+                    lm = re.fullmatch(r"\[(.*)\]", v, re.DOTALL)
+                    if lm is None:
+                        return m.group(0)
+                    names = [
+                        c.strip().strip("'\"")
+                        for c in lm.group(1).split(",")
+                        if c.strip()
+                    ]
+                elif k == "columns":
+                    sm = re.fullmatch(r"\{(.*)\}", v, re.DOTALL)
+                    if sm is None:
+                        return m.group(0)
+                    columns = []
+                    for item in _split_top_level(sm.group(1)):
+                        ck, sep, cv = item.partition(":")
+                        if not sep:
+                            return m.group(0)
+                        columns.append(
+                            (ck.strip().strip("'\""), cv.strip().strip("'\""))
+                        )
+                elif k == "filename":
+                    filename = v.strip("'\"").lower() in ("true", "1")
+                elif k == "format" and fmt == "json":
+                    # newline_delimited / array / auto — the registry's
+                    # json reader sniffs both shapes; accept and drop
+                    continue
+                elif fmt == "csv" and k in _CSV_OPT_MAP:
+                    opts[_CSV_OPT_MAP[k]] = v.strip("'\"")
+                else:
                     return m.group(0)  # unknown arg: loud
-                opts[_CSV_OPT_MAP[k]] = v
+        if columns is not None:
+            # explicit schema disables inference: read headerless
+            # strings, cast per column (DuckDB type spellings — the
+            # downstream transpile maps them)
+            opts.setdefault("header", opts.get("header", "false"))
+        header_false = opts.get("header", "").lower() == "false"
         view = "__read_" + hashlib.md5(
             (path + repr(sorted(opts.items()))).encode()
         ).hexdigest()[:12]
@@ -118,7 +164,39 @@ def _route_read_functions(
             df = registry.read(spark, path, fmt, **opts)
         else:
             df = registry.read(spark, path, fmt)
+        if header_false:
+            # DuckDB names inferred headerless columns column0, column1…
+            df = df.toDF(*[f"column{i}" for i in range(len(df.columns))])
+        if names is not None:
+            cols = df.columns
+            if len(names) > len(cols):
+                raise ValueError(
+                    f"{fn}: {len(names)} names for {len(cols)} columns"
+                )
+            df = df.toDF(*(names + cols[len(names) :]))
         df.createOrReplaceTempView(view)
+        if columns is not None:
+            if len(columns) != len(df.columns):
+                raise ValueError(
+                    f"{fn}: columns= lists {len(columns)} entries for "
+                    f"{len(df.columns)} columns"
+                )
+            casts = ", ".join(
+                f"CAST({old} AS {typ}) AS {new}"
+                for old, (new, typ) in zip(df.columns, columns)
+            )
+            return f"(SELECT {casts} FROM {view})"
+        if filename:
+            # DuckDB's filename column is the path as given; a literal
+            # single path stays literal, globs fall back to the
+            # scheme-stripped per-row source file
+            fcol = (
+                f"'{path}' AS filename"
+                if not re.search(r"[*?\[\]]", path)
+                else "regexp_replace(input_file_name(), '^file:(//)?', '')"
+                " AS filename"
+            )
+            return f"(SELECT *, {fcol} FROM {view})"
         return view
 
     return _READ_FN_CALL.sub(sub, sql)
