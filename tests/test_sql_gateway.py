@@ -535,13 +535,13 @@ def test_read_csv_option_surface(spark, tmp_path):
     rows = run_sql(
         spark, f"SELECT * FROM read_csv('{p}', header=false) ORDER BY column0"
     ).collect()
-    assert [r["column0"] for r in rows] == ["5", "6"]
+    assert [r["column0"] for r in rows] == [5, 6]  # inferred, like DuckDB
     rows = run_sql(
         spark,
         f"SELECT * FROM read_csv('{p}', header=false, names=['id','nm']) "
         "ORDER BY id",
     ).collect()
-    assert [(r["id"], r["nm"]) for r in rows] == [("5", "alpha"), ("6", "beta")]
+    assert [(r["id"], r["nm"]) for r in rows] == [(5, "alpha"), (6, "beta")]
     rows = run_sql(
         spark,
         f"SELECT * FROM read_csv('{p}', header=false, "
