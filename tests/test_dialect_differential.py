@@ -2257,3 +2257,40 @@ def test_differential_batch31(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-8 hunt batch 34: JSON function depth — 2-arg json_keys, list-
+# of-paths json_extract, json_quote, json_transform/from_json structure
+# specs (named_struct+CAST so DuckDB's string->number coercion
+# survives; Spark's from_json alone NULLs quoted numbers), CAST(x AS
+# JSON) as validated-string type. Documented-not-fixed: CAST AS JSON
+# skips DuckDB's parse-time validation (invalid text passes through).
+CORPUS_R8_BATCH34 = [
+    """SELECT json_keys('{"a":1,"b":{"c":2}}', 'b') AS k,
+              json_keys('{"a":1,"b":2}') AS top""",
+    """SELECT json_quote('hi') AS q, json_quote(1) AS n""",
+    """SELECT json_extract('{"a":1,"b":2}', ['$.a','$.b']) AS l""",
+    """SELECT json_transform('{"a":"1","b":"x"}',
+              '{"a":"INTEGER","b":"VARCHAR"}') AS t""",
+    """SELECT json_transform('{"a":{"c":"2"},"b":[1,2]}',
+              '{"a":{"c":"INTEGER"},"b":["INTEGER"]}') AS t2""",
+    """SELECT from_json('{"a":[1,2]}', '{"a":["INTEGER"]}') AS f""",
+    """SELECT CAST('{"x": 5}' AS JSON) IS NOT NULL AS ok""",
+    """SELECT '{"a":{"b":[1,2,3]}}'->'a'->'b'->>1 AS x,
+              json_extract('{"a":[{"b":7}]}', '$.a[0].b') AS p""",
+    """SELECT json_type('{"a":1}') AS t, json_type('[1]') AS a,
+              json_type('"s"') AS s, json_type('1') AS n,
+              json_array_length('{"a":[1,2,3]}', '$.a') AS al""",
+    """SELECT json_merge_patch('{"a":1,"b":2}', '{"b":null,"c":3}') AS m,
+              json_contains('{"a":[1,2]}', '2') AS c""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R8_BATCH34, ids=range(len(CORPUS_R8_BATCH34))
+)
+def test_differential_batch34(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

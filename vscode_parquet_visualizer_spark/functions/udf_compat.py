@@ -224,6 +224,19 @@ def json_structure(j: str | None) -> str | None:
     return _json.dumps(_json_struct_of(v), separators=(",", ":"))
 
 
+def json_quote(v) -> str | None:
+    """DuckDB json_quote: render any value as JSON text (strings gain
+    quotes, numbers/bools pass through, containers serialize)."""
+    if v is None:
+        return None
+    import json
+
+    try:
+        return json.dumps(v, separators=(",", ":"))
+    except TypeError:
+        return json.dumps(str(v))
+
+
 def json_merge_patch(a: str | None, b: str | None) -> str | None:
     """RFC 7386 merge patch (DuckDB json_merge_patch): recursive object
     merge, null deletes, non-object patch replaces wholesale."""
@@ -348,4 +361,5 @@ def register(spark) -> None:
 
     spark.udf.register("json_type", json_type_of, StringType())
     spark.udf.register("json_contains", json_contains, BooleanType())
+    spark.udf.register("json_quote", json_quote, StringType())
     _REGISTERED.add(key)

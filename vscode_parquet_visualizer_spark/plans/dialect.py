@@ -4125,22 +4125,122 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     # json_extract / json_extract_path: the '->' semantics (JSON out —
     # documented string-quoting divergence shared with the arrow
     # lowering); accepts '$.a[1].b' JSONPaths, '/a/b' pointers, bare keys
-    def json_extract_x(a):
-        if len(a) != 2:
-            return None
-        m = re.fullmatch(r"\x00LIT(\d+)\x00", a[1])
+    def _json_norm_path(raw: str) -> str | None:
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", raw.strip())
         if m is None:
-            return f"get_json_object({a[0]}, {a[1]})"
+            return None
         p = _lit_text(stash, m.group(1))
         if p.startswith("/"):
             p = "$." + ".".join(p.strip("/").split("/"))
         elif not p.startswith("$"):
             p = "$." + p
-        ph = _stash_add(stash, "'" + p.replace("'", "''") + "'")
+        return _stash_add(stash, "'" + p.replace("'", "''") + "'")
+
+    def json_extract_x(a):
+        if len(a) != 2:
+            return None
+        # list-of-paths form (batch 34): json_extract(j, ['$.a','$.b'])
+        # → one extract per path, array result (the bracket literal is
+        # already array(...) — rewrite_array_literals runs earlier)
+        lm = re.fullmatch(
+            r"(?:\[(.*)\]|array\s*\((.*)\))", a[1].strip(), re.DOTALL | re.IGNORECASE
+        )
+        if lm is not None:
+            lm_body = lm.group(1) if lm.group(1) is not None else lm.group(2)
+            parts = []
+            for item in _split_top_level(lm_body):
+                ph = _json_norm_path(item)
+                if ph is None:
+                    return None
+                parts.append(f"get_json_object({a[0]}, {ph})")
+            return f"array({', '.join(parts)})"
+        ph = _json_norm_path(a[1])
+        if ph is None:
+            return f"get_json_object({a[0]}, {a[1]})"
         return f"get_json_object({a[0]}, {ph})"
 
     sql = _rewrite_calls(sql, "json_extract", json_extract_x)
     sql = _rewrite_calls(sql, "json_extract_path", json_extract_x)
+
+    # json_keys(j, path) 2-arg form (batch 34): keys of the object AT
+    # the path (bare key or JSONPath) — the 1-arg form renames to
+    # json_object_keys via FUNCTION_RENAMES
+    def json_keys_x(a):
+        if len(a) != 2:
+            return None
+        ph = _json_norm_path(a[1])
+        if ph is None:
+            return None
+        return f"json_object_keys(get_json_object({a[0]}, {ph}))"
+
+    sql = _rewrite_calls(sql, "json_keys", json_keys_x)
+
+    # json_transform(j, '{"a":"INTEGER"}') (+ its DuckDB alias
+    # from_json): the structure literal compiles to a Spark schema and
+    # lowers to the native from_json — typed struct out, NULL on
+    # coercion failure, matching DuckDB (batch 34). A from_json whose
+    # second arg is NOT a JSON structure literal stays native (Spark's
+    # own DDL-string signature).
+    def _jt_schema(spec) -> str:
+        if isinstance(spec, dict):
+            fields = ", ".join(
+                f"`{k}`: {_jt_schema(v)}" for k, v in spec.items()
+            )
+            return f"STRUCT<{fields}>"
+        if isinstance(spec, list):
+            inner = _jt_schema(spec[0]) if spec else "STRING"
+            return f"ARRAY<{inner}>"
+        t = str(spec).upper()
+        return _CAST_TYPE_MAP.get(t, t)
+
+    def _jt_expr(j: str, path: str, spec) -> str:
+        """Typed extraction of ``path`` from JSON text ``j`` per the
+        structure spec. Scalars go get_json_object→CAST so DuckDB's
+        string→number coercion ("1" → 1) survives; containers use
+        from_json on the extracted subtree."""
+        ph = _stash_add(stash, "'" + path.replace("'", "''") + "'")
+        sub = f"get_json_object({j}, {ph})"
+        if isinstance(spec, dict):
+            fields = ", ".join(
+                f"'{k}', {_jt_expr(j, f'{path}.{k}', v)}"
+                for k, v in spec.items()
+            )
+            return f"named_struct({fields})"
+        if isinstance(spec, list):
+            sch = _stash_add(
+                stash, "'" + _jt_schema(spec).replace("'", "''") + "'"
+            )
+            return f"from_json({sub}, {sch})"
+        t = _CAST_TYPE_MAP.get(str(spec).upper(), str(spec).upper())
+        return f"CAST({sub} AS {t})"
+
+    def json_transform_x(a):
+        if len(a) != 2:
+            return None
+        m = re.fullmatch(r"\x00LIT(\d+)\x00", a[1].strip())
+        if m is None:
+            return None
+        import json as _json
+
+        try:
+            spec = _json.loads(_lit_text(stash, m.group(1)))
+        except ValueError:
+            return None
+        if isinstance(spec, dict):
+            fields = ", ".join(
+                f"'{k}', {_jt_expr(a[0], f'$.{k}', v)}"
+                for k, v in spec.items()
+            )
+            return f"named_struct({fields})"
+        if isinstance(spec, list):
+            schema = _stash_add(
+                stash, "'" + _jt_schema(spec).replace("'", "''") + "'"
+            )
+            return f"from_json({a[0]}, {schema})"
+        return None
+
+    sql = _rewrite_calls(sql, "json_transform", json_transform_x)
+    sql = _rewrite_calls(sql, "from_json", json_transform_x)
 
     # json_type / json_array_length path forms: splice the path through
     # VARIANT extraction (to_json keeps string values QUOTED, which
@@ -5025,6 +5125,9 @@ _CAST_TYPE_MAP = {
     "DATETIME": "TIMESTAMP", "TIMESTAMPTZ": "TIMESTAMP",
     "TIMESTAMP_S": "TIMESTAMP", "TIMESTAMP_MS": "TIMESTAMP",
     "TIMESTAMP_NS": "TIMESTAMP",
+    # DuckDB's JSON type is a validated string; the engine keeps JSON
+    # values as strings throughout (the '->' family operates on them)
+    "JSON": "STRING",
 }
 
 _TS_LITERAL_PREFIX = re.compile(
