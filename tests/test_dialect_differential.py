@@ -2294,3 +2294,54 @@ def test_differential_batch34(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-8 hunt batch 35: @ prefix absolute value, 1-arg encode/decode,
+# BLOB literal casts (\xNN escapes are BYTES, not text), like_escape
+# function family (operator lowering through the literal-resolving
+# ESCAPE pass), md5_number_lower/upper (little-endian digest halves),
+# list_value/array_value, multi-part date_part (struct out), plus
+# aggregate anchors (fsum/favg/bit aggs/quantile alias/variance).
+CORPUS_R8_BATCH35 = [
+    """SELECT @(-5) AS a, @(-2.5) AS b, @7 AS c""",
+    """SELECT decode(encode('héllo')) AS r, octet_length(encode('é')) AS o""",
+    """SELECT octet_length('\\xAA\\xBBc'::BLOB) AS n""",
+    """SELECT like_escape('a_c', 'a\\_c', '\\') AS e,
+              not_like_escape('abc', 'a\\_c', '\\') AS ne,
+              ilike_escape('A_C', 'a\\_c', '\\') AS ie,
+              not_ilike_escape('A_C', 'a\\_c', '\\') AS nie""",
+    """SELECT CAST(md5_number_lower('abc') AS VARCHAR) AS lo,
+              CAST(md5_number_upper('abc') AS VARCHAR) AS hi""",
+    """SELECT list_value(1,2,3) AS l, array_value('a','b') AS av,
+              list_resize([1,2], 4) AS r, list_resize([1], 3, 9) AS f""",
+    """SELECT date_part(['year','month'], DATE '2024-03-05') AS p""",
+    """SELECT bit_and(n_nationkey) AS a, bit_or(n_nationkey) AS o,
+              bit_xor(n_nationkey) AS x FROM nation""",
+    """SELECT quantile(o_totalprice, 0.5) = quantile_disc(o_totalprice, 0.5)
+              AS ok,
+              round(favg(o_totalprice), 4) = round(avg(o_totalprice), 4)
+              AS favg_ok
+       FROM orders""",
+    """SELECT round(var_samp(o_totalprice), 2) AS vs,
+              round(var_pop(o_totalprice), 2) AS vp,
+              median(x) AS m
+       FROM orders, (VALUES (1),(2),(3),(4)) t(x)
+       GROUP BY ALL ORDER BY m""",
+    """SELECT n_nationkey, lag(n_nationkey, -1) OVER (ORDER BY n_nationkey)
+              AS l FROM nation ORDER BY n_nationkey LIMIT 3""",
+    """SELECT regexp_escape('a.b*c') AS e, printf('%5d|%-5s|', 42, 'ab')
+              AS p""",
+    """SELECT datetrunc('month', DATE '2024-03-15') AS d,
+              datepart('year', DATE '2024-03-15') AS y,
+              century(DATE '2001-01-01') AS c""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R8_BATCH35, ids=range(len(CORPUS_R8_BATCH35))
+)
+def test_differential_batch35(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -511,6 +511,25 @@ def test_typed_create_alter_update_delete(spark):
     run_sql(spark, "DROP TABLE mt")
 
 
+def test_dml_returning(spark):
+    """INSERT/UPDATE/DELETE … RETURNING — DuckDB projects inserted/
+    new/deleted rows instead of the Count row."""
+    run_sql(spark, "DROP TABLE IF EXISTS rt")
+    run_sql(spark, "CREATE TABLE rt (a INTEGER, b VARCHAR)")
+    rows = run_sql(
+        spark, "INSERT INTO rt VALUES (1,'x'), (2,'y') RETURNING a, b"
+    ).collect()
+    assert sorted((r["a"], r["b"]) for r in rows) == [(1, "x"), (2, "y")]
+    rows = run_sql(
+        spark, "UPDATE rt SET a = a + 10 WHERE a = 1 RETURNING a"
+    ).collect()
+    assert [r["a"] for r in rows] == [11]
+    rows = run_sql(spark, "DELETE FROM rt WHERE a = 2 RETURNING *").collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(2, "y")]
+    assert run_sql(spark, "SELECT count(*) AS n FROM rt").collect()[0]["n"] == 1
+    run_sql(spark, "DROP TABLE rt")
+
+
 def test_create_view_column_aliases(spark, sf_dir):
     """CREATE VIEW v(a, b) AS … — DuckDB column-alias list."""
     spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(

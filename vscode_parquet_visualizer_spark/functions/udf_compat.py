@@ -224,6 +224,30 @@ def json_structure(j: str | None) -> str | None:
     return _json.dumps(_json_struct_of(v), separators=(",", ":"))
 
 
+def md5_number_lower(s: str | None):
+    """DuckDB md5_number_lower: the md5 digest's SECOND 8 bytes as a
+    little-endian unsigned 64-bit integer (probed against duck v1.0)."""
+    if s is None:
+        return None
+    import hashlib
+    from decimal import Decimal
+
+    d = hashlib.md5(s.encode("utf-8")).digest()
+    return Decimal(int.from_bytes(d[8:16], "little"))
+
+
+def md5_number_upper(s: str | None):
+    """DuckDB md5_number_upper: the digest's FIRST 8 bytes,
+    little-endian unsigned."""
+    if s is None:
+        return None
+    import hashlib
+    from decimal import Decimal
+
+    d = hashlib.md5(s.encode("utf-8")).digest()
+    return Decimal(int.from_bytes(d[:8], "little"))
+
+
 def json_quote(v) -> str | None:
     """DuckDB json_quote: render any value as JSON text (strings gain
     quotes, numbers/bools pass through, containers serialize)."""
@@ -362,4 +386,12 @@ def register(spark) -> None:
     spark.udf.register("json_type", json_type_of, StringType())
     spark.udf.register("json_contains", json_contains, BooleanType())
     spark.udf.register("json_quote", json_quote, StringType())
+    from pyspark.sql.types import DecimalType
+
+    spark.udf.register(
+        "md5_number_lower", md5_number_lower, DecimalType(20, 0)
+    )
+    spark.udf.register(
+        "md5_number_upper", md5_number_upper, DecimalType(20, 0)
+    )
     _REGISTERED.add(key)

@@ -58,13 +58,15 @@ _ALTER = re.compile(
 
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(?P<name>[A-Za-z_]\w*)\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?"
+    r"(?:\s+RETURNING\s+(?P<ret>.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
 _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_]\w*)"
-    r"(?:\s+WHERE\s+(?P<pred>.+))?\s*$",
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?"
+    r"(?:\s+RETURNING\s+(?P<ret>.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -88,7 +90,8 @@ _SESSION_NOOP = re.compile(
 )
 
 _INSERT = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s+(?P<body>.+)$",
+    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s+(?P<body>.+?)"
+    r"(?:\s+RETURNING\s+(?P<ret>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -555,6 +558,13 @@ def try_rewrite_ddl(
         _session_tables[key] = merged
         if old is not None:
             old.unpersist()
+        if m.group("ret"):
+            # RETURNING: project the inserted rows (DuckDB shape)
+            view = f"__ins_ret_{name}"
+            add.createOrReplaceTempView(view)
+            return run_sql(
+                spark, f"SELECT {m.group('ret')} FROM {view}", **kw
+            )
         return _count_df(spark, n_new)
 
     m = _EXPLAIN.match(sql)
@@ -734,6 +744,32 @@ def try_rewrite_ddl(
             if pred
             else spark.table(name).count()
         )
+        ret = m.group("ret")
+        ret_rows = None
+        if ret:
+            # RETURNING evaluates over the NEW values of matched rows:
+            # compute the match flag alongside the rebuild, filter, then
+            # project the user's expressions
+            flag = (
+                f"coalesce(CAST(({pred}) AS BOOLEAN), false)"
+                if pred
+                else "true"
+            )
+            full = run_sql(
+                spark,
+                f"SELECT {', '.join(proj)}, {flag} AS __upd FROM {name}",
+                **kw,
+            ).persist()
+            full.count()
+            view = f"__upd_ret_{name}"
+            full.filter("__upd").drop("__upd").createOrReplaceTempView(view)
+            ret_rows = run_sql(spark, f"SELECT {ret} FROM {view}", **kw)
+            ret_rows = local_df(
+                spark, ret_rows.collect(), ret_rows.schema
+            )
+            _swap_table(spark, name, full.drop("__upd"))
+            full.unpersist()
+            return ret_rows
         df = run_sql(spark, f"SELECT {', '.join(proj)} FROM {name}", **kw)
         _swap_table(spark, name, df)
         return _count_df(spark, n)
@@ -758,8 +794,22 @@ def try_rewrite_ddl(
                 f"WHERE NOT coalesce(CAST(({pred}) AS BOOLEAN), false)",
                 **kw,
             )
+        ret = m.group("ret")
+        ret_rows = None
+        if ret:
+            # RETURNING projects the DELETED rows — materialize before
+            # the swap rebinds the view
+            cond = (
+                f"coalesce(CAST(({pred}) AS BOOLEAN), false)"
+                if pred
+                else "true"
+            )
+            gone = run_sql(
+                spark, f"SELECT {ret} FROM {name} WHERE {cond}", **kw
+            )
+            ret_rows = local_df(spark, gone.collect(), gone.schema)
         _swap_table(spark, name, df)
-        return _count_df(spark, n)
+        return ret_rows if ret else _count_df(spark, n)
 
     m = _TRUNCATE.match(sql)
     if m is not None:

@@ -945,6 +945,15 @@ def rewrite_arithmetic_operators(sql: str) -> str:
     common case; anything fancier is left for the parser."""
     operand = r"(\([^()]*\)|[A-Za-z_][A-Za-z0-9_.]*(?:\([^()]*\))?|\d+(?:\.\d+)?)"
 
+    # @x prefix absolute value (batch 35). Guards: not the ^@ starts-
+    # with operator (consumed upstream), not @> / <@ list-containment
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = re.sub(
+            r"(?<![\^<\w@])@(?!>)\s*" + operand, r"abs(\1)", sql, count=1
+        )
+
     # // on a FLOAT literal operand is plain division in DuckDB
     # (probed batch 27: 7.5 // 2 = 3.75, typed DOUBLE); integer
     # operands truncate toward zero, which Spark's div matches
@@ -2743,23 +2752,29 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         sql, "prefix",
         lambda a: f"startswith({', '.join(a)})" if len(a) == 2 else None,
     )
-    # LIKE-with-escape function forms -> Spark's like/ilike functions
-    sql = _rewrite_calls(
-        sql, "like_escape",
-        lambda a: f"like({', '.join(a)})" if len(a) == 3 else None,
-    )
-    sql = _rewrite_calls(
-        sql, "ilike_escape",
-        lambda a: f"ilike({', '.join(a)})" if len(a) == 3 else None,
-    )
-    sql = _rewrite_calls(
-        sql, "not_like_escape",
-        lambda a: f"(NOT like({', '.join(a)}))" if len(a) == 3 else None,
-    )
-    sql = _rewrite_calls(
-        sql, "not_ilike_escape",
-        lambda a: f"(NOT ilike({', '.join(a)}))" if len(a) == 3 else None,
-    )
+    # LIKE-with-escape function forms -> operator LIKE … ESCAPE …
+    # (batch 35: the like()/ilike() 3-arg function spellings do not
+    # parse on Spark 4 — the escape char is grammar, not an argument).
+    # Pattern/escape stay as bare literal placeholders so the later
+    # rewrite_like_escape pass resolves them (ILIKE-ESCAPE lowering,
+    # lexer-safe escape char substitution).
+    for _fname, _op in (
+        ("like_escape", "LIKE"),
+        ("ilike_escape", "ILIKE"),
+        ("not_like_escape", "NOT LIKE"),
+        ("not_ilike_escape", "NOT ILIKE"),
+    ):
+        sql = _rewrite_calls(
+            sql,
+            _fname,
+            # LHS left bare: rewrite_like_escape's operand regex must
+            # see placeholder/identifier directly before the operator
+            lambda a, _o=_op: (
+                f"({a[0]} {_o} {a[1]} ESCAPE {a[2]})"
+                if len(a) == 3
+                else None
+            ),
+        )
     # Kahan-compensated float aggs: Spark's JVM sum/avg match DuckDB's
     # result type (DOUBLE); the compensation itself is an accumulation-
     # noise concern below the workload's rounding contract
@@ -3637,6 +3652,44 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         sql = re.sub(
             r"\b(TRY_)?CAST\s*\(\s*\x00LIT(\d+)\x00\s+AS\s+BOOL(?:EAN)?\s*\)",
             bool_cast,
+            sql,
+            flags=re.IGNORECASE,
+        )
+
+    # encode/decode (batch 35): DuckDB's are UTF-8 str↔blob with one
+    # arg; Spark demands an explicit charset
+    sql = _rewrite_calls(
+        sql,
+        "encode",
+        lambda a: f"encode({a[0]}, 'UTF-8')" if len(a) == 1 else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "decode",
+        lambda a: f"decode({a[0]}, 'UTF-8')" if len(a) == 1 else None,
+    )
+
+    # BLOB literals (batch 35): DuckDB '\xAA…'::BLOB escapes are BYTES;
+    # Spark's string→binary cast would UTF-8-encode the escape TEXT.
+    # Literal casts fold to unhex(hex-of-bytes).
+    def blob_cast(m: re.Match) -> str:
+        text = _lit_text(stash, m.group(2))
+        out, i = bytearray(), 0
+        while i < len(text):
+            em = re.match(r"\\x([0-9a-fA-F]{2})", text[i:])
+            if em:
+                out.append(int(em.group(1), 16))
+                i += 4
+            else:
+                out.extend(text[i].encode("utf-8"))
+                i += 1
+        return f"unhex('{out.hex().upper()}')"
+
+    if stash is not None:
+        sql = re.sub(
+            r"\b(TRY_)?CAST\s*\(\s*\x00LIT(\d+)\x00\s+AS\s+"
+            r"(?:BLOB|BYTEA|BINARY|VARBINARY)\s*\)",
+            blob_cast,
             sql,
             flags=re.IGNORECASE,
         )
