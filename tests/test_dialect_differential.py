@@ -2345,3 +2345,53 @@ def test_differential_batch35(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# round-8 hunt batch 36: arg_max/arg_min/min_by/max_by NULL-value
+# skipping (DuckDB ignores rows whose value is NULL; Spark's max_by
+# returns them), numeric-literal → integer cast ROUNDING (3.7::INT = 4
+# half-away; double-typed columns keep Spark truncation — documented),
+# chained star modifiers (* EXCLUDE … REPLACE …), #N positional ORDER
+# BY references. Documented-not-fixed: COLUMNS(*)/COLUMNS(lambda)
+# forms need live schema (engine path provides it; bare transpile
+# can't), deep mixed subscript chains after a struct-key access revert
+# to Spark indexing, CAST('x' AS BOOLEAN)'s wider accept set on columns.
+CORPUS_R8_BATCH36 = [
+    """SELECT arg_max(v, k) AS am, arg_min(v, k) AS an
+       FROM (VALUES (1, 1), (NULL, 2), (3, 0)) t(v, k)""",
+    """SELECT max_by(v, k) AS am, min_by(v, k) AS an
+       FROM (VALUES (1, 1), (NULL, 2), (NULL, 0)) t(v, k)""",
+    """SELECT 3.7::INTEGER::VARCHAR AS s, CAST(3.5 AS INT) AS a,
+              CAST(2.5 AS INT) AS b, CAST(-3.5 AS INT) AS c,
+              TRY_CAST(3.7 AS BIGINT) AS d""",
+    """SELECT * EXCLUDE (r_name) REPLACE (r_regionkey*2 AS r_regionkey)
+       FROM region ORDER BY r_regionkey LIMIT 2""",
+    """SELECT r_name FROM region ORDER BY #1 DESC LIMIT 1""",
+    # probed-green anchors
+    """SELECT region.* FROM region ORDER BY r_regionkey LIMIT 1""",
+    """SELECT r.* EXCLUDE (r_name) FROM region r
+       ORDER BY r_regionkey LIMIT 2""",
+    """SELECT struct_pack(a := 1, b := 'x') AS s,
+              union_value(num := 2) IS NOT NULL AS ok""",
+    """SELECT o_orderstatus AS s, CAST(count(*) AS BIGINT) AS n
+       FROM orders GROUP BY ALL ORDER BY ALL""",
+    """SELECT o_orderstatus AS s, o_orderpriority AS p,
+              CAST(count(*) AS BIGINT) AS n
+       FROM orders GROUP BY GROUPING SETS ((o_orderstatus),
+              (o_orderstatus, o_orderpriority), ())
+       ORDER BY s NULLS LAST, p NULLS LAST LIMIT 12""",
+    """SELECT percentile_cont([0.25, 0.75])
+              WITHIN GROUP (ORDER BY o_totalprice) AS p FROM orders""",
+    """SELECT INTERVAL 10 HOUR / 2 = INTERVAL 5 HOUR AS ok""",
+    """SELECT count(*) FILTER (o_orderstatus = 'F') AS f FROM orders""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R8_BATCH36, ids=range(len(CORPUS_R8_BATCH36))
+)
+def test_differential_batch36(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -61,8 +61,9 @@ FUNCTION_RENAMES = {
     # generate_series is NOT a plain rename: Spark's sequence flips to a
     # descending list on inverted bounds where DuckDB returns [] —
     # rewrite_function_shapes lowers it (and scalar range) with guards.
-    "arg_max": "max_by",
-    "arg_min": "min_by",
+    # arg_max/arg_min: see the NULL-skipping shape rewrite in
+    # rewrite_function_shapes (DuckDB ignores rows whose VALUE is NULL;
+    # Spark's max_by returns them) — not a plain rename (batch 36)
     # arbitrary() = DuckDB alias of first(); the ORDER BY form is
     # lowered to min_by/max_by in rewrite_function_shapes first
     "arbitrary": "first",
@@ -616,7 +617,12 @@ def rewrite_replace_projection(sql: str, columns: list[str] | None) -> str:
     list with the replaced entries in place — preserves DuckDB's column
     order. Schema-free fallback: ``* EXCEPT (cols), expr AS col ...``
     (replaced columns move to the end; same data)."""
-    pat = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)
+    # an EXCLUDE/EXCEPT group may sit between * and REPLACE (DuckDB
+    # chains star modifiers; EXCLUDE→EXCEPT already rewritten upstream)
+    pat = re.compile(
+        r"\*\s+(?:EXCEPT\s*\((?P<exc>[^()]*)\)\s+)?REPLACE\s*\(",
+        re.IGNORECASE,
+    )
     while True:
         m = pat.search(sql)
         if not m:
@@ -624,6 +630,11 @@ def rewrite_replace_projection(sql: str, columns: list[str] | None) -> str:
         close = _balanced_span(sql, m.end() - 1)
         if close < 0:
             return sql
+        excluded = [
+            c.strip().strip('"`')
+            for c in (m.group("exc") or "").split(",")
+            if c.strip()
+        ]
         repl: dict[str, tuple[str, str]] = {}
         for item in _split_top_level(sql[m.end() : close]):
             mm = re.match(
@@ -635,13 +646,17 @@ def rewrite_replace_projection(sql: str, columns: list[str] | None) -> str:
                 return sql  # malformed: leave for the parser to reject
             col = mm.group(2).strip('"')
             repl[col.lower()] = (mm.group(1).strip(), col)
+        exc_lower = {c.lower() for c in excluded}
         if columns:
             proj = ", ".join(
                 f"{repl[c.lower()][0]} AS `{c}`" if c.lower() in repl else f"`{c}`"
                 for c in columns
+                if c.lower() not in exc_lower
             )
         else:
-            names = ", ".join(col for _, col in repl.values())
+            names = ", ".join(
+                [col for _, col in repl.values()] + excluded
+            )
             exprs = ", ".join(f"{e} AS `{c}`" for e, c in repl.values())
             proj = f"* EXCEPT ({names}), {exprs}"
         sql = sql[: m.start()] + proj + sql[close + 1 :]
@@ -3694,6 +3709,47 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             flags=re.IGNORECASE,
         )
 
+    # arg_max/arg_min (+ DuckDB's min_by/max_by aliases): skip rows
+    # whose VALUE is NULL (probed batch 36: arg_max over (NULL@k=2,
+    # 1@k=1) returns 1 — Spark's max_by would return the NULL). NULLing
+    # the key for NULL values makes Spark's max_by ignore those rows.
+    # 3-arg top-N forms are not in the oracle's build — left loud.
+    for _fname, _spark_fn in (
+        ("arg_max", "max_by"),
+        ("arg_min", "min_by"),
+        ("max_by", "max_by"),
+        ("min_by", "min_by"),
+    ):
+        sql = _rewrite_calls(
+            sql,
+            _fname,
+            lambda a, _f=_spark_fn: (
+                f"{_f}({a[0]}, CASE WHEN ({a[0]}) IS NULL "
+                f"THEN NULL ELSE ({a[1]}) END)"
+                if len(a) == 2
+                else None
+            ),
+        )
+
+    # numeric-literal → integer casts ROUND half-away in DuckDB
+    # (3.7::INT = 4, -3.5::INT = -4) where Spark truncates. Literals
+    # fold exactly at transpile; double-typed COLUMNS keep Spark's
+    # truncation (statically unknowable — documented divergence).
+    def int_cast(m: re.Match) -> str:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        v = Decimal(m.group(2)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        return f"{m.group(1) or ''}CAST({v} AS {m.group(3)})"
+
+    sql = re.sub(
+        r"\b(TRY_)?CAST\s*\(\s*(-?\d+\.\d+)\s+AS\s+"
+        r"(TINYINT|INT1|SMALLINT|INT2|SHORT|INTEGER|INT4|INT|BIGINT"
+        r"|INT8|LONG|SIGNED)\s*\)",
+        int_cast,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
     # json_valid → VARIANT try-parse probe (NULL in, NULL out like DuckDB)
     sql = _rewrite_calls(
         sql,
@@ -6352,6 +6408,10 @@ def transpile(
     sql = rewrite_from_first(sql)
     sql = rewrite_order_by_all(sql)
     sql = rewrite_order_by_nulls(sql)
+    # DuckDB positional references ``#N`` (ORDER BY #1, GROUP BY #2) →
+    # plain ordinals (batch 36). Guarded to list positions; string
+    # literals are placeholders by now.
+    sql = re.sub(r"(?<=[\s,(])#(\d+)\b", r"\1", sql)
     sql = rewrite_function_renames(sql)
     sql = rewrite_qualify(sql)
     sql = sql.replace("\x00RANGE\x00", "range")
