@@ -2384,6 +2384,8 @@ CORPUS_R8_BATCH36 = [
               WITHIN GROUP (ORDER BY o_totalprice) AS p FROM orders""",
     """SELECT INTERVAL 10 HOUR / 2 = INTERVAL 5 HOUR AS ok""",
     """SELECT count(*) FILTER (o_orderstatus = 'F') AS f FROM orders""",
+    """SELECT [1,2,3] @> [1,2] AS a, [1] <@ [1,2] AS b, [9] @> [1] AS c""",
+    """SELECT @(-5) + @(-3) AS s, @(-2.5) AS b, @7 AS c""",
 ]
 
 

@@ -960,14 +960,56 @@ def rewrite_arithmetic_operators(sql: str) -> str:
     common case; anything fancier is left for the parser."""
     operand = r"(\([^()]*\)|[A-Za-z_][A-Za-z0-9_.]*(?:\([^()]*\))?|\d+(?:\.\d+)?)"
 
-    # @x prefix absolute value (batch 35). Guards: not the ^@ starts-
-    # with operator (consumed upstream), not @> / <@ list-containment
-    prev = None
-    while prev != sql:
-        prev = sql
-        sql = re.sub(
-            r"(?<![\^<\w@])@(?!>)\s*" + operand, r"abs(\1)", sql, count=1
-        )
+    # a @> b / a <@ b list containment (batch 36): "a contains every
+    # element of b" — forall over array_contains. Simple operands only.
+    sql = re.sub(
+        operand + r"\s*@>\s*" + operand,
+        r"forall(\2, __ce -> array_contains(\1, __ce))",
+        sql,
+    )
+    sql = re.sub(
+        operand + r"\s*<@\s*" + operand,
+        r"forall(\1, __ce -> array_contains(\2, __ce))",
+        sql,
+    )
+
+    # @x prefix absolute value (batch 35/36). Probed precedence quirk:
+    # unary @ binds LOOSER than binary +/- (@(-5) + @(-3) = abs(-5 +
+    # abs(-3)) = 2), so each @ wraps everything to the next top-level
+    # boundary (comma, closing paren, clause keyword). Right-to-left so
+    # nested @ resolve inside-out. Guards: not ^@ (consumed upstream).
+    _AT_BOUND = re.compile(
+        r"\b(AS|FROM|WHERE|GROUP|ORDER|HAVING|LIMIT|QUALIFY|WINDOW"
+        r"|UNION|INTERSECT|EXCEPT|AND|OR|THEN|ELSE|END|WHEN)\b",
+        re.IGNORECASE,
+    )
+    while True:
+        at = -1
+        for am in re.finditer(r"(?<![\^<\w@])@(?!>)", sql):
+            at = am.start()
+        if at == -1:
+            break
+        depth, j, n = 0, at + 1, len(sql)
+        while j < n:
+            c = sql[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and c == ",":
+                break
+            elif depth == 0 and c.isalpha():
+                bm = _AT_BOUND.match(sql, j)
+                if bm is not None:
+                    break
+                j2 = j
+                while j2 < n and (sql[j2].isalnum() or sql[j2] in "_."):
+                    j2 += 1
+                j = j2 - 1
+            j += 1
+        sql = sql[:at] + "abs(" + sql[at + 1 : j].strip() + ")" + sql[j:]
 
     # // on a FLOAT literal operand is plain division in DuckDB
     # (probed batch 27: 7.5 // 2 = 3.75, typed DOUBLE); integer
