@@ -2397,3 +2397,33 @@ def test_differential_batch36(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# Round-9 advisor fixes: combined ANSI OFFSET..FETCH ordering, unary-@
+# span bounds at comparison/concat/keyword operators, schema-qualified
+# function calls.
+CORPUS_R9_BATCH37 = [
+    """SELECT o_orderkey FROM orders ORDER BY o_orderkey
+       OFFSET 3 ROWS FETCH NEXT 4 ROWS ONLY""",
+    """SELECT r_name FROM region ORDER BY r_regionkey
+       OFFSET 1 LIMIT 2""",
+    """SELECT @(-2) > 1 AS a, @(-2) IN (2) AS b, @(-2) || 'a' AS c""",
+    """SELECT count(*) AS n FROM orders WHERE @(o_orderkey - 10) = 2""",
+    """SELECT @(-3) BETWEEN 2 AND 4 AS a, @(-2) IS NOT NULL AS b""",
+    """SELECT main.lower('XY') AS a, main.len('abc') AS b""",
+    """SELECT main.upper(r_name) AS u FROM region
+       ORDER BY r_regionkey LIMIT 2""",
+    # chain-call regression anchors alongside the qualifier fix
+    """SELECT ('  x  ').trim().upper() AS t,
+              r_name.lower() AS l FROM region ORDER BY r_regionkey LIMIT 2""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R9_BATCH37, ids=range(len(CORPUS_R9_BATCH37))
+)
+def test_differential_batch37(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

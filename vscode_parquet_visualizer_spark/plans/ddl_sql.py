@@ -705,7 +705,9 @@ def try_rewrite_ddl(
             df = spark.table(name)
             _swap_table(spark, new, df)
             spark.catalog.dropTempView(name)
-            _session_tables.pop((id(spark), name.lower()), None)
+            displaced = _session_tables.pop((id(spark), name.lower()), None)
+            if displaced is not None:
+                displaced.unpersist()
             return local_df(spark, [], _SUCCESS_SCHEMA)
         raise ValueError(f"ALTER TABLE: unsupported action {action!r}")
 

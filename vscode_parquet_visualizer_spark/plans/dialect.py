@@ -978,9 +978,16 @@ def rewrite_arithmetic_operators(sql: str) -> str:
     # abs(-3)) = 2), so each @ wraps everything to the next top-level
     # boundary (comma, closing paren, clause keyword). Right-to-left so
     # nested @ resolve inside-out. Guards: not ^@ (consumed upstream).
+    # Probed DuckDB 1.0 (round 9): @ binds looser than * / % + - but
+    # TIGHTER than comparisons, IN/IS/BETWEEN/LIKE, and || ('SELECT
+    # @(-2) > 1' is true, '@(-2) IN (2)' is true) — so the span also
+    # breaks at top-level comparison/concat operator characters and at
+    # those keywords.
     _AT_BOUND = re.compile(
         r"\b(AS|FROM|WHERE|GROUP|ORDER|HAVING|LIMIT|QUALIFY|WINDOW"
-        r"|UNION|INTERSECT|EXCEPT|AND|OR|THEN|ELSE|END|WHEN)\b",
+        r"|UNION|INTERSECT|EXCEPT|AND|OR|THEN|ELSE|END|WHEN"
+        r"|IN|IS|NOT|BETWEEN|LIKE|ILIKE|GLOB|SIMILAR"
+        r"|DESC|ASC|NULLS)\b",
         re.IGNORECASE,
     )
     while True:
@@ -999,6 +1006,8 @@ def rewrite_arithmetic_operators(sql: str) -> str:
                     break
                 depth -= 1
             elif depth == 0 and c == ",":
+                break
+            elif depth == 0 and c in "=<>!|&":
                 break
             elif depth == 0 and c.isalpha():
                 bm = _AT_BOUND.match(sql, j)
@@ -6081,13 +6090,24 @@ def rewrite_ansi_fetch(sql: str) -> str:
     """ANSI limit spellings (batch 27): ``OFFSET n ROWS`` → ``OFFSET
     n``; ``FETCH FIRST|NEXT [n] ROW[S] ONLY`` → ``LIMIT n`` (count
     defaults to 1). ``WITH TIES`` has no Spark equivalent and is left
-    for the parser — loud."""
+    for the parser — loud. The combined ANSI spelling ``OFFSET n ROWS
+    FETCH NEXT k ROWS ONLY`` lands as ``OFFSET n LIMIT k`` after the
+    two substitutions, but Spark's grammar only accepts LIMIT before
+    OFFSET — reorder that pair (DuckDB itself accepts either order, so
+    the swap is also a straight dialect fix for user-typed
+    ``OFFSET n LIMIT k``)."""
     sql = re.sub(
         r"\bOFFSET\s+(\d+)\s+ROWS?\b", r"OFFSET \1", sql, flags=re.IGNORECASE
     )
-    return re.sub(
+    sql = re.sub(
         r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+\s+)?ROWS?\s+ONLY\b",
         lambda m: f"LIMIT {(m.group(1) or '1').strip()}",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    return re.sub(
+        r"\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)\b",
+        r"LIMIT \2 OFFSET \1",
         sql,
         flags=re.IGNORECASE,
     )
@@ -6206,7 +6226,11 @@ def rewrite_dot_calls(sql: str) -> str:
     operand (``s.a.lower()`` → ``lower(s.a)``), matching DuckDB's
     resolution rule (rightmost name is the function, rest the first
     argument). Runs on literal-protected text, after subscript/array
-    rewrites so ``x[1].fn()`` bases are already calls."""
+    rewrites so ``x[1].fn()`` bases are already calls. A bare-identifier
+    operand naming a known DuckDB schema/catalog is a QUALIFIED function
+    call, not a chain (probed: ``main.lower('X')`` = ``lower('X')``) —
+    the qualifier is stripped instead of becoming a first argument."""
+    _SCHEMA_QUALIFIERS = {"main", "pg_catalog", "system", "temp"}
     while True:
         for m in _DOT_CALL.finditer(sql):
             s = _operand_start(sql, m.start() - 1)
@@ -6217,7 +6241,14 @@ def rewrite_dot_calls(sql: str) -> str:
                 continue
             base = sql[s : m.start()].strip()
             args = sql[m.end() : close_idx].strip()
-            call = f"{m.group(1)}({base}, {args})" if args else f"{m.group(1)}({base})"
+            if base.lower() in _SCHEMA_QUALIFIERS:
+                call = f"{m.group(1)}({args})"
+            else:
+                call = (
+                    f"{m.group(1)}({base}, {args})"
+                    if args
+                    else f"{m.group(1)}({base})"
+                )
             sql = sql[:s] + call + sql[close_idx + 1 :]
             break
         else:
