@@ -136,3 +136,49 @@ def test_segment_dedup_first_occurrence(spark):
     assert by_key[(2, 0)]["keep"] is False
     # non-shared segments all kept
     assert by_key[(1, 1)]["keep"] and by_key[(2, 1)]["keep"] and by_key[(3, 0)]["keep"]
+
+
+def test_segment_dedup_hashed_key_matches_exact(spark, sf_dir):
+    """The 100 TB hashed-shuffle variant (key='hash') must agree row-for-row
+    with the exact text-keyed plan, and its window exchange must NOT carry
+    the segment strings (the whole point: 16-byte fingerprint payloads)."""
+    from vscode_parquet_visualizer_spark.operators.dedup import segment_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["id"], r["seg_idx"]): r["keep"]
+        for r in segment_dedup(docs, key="segment").collect()
+    }
+    hashed_df = segment_dedup(docs, key="hash")
+    assert set(hashed_df.columns) == {"id", "seg_idx", "keep"}
+    hashed = {
+        (r["id"], r["seg_idx"]): r["keep"] for r in hashed_df.collect()
+    }
+    assert hashed == exact
+    # the exchange feeding the window ships hashes, not strings: no
+    # 'segment' column survives past the pre-shuffle projection
+    plan = hashed_df._jdf.queryExecution().executedPlan().toString()
+    exchange_and_after = plan[: plan.find("Exchange")]
+    assert "Exchange" in plan
+    assert "segment" not in exchange_and_after
+
+
+def test_segment_dedup_auto_switches_on_size(spark, sf_dir, tmp_path):
+    from vscode_parquet_visualizer_spark.operators import dedup as dd
+
+    # RDD-backed local relation: Catalyst reports the Long.MaxValue "no
+    # estimate" sentinel -> auto must keep the full-contract text key
+    local = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id LONG, text STRING"
+    )
+    assert "segment" in dd.segment_dedup(local, key="auto").columns
+    # file scan carries real stats: tiny input -> text key, and with the
+    # threshold forced to zero the same input -> hashed key
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert "segment" in dd.segment_dedup(docs, key="auto").columns
+    orig = dd._SEGMENT_HASH_THRESHOLD_BYTES
+    dd._SEGMENT_HASH_THRESHOLD_BYTES = -1
+    try:
+        assert "segment" not in dd.segment_dedup(docs, key="auto").columns
+    finally:
+        dd._SEGMENT_HASH_THRESHOLD_BYTES = orig

@@ -509,11 +509,18 @@ def dup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     return labels
 
 
+# auto mode switches segment_dedup to the hashed shuffle key once the
+# input outgrows interactive scale (same size-adaptive posture as the
+# quantile operator's histogram switch)
+_SEGMENT_HASH_THRESHOLD_BYTES = 256 << 20
+
+
 def segment_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     words_per_segment: int = 10,
+    key: str = "auto",
 ) -> DataFrame:
     """Inter-document segment-level exact dedup — the C4/RefinedWeb
     boilerplate-removal shape: split every document into fixed-size
@@ -522,18 +529,49 @@ def segment_dedup(
     so repeated headers/footers/licence blocks are dropped from every
     later document while the first document stays intact.
 
-    Returns (id, seg_idx, segment, keep) — downstream either filters
-    ``keep`` and reassembles with concat_ws over a seg_idx sort, or
-    aggregates keep-ratios per document (the q75 gate does the latter).
+    ``key`` picks the shuffle key for the first-occurrence window:
 
-    Scale shape: one explode (rows × segments/doc) and ONE shuffle,
-    partitioned by the segment text for the first-occurrence window.
-    At 100 TB partition by ``xxhash64(segment)`` instead so shuffle
-    payloads carry an 8-byte key (collisions then merge distinct
-    segments with probability ~n²/2⁶⁴ — acceptable for corpus cleaning,
-    not for this oracle-gated exact variant). The window is a
-    WindowGroupLimit-style rank, not an agg-join: no second shuffle.
+    - ``"segment"``: partition by the segment TEXT — exact, and the
+      rows shipped through the exchange carry the 10-word strings.
+      Returns (id, seg_idx, segment, keep) so downstream can filter
+      ``keep`` and reassemble with concat_ws over a seg_idx sort.
+    - ``"hash"``: the 100 TB shape — segment text is DROPPED before
+      the exchange and the window partitions on a 128-bit fingerprint
+      (two independently-seeded xxhash64 values), so shuffle payloads
+      are (id, seg_idx, 2×8-byte hash) instead of ~60-120-byte
+      strings. Returns (id, seg_idx, keep); reassembly re-splits the
+      source text (map-side) or joins back on the 8-byte id. Collision
+      note: two DISTINCT segments dedup together only if both 64-bit
+      hashes collide — P ≈ n²/2¹²⁹ (birthday bound over the combined
+      128 bits), ~10⁻¹⁵ even at 10¹² distinct segments, below the
+      corpus's own bit-rot rate. A single-hash key (n²/2⁶⁵) would NOT
+      be acceptable for an exactness-gated dedup at that scale.
+    - ``"auto"`` (default): Catalyst's optimized-plan size estimate
+      picks — text key below 256 MiB (interactive; keeps the segment
+      column for callers), hashed key above.
+
+    Scale shape either way: one explode (rows × segments/doc) and ONE
+    shuffle for the window; the rank is a WindowGroupLimit-style
+    row_number, not an agg-join — no second shuffle.
     """
+    if key not in ("auto", "segment", "hash"):
+        raise ValueError(f"segment_dedup: unknown key mode {key!r}")
+    if key == "auto":
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            size = -1
+        # Long.MaxValue is Catalyst's "no estimate" sentinel (RDD-backed
+        # local relations); unknown size keeps the full-contract text key
+        # — scale inputs are file scans, which always carry real stats.
+        if size < 0 or size >= (1 << 63) - 1:
+            key = "segment"
+        else:
+            key = (
+                "hash" if size > _SEGMENT_HASH_THRESHOLD_BYTES else "segment"
+            )
     wl = F.split(F.col(text_col), " ")
     n_seg = F.ceil(F.size(wl) / F.lit(words_per_segment)).cast("int")
     segs = (
@@ -555,6 +593,19 @@ def segment_dedup(
             ).alias("segment"),
         )
     )
+    if key == "hash":
+        hashed = segs.select(
+            "id",
+            "seg_idx",
+            F.xxhash64("segment").alias("__h1"),
+            F.xxhash64(F.lit(0x9E3779B9), F.col("segment")).alias("__h2"),
+        )
+        w = Window.partitionBy("__h1", "__h2").orderBy(
+            F.col("id").asc(), F.col("seg_idx").asc()
+        )
+        return hashed.withColumn(
+            "keep", (F.row_number().over(w) == 1)
+        ).drop("__h1", "__h2")
     w = Window.partitionBy("segment").orderBy(
         F.col("id").asc(), F.col("seg_idx").asc()
     )
