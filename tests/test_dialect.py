@@ -757,3 +757,91 @@ def test_window_distinct_sliding_integral_accumulator(spark):
         integral_columns={"other"},
     )
     assert "DECIMAL" not in out2 and "DOUBLE" in out2
+
+
+def test_groups_frames_hand_fixtures(spark):
+    """GROUPS frames lower to RANGE over dense_rank (the oracle's DuckDB
+    v1.0 predates GROUPS, so semantics are pinned by hand here)."""
+    spark.createDataFrame(
+        [(1,), (1,), (2,), (3,), (3,), (3,), (5,)], "x int"
+    ).createOrReplaceTempView("gdata")
+    rows = spark.sql(
+        transpile(
+            "SELECT x, sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 "
+            "PRECEDING AND CURRENT ROW) AS s, "
+            "count(*) OVER (ORDER BY x GROUPS BETWEEN CURRENT ROW "
+            "AND 1 FOLLOWING) AS c, "
+            "sum(x) OVER (ORDER BY x GROUPS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS run "
+            "FROM gdata"
+        )
+    ).orderBy("x").collect()
+    by_x = {}
+    for r in rows:
+        by_x.setdefault(r["x"], r)
+    # peer-group sums: {1,1}=2 {2}=2 {3,3,3}=9 {5}=5
+    assert (by_x[1]["s"], by_x[1]["c"], by_x[1]["run"]) == (2, 3, 2)
+    assert (by_x[2]["s"], by_x[2]["c"], by_x[2]["run"]) == (4, 4, 4)
+    assert (by_x[3]["s"], by_x[3]["c"], by_x[3]["run"]) == (11, 4, 13)
+    assert (by_x[5]["s"], by_x[5]["c"], by_x[5]["run"]) == (14, 1, 18)
+
+
+def test_groups_frames_partitioned_and_short_form(spark):
+    spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 4), ("b", 2), ("b", 7)],
+        "p string, x int",
+    ).createOrReplaceTempView("gdata2")
+    rows = spark.sql(
+        transpile(
+            "SELECT p, x, max(x) OVER (PARTITION BY p ORDER BY x "
+            "GROUPS 1 PRECEDING) AS m FROM gdata2"
+        )
+    ).collect()
+    got = sorted((r["p"], r["x"], r["m"]) for r in rows)
+    assert got == [
+        ("a", 1, 1), ("a", 1, 1), ("a", 4, 4), ("b", 2, 2), ("b", 7, 7),
+    ]
+
+
+def test_groups_frames_out_of_scope_stay_loud():
+    import pytest as _pytest
+    from pyspark.errors import ParseException
+
+    # EXCLUDE tail on a GROUPS frame: unsupported, must not silently drop
+    out = transpile(
+        "SELECT sum(x) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING AND "
+        "CURRENT ROW EXCLUDE CURRENT ROW) AS s FROM gdata"
+    )
+    assert "GROUPS" in out  # untouched -> Spark parse error downstream
+
+
+def test_arg_max_top_n_list(spark):
+    spark.createDataFrame(
+        [("a", 1), ("b", 3), ("c", 2), ("d", None), (None, 9)],
+        "name string, score int",
+    ).createOrReplaceTempView("adata")
+    row = spark.sql(
+        transpile(
+            "SELECT arg_max(name, score, 2) AS top2, "
+            "arg_min(name, score, 2) AS bot2, "
+            "max_by(name, score, 1) AS top1 FROM adata"
+        )
+    ).collect()[0]
+    # NULL-arg row (score 9) and NULL-val row are skipped, like 2-arg
+    assert row["top2"] == ["b", "c"]
+    assert row["bot2"] == ["a", "c"]
+    assert row["top1"] == ["b"]
+
+
+def test_arg_max_top_n_grouped(spark):
+    spark.createDataFrame(
+        [("x", "a", 1), ("x", "b", 3), ("y", "c", 2), ("y", "d", 5)],
+        "g string, name string, score int",
+    ).createOrReplaceTempView("adata2")
+    rows = spark.sql(
+        transpile(
+            "SELECT g, arg_max(name, score, 2) AS t FROM adata2 "
+            "GROUP BY g ORDER BY g"
+        )
+    ).collect()
+    assert [r["t"] for r in rows] == [["b", "a"], ["d", "c"]]

