@@ -845,3 +845,16 @@ def test_arg_max_top_n_grouped(spark):
         )
     ).collect()
     assert [r["t"] for r in rows] == [["b", "a"], ["d", "c"]]
+
+
+def test_columns_list_of_names_form():
+    out = transpile("SELECT columns(['p','x']) FROM t", columns=["x", "p", "s"])
+    assert out == "SELECT `p`, `x` FROM t"  # given order, not schema order
+    out2 = transpile(
+        "SELECT min(COLUMNS(['x','p'])) FROM t", columns=["x", "p", "s"]
+    )
+    assert out2 == "SELECT min(`x`), min(`p`) FROM t"
+    # unknown name: call left intact so the error stays loud downstream
+    assert "columns" in transpile(
+        "SELECT columns(['nope']) FROM t", columns=["x"]
+    ).lower()

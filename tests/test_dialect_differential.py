@@ -2475,3 +2475,55 @@ def test_differential_batch38(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# Round-9 hunt wave 39: unnest-in-expression mapping, multi-key in-call
+# ORDER BY for list/array_agg/string_agg, %-X strftime, list_cat,
+# regexp_split_to_table, extract(dayofyear), julian() typing — plus
+# probed-green anchors (row-value comparisons, struct star expansion,
+# expression LIMIT, schema-qualified TABLE statement path shapes).
+CORPUS_R9_BATCH39 = [
+    """SELECT UNNEST([1,2]) + 10 AS u""",
+    """SELECT upper(unnest(['a','b'])) AS u""",
+    """SELECT n_regionkey, unnest([1,2]) * n_regionkey AS u FROM nation
+       WHERE n_nationkey < 3""",
+    """SELECT array_agg(n_name ORDER BY n_regionkey DESC, n_nationkey) AS l
+       FROM nation WHERE n_nationkey < 6""",
+    """SELECT string_agg(n_name, '|' ORDER BY n_regionkey, n_nationkey DESC) AS sa
+       FROM nation WHERE n_nationkey < 6""",
+    """SELECT strftime(DATE '2024-03-05', '%-d/%-m/%Y') AS s,
+              strftime(TIMESTAMP '2024-03-05 04:07:09', '%-H:%-M:%-S') AS t""",
+    """SELECT list_cat([1],[2]) AS l""",
+    """SELECT regexp_split_to_table('a,b,c', ',') AS piece""",
+    """SELECT EXTRACT(dayofyear FROM DATE '2024-02-01') AS doy,
+              EXTRACT(dow FROM DATE '2024-03-03') AS dow,
+              EXTRACT(isodow FROM DATE '2024-03-03') AS iso""",
+    """SELECT julian(DATE '2024-03-05') AS j""",
+    # probed-green anchors
+    """SELECT (1, 2) < (1, 3) AS lt, count(DISTINCT (n_regionkey, n_nationkey % 2)) AS c
+       FROM nation""",
+    """SELECT s.* FROM (SELECT {'a': 1, 'b': 'z'} AS s) sub""",
+    """SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 2+1""",
+    """SELECT trim('xxaxx', 'x') AS a, ltrim('xxa', 'x') AS b,
+              rtrim('axx', 'x') AS c, ascii('€') AS cp""",
+    """SELECT split_part('a,b,c', ',', 0) AS z,
+              split_part('a,b,c', ',', -1) AS n,
+              left('hello', -2) AS l, right('hello', -2) AS r""",
+    """SELECT list_where([10,20,30], [true,false,true]) AS w,
+              list_select([10,20,30], [3,1]) AS sel""",
+    """SELECT damerau_levenshtein('abc','acb') AS d,
+              mismatches('abc','abd') AS m, to_base(255, 16) AS b""",
+    """SELECT make_timestamp(2024, 3, 5, 10, 30, 21.5) AS ts,
+              last_day(DATE '2024-02-05') AS ld,
+              epoch_ms(1700000000000) AS e""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R9_BATCH39, ids=range(len(CORPUS_R9_BATCH39))
+)
+def test_differential_batch39(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -58,6 +58,7 @@ FUNCTION_RENAMES = {
     "list_min": "array_min",
     "list_reverse": "reverse",
     "list_concat": "concat",
+    "list_cat": "concat",  # DuckDB alias of list_concat (batch 39)
     # generate_series is NOT a plain rename: Spark's sequence flips to a
     # descending list on inverted bounds where DuckDB returns [] —
     # rewrite_function_shapes lowers it (and scalar range) with guards.
@@ -125,6 +126,10 @@ FUNCTION_RENAMES = {
 }
 
 _STRFTIME_MAP = [
+    # %-X non-padded variants first (probed batch 39: %-d/%-m emit
+    # unpadded numbers); a single JVM pattern letter means "no padding".
+    ("%-d", "d"), ("%-m", "M"), ("%-H", "H"), ("%-I", "h"),
+    ("%-M", "m"), ("%-S", "s"), ("%-j", "D"),
     ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
     ("%H", "HH"), ("%I", "hh"), ("%M", "mm"), ("%S", "ss"),
     ("%f", "SSSSSS"), ("%g", "SSS"), ("%p", "a"), ("%j", "DDD"),
@@ -1608,6 +1613,19 @@ def rewrite_columns_regex(sql: str, columns: list[str] | None) -> str:
             return [c for c in columns if pat.search(c)]
         if body == "*":
             return list(columns)
+        # list-of-names form (probed batch 39): COLUMNS(['a','b'])
+        # expands to exactly those columns, in the GIVEN order; DuckDB
+        # errors on unknown names — an unknown name here keeps the call
+        # intact so Spark errors loudly too.
+        km = re.fullmatch(r"\[\s*('[^']*'\s*(?:,\s*'[^']*'\s*)*)\]", body)
+        if km:
+            names = [
+                n.strip().strip("'") for n in km.group(1).split(",")
+            ]
+            by_lower = {c.lower(): c for c in columns}
+            if all(n.lower() in by_lower for n in names):
+                return [by_lower[n.lower()] for n in names]
+            return None
         em = re.fullmatch(
             r"\*\s+EXCLUDE\s*\(([^)]*)\)", body, re.IGNORECASE
         )
@@ -2355,6 +2373,87 @@ def rewrite_multi_unnest(sql: str) -> str:
     return sql
 
 
+def rewrite_unnest_in_expression(sql: str) -> str:
+    """A select-position ``unnest(E)`` EMBEDDED in a larger scalar
+    expression (``unnest(l) + 10``, ``upper(unnest(l))``): DuckDB maps
+    the expression over the unnested elements; Spark's bare rename would
+    emit ``explode(E) + 10``, an illegal nested generator (generators
+    must be top-level). Rewrite the ITEM to map first, explode last:
+    ``explode(transform(E, __un -> <item with unnest(E)→__un>))`` —
+    same rows, and the lambda may still reference other columns.
+    One unnest per item (multi-unnest zipping was handled upstream by
+    rewrite_multi_unnest); an item that IS the bare call keeps the
+    plain rename. Probed batch 39: ``SELECT unnest([1,2]) + 10`` →
+    ``[11, 12]``."""
+    pat = re.compile(r"\bunnest\s*\(", re.IGNORECASE)
+    out_sql = []
+    pos = 0
+    for sm in re.finditer(r"\bSELECT\b", sql, re.IGNORECASE):
+        start = sm.end()
+        if start < pos:
+            continue
+        i, depth, list_end = start, 0, len(sql)
+        while i < len(sql):
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    list_end = i
+                    break
+                depth -= 1
+            elif depth == 0 and re.match(
+                r"\b(FROM|WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER"
+                r"|LIMIT|UNION|INTERSECT|EXCEPT)\b",
+                sql[i:],
+                re.IGNORECASE,
+            ) and sql[i - 1] in " \t\n)":
+                list_end = i
+                break
+            i += 1
+        sel = sql[start:list_end]
+        items = _split_top_level(sel)
+        changed = False
+        new_items = []
+        for item in items:
+            am = re.search(
+                r'\s+AS\s+("[^"]+"|[A-Za-z_]\w*)\s*$', item, re.IGNORECASE
+            )
+            body = item[: am.start()] if am else item
+            alias = item[am.start():] if am else ""
+            m = pat.search(body)
+            if m is None or re.search(r"\bSELECT\b", body, re.IGNORECASE):
+                # no unnest, or a nested subquery owns its own scope
+                new_items.append(item)
+                continue
+            close = _balanced_span(body, m.end() - 1)
+            if close == -1 or pat.search(body, close):
+                new_items.append(item)  # zero/second unnest: not ours
+                continue
+            stripped = body.strip()
+            if stripped.startswith(body[m.start() : close + 1].strip()) and (
+                body[m.start() : close + 1].strip() == stripped
+            ):
+                new_items.append(item)  # bare call: plain rename path
+                continue
+            if re.search(r"\bOVER\b", body, re.IGNORECASE):
+                new_items.append(item)  # window context: out of scope
+                continue
+            arr = body[m.end() : close]
+            mapped = body[: m.start()] + "__un" + body[close + 1 :]
+            new_items.append(
+                f"explode(transform({arr}, __un -> {mapped.strip()}))"
+                f"{alias}"
+            )
+            changed = True
+        if changed:
+            out_sql.append(sql[pos:start])
+            out_sql.append(" " + ", ".join(i.strip() for i in new_items) + " ")
+            pos = list_end
+    out_sql.append(sql[pos:])
+    return "".join(out_sql)
+
+
 def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     """DuckDB functions whose Spark twin takes a different ARG SHAPE
     (a plain rename can't fix them; SURVEY §2B scalar-function rows):
@@ -2433,6 +2532,19 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
 
         return x
 
+    # regexp_split_to_table: pg-style SRF — one row per split piece.
+    # Lower to explode(split(…)) BEFORE the posix pass (the inner split
+    # then gets the same POSIX-class pattern translation). Top-level
+    # select position only, matching Spark's one-generator rule.
+    sql = _rewrite_calls(
+        sql,
+        "regexp_split_to_table",
+        lambda a: (
+            f"explode(regexp_split_to_array({a[0]}, {a[1]}))"
+            if len(a) == 2
+            else None
+        ),
+    )
     for _fn in (
         "regexp_matches", "regexp_like", "regexp_extract",
         "regexp_extract_all", "regexp_replace", "regexp_split_to_array",
@@ -2703,13 +2815,15 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         )
         if len(a) == 2 else None,
     )
-    # julian day number: days since -4713-11-24 = unix days + 2440588
+    # julian day number: days since -4713-11-24 = unix days + 2440588.
+    # The division folds to DECIMAL in Spark (DuckDB returns DOUBLE) —
+    # cast the whole expression so the result TYPE matches too.
     sql = _rewrite_calls(
         sql,
         "julian",
         lambda a: (
-            f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) / 86400000000.0 "
-            f"+ 2440588.0)"
+            f"CAST(unix_micros(CAST({a[0]} AS TIMESTAMP)) / 86400000000.0 "
+            f"+ 2440588.0 AS DOUBLE)"
         )
         if len(a) == 1 else None,
     )
@@ -3064,15 +3178,31 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     def string_agg_x(a):
         if not a:
             return None
-        last = a[-1]
-        m = re.search(r"\bORDER\s+BY\b", last, re.IGNORECASE)
-        if m and _depth_at(last, m.start()) == 0:
-            order = last[m.end():].strip()
-            a = a[:-1] + [last[: m.start()].strip()]
-            if len([x for x in a if x]) == 1:
-                a = a + [_stash_add(stash, "','")]
+        # a multi-key in-call ORDER BY splits on the arg commas
+        # (``string_agg(s, ',' ORDER BY p, x)`` — batch 39): rejoin and
+        # re-split around the first top-level ORDER BY.
+        joined = ", ".join(a)
+        m = next(
+            (
+                cand
+                for cand in re.finditer(
+                    r"\bORDER\s+BY\b", joined, re.IGNORECASE
+                )
+                if _depth_at(joined, cand.start()) == 0
+            ),
+            None,
+        )
+        if m:
+            order = joined[m.end():].strip()
+            head = [
+                x.strip()
+                for x in _split_top_level(joined[: m.start()])
+                if x.strip()
+            ]
+            if len(head) == 1:
+                head.append(_stash_add(stash, "','"))
             return (
-                f"listagg({', '.join(x for x in a if x)}) "
+                f"listagg({', '.join(head)}) "
                 f"WITHIN GROUP (ORDER BY {order})"
             )
         if len(a) == 1:
@@ -3226,6 +3356,10 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             return f"(dayofweek({x}) - 1)"
         if part == "isodow":
             return f"(weekday({x}) + 1)"
+        if part in ("dayofyear", "doy"):
+            # Spark's extract() rejects the dayofyear spelling (batch
+            # 39); its dayofyear() function matches DuckDB exactly
+            return f"dayofyear({x})"
         if part in ("millisecond", "milliseconds"):
             return (
                 f"CAST(pmod(unix_micros(CAST({x} AS TIMESTAMP)), 60000000)"
@@ -3371,7 +3505,8 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             return None
         m = re.match(
             r"^\s*(dow|isodow|epoch|milliseconds?|microseconds?"
-            r"|century|decade|millennium|era|isoyear|yearweek)"
+            r"|century|decade|millennium|era|isoyear|yearweek"
+            r"|dayofyear)"
             r"\s+FROM\s+(.+)$",
             a[0],
             re.IGNORECASE | re.DOTALL,
@@ -4563,8 +4698,15 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     # an explicit comparator (array_sort+reverse would flip nulls
     # first); ties keep engine-specific order in both engines.
     def _lower_list_agg(args, filt, over):
-        if len(args) != 1:
-            return None
+        # a multi-key in-call ORDER BY splits on the arg commas
+        # (``array_agg(x ORDER BY p, x)`` — batch 39): if the FIRST piece
+        # carries a top-level ORDER BY, the commas belong to the sort
+        # list — rejoin.
+        if len(args) > 1:
+            om0 = re.search(r"\bORDER\s+BY\b", args[0], re.IGNORECASE)
+            if not (om0 and _depth_at(args[0], om0.start()) == 0):
+                return None
+            args = [", ".join(args)]
         body = args[0]
         m = re.search(r"\bORDER\s+BY\b", body, re.IGNORECASE)
         if m and _depth_at(body, m.start()) == 0:
@@ -4579,33 +4721,50 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             if dm:
                 inner = f"array_distinct({inner})"
             return f"transform({inner}, __s -> __s.__v)"
-        nm = re.search(r"\s*\bNULLS\s+(FIRST|LAST)\s*$", order, re.IGNORECASE)
-        nulls_first = False  # DuckDB default: NULLS LAST, both directions
-        if nm:
-            nulls_first = nm.group(1).upper() == "FIRST"
-            order = order[: nm.start()].strip()
-        am = re.search(r"\s*\b(ASC|DESC)\s*$", order, re.IGNORECASE)
-        desc = False
-        if am:
-            desc = am.group(1).upper() == "DESC"
-            order = order[: am.start()].strip()
-        key = order
-        if dm and expr.lower() != key.lower():
+        keys = []  # (expr, desc, nulls_first) per sort item
+        for item in _split_top_level(order):
+            item = item.strip()
+            nm = re.search(
+                r"\s*\bNULLS\s+(FIRST|LAST)\s*$", item, re.IGNORECASE
+            )
+            nulls_first = False  # DuckDB default: NULLS LAST, both dirs
+            if nm:
+                nulls_first = nm.group(1).upper() == "FIRST"
+                item = item[: nm.start()].strip()
+            am = re.search(r"\s*\b(ASC|DESC)\s*$", item, re.IGNORECASE)
+            desc = False
+            if am:
+                desc = am.group(1).upper() == "DESC"
+                item = item[: am.start()].strip()
+            keys.append((item, desc, nulls_first))
+        if dm and (
+            len(keys) != 1 or expr.lower() != keys[0][0].lower()
+        ):
             return None  # DuckDB itself rejects this shape
-        structs = f"collect_list(struct(({key}) AS __k, ({expr}) AS __v)){filt}{over}"
+        kfields = ", ".join(
+            f"({k}) AS __k{j}" for j, (k, _, _) in enumerate(keys)
+        )
+        structs = (
+            f"collect_list(struct({kfields}, ({expr}) AS __v)){filt}{over}"
+        )
         if dm:
             structs = f"array_distinct({structs})"
-        a_null, b_null = (-1, 1) if nulls_first else (1, -1)
-        lt, gt = (1, -1) if desc else (-1, 1)
-        cmp = (
-            "(__a, __b) -> CASE"
-            " WHEN __a.__k IS NULL AND __b.__k IS NULL THEN 0"
-            f" WHEN __a.__k IS NULL THEN {a_null}"
-            f" WHEN __b.__k IS NULL THEN {b_null}"
-            f" WHEN __a.__k < __b.__k THEN {lt}"
-            f" WHEN __a.__k > __b.__k THEN {gt}"
-            " ELSE 0 END"
-        )
+        cmp_body = "0"
+        for j in range(len(keys) - 1, -1, -1):
+            _, desc, nulls_first = keys[j]
+            a_null, b_null = (-1, 1) if nulls_first else (1, -1)
+            lt, gt = (1, -1) if desc else (-1, 1)
+            cmp_body = (
+                "CASE"
+                f" WHEN __a.__k{j} IS NULL AND __b.__k{j} IS NULL"
+                f" THEN {cmp_body}"
+                f" WHEN __a.__k{j} IS NULL THEN {a_null}"
+                f" WHEN __b.__k{j} IS NULL THEN {b_null}"
+                f" WHEN __a.__k{j} < __b.__k{j} THEN {lt}"
+                f" WHEN __a.__k{j} > __b.__k{j} THEN {gt}"
+                f" ELSE {cmp_body} END"
+            )
+        cmp = f"(__a, __b) -> {cmp_body}"
         return f"transform(array_sort({structs}, {cmp}), __p -> __p.__v)"
 
     def _list_agg_pass(sql: str, name: str) -> str:
@@ -6697,6 +6856,7 @@ def transpile(
     sql = rewrite_window_chain(sql)
     sql = rewrite_series_table_functions(sql)
     sql = rewrite_multi_unnest(sql)
+    sql = rewrite_unnest_in_expression(sql)
     sql = rewrite_function_shapes(sql, stash)
     sql = rewrite_union_functions(sql, stash)
     # DuckDB's FILTER (pred) shorthand (no WHERE keyword) — only after a
