@@ -48,7 +48,12 @@ def test_json_arrows():
 def test_json_arrows_literal_protection():
     # arrow-like text INSIDE an ordinary string literal is never rewritten
     assert rewrite_json_arrows("SELECT 'a -> 1'") == "SELECT 'a -> 1'"
-    assert rewrite_json_arrows("SELECT 'a -> ''b'''") == "SELECT 'a -> ''b'''"
+    # quote-doubled literals are re-encoded for Spark's raw-literal mode
+    # (round 9: '' is NOT collapsed by escapedStringLiterals=true, so the
+    # old pass-through silently returned the doubled text)
+    assert rewrite_json_arrows("SELECT 'a -> ''b'''") == (
+        'SELECT "a -> \'b\'"'
+    )
     assert (
         rewrite_json_arrows("SELECT 'x ->> y' AS s, j ->> 'k' FROM t")
         == "SELECT 'x ->> y' AS s, get_json_object(j, '$.k') FROM t"
@@ -71,10 +76,12 @@ def test_strftime_literal_protection():
         rewrite_strftime("SELECT strftime(d, '%Y-%m') FROM t")
         == "SELECT date_format(d, 'yyyy-MM') FROM t"
     )
-    # strftime-like text inside an unrelated literal is untouched
+    # strftime-like text inside an unrelated literal is not REWRITTEN
+    # (the '' re-encoding to Spark's raw-literal spelling is value-
+    # preserving, not a strftime translation)
     assert (
         rewrite_strftime("SELECT 'strftime(d, ''%Y'')' FROM t")
-        == "SELECT 'strftime(d, ''%Y'')' FROM t"
+        == 'SELECT "strftime(d, \'%Y\')" FROM t'
     )
 
 

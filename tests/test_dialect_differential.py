@@ -2527,3 +2527,49 @@ def test_differential_batch39(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# Round-9 hunt wave 40: literal spellings ('' quote doubling under raw
+# mode — a silent wrong-VALUE divergence — plus $$..$$, e'..', numeric
+# separators, leading-dot decimals), dynamic INTERVAL counts, GROUP BY
+# (), paren-operand :: casts, multi-key first/last, quantile in-call
+# ORDER BY, bare SEMI/ANTI JOIN anchors.
+CORPUS_R9_BATCH40 = [
+    """SELECT 'it''s' AS a, 'both''and"too' AS b, $$dollar 'q'$$ AS dq""",
+    """SELECT 'don''t' LIKE '%n''t' AS m,
+              replace('it''s', '''', '!') AS r""",
+    """SELECT e'tab\there' AS esc""",
+    """SELECT 1_000_000 AS sep, .5 AS dot5, 2e3 AS sci""",
+    """SELECT (o_orderstatus || '')::VARCHAR AS v FROM orders
+       ORDER BY o_orderkey LIMIT 2""",
+    """SELECT o_orderkey, CAST(o_orderdate + INTERVAL (o_orderkey % 3) DAY
+              AS DATE) AS d
+       FROM orders ORDER BY o_orderkey LIMIT 5""",
+    """SELECT count(*) AS c FROM orders GROUP BY ()""",
+    """SELECT first(o_orderkey ORDER BY o_orderstatus, o_orderkey DESC) AS f,
+              last(o_orderstatus ORDER BY o_orderstatus DESC, o_orderkey) AS l
+       FROM orders WHERE o_orderkey < 50""",
+    """SELECT quantile_cont(o_totalprice, 0.5 ORDER BY o_totalprice) AS q,
+              median(o_totalprice ORDER BY o_totalprice DESC) AS m
+       FROM orders""",
+    # probed-green anchors
+    """SELECT o.o_orderkey FROM orders o SEMI JOIN
+       (SELECT 1 AS o_orderkey) u USING (o_orderkey)""",
+    """SELECT count(*) AS c FROM orders o ANTI JOIN
+       (SELECT 1 AS o_orderkey) u USING (o_orderkey)""",
+    """SELECT geomean(o_orderkey + 1) AS g FROM orders
+       WHERE o_orderkey < 100""",
+    """SELECT chr(8364) AS c, chr(65) AS a""",
+    """SELECT any_value(o_orderkey ORDER BY o_orderkey DESC) AS av
+       FROM orders""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R9_BATCH40, ids=range(len(CORPUS_R9_BATCH40))
+)
+def test_differential_batch40(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

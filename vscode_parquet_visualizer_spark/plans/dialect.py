@@ -364,21 +364,115 @@ def rewrite_strftime(sql: str, stash: list[str] | None = None) -> str:
 _LITERAL = re.compile(r"'(?:[^']|'')*'")
 
 
+_ESTRING_ESCAPES = {
+    "b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t",
+    "\\": "\\", "'": "'",
+}
+
+
 def _protect_literals(sql: str) -> tuple[str, list[str]]:
     """Swap string literals for placeholders so regex rewrites can't
-    corrupt their contents (e.g. '::' inside a URL literal)."""
+    corrupt their contents (e.g. '::' inside a URL literal).
+
+    Two DuckDB literal SPELLINGS Spark lacks are normalized here, where
+    quoting is still unambiguous (batch 40):
+
+    - dollar-quoted ``$$text$$`` / ``$tag$text$tag$`` → standard quoted
+      literal (embedded quotes doubled);
+    - escape strings ``e'a\\tb'`` → escapes RESOLVED at transpile time
+      into a standard literal (the engine pins
+      spark.sql.parser.escapedStringLiterals=true, so raw characters
+      are the only correct carrier). \\xHH, \\uXXXX and the C escapes
+      are handled; an unknown backslashed char is the char itself
+      (the PostgreSQL rule DuckDB follows).
+    """
     stash: list[str] = []
 
     def keep(m: re.Match) -> str:
         stash.append(m.group(0))
         return f"\x00LIT{len(stash) - 1}\x00"
 
+    def keep_text(text: str) -> str:
+        stash.append("'" + text.replace("'", "''") + "'")
+        return f"\x00LIT{len(stash) - 1}\x00"
+
+    sql = re.sub(
+        r"\$([A-Za-z_]\w*|)\$(.*?)\$\1\$",
+        lambda m: keep_text(m.group(2)),
+        sql,
+        flags=re.DOTALL,
+    )
+
+    def estr(m: re.Match) -> str:
+        body = m.group(1)
+        out, i, n = [], 0, len(body)
+        while i < n:
+            c = body[i]
+            if c == "'" and i + 1 < n and body[i + 1] == "'":
+                out.append("'")
+                i += 2
+                continue
+            if c != "\\" or i + 1 >= n:
+                out.append(c)
+                i += 1
+                continue
+            nxt = body[i + 1]
+            if nxt in _ESTRING_ESCAPES:
+                out.append(_ESTRING_ESCAPES[nxt])
+                i += 2
+            elif nxt in "xX" and re.match(r"[0-9a-fA-F]{1,2}", body[i + 2 : i + 4]):
+                h = re.match(r"[0-9a-fA-F]{1,2}", body[i + 2 : i + 4]).group(0)
+                out.append(chr(int(h, 16)))
+                i += 2 + len(h)
+            elif nxt == "u" and re.match(r"[0-9a-fA-F]{4}", body[i + 2 : i + 6]):
+                out.append(chr(int(body[i + 2 : i + 6], 16)))
+                i += 6
+            else:
+                out.append(nxt)
+                i += 2
+        return keep_text("".join(out))
+
+    sql = re.sub(
+        r"(?<![\w'])[eE]'((?:[^'\\]|\\.|'')*)'",
+        estr,
+        sql,
+    )
     return _LITERAL.sub(keep, sql), stash
+
+
+def _spark_string_literal(content: str) -> str:
+    """Emit ``content`` as a Spark literal under the engine's pinned
+    spark.sql.parser.escapedStringLiterals=true (raw) mode, where the
+    SQL-standard ``''`` escape is NOT collapsed ('it''s' reads back as
+    ``it''s`` — probed, batch 40). Quote-free content keeps the plain
+    form; a single quote switches to the double-quoted spelling; both
+    quote kinds fall back to a foldable concat with chr()."""
+    if "'" not in content:
+        return "'" + content + "'"
+    if '"' not in content:
+        return '"' + content + '"'
+    parts = []
+    for tok in re.split(r"(['\"])", content):
+        if tok == "'":
+            parts.append("chr(39)")
+        elif tok == '"':
+            parts.append("chr(34)")
+        elif tok:
+            parts.append("'" + tok + "'")
+    return "concat(" + ", ".join(parts) + ")"
 
 
 def _restore_literals(sql: str, stash: list[str]) -> str:
     for i, lit in enumerate(stash):
-        sql = sql.replace(f"\x00LIT{i}\x00", lit)
+        ph = f"\x00LIT{i}\x00"
+        if ph not in sql:
+            continue
+        # SQL-standard quote doubling must be re-encoded for Spark's raw
+        # literal mode (see _spark_string_literal) — applies equally to
+        # user literals and rewrite-generated ones.
+        if lit.startswith("'") and lit.endswith("'") and "''" in lit:
+            lit = _spark_string_literal(lit[1:-1].replace("''", "'"))
+        sql = sql.replace(ph, lit)
     return sql
 
 
@@ -394,6 +488,52 @@ def _lit_text(stash: list[str], idx: str | int) -> str:
     return stash[int(idx)][1:-1].replace("''", "'")
 
 
+def rewrite_numeric_literal_forms(sql: str) -> str:
+    """DuckDB numeric-literal spellings Spark's lexer rejects (batch 40):
+
+    - digit-group separators: ``1_000_000`` → ``1000000`` (Spark parses
+      ``1`` then an ``_000_000`` identifier — an unresolved-column
+      error, or worse a silent alias). Underscores are only removed
+      BETWEEN digits, so identifiers like ``a_1`` are untouched.
+    - leading-dot decimals: ``.5`` → ``0.5``.
+
+    Runs on literal-protected text so numbers inside strings survive."""
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = re.sub(r"(?<![\w.])(\d[\d_]*\d)_(\d)", r"\1\2", sql)
+        sql = re.sub(r"(?<![\w.])(\d)_(\d)", r"\1\2", sql)
+    return re.sub(r"(?<![\w.])\.(\d)", r"0.\1", sql)
+
+
+_DYN_INTERVAL = re.compile(
+    r"\bINTERVAL\s*(\((?:[^()]|\([^()]*\))*\)|[A-Za-z_][\w.]*\b(?!\s*\())\s*"
+    r"(YEAR|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND)S?\b",
+    re.IGNORECASE,
+)
+
+
+def rewrite_dynamic_interval(sql: str) -> str:
+    """DuckDB's non-literal interval constructor ``INTERVAL (expr) UNIT``
+    / ``INTERVAL col UNIT`` (batch 40) — Spark intervals demand literal
+    counts. Lower to scalar×unit-literal multiplication:
+    ``(expr) * INTERVAL '1' UNIT`` (WEEK via 7 days — Spark has no WEEK
+    interval field). Numeric-literal counts (``INTERVAL 5 DAY``) are
+    Spark-native and left alone; so are string forms (protected)."""
+
+    def sub(m: re.Match) -> str:
+        e, unit = m.group(1), m.group(2).upper()
+        if re.fullmatch(r"[A-Za-z_][\w.]*", e) and e.upper() in (
+            "YEAR", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE", "SECOND",
+        ):
+            return m.group(0)  # INTERVAL DAY type name, not a count
+        if unit == "WEEK":
+            return f"(({e}) * 7 * INTERVAL '1' DAY)"
+        return f"(({e}) * INTERVAL '1' {unit})"
+
+    return _DYN_INTERVAL.sub(sub, sql)
+
+
 def rewrite_pg_cast(sql: str) -> str:
     """``expr::TYPE`` → ``CAST(expr AS TYPE)`` for simple operands
     (identifier, quoted identifier, literal, or parenthesized expr)."""
@@ -401,10 +541,10 @@ def rewrite_pg_cast(sql: str) -> str:
         '(?:[^']|'')*'              # string literal
       | \x00LIT\d+\x00              # protected string literal
       | "[^"]+"                     # quoted identifier
-      | \([^()]*\)                  # parenthesized (non-nested)
+      | \((?:[^()]|\([^()]*\))*\)   # parenthesized (≤1 nesting level)
       | \[[^\[\]]*\]                # bracket list literal
       | \{[^{}]*\}                  # struct literal (pre-rewrite)
-      | [A-Za-z_][A-Za-z0-9_.]*\([^()]*\)   # simple call
+      | [A-Za-z_][A-Za-z0-9_.]*\((?:[^()]|\([^()]*\))*\)   # simple call
       | [A-Za-z_][A-Za-z0-9_.]*     # identifier / dotted path
       | \d+(?:\.\d+)?               # number
     )"""
@@ -3213,6 +3353,34 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     sql = _rewrite_calls(sql, "string_agg", string_agg_x)
     sql = _rewrite_calls(sql, "group_concat", string_agg_x)  # alias
     sql = _rewrite_calls(sql, "listagg", string_agg_x)  # alias (batch 27)
+    # In-call ORDER BY on the quantile family is a no-op (the statistic
+    # is over the value multiset; probed batch 40: quantile_cont(x, 0.5
+    # ORDER BY x) ≡ quantile_cont(x, 0.5)) — strip it so the shape
+    # rewrites below (and the quantile_cont→percentile rename) see the
+    # plain form instead of failing to parse.
+    def _strip_agg_order(fn_name):
+        def x(a):
+            joined = ", ".join(a)
+            m = next(
+                (
+                    c
+                    for c in re.finditer(
+                        r"\bORDER\s+BY\b", joined, re.IGNORECASE
+                    )
+                    if _depth_at(joined, c.start()) == 0
+                ),
+                None,
+            )
+            if m is None:
+                return None
+            return f"{fn_name}({joined[: m.start()].strip().rstrip(',')})"
+
+        return x
+
+    for _qfn in ("quantile_cont", "quantile_disc", "quantile", "median",
+                 "mad", "mode"):
+        sql = _rewrite_calls(sql, _qfn, _strip_agg_order(_qfn))
+
     def quantile_disc_x(a):
         if len(a) != 2:
             return None
@@ -4659,23 +4827,87 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     # the smallest/largest key — ties arbitrary on both engines)
     def first_last_x(is_last):
         def x(a):
-            if len(a) != 1:
+            if not a:
                 return None
-            body = a[0]
-            m = re.search(r"\bORDER\s+BY\b", body, re.IGNORECASE)
-            if not (m and _depth_at(body, m.start()) == 0):
+            # multi-key in-call ORDER BY splits on the arg commas
+            # (batch 40) — rejoin and re-split around the keyword
+            body = ", ".join(a)
+            m = next(
+                (
+                    c
+                    for c in re.finditer(
+                        r"\bORDER\s+BY\b", body, re.IGNORECASE
+                    )
+                    if _depth_at(body, c.start()) == 0
+                ),
+                None,
+            )
+            if m is None:
                 return None
             head = body[: m.start()].strip()
-            order = body[m.end() :].strip()
-            om = re.fullmatch(
-                r"(.*?)\s*\b(ASC|DESC)\b\s*", order, re.IGNORECASE | re.DOTALL
+            if len(_split_top_level(head)) != 1:
+                return None  # first() takes one value expression
+            items = _split_top_level(body[m.end() :])
+            if len(items) == 1:
+                order = items[0].strip()
+                om = re.fullmatch(
+                    r"(.*?)\s*\b(ASC|DESC)\b\s*",
+                    order,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if om:
+                    key, desc = (
+                        om.group(1).strip(),
+                        om.group(2).upper() == "DESC",
+                    )
+                else:
+                    key, desc = order, False
+                fn = "max_by" if (is_last != desc) else "min_by"
+                return f"{fn}({head}, {key})"
+            # multi-key: comparator-sorted collect, take first/last row's
+            # value (NULLS LAST both directions — DuckDB's default)
+            keys = []
+            for item in items:
+                item = item.strip()
+                nm = re.search(
+                    r"\s*\bNULLS\s+(FIRST|LAST)\s*$", item, re.IGNORECASE
+                )
+                nulls_first = False
+                if nm:
+                    nulls_first = nm.group(1).upper() == "FIRST"
+                    item = item[: nm.start()].strip()
+                am = re.search(r"\s*\b(ASC|DESC)\s*$", item, re.IGNORECASE)
+                desc = False
+                if am:
+                    desc = am.group(1).upper() == "DESC"
+                    item = item[: am.start()].strip()
+                keys.append((item, desc, nulls_first))
+            kfields = ", ".join(
+                f"({k}) AS __k{j}" for j, (k, _, _) in enumerate(keys)
             )
-            if om:
-                key, desc = om.group(1).strip(), om.group(2).upper() == "DESC"
-            else:
-                key, desc = order, False
-            fn = "max_by" if (is_last != desc) else "min_by"
-            return f"{fn}({head}, {key})"
+            cmp_body = "0"
+            for j in range(len(keys) - 1, -1, -1):
+                _, desc, nulls_first = keys[j]
+                a_null, b_null = (-1, 1) if nulls_first else (1, -1)
+                lt, gt = (1, -1) if desc else (-1, 1)
+                cmp_body = (
+                    "CASE"
+                    f" WHEN __a.__k{j} IS NULL AND __b.__k{j} IS NULL"
+                    f" THEN {cmp_body}"
+                    f" WHEN __a.__k{j} IS NULL THEN {a_null}"
+                    f" WHEN __b.__k{j} IS NULL THEN {b_null}"
+                    f" WHEN __a.__k{j} < __b.__k{j} THEN {lt}"
+                    f" WHEN __a.__k{j} > __b.__k{j} THEN {gt}"
+                    f" ELSE {cmp_body} END"
+                )
+            # try_element_at: Spark-native (1-based, -1 = last) and NOT
+            # re-rewritten by the DuckDB element_at→map-list pass below
+            pos = -1 if is_last else 1
+            return (
+                f"try_element_at(transform(array_sort("
+                f"collect_list(struct({kfields}, ({head}) AS __v)), "
+                f"(__a, __b) -> {cmp_body}), __p -> __p.__v), {pos})"
+            )
 
         return x
 
@@ -6808,6 +7040,12 @@ def transpile(
     sql = rewrite_from_data(sql, view=view, dataset_path=dataset_path)
     sql = rewrite_columns_regex(sql, columns)
     sql, stash = _protect_literals(sql)
+    sql = rewrite_numeric_literal_forms(sql)
+    sql = rewrite_dynamic_interval(sql)
+    # GROUP BY () — the standard empty grouping list ≡ one global group,
+    # exactly what the bare aggregate computes (batch 40; Spark's parser
+    # rejects the spelling)
+    sql = re.sub(r"\bGROUP\s+BY\s*\(\s*\)", " ", sql, flags=re.IGNORECASE)
     sql = rewrite_json_arrows(sql, stash)
     sql = rewrite_strftime(sql, stash)
     sql = rewrite_regex_operators(sql, stash)
