@@ -2573,3 +2573,34 @@ def test_differential_batch40(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# Round-9 hunt wave 41: arithmetic function spellings, constant_or_null,
+# alias(), session-identity introspection, setseed no-op; anchors for
+# count_if / COLLATE / string_split empties / list family.
+CORPUS_R9_BATCH41 = [
+    """SELECT divide(7, 2) AS d, divide(7.5, 2) AS df, add(1,2) AS a,
+              multiply(3,4) AS m, subtract(5,2) AS sb""",
+    """SELECT constant_or_null(5, 1, NULL) AS c,
+              constant_or_null(5, 1, 2) AS c2""",
+    # alias() without an outer AS (DuckDB rebinds it to the select
+    # item's alias when one is present — documented divergence)
+    """SELECT alias(n_name) FROM nation LIMIT 1""",
+    """SELECT current_schema() AS cs, current_database() AS cd""",
+    """SELECT setseed(0.5) AS s""",
+    """SELECT count_if(n_nationkey > 3) AS c FROM nation""",
+    """SELECT string_split('a b  c', ' ') AS ss""",
+    """SELECT array_pop_back([1,2,3]) AS pb, array_pop_front([1,2,3]) AS pf,
+              list_position([7,8,9], 9) AS lp, flatten([[1,2],[3]]) AS f,
+              list_has_all([1,2,3],[2,3]) AS ha""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R9_BATCH41, ids=range(len(CORPUS_R9_BATCH41))
+)
+def test_differential_batch41(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -903,3 +903,33 @@ def test_information_schema_columns_query_result(spark):
         ("s", "VARCHAR"),
         ("f", "DOUBLE"),
     ]
+
+
+def test_prepared_statements(spark, sf_dir):
+    """PREPARE / EXECUTE / DEALLOCATE (batch 41): positional ?, numbered
+    $1, and named $key := parameters; body re-routes through the gateway
+    so any statement kind can be prepared."""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    run_sql(spark, "PREPARE pq1 AS SELECT n_nationkey FROM nation "
+                   "WHERE n_nationkey > ? ORDER BY n_nationkey")
+    got = [r[0] for r in run_sql(spark, "EXECUTE pq1(22)").collect()]
+    assert got == [23, 24]
+    # literal text containing ? / $name survives binding
+    run_sql(spark, "PREPARE pq2 AS SELECT n_name FROM nation "
+                   "WHERE n_nationkey = $k AND n_name <> '?$k' ")
+    got = [r[0] for r in run_sql(spark, "EXECUTE pq2(k := 3)").collect()]
+    assert len(got) == 1
+    run_sql(spark, "PREPARE pq3 AS SELECT $1 + $2 AS v")
+    assert run_sql(spark, "EXECUTE pq3(2, 3)").collect()[0][0] == 5
+    run_sql(spark, "DEALLOCATE pq1")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="does not exist"):
+        run_sql(spark, "EXECUTE pq1(1)")
+    # re-PREPARE under the same name replaces the old body
+    run_sql(spark, "PREPARE pq3 AS SELECT 42 AS v")
+    assert run_sql(spark, "EXECUTE pq3").collect()[0][0] == 42

@@ -84,7 +84,7 @@ def main() -> None:
             for k in set().union(*[set(r) for r in runs])
             if all(k in r for r in runs)
         }
-        duck = duck_run(sf_dir, 2)
+        duck = duck_run(sf_dir, 3)  # same in-process rep count as bench.py
         common = sorted(set(spark_min) & set(duck))
         like = [k for k in common if k not in ROUND4_NEW_ORACLES]
         s_all = sum(spark_min[k] for k in common)

@@ -153,6 +153,76 @@ _COPY = re.compile(r"^\s*COPY\s+", re.IGNORECASE)
 _COUNT_SCHEMA = T.StructType([T.StructField("Count", T.LongType())])
 _SUCCESS_SCHEMA = T.StructType([T.StructField("Success", T.BooleanType())])
 
+# PREPARE name AS <stmt> / EXECUTE name(args) / DEALLOCATE [PREPARE] name
+# (batch 41). The prepared BODY is stored as raw dialect text and bound
+# + re-routed through the gateway at EXECUTE time, so every statement
+# kind a user can prepare keeps its normal routing. Parameter styles:
+# positional ``?`` / ``$1`` and named ``$key`` with ``key := value``
+# EXECUTE args — matching DuckDB's surface.
+_PREPARE = re.compile(
+    r"^\s*PREPARE\s+(?P<name>\w+)\s+AS\s+(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXECUTE = re.compile(
+    r"^\s*EXECUTE\s+(?P<name>\w+)\s*(?:\(\s*(?P<args>.*?)\s*\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DEALLOCATE = re.compile(
+    r"^\s*DEALLOCATE\s+(?:PREPARE\s+)?(?P<name>\w+)\s*$", re.IGNORECASE
+)
+_session_prepared: dict[tuple[int, str], str] = {}
+
+
+def _bind_prepared(body: str, args_text: str) -> str:
+    """Substitute EXECUTE arguments into a prepared body. Literal text
+    inside the body is protected first so ``?`` / ``$n`` inside strings
+    survive; argument text is spliced verbatim (it is itself dialect
+    SQL — literals, expressions)."""
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        _protect_literals,
+        _restore_literals,
+        _split_top_level,
+    )
+
+    protected, stash = _protect_literals(body)
+    named: dict[str, str] = {}
+    positional: list[str] = []
+    for item in _split_top_level(args_text):
+        item = item.strip()
+        if not item:
+            continue
+        nm = re.match(r"(\w+)\s*:=\s*(.+)$", item, re.DOTALL)
+        if nm:
+            named[nm.group(1).lower()] = nm.group(2).strip()
+        else:
+            positional.append(item)
+
+    def dollar(m: re.Match) -> str:
+        tok = m.group(1)
+        if tok.isdigit():
+            i = int(tok) - 1
+            if 0 <= i < len(positional):
+                return positional[i]
+            raise ValueError(f"EXECUTE: missing parameter ${tok}")
+        v = named.get(tok.lower())
+        if v is None:
+            raise ValueError(f"EXECUTE: missing parameter ${tok}")
+        return v
+
+    protected = re.sub(r"\$(\w+)", dollar, protected)
+    qpos = 0
+
+    def qmark(m: re.Match) -> str:
+        nonlocal qpos
+        if qpos >= len(positional):
+            raise ValueError("EXECUTE: not enough positional parameters")
+        v = positional[qpos]
+        qpos += 1
+        return v
+
+    protected = re.sub(r"\?", qmark, protected)
+    return _restore_literals(protected, stash)
+
 # session tables created here, for unpersist-on-replace: (sparkId, name) → df
 _session_tables: dict[tuple[int, str], DataFrame] = {}
 
@@ -413,6 +483,30 @@ def try_rewrite_ddl(
                 f'Macro with name "{m.group("name")}" does not exist'
             )
         return local_df(spark, [], _SUCCESS_SCHEMA)
+    m = _PREPARE.match(sql)
+    if m is not None:
+        _session_prepared[(id(spark), m.group("name").lower())] = m.group(
+            "body"
+        ).strip()
+        return local_df(spark, [], _SUCCESS_SCHEMA)
+
+    m = _EXECUTE.match(sql)
+    if m is not None:
+        name = m.group("name").lower()
+        body = _session_prepared.get((id(spark), name))
+        if body is None:
+            raise ValueError(
+                f'Prepared statement "{m.group("name")}" does not exist'
+            )
+        return run_sql(
+            spark, _bind_prepared(body, m.group("args") or ""), **kw
+        )
+
+    m = _DEALLOCATE.match(sql)
+    if m is not None:
+        _session_prepared.pop((id(spark), m.group("name").lower()), None)
+        return local_df(spark, [], _SUCCESS_SCHEMA)
+
     if _SESSION_NOOP.match(sql):
         # Transaction control / storage maintenance are meaningful to a
         # persistent DuckDB but no-ops for this session-scoped engine

@@ -3353,6 +3353,79 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     sql = _rewrite_calls(sql, "string_agg", string_agg_x)
     sql = _rewrite_calls(sql, "group_concat", string_agg_x)  # alias
     sql = _rewrite_calls(sql, "listagg", string_agg_x)  # alias (batch 27)
+    # --- round-9 hunt batch 41 ---
+    # function-call spellings of the arithmetic operators; divide() is
+    # DuckDB's // (trunc toward zero on integers, plain division when a
+    # FLOAT literal is present — same contract as the // lowering)
+    def _divide_x(a):
+        if len(a) != 2:
+            return None
+        if re.fullmatch(r"-?\d+\.\d+", a[0].strip()) or re.fullmatch(
+            r"-?\d+\.\d+", a[1].strip()
+        ):
+            return f"CAST(({a[0]}) / ({a[1]}) AS DOUBLE)"
+        return f"(({a[0]}) div ({a[1]}))"
+
+    sql = _rewrite_calls(sql, "divide", _divide_x)
+    for _op_fn, _op in (("add", "+"), ("subtract", "-"), ("multiply", "*")):
+        sql = _rewrite_calls(
+            sql,
+            _op_fn,
+            lambda a, _o=_op: (
+                f"(({a[0]}) {_o} ({a[1]}))" if len(a) == 2 else None
+            ),
+        )
+    # constant_or_null(v, c1[, c2…]): NULL if ANY condition arg is NULL
+    sql = _rewrite_calls(
+        sql,
+        "constant_or_null",
+        lambda a: (
+            f"(CASE WHEN "
+            + " OR ".join(f"({c}) IS NULL" for c in a[1:])
+            + f" THEN NULL ELSE ({a[0]}) END)"
+        )
+        if len(a) >= 2
+        else None,
+    )
+    # alias(col): the column's unqualified NAME as a string — bare
+    # identifiers only (DuckDB returns the expression repr otherwise;
+    # not reproducible here, stays loud)
+    def _alias_x(a):
+        if len(a) != 1:
+            return None
+        m = re.fullmatch(r"[A-Za-z_][\w.]*", a[0].strip())
+        if m is None:
+            return None
+        name = a[0].strip().rsplit(".", 1)[-1]
+        if stash is None:
+            return f"'{name}'"
+        return _stash_add(stash, f"'{name}'")
+
+    sql = _rewrite_calls(sql, "alias", _alias_x)
+    # session-identity introspection: pinned to DuckDB's in-memory
+    # defaults (this engine has no catalog hierarchy to report)
+    sql = _rewrite_calls(
+        sql,
+        "current_schema",
+        lambda a: (_stash_add(stash, "'main'") if stash else "'main'")
+        if not a or a == [""]
+        else None,
+    )
+    sql = _rewrite_calls(
+        sql,
+        "current_database",
+        lambda a: (_stash_add(stash, "'memory'") if stash else "'memory'")
+        if not a or a == [""]
+        else None,
+    )
+    # setseed(x): no session RNG to seed (Spark's rand takes a per-call
+    # seed); DuckDB returns NULL — match the shape, document the no-op
+    sql = _rewrite_calls(
+        sql,
+        "setseed",
+        lambda a: "CAST(NULL AS DOUBLE)" if len(a) == 1 else None,
+    )
+
     # In-call ORDER BY on the quantile family is a no-op (the statistic
     # is over the value multiset; probed batch 40: quantile_cont(x, 0.5
     # ORDER BY x) ≡ quantile_cont(x, 0.5)) — strip it so the shape
