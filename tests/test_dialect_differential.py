@@ -2604,3 +2604,91 @@ def test_differential_batch41(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# Round-10 ADVICE fixes + literal-lexer rewrite: DISTINCT unnest-in-
+# expression, literal spellings nested inside OTHER literal kinds (the
+# left-to-right lexer — pre-r10 the three regex passes leaked stash
+# placeholders for '$$abc$$' and ' e''x'''), and frame/DISTINCT EXCLUDE
+# anchors with explicit frames (frameless EXCLUDE is pinned separately:
+# DuckDB v1.0 itself rejects it).
+CORPUS_R10_BATCH42 = [
+    """SELECT DISTINCT unnest([1,2,2,3]) + 1 AS v ORDER BY v""",
+    """SELECT DISTINCT upper(unnest(['a','b','a'])) AS v ORDER BY v""",
+    # dollar-quote / e-string SPELLINGS inside plain literals stay text
+    """SELECT '$$abc$$' AS a, '$t$x$t$' AS b, 'a$x$b' AS c""",
+    """SELECT ' e''ab''' AS a, 'e''x''' AS b""",
+    # real dollar-quotes and e-strings adjacent to plain literals
+    """SELECT $$dollar body$$ AS a, 'plain' AS b,
+              $tag$with 'quotes' inside$tag$ AS c""",
+    """SELECT e'a\\tb' AS a, 'lit''eral' AS b, e'it''s' AS c""",
+    # DISTINCT agg + EXCLUDE with an explicit default-equivalent frame
+    """SELECT g, y, sum(DISTINCT x) OVER (PARTITION BY g ORDER BY y
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         EXCLUDE CURRENT ROW) AS s
+       FROM (VALUES (1,1,10),(1,2,10),(1,3,20),(2,1,5),(2,2,5)) t(g,y,x)
+       ORDER BY g, y""",
+    """SELECT g, y, count(DISTINCT x) OVER (PARTITION BY g ORDER BY y
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         EXCLUDE GROUP) AS c
+       FROM (VALUES (1,1,10),(1,1,10),(1,3,20),(2,1,5),(2,2,5)) t(g,y,x)
+       ORDER BY g, y""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R10_BATCH42, ids=range(len(CORPUS_R10_BATCH42))
+)
+def test_differential_batch42(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+def test_frameless_exclude_pinned(engines):
+    """Frameless EXCLUDE (``OVER (PARTITION BY g ORDER BY y EXCLUDE …)``)
+    is a parse error in DuckDB v1.0 (frame exclusion requires a frame
+    clause), so it can't be differential-tested directly. The engine
+    accepts it leniently with default-frame semantics; pin against
+    DuckDB running the EXPLICIT default frame (RANGE UNBOUNDED
+    PRECEDING..CURRENT ROW), which is what 'default frame' means with
+    an ORDER BY. Covers the ADVICE r9 defect (DISTINCT+EXCLUDE consumed
+    by rewrite_window_distinct emitted unparsable EXCLUDE) plus the
+    min/max frameless shapes."""
+    spark, con = engines
+    V = ("FROM (VALUES (1,1,10),(1,2,10),(1,2,25),(1,3,20),(2,1,5),"
+         "(2,2,5)) t(g,y,x) ORDER BY g, y, x")
+    for fn, dist, mode in [
+        ("sum", "DISTINCT ", "CURRENT ROW"),
+        ("count", "DISTINCT ", "GROUP"),
+        ("avg", "DISTINCT ", "TIES"),
+        ("min", "DISTINCT ", "CURRENT ROW"),
+        ("max", "", "GROUP"),
+        ("min", "", "TIES"),
+    ]:
+        ours = (f"SELECT g, y, x, {fn}({dist}x) OVER (PARTITION BY g "
+                f"ORDER BY y EXCLUDE {mode}) AS m {V}")
+        duck = (f"SELECT g, y, x, {fn}({dist}x) OVER (PARTITION BY g "
+                f"ORDER BY y RANGE BETWEEN UNBOUNDED PRECEDING AND "
+                f"CURRENT ROW EXCLUDE {mode}) AS m {V}")
+        # positional compare (the ORDER BY is total) with numerics as
+        # float: Spark's DISTINCT-sum accumulates in DOUBLE (35.0) where
+        # DuckDB returns HUGEINT (35) — equal values, different reprs,
+        # which would misalign _rowset's repr sort
+        def _val(v):
+            return (
+                float(v)
+                if isinstance(v, (int, float, decimal.Decimal))
+                and not isinstance(v, bool)
+                else v
+            )
+
+        spark_rows = [
+            tuple(_val(v) for v in r)
+            for r in spark.sql(transpile(ours)).collect()
+        ]
+        duck_rows = [
+            tuple(_val(v) for v in r) for r in con.execute(duck).fetchall()
+        ]
+        assert spark_rows == duck_rows, (fn, dist, mode)

@@ -178,3 +178,53 @@ def test_like_escape_resolution_matches_duckdb(pat):
             f"SELECT ? LIKE ? ESCAPE '{new_esc}'", [probe, new_pat]
         ).fetchone()[0]
         assert got == want, (pat, new_pat, probe)
+
+
+# ---------------------------------------------------------------------------
+# Literal protect/restore round-trip fuzz (round 10, VERDICT r9 item 5).
+# The wave-40 `''` re-encoding bug was a silent VALUE corruption that
+# survived 8 rounds; this property drives the whole literal pipeline —
+# plain quoting, e-strings, dollar-quoting, the left-to-right lexer, and
+# _spark_string_literal's raw-mode re-encoding — through transpile →
+# Spark execution and compares against DuckDB v1.0 running the original
+# text, for random content mixing quotes, backslashes, dollars, '' and
+# escape-looking sequences, control chars, and non-ASCII.
+
+import duckdb as _duckdb
+
+from hypothesis import HealthCheck, given as _given, settings as _settings
+
+_FUZZ_CON = _duckdb.connect()
+
+_LITERAL_CONTENT = st.text(
+    alphabet=st.one_of(
+        st.sampled_from(list("'\"\\$\n\t\r eExXuUnN0189abf_,;()")),
+        st.characters(min_codepoint=0x20, max_codepoint=0x2FF),
+        st.sampled_from(list("€🎉中")),
+    ),
+    max_size=24,
+)
+
+
+def _encode(s: str, variant: int) -> str:
+    if variant == 1:
+        # e-string: resolve by escaping \ and doubling '
+        return "e'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    if variant == 2 and "$fz$" not in s:
+        return "$fz$" + s + "$fz$"
+    return "'" + s.replace("'", "''") + "'"
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(st.lists(_LITERAL_CONTENT, min_size=1, max_size=5), st.randoms())
+def test_literal_roundtrip_spark_matches_duckdb(spark, contents, rng):
+    sql = "SELECT " + ", ".join(
+        f"{_encode(s, rng.randrange(3))} AS c{i}"
+        for i, s in enumerate(contents)
+    )
+    duck_row = tuple(_FUZZ_CON.execute(sql).fetchone())
+    assert duck_row == tuple(contents)  # encoding itself is faithful
+    from vscode_parquet_visualizer_spark.plans.dialect import transpile as _t
+
+    spark_row = tuple(spark.sql(_t(sql)).collect()[0])
+    assert spark_row == duck_row

@@ -39,8 +39,12 @@ def test_configure_s3_sets_connector_conf(spark):
 
 @pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_S3_TEST"),
-    reason="set SPARK_GRAFT_S3_TEST=s3://bucket/file.parquet to run against "
-    "a real object store (none in this container)",
+    reason="live S3 read is formally impossible in this sandbox — no "
+    "hadoop-aws jar ships with this pyspark and there is no network "
+    "(recorded TESTDATA.md:20-31, pinned by "
+    "test_s3_offline_impossibility_documented below); set "
+    "SPARK_GRAFT_S3_TEST=s3://bucket/file.parquet on a deployment that "
+    "ships the connector to run it",
 )
 def test_s3_read_end_to_end(spark):
     from vscode_parquet_visualizer_spark.sources import registry

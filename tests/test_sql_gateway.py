@@ -933,3 +933,31 @@ def test_prepared_statements(spark, sf_dir):
     # re-PREPARE under the same name replaces the old body
     run_sql(spark, "PREPARE pq3 AS SELECT 42 AS v")
     assert run_sql(spark, "EXECUTE pq3").collect()[0][0] == 42
+
+
+def test_prepared_statement_string_args(spark):
+    """ADVICE r9 (high): EXECUTE argument binding must treat quoted
+    string arguments as opaque — commas inside a string argument must
+    not split it ('a,b' binding as 'a'), and ?/$n/$name occurring
+    INSIDE an argument's text must never be re-consumed by a later
+    substitution pass ('what?' previously became the garbage
+    'what'what?'')."""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    run_sql(spark, "PREPARE sq1 AS SELECT $1 AS a, $2 AS b")
+    row = run_sql(spark, "EXECUTE sq1('a,b', 2)").collect()[0]
+    assert (row["a"], row["b"]) == ("a,b", 2)
+    run_sql(spark, "PREPARE sq2 AS SELECT ? AS v")
+    assert run_sql(spark, "EXECUTE sq2('what?')").collect()[0][0] == "what?"
+    # a string argument containing $1 / $name / a comma, bound twice
+    run_sql(spark, "PREPARE sq3 AS SELECT ? AS v, ? AS w")
+    row = run_sql(spark, "EXECUTE sq3('cost: $1, $k', 'x,y')").collect()[0]
+    assert (row["v"], row["w"]) == ("cost: $1, $k", "x,y")
+    # named binding with a comma-carrying string value
+    run_sql(spark, "PREPARE sq4 AS SELECT $msg AS m, $n AS n")
+    row = run_sql(
+        spark, "EXECUTE sq4(msg := 'hello, world?', n := 7)"
+    ).collect()[0]
+    assert (row["m"], row["n"]) == ("hello, world?", 7)
+    for name in ("sq1", "sq2", "sq3", "sq4"):
+        run_sql(spark, f"DEALLOCATE {name}")

@@ -520,7 +520,7 @@ def segment_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     words_per_segment: int = 10,
-    key: str = "auto",
+    key: str = "segment",
 ) -> DataFrame:
     """Inter-document segment-level exact dedup — the C4/RefinedWeb
     boilerplate-removal shape: split every document into fixed-size
@@ -531,10 +531,12 @@ def segment_dedup(
 
     ``key`` picks the shuffle key for the first-occurrence window:
 
-    - ``"segment"``: partition by the segment TEXT — exact, and the
-      rows shipped through the exchange carry the 10-word strings.
-      Returns (id, seg_idx, segment, keep) so downstream can filter
-      ``keep`` and reassemble with concat_ws over a seg_idx sort.
+    - ``"segment"`` (default): partition by the segment TEXT — exact,
+      and the rows shipped through the exchange carry the 10-word
+      strings. Returns (id, seg_idx, segment, keep) so downstream can
+      filter ``keep`` and reassemble with concat_ws over a seg_idx
+      sort. The default because its schema is the full contract;
+      ``"auto"``'s size-dependent column set is opt-in (ADVICE r9).
     - ``"hash"``: the 100 TB shape — segment text is DROPPED before
       the exchange and the window partitions on a 128-bit fingerprint
       (two independently-seeded xxhash64 values), so shuffle payloads
@@ -546,9 +548,12 @@ def segment_dedup(
       128 bits), ~10⁻¹⁵ even at 10¹² distinct segments, below the
       corpus's own bit-rot rate. A single-hash key (n²/2⁶⁵) would NOT
       be acceptable for an exactness-gated dedup at that scale.
-    - ``"auto"`` (default): Catalyst's optimized-plan size estimate
-      picks — text key below 256 MiB (interactive; keeps the segment
-      column for callers), hashed key above.
+    - ``"auto"``: Catalyst's optimized-plan size estimate picks — text
+      key below 256 MiB (interactive; keeps the segment column for
+      callers), hashed key above. EXPLICIT OPT-IN ONLY: the returned
+      column set depends on input size (the segment column disappears
+      above the threshold), so callers must tolerate both schemas —
+      i.e. consume only (id, seg_idx, keep).
 
     Scale shape either way: one explode (rows × segments/doc) and ONE
     shuffle for the window; the rank is a WindowGroupLimit-style

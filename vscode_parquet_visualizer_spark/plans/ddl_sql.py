@@ -174,20 +174,29 @@ _session_prepared: dict[tuple[int, str], str] = {}
 
 
 def _bind_prepared(body: str, args_text: str) -> str:
-    """Substitute EXECUTE arguments into a prepared body. Literal text
-    inside the body is protected first so ``?`` / ``$n`` inside strings
-    survive; argument text is spliced verbatim (it is itself dialect
-    SQL — literals, expressions)."""
+    """Substitute EXECUTE arguments into a prepared body.
+
+    Body AND argument text are literal-protected together (one stash)
+    before any splitting or substitution, so (a) commas inside string
+    arguments — ``EXECUTE q('a,b', 2)`` — can't mis-split the argument
+    list, and (b) ``?`` / ``$n`` inside string arguments —
+    ``EXECUTE q('what?')`` — can't be re-consumed by the parameter
+    passes. Substitution goes through opaque ``\\x00ARGn\\x00``
+    placeholders so spliced values are never re-scanned; literals are
+    restored once at the very end."""
     from vscode_parquet_visualizer_spark.plans.dialect import (
         _protect_literals,
         _restore_literals,
         _split_top_level,
     )
 
-    protected, stash = _protect_literals(body)
+    # \x01 can't occur in SQL text; literals never span the boundary
+    # because body and args come from disjoint regex groups.
+    protected_all, stash = _protect_literals(body + "\x01" + args_text)
+    protected, p_args = protected_all.split("\x01", 1)
     named: dict[str, str] = {}
     positional: list[str] = []
-    for item in _split_top_level(args_text):
+    for item in _split_top_level(p_args):
         item = item.strip()
         if not item:
             continue
@@ -197,17 +206,23 @@ def _bind_prepared(body: str, args_text: str) -> str:
         else:
             positional.append(item)
 
+    values: list[str] = []
+
+    def _placeholder(v: str) -> str:
+        values.append(v)
+        return f"\x00ARG{len(values) - 1}\x00"
+
     def dollar(m: re.Match) -> str:
         tok = m.group(1)
         if tok.isdigit():
             i = int(tok) - 1
             if 0 <= i < len(positional):
-                return positional[i]
+                return _placeholder(positional[i])
             raise ValueError(f"EXECUTE: missing parameter ${tok}")
         v = named.get(tok.lower())
         if v is None:
             raise ValueError(f"EXECUTE: missing parameter ${tok}")
-        return v
+        return _placeholder(v)
 
     protected = re.sub(r"\$(\w+)", dollar, protected)
     qpos = 0
@@ -218,9 +233,12 @@ def _bind_prepared(body: str, args_text: str) -> str:
             raise ValueError("EXECUTE: not enough positional parameters")
         v = positional[qpos]
         qpos += 1
-        return v
+        return _placeholder(v)
 
     protected = re.sub(r"\?", qmark, protected)
+    protected = re.sub(
+        r"\x00ARG(\d+)\x00", lambda m: values[int(m.group(1))], protected
+    )
     return _restore_literals(protected, stash)
 
 # session tables created here, for unpersist-on-replace: (sparkId, name) → df

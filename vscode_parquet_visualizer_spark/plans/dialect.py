@@ -388,23 +388,15 @@ def _protect_literals(sql: str) -> tuple[str, list[str]]:
     """
     stash: list[str] = []
 
-    def keep(m: re.Match) -> str:
-        stash.append(m.group(0))
+    def keep_raw(raw: str) -> str:
+        stash.append(raw)
         return f"\x00LIT{len(stash) - 1}\x00"
 
     def keep_text(text: str) -> str:
         stash.append("'" + text.replace("'", "''") + "'")
         return f"\x00LIT{len(stash) - 1}\x00"
 
-    sql = re.sub(
-        r"\$([A-Za-z_]\w*|)\$(.*?)\$\1\$",
-        lambda m: keep_text(m.group(2)),
-        sql,
-        flags=re.DOTALL,
-    )
-
-    def estr(m: re.Match) -> str:
-        body = m.group(1)
+    def decode_estring(body: str) -> str:
         out, i, n = [], 0, len(body)
         while i < n:
             c = body[i]
@@ -430,14 +422,73 @@ def _protect_literals(sql: str) -> tuple[str, list[str]]:
             else:
                 out.append(nxt)
                 i += 2
-        return keep_text("".join(out))
+        return "".join(out)
 
-    sql = re.sub(
-        r"(?<![\w'])[eE]'((?:[^'\\]|\\.|'')*)'",
-        estr,
-        sql,
-    )
-    return _LITERAL.sub(keep, sql), stash
+    # ONE left-to-right lexer pass, like the engines' own lexers. The
+    # pre-r10 design ran three independent regex passes (dollar-quote,
+    # e-string, plain literal) in sequence, so a dollar-quote or
+    # e-string SPELLING *inside* a plain literal ('$$abc$$', ' e''x''')
+    # was consumed first and leaked nested placeholders into the output
+    # (found by the r10 literal round-trip property fuzz). Scanning
+    # left-to-right, whichever literal opens first owns the text up to
+    # its own closer.
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if (
+            c in "eE"
+            and i + 1 < n
+            and sql[i + 1] == "'"
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] in "_'\""))
+        ):
+            # e-string: body allows \-escapes (incl. \') and '' doubling
+            j, closed = i + 2, -1
+            while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    closed = j
+                    break
+                j += 1
+            if closed != -1:
+                out.append(keep_text(decode_estring(sql[i + 2 : closed])))
+                i = closed + 1
+                continue
+        if c == "'":
+            j, closed = i + 1, -1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    closed = j
+                    break
+                j += 1
+            if closed != -1:
+                out.append(keep_raw(sql[i : closed + 1]))
+                i = closed + 1
+                continue
+        if c == "$":
+            m = re.match(r"\$([A-Za-z_]\w*|)\$", sql[i:])
+            if m:
+                tag = m.group(0)
+                end = sql.find(tag, i + len(tag))
+                if end != -1:
+                    out.append(keep_text(sql[i + len(tag) : end]))
+                    i = end + len(tag)
+                    continue
+        out.append(c)
+        i += 1
+    return "".join(out), stash
+
+
+def _trailing_backslashes_odd(content: str) -> bool:
+    return (len(content) - len(content.rstrip("\\"))) % 2 == 1
 
 
 def _spark_string_literal(content: str) -> str:
@@ -446,20 +497,32 @@ def _spark_string_literal(content: str) -> str:
     SQL-standard ``''`` escape is NOT collapsed ('it''s' reads back as
     ``it''s`` — probed, batch 40). Quote-free content keeps the plain
     form; a single quote switches to the double-quoted spelling; both
-    quote kinds fall back to a foldable concat with chr()."""
-    if "'" not in content:
+    quote kinds fall back to a foldable concat with chr().
+
+    Backslash caveat (r10 literal fuzz): even in raw mode, Spark's
+    LEXER still consumes ``\\X`` as one unit (the raw VALUE keeps both
+    chars — probed: ``'a\\'b'`` parses and reads back ``a\\'b``), so a
+    content ending in an ODD run of backslashes would swallow the
+    closing quote (``'\\'`` is a parse error). Such contents — and any
+    content mixing backslashes with quotes, where ``''`` doubling after
+    a backslash mis-lexes — take the chr() concat path, which splits
+    out every quote AND backslash so no chunk can end in one."""
+    bs = "\\" in content
+    if "'" not in content and not (bs and _trailing_backslashes_odd(content)):
         return "'" + content + "'"
-    if '"' not in content:
+    if '"' not in content and not bs:
         return '"' + content + '"'
     parts = []
-    for tok in re.split(r"(['\"])", content):
+    for tok in re.split(r"(['\"\\])", content):
         if tok == "'":
             parts.append("chr(39)")
         elif tok == '"':
             parts.append("chr(34)")
+        elif tok == "\\":
+            parts.append("chr(92)")
         elif tok:
             parts.append("'" + tok + "'")
-    return "concat(" + ", ".join(parts) + ")"
+    return "concat(" + ", ".join(parts) + ")" if parts else "''"
 
 
 def _restore_literals(sql: str, stash: list[str]) -> str:
@@ -469,8 +532,16 @@ def _restore_literals(sql: str, stash: list[str]) -> str:
             continue
         # SQL-standard quote doubling must be re-encoded for Spark's raw
         # literal mode (see _spark_string_literal) — applies equally to
-        # user literals and rewrite-generated ones.
-        if lit.startswith("'") and lit.endswith("'") and "''" in lit:
+        # user literals and rewrite-generated ones. Backslash-carrying
+        # literals re-encode too: Spark's lexer pairs \X even in raw
+        # mode, so '' doubling after a backslash mis-lexes and a
+        # trailing odd backslash run swallows the closing quote
+        # (r10 literal fuzz).
+        if (
+            lit.startswith("'")
+            and lit.endswith("'")
+            and ("''" in lit or "\\" in lit)
+        ):
             lit = _spark_string_literal(lit[1:-1].replace("''", "'"))
         sql = sql.replace(ph, lit)
     return sql
@@ -2555,7 +2626,19 @@ def rewrite_unnest_in_expression(sql: str) -> str:
         items = _split_top_level(sel)
         changed = False
         new_items = []
-        for item in items:
+        for k, item in enumerate(items):
+            # a set quantifier on the first item belongs to the SELECT,
+            # not the expression — detach it so `SELECT DISTINCT
+            # unnest(l) + 1` doesn't fold DISTINCT into the lambda
+            # (ADVICE r9), re-attach outside the rewritten item
+            quant = ""
+            if k == 0:
+                qm = re.match(
+                    r"\s*(DISTINCT|ALL)\b", item, re.IGNORECASE
+                )
+                if qm:
+                    quant = item[: qm.end()] + " "
+                    item = item[qm.end():]
             am = re.search(
                 r'\s+AS\s+("[^"]+"|[A-Za-z_]\w*)\s*$', item, re.IGNORECASE
             )
@@ -2564,25 +2647,25 @@ def rewrite_unnest_in_expression(sql: str) -> str:
             m = pat.search(body)
             if m is None or re.search(r"\bSELECT\b", body, re.IGNORECASE):
                 # no unnest, or a nested subquery owns its own scope
-                new_items.append(item)
+                new_items.append(quant + item)
                 continue
             close = _balanced_span(body, m.end() - 1)
             if close == -1 or pat.search(body, close):
-                new_items.append(item)  # zero/second unnest: not ours
+                new_items.append(quant + item)  # zero/second unnest: not ours
                 continue
             stripped = body.strip()
             if stripped.startswith(body[m.start() : close + 1].strip()) and (
                 body[m.start() : close + 1].strip() == stripped
             ):
-                new_items.append(item)  # bare call: plain rename path
+                new_items.append(quant + item)  # bare call: plain rename path
                 continue
             if re.search(r"\bOVER\b", body, re.IGNORECASE):
-                new_items.append(item)  # window context: out of scope
+                new_items.append(quant + item)  # window context: out of scope
                 continue
             arr = body[m.end() : close]
             mapped = body[: m.start()] + "__un" + body[close + 1 :]
             new_items.append(
-                f"explode(transform({arr}, __un -> {mapped.strip()}))"
+                f"{quant}explode(transform({arr}, __un -> {mapped.strip()}))"
                 f"{alias}"
             )
             changed = True
@@ -6036,6 +6119,12 @@ def rewrite_window_distinct(
 
     def sub(m: re.Match) -> str:
         fn, e, body = m.group(1).lower(), m.group(2).strip(), m.group(3)
+        if re.search(r"\bEXCLUDE\b", body, re.IGNORECASE):
+            # EXCLUDE anywhere in the window body (even frameless, where
+            # it would otherwise be swallowed into the ORDER BY keys) is
+            # rewrite_minmax_exclude's job — its regex handles the
+            # DISTINCT form itself (ADVICE r9).
+            return m.group(0)
         if fn in ("min", "max"):
             return f"{fn}({e}) OVER ({body.strip()})"
         if e == "*":
@@ -6317,13 +6406,15 @@ def rewrite_minmax_exclude(
             new_sel = new_sel.replace(m.group(0), f"({repl})")
             processed += 1
             continue
-        lo_f = bool(_FRAME_LO.fullmatch(frame))
+        # no explicit frame + ORDER BY (guaranteed above) = the default
+        # RANGE UNBOUNDED PRECEDING..CURRENT ROW, i.e. the lo_f shape
+        # (r10: lets frameless min/max EXCLUDE through the exact
+        # peer-aligned path instead of bailing loud)
+        lo_f = bool(_FRAME_LO.fullmatch(frame)) or not frame
         hi_f = bool(_FRAME_HI.fullmatch(frame))
         full_f = bool(_FRAME_FULL.fullmatch(frame))
         general = not (lo_f or hi_f or full_f)
-        if general and (
-            not frame or re.match(r"GROUPS\b", frame, re.IGNORECASE)
-        ):
+        if general and re.match(r"GROUPS\b", frame, re.IGNORECASE):
             return sql  # GROUPS frames: Spark has no equivalent — loud
         w = body[: body.rfind(frame)].strip() if frame else body
         b = f"__mx{i}"

@@ -2692,7 +2692,10 @@ def q75(spark, sf_dir):
     segment-keyed shuffle; see the operator docstring for the
     hash-the-key variant at 100 TB."""
     t = load_tables(spark, sf_dir)
-    segs = dd.segment_dedup(t["documents"], words_per_segment=10)
+    # key="auto" (explicit opt-in): this gate reads only (id, keep), so
+    # it tolerates auto's size-dependent schema and keeps the hashed
+    # 100 TB shuffle key exercised above the 256 MiB threshold
+    segs = dd.segment_dedup(t["documents"], words_per_segment=10, key="auto")
     return segs.groupBy(F.col("id").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_segments"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
