@@ -2692,3 +2692,75 @@ def test_frameless_exclude_pinned(engines):
             tuple(_val(v) for v in r) for r in con.execute(duck).fetchall()
         ]
         assert spark_rows == duck_rows, (fn, dist, mode)
+
+
+# Round-10 hunt wave 42 (~90 surfaces probed across 3 sweeps): quoted
+# identifiers, typed literals, string→int cast rounding, bare DECIMAL
+# default, list-family 1-based subscripts, unicode identifiers.
+CORPUS_R10_BATCH43 = [
+    # double-quoted identifiers are IDENTIFIERS (DuckDB has no "…"
+    # string form) — aliases, references, table names, keywords
+    """SELECT r_name AS "Weird Name" FROM region
+       ORDER BY "Weird Name" LIMIT 2""",
+    """SELECT r_name AS "sel""ect" FROM region ORDER BY 1 LIMIT 1""",
+    """SELECT "r_name" FROM "region" ORDER BY "r_name" LIMIT 2""",
+    """SELECT 1 AS "from", 2 AS "group" """,
+    """SELECT "nation"."n_name" FROM nation ORDER BY 1 LIMIT 2""",
+    """SELECT '"not an ident"' AS s, "r_name" FROM region
+       ORDER BY 2 LIMIT 1""",
+    # bare unicode identifiers (Spark wants backticks)
+    """SELECT 1 AS ümläut""",
+    # typed literals beyond DATE/TIMESTAMP
+    """SELECT INTEGER '42' AS a, DOUBLE '3.5' AS b, BOOLEAN 'true' AS c,
+              VARCHAR 'xy' AS v""",
+    """SELECT BIGINT '9007199254740993' AS big""",
+    """SELECT DECIMAL '4.5' AS d""",
+    # DuckDB ROUNDS string→int casts half away from zero; Spark
+    # truncates / try_cast NULLs — literal operands computed exactly
+    """SELECT '12.7'::INTEGER AS r, '12.5'::INT AS h,
+              '-0.5'::BIGINT AS n, '1e2'::INTEGER AS e""",
+    """SELECT TRY_CAST('12.7' AS INTEGER) AS t""",
+    # list-family producers now carry 1-based subscripts
+    """SELECT list(n_name ORDER BY n_nationkey)[1] AS f FROM nation""",
+    """SELECT list(n_name ORDER BY n_nationkey DESC)[1] AS f
+       FROM nation""",
+    """SELECT list_value(7,8,9)[2] AS v, list_concat([1],[2,3])[3] AS c,
+              array_pop_back([1,2,3])[2] AS p,
+              list_reverse([1,2,3])[1] AS r,
+              str_split('a b c', ' ')[2] AS s""",
+    # anchors probed green in the wave
+    """SELECT last_day(DATE '2024-02-05') AS ld,
+              date_part('isodow', DATE '2024-01-07') AS iso,
+              week(DATE '2024-01-04') AS w""",
+    """SELECT bit_and(n_nationkey) AS ba, bool_or(n_nationkey > 20) AS bo,
+              product(n_nationkey + 1) AS p
+       FROM nation WHERE n_nationkey < 5""",
+    """SELECT even(2.5) AS e1, even(-2.5) AS e2, gcd(12, 18) AS g,
+              lcm(4, 6) AS l, cbrt(27) AS c""",
+    """SELECT regexp_replace('aaa', 'a', 'b') AS r1,
+              regexp_replace('aaa', 'a', 'b', 'g') AS rg,
+              strip_accents('café') AS sa""",
+    """SELECT list_reduce([1,2,3], (a, b) -> a + b) AS lr,
+              [x * 2 FOR x IN [1,2,3] IF x > 1] AS lc,
+              list_unique([1,1,2]) AS lu""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R10_BATCH43, ids=range(len(CORPUS_R10_BATCH43))
+)
+def test_differential_batch43(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+def test_quoted_alias_column_name_parity(engines):
+    """Result COLUMN NAMES must match DuckDB for quoted aliases (the
+    driver's compare sorts columns by name)."""
+    spark, con = engines
+    sql = 'SELECT 1 AS "Weird Name", 2 AS "sel""ect"'
+    assert spark.sql(transpile(sql)).columns == [
+        c[0] for c in con.execute(sql).description
+    ]

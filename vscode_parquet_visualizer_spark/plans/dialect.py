@@ -605,6 +605,100 @@ def rewrite_dynamic_interval(sql: str) -> str:
     return _DYN_INTERVAL.sub(sub, sql)
 
 
+_TYPED_LIT_TYPES = (
+    r"TINYINT|SMALLINT|INTEGER|INT[1248]?|SIGNED|BIGINT|LONG|HUGEINT"
+    r"|UTINYINT|USMALLINT|UINTEGER|UBIGINT"
+    r"|FLOAT[48]?|REAL|DOUBLE"
+    r"|DECIMAL(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?"
+    r"|NUMERIC(?:\s*\(\s*\d+\s*,\s*\d+\s*\))?"
+    r"|BOOLEAN|BOOL|LOGICAL|VARCHAR|TEXT|STRING|BPCHAR|UUID|BLOB|BYTEA"
+)
+
+
+def rewrite_typed_literals(sql: str) -> str:
+    """DuckDB accepts ``TYPE 'literal'`` for every type (``INTEGER
+    '42'``, ``BOOLEAN 'true'``); Spark's parser only knows the standard
+    DATE/TIMESTAMP/INTERVAL/X forms. Map the rest to CAST (wave 42).
+    Runs on literal-protected text; DATE/TIMESTAMP/TIME/INTERVAL are
+    deliberately NOT in the list (native or separately handled), and a
+    string alias can't false-positive — DuckDB itself rejects
+    ``SELECT 1 'x'`` (probed)."""
+    return re.sub(
+        rf"(?<![:\w])({_TYPED_LIT_TYPES})\s+(\x00LIT\d+\x00)",
+        r"CAST(\2 AS \1)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def rewrite_string_int_cast_literals(sql: str, stash: list[str]) -> str:
+    """DuckDB ROUNDS string→integer casts half away from zero
+    (``'12.7'::INTEGER`` = 13, ``'-0.5'::INT`` = -1 — probed v1.0);
+    Spark CAST truncates (12) and TRY_CAST yields NULL. For LITERAL
+    operands the exact DuckDB value is computable at transpile time
+    (wave 42). Column operands stay engine-native — their runtime type
+    isn't knowable textually. Unparseable literals are left alone:
+    error-vs-NULL strictness is the cast class documented in
+    COVERAGE.md."""
+    import decimal as _dec
+
+    def sub(m: re.Match) -> str:
+        fn, idx, typ = m.group(1), m.group(3), m.group(4)
+        txt = _lit_text(stash, idx).strip()
+        try:
+            v = int(
+                _dec.Decimal(txt).to_integral_value(
+                    rounding=_dec.ROUND_HALF_UP
+                )
+            )
+        except (ArithmeticError, ValueError):
+            return m.group(0)
+        return f"{fn}({v} AS {typ})"
+
+    return re.sub(
+        r"\b(CAST|TRY_CAST)\s*\(\s*(\x00LIT(\d+)\x00)\s+AS\s+"
+        r"(TINYINT|SMALLINT|INT[1248]?|INTEGER|SIGNED|BIGINT|LONG"
+        r"|UTINYINT|USMALLINT|UINTEGER|UBIGINT)\s*\)",
+        sub,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def rewrite_quoted_identifiers(sql: str) -> str:
+    """DuckDB double-quoted tokens are IDENTIFIERS (its lexer has no
+    double-quoted string form); Spark's default parser reads ``"x"`` as
+    a string literal, so ``SELECT r_name AS "Weird Name"`` mis-parses.
+    Convert to backticks (wave 42): ``""`` un-doubles, embedded
+    backticks double. Also wraps BARE identifiers containing non-ASCII
+    word characters (DuckDB accepts ``SELECT 1 AS ümläut`` unquoted;
+    Spark wants backticks). Runs LAST in the pipeline on literal-
+    protected text — every earlier rewrite keeps matching the ``"…"``
+    spelling it was written against, and no rewrite emits ``"…"`` as a
+    string (audited: only matchers)."""
+
+    def sub(m: re.Match) -> str:
+        if m.group(3) is not None:
+            return m.group(3)  # rewrite-generated raw literal: opaque
+        if m.group(1) is not None:
+            name = m.group(1)
+            if not name:
+                return m.group(0)
+            return "`" + name.replace('""', '"').replace("`", "``") + "`"
+        tok = m.group(2)
+        if any(ord(c) > 127 for c in tok):
+            return f"`{tok}`"
+        return tok
+
+    return re.sub(
+        '"((?:[^"]|"")*)"'
+        "|([A-Za-z_\u0080-\uffff][\\w\u0080-\uffff]*)"
+        "|('(?:[^']|'')*')",
+        sub,
+        sql,
+    )
+
+
 def rewrite_pg_cast(sql: str) -> str:
     """``expr::TYPE`` → ``CAST(expr AS TYPE)`` for simple operands
     (identifier, quoted identifier, literal, or parenthesized expr)."""
@@ -739,6 +833,14 @@ _ARRAY_PRODUCING = {
     "list_distinct", "string_to_array", "regexp_extract_all", "shuffle",
     "array_compact", "array_append", "array_prepend", "array_insert",
     "array_remove", "string_split", "split_part_all",
+    # DuckDB list-family producers (wave 42: list(x ORDER BY k)[1] was a
+    # silent 0-based off-by-one — `list` wasn't in this set, so the
+    # 1-based subscript pass skipped the call)
+    "list", "list_value", "list_pack", "list_append", "list_prepend",
+    "list_concat", "list_reverse", "list_resize", "list_where",
+    "list_select", "list_zip", "list_slice", "array_slice",
+    "array_pop_back", "array_pop_front", "str_split", "str_split_regex",
+    "regexp_split_to_array", "array_reverse",
 }
 
 
@@ -5853,6 +5955,10 @@ _CAST_TYPE_MAP = {
     "UINTEGER": "BIGINT", "UBIGINT": "DECIMAL(20,0)",
     "HUGEINT": "DECIMAL(38,0)", "UHUGEINT": "DECIMAL(38,0)",
     "OID": "BIGINT",
+    # bare DECIMAL/NUMERIC: DuckDB defaults to DECIMAL(18,3) where
+    # Spark's bare spelling means DECIMAL(10,0) — '4.5'::DECIMAL would
+    # silently round to 5 (wave 42)
+    "DECIMAL": "DECIMAL(18,3)", "NUMERIC": "DECIMAL(18,3)",
     "DATETIME": "TIMESTAMP", "TIMESTAMPTZ": "TIMESTAMP",
     "TIMESTAMP_S": "TIMESTAMP", "TIMESTAMP_MS": "TIMESTAMP",
     "TIMESTAMP_NS": "TIMESTAMP",
@@ -7239,7 +7345,9 @@ def transpile(
         sql,
         flags=re.IGNORECASE,
     )
+    sql = rewrite_typed_literals(sql)
     sql = rewrite_pg_cast(sql)
+    sql = rewrite_string_int_cast_literals(sql, stash)
     sql = rewrite_cast_type_names(sql)
     sql = rewrite_distinct_on(sql)
     sql = rewrite_exclude(sql)
@@ -7286,6 +7394,11 @@ def transpile(
     sql = rewrite_function_renames(sql)
     sql = rewrite_qualify(sql)
     sql = sql.replace("\x00RANGE\x00", "range")
+    # LAST structural pass: DuckDB "quoted identifiers" / bare unicode
+    # identifiers → backticks (wave 42) — after every rewrite that
+    # pattern-matches the "…" spelling, before literal restore (which
+    # may emit "…" as Spark STRING literals)
+    sql = rewrite_quoted_identifiers(sql)
     # Frame-EXCLUDE that survived every rewrite pass (GROUPS frames,
     # out-of-scope statement shapes) must fail HERE, not as an opaque
     # Spark PARSE_SYNTAX_ERROR downstream (round-6 q74 lesson).
