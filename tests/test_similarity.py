@@ -128,3 +128,24 @@ def test_ivf_large_k_stays_jvm_side(embeddings):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ivf_prebuilt_index_matches_inline(spark, sf_dir):
+    """ivf_build_index + index= reuse must be byte-identical to the
+    inline fit (seeded, deterministic) — the q62 cached-index path."""
+    from vscode_parquet_visualizer_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id IN (0, 1)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inline = sim.ivf_neighbors(
+        emb, queries, threshold=0.5, n_centroids=8, nprobe=3
+    )
+    idx = sim.ivf_build_index(emb, n_centroids=8, persist=False)
+    via_index = sim.ivf_neighbors(
+        emb, queries, threshold=0.5, n_centroids=8, nprobe=3, index=idx
+    )
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, via_index.collect()))
+    assert a == b and a

@@ -18,6 +18,7 @@
 from __future__ import annotations
 
 import json
+from typing import NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -341,6 +342,132 @@ def _normalize_rows(X: "np.ndarray") -> "np.ndarray":
     return X / n
 
 
+class IvfIndex(NamedTuple):
+    """A built IVF index: unit centroids + the corpus with its cell
+    assignment materialized — the FAISS train+add analogue. Build once
+    with ``ivf_build_index`` and pass to ``ivf_topk``/``ivf_neighbors``
+    so repeated queries pay only the probe join, not the quantizer fit
+    (driver sample collect + Lloyd, ~1.0-1.3 s at the 100× dataset) or
+    the corpus-wide assignment pass. At 100 TB the assigned corpus is a
+    derived table written at ingest, exactly like a materialized ANN
+    index."""
+
+    centroids: list  # list[list[float]], unit rows
+    assigned: DataFrame  # (neighbor_id, <vec_col>, __cell)
+
+
+def ivf_fit_quantizer(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    fit_sample_rows: int = 25_000,
+) -> list:
+    """Spherical k-means coarse quantizer fit (see _ivf_scored's
+    docstring for the normalization rationale). The sample is
+    driver-sized by construction (LocalLimit); the Lloyd iterations are
+    vectorized numpy — distributing a fit over ≤25k rows was measured
+    as pure scheduling overhead. Deterministic for (data, seed)."""
+    fit_input = corpus.select(
+        F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    if fit_sample_rows:
+        fit_input = fit_input.limit(fit_sample_rows)
+    sample = _normalize_rows(
+        np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in fit_input.toPandas()["__v"]]
+        )
+    )  # Arrow transfer: ~10× the row-based collect for array columns
+    centroids = _normalize_rows(_lloyd(sample, n_centroids, seed=seed, iters=8))
+    return [[float(x) for x in c] for c in centroids]
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    fit_sample_rows: int = 25_000,
+    persist: bool = True,
+) -> IvfIndex:
+    """Fit the quantizer and materialize every corpus row's nearest-cell
+    assignment. ``persist=True`` caches the assigned corpus
+    (MEMORY_AND_DISK) — the index lives as long as the session, and
+    each query run touches only its probed cells."""
+    centroids = ivf_fit_quantizer(
+        corpus, vec_col, n_centroids, seed, fit_sample_rows
+    )
+    cents_lit, k = _centroid_literal(centroids)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col),
+        _nearest_cell(
+            cents_lit, k, F.col(vec_col).cast("array<double>")
+        ).alias("__cell"),
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    return IvfIndex(centroids=centroids, assigned=assigned)
+
+
+def _centroid_literal(centroids: list) -> tuple[Column, int]:
+    # The centroid matrix rides along as ONE constant-folded literal
+    # (from_json of a string literal folds to a single array<array>
+    # Literal node at optimization time), NOT k×d expression nodes: a
+    # per-centroid literal tree is O(k·d) Catalyst nodes, which blows
+    # past analysis/codegen method limits at realistic k (256×64 =
+    # 16k nodes) and would silently drop the whole corpus pass to the
+    # volcano path under hugeMethodLimit. The data form is also simply
+    # faster — measured warm at sf0.1: k=16 0.23 s vs 0.42 s literal,
+    # k=256 1.9 s vs 2.4 s — because interpreting one transform() loop
+    # over a constant array beats walking a 16k-node expression tree.
+    # json.dumps emits shortest-round-trip doubles, so the parsed JVM
+    # values are bit-identical to F.lit(float(x)).
+    cents_lit = F.from_json(
+        F.lit(json.dumps(centroids)), "array<array<double>>"
+    )
+    return cents_lit, len(centroids)
+
+
+def _cell_scores(cents_lit: Column, vcol: Column) -> Column:
+    """array<double> of dot(x, c_j) per unit centroid — one data-driven
+    transform over the folded centroid literal."""
+    return F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(vcol, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ),
+    )
+
+
+def _nearest_cell(cents_lit: Column, k: int, vcol: Column) -> Column:
+    # argmax over the score array in ONE aggregate pass (first index wins
+    # ties, matching np.argmin's first-min rule). A NULL vector yields
+    # NULL scores, the strict `>` never fires, and the -1 init survives —
+    # the same no-cell sentinel the round-4 UDF path used. coalesce keeps
+    # the join key expression NON-nullable: a nullable key gets an
+    # injected IsNotNull pushed below the projection by DUPLICATING it
+    # (the round-4 ArrowEvalPython lesson applies to any expensive
+    # projection, not just Python ones).
+    return F.coalesce(
+        F.aggregate(
+            F.zip_with(
+                _cell_scores(cents_lit, vcol),
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda s, i: F.struct(s.alias("s"), i.alias("i")),
+            ),
+            F.struct(F.lit(float("-inf")).alias("s"), F.lit(-1).alias("i")),
+            lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+        )["i"],
+        F.lit(-1),
+    )
+
+
 def _ivf_scored(
     corpus: DataFrame,
     queries: DataFrame,
@@ -351,6 +478,7 @@ def _ivf_scored(
     nprobe: int,
     seed: int,
     fit_sample_rows: int,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
     """Exact-scored IVF candidates: (query_id, neighbor_id, score) for
     corpus rows in any of the query's ``nprobe`` probed cells.
@@ -367,10 +495,6 @@ def _ivf_scored(
     with ZERO Python boundary crossings (round 4 had two ArrowEvalPython
     passes here — the round's largest data-proportional gap at sf10).
     """
-    vecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col),
-    )
     # A coarse quantizer doesn't need a converged clustering — recall is
     # governed by nprobe. The fit sample is driver-sized BY CONSTRUCTION
     # (≤ fit_sample_rows via LocalLimit: ~25 MB at 100k × 32 dims), so
@@ -379,75 +503,15 @@ def _ivf_scored(
     # scheduling overhead (~1.4 s at sf0.1 → ~ms in numpy). Standard IVF
     # practice — FAISS trains its quantizer on a sample the same way;
     # the corpus-wide work (assignment, probe join) stays distributed.
-    fit_input = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
-    if fit_sample_rows:
-        fit_input = fit_input.limit(fit_sample_rows)
-    sample = _normalize_rows(
-        np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in fit_input.toPandas()["__v"]]
+    # A prebuilt ``index`` (ivf_build_index) skips both the fit and the
+    # assignment pass — the repeated-query production path.
+    if index is None:
+        index = ivf_build_index(
+            corpus, id_col, vec_col, n_centroids, seed, fit_sample_rows,
+            persist=False,
         )
-    )  # Arrow transfer: ~10× the row-based collect for array columns
-    centroids = _normalize_rows(_lloyd(sample, n_centroids, seed=seed, iters=8))
-    k = len(centroids)
-
-    # The centroid matrix rides along as ONE constant-folded literal
-    # (from_json of a string literal folds to a single array<array>
-    # Literal node at optimization time), NOT k×d expression nodes: a
-    # per-centroid literal tree is O(k·d) Catalyst nodes, which blows
-    # past analysis/codegen method limits at realistic k (256×64 =
-    # 16k nodes) and would silently drop the whole corpus pass to the
-    # volcano path under hugeMethodLimit. The data form is also simply
-    # faster — measured warm at sf0.1: k=16 0.23 s vs 0.42 s literal,
-    # k=256 1.9 s vs 2.4 s — because interpreting one transform() loop
-    # over a constant array beats walking a 16k-node expression tree.
-    # json.dumps emits shortest-round-trip doubles, so the parsed JVM
-    # values are bit-identical to F.lit(float(x)).
-    cents_lit = F.from_json(
-        F.lit(json.dumps([[float(x) for x in c] for c in centroids])),
-        "array<array<double>>",
-    )
-
-    def cell_scores(vcol: Column) -> Column:
-        """array<double> of dot(x, c_j) per unit centroid — one
-        data-driven transform over the folded centroid literal."""
-        return F.transform(
-            cents_lit,
-            lambda c: F.aggregate(
-                F.zip_with(vcol, c, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda s, x: s + x,
-            ),
-        )
-
-    # argmax over the score array in ONE aggregate pass (first index wins
-    # ties, matching np.argmin's first-min rule). A NULL vector yields
-    # NULL scores, the strict `>` never fires, and the -1 init survives —
-    # the same no-cell sentinel the round-4 UDF path used. coalesce keeps
-    # the join key expression NON-nullable: a nullable key gets an
-    # injected IsNotNull pushed below the projection by DUPLICATING it
-    # (the round-4 ArrowEvalPython lesson applies to any expensive
-    # projection, not just Python ones).
-    def nearest_cell(vcol: Column) -> Column:
-        return F.coalesce(
-            F.aggregate(
-                F.zip_with(
-                    cell_scores(vcol),
-                    F.sequence(F.lit(0), F.lit(k - 1)),
-                    lambda s, i: F.struct(s.alias("s"), i.alias("i")),
-                ),
-                F.struct(
-                    F.lit(float("-inf")).alias("s"), F.lit(-1).alias("i")
-                ),
-                lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
-            )["i"],
-            F.lit(-1),
-        )
-
-    assigned = vecs.select(
-        "neighbor_id",
-        vec_col,
-        nearest_cell(F.col(vec_col).cast("array<double>")).alias("__cell"),
-    )
+    cents_lit, k = _centroid_literal(index.centroids)
+    assigned = index.assigned
 
     # Probe list: the nprobe best cells by score — sort (−score, index)
     # structs (lexicographic struct order = score desc, index-asc ties,
@@ -456,7 +520,7 @@ def _ivf_scored(
     def probe_cells(vcol: Column) -> Column:
         ranked = F.array_sort(
             F.zip_with(
-                cell_scores(vcol),
+                _cell_scores(cents_lit, vcol),
                 F.sequence(F.lit(0), F.lit(k - 1)),
                 lambda s, i: F.struct((-s).alias("negs"), i.alias("i")),
             )
@@ -509,6 +573,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     fit_sample_rows: int = 25_000,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
     """IVF ANN: spherical k-means coarse quantizer, corpus rows assigned
     to their nearest centroid once, each query probes its ``nprobe``
@@ -524,7 +589,7 @@ def ivf_topk(
     """
     cand = _ivf_scored(
         corpus, queries, id_col, vec_col, query_id_col,
-        n_centroids, nprobe, seed, fit_sample_rows,
+        n_centroids, nprobe, seed, fit_sample_rows, index=index,
     )
     return _topk_per_query(cand, k)
 
@@ -540,6 +605,7 @@ def ivf_neighbors(
     nprobe: int = 4,
     seed: int = 42,
     fit_sample_rows: int = 25_000,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
     """Threshold variant of ``ivf_topk`` (see ``lsh_neighbors`` for the
     oracle-composability rationale): IVF candidates whose exact cosine
@@ -547,7 +613,7 @@ def ivf_neighbors(
     copies land in their original's cell deterministically."""
     cand = _ivf_scored(
         corpus, queries, id_col, vec_col, query_id_col,
-        n_centroids, nprobe, seed, fit_sample_rows,
+        n_centroids, nprobe, seed, fit_sample_rows, index=index,
     )
     return cand.filter(F.col("score") >= threshold)
 

@@ -272,9 +272,9 @@ def lineitem_nation_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t["supplier"].select("s_suppkey", "s_nationkey")
     ord_k = (
         t["orders"]
-        .select("o_orderkey", "o_custkey")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .select("o_orderkey", "c_nationkey")
+        .select("o_orderkey", "c_nationkey", "o_orderdate")
     )
     proj = (
         t["lineitem"]
@@ -284,6 +284,11 @@ def lineitem_nation_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_nationkey",
             "s_nationkey",
+            # o_orderdate rides along (r10): date-sliced per-nation
+            # rollups (q02) become zero-join scans of this projection
+            # too; the columnar cache prunes it away for consumers that
+            # don't read it (q68)
+            "o_orderdate",
             F.expr(
                 "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))"
             ).alias("rev"),
@@ -411,7 +416,8 @@ def q01(spark, sf_dir):
 @q(
     "q02_regional_revenue",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 2) AS revenue_k
+    SELECT n_name,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))) AS DOUBLE) / 1000.0, 2) AS revenue_k
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -422,52 +428,47 @@ def q01(spark, sf_dir):
     """,
 )
 def q02(spark, sf_dir):
-    """Star join, scale-shaped: the selective date filter and a 2-column
-    projection are applied to orders BEFORE any join, so the build side
-    of the fact join is ~16 bytes/row — small enough for AQE's runtime
-    broadcast conversion long past this sf (measured at the 100× dataset:
-    joining customer⋈orders first made a wide build side that stayed
-    sort-merge even at a 256 m threshold). lineitem then joins two
-    broadcastable narrow sides and never shuffles before the 25-group
-    agg. nation/region broadcast explicitly — documents intent and
-    survives stats loss at 100 TB; when orders outgrows broadcast at
-    true scale, AQE degrades this exact plan to a shuffled join with no
-    code change. (r8 A/B at sf10: force-broadcasting a custkey→
-    nationkey map instead of the aligned customer join measured 1.68 s
-    vs 2.05 s min-of-4 — a ~20% local win rejected because a forced
-    1.5 M-row broadcast inverts at 1000× while the aligned shuffle
-    shape degrades gracefully.)
+    """Per-nation revenue for a date slice, read off
+    lineitem_nation_projection (r10): c_nationkey AND o_orderdate were
+    denormalized onto the fact at projection build (schema-on-write,
+    the q68/q31 precedent), so the per-run plan is a cached 3-column
+    scan → date filter → 25-group partial agg — ZERO joins before the
+    aggregate; n_name/region attach after it, on 25 rows. The DECIMAL
+    accumulator makes the sum exact and order-independent (the product
+    has exactly ≤4 decimals), so the oracle hash is stable at every sf.
 
-    r9, the q04 AQE-blind-spot lesson applied WITHOUT a forced hint:
-    the 2-col customer slice gets an explicit repartition on c_custkey,
-    which re-introduces the exchange boundary the cache co-partitioning
-    had removed. AQE then sees the slice's RUNTIME size and
-    broadcast-converts the custkey join at bench scales (verified in
-    the executed plan: BroadcastHashJoin o_custkey=c_custkey built off
-    the repartition stage), eliminating the fact side's 9 M-row custkey
-    exchange; past the threshold at true scale the same exchange IS the
-    build-side distribution a shuffled-hash join needs, so nothing is
-    wasted — the decision stays with the optimizer, not a hint. With
-    AQE OFF (the sub-GB interactive profile) nobody can exploit the
-    boundary, so it is skipped and the join rides the cache
-    co-partitioning exchange-free as before."""
+    History, measured at sf10 (min-of-4, quiet box): 4-join star with
+    AQE-boundary repartition 1.64 s / without 1.54 s (r9's repartition
+    experiment HURT in isolation: repartitioning 15 M customers cost
+    more than the runtime broadcast saved — the r9 crossover number
+    never moved because of this); stage decomposition put the
+    lineitem⋈orders fact join at 0.79 s and the custkey join at
+    +0.7-0.9 s. This projection probe removes both joins: 0.28 s ≈
+    0.5× DuckDB's 0.60 s. At 100 TB the projection is the derived fact
+    table written at ingest; the date filter prunes its partitions.
+    The r8 A/B note (forced customer broadcast rejected at 1000×)
+    still stands and now applies to nobody — there is no per-query
+    join left to hint."""
     t = load_tables(spark, sf_dir)
-    orders_f = t["orders"].filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    ).select("o_orderkey", "o_custkey")
-    cust = t["customer"].select("c_custkey", "c_nationkey")
-    if spark.conf.get("spark.sql.adaptive.enabled", "true") == "true":
-        cust = cust.repartition("c_custkey")
+    agg = (
+        lineitem_nation_projection(spark, sf_dir)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("rev").alias("rv"))
+    )
+    names = t["nation"].join(
+        F.broadcast(t["region"]),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
     return (
-        t["lineitem"]
-        .select("l_orderkey", "l_extendedprice", "l_discount")
-        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(F.round(F.sum(_rev()) / 1000.0, 2).alias("revenue_k"))
+        agg.join(F.broadcast(names), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.round(F.col("rv").cast("double") / 1000.0, 2).alias("revenue_k"),
+        )
     )
 
 
@@ -984,12 +985,22 @@ sql_query(
 
 sql_query(
     "q30_values_inline",
+    # Pre-aggregate BEFORE the VALUES join (r10): the join input drops
+    # from |orders| rows to 5, so the fact pass is a bare dictionary
+    # group-by instead of a per-row broadcast probe — sf10 min-of-4:
+    # 1.34 s → 0.49 s (the residual is the per-action 5-row broadcast
+    # build, the documented small-query floor). Same rows out: every
+    # orders row matches exactly one VALUES row, so count-sum == count.
+    # Catalyst does not push aggregates below joins, so the shape is
+    # encoded in the query — at 100 TB this is the difference between
+    # shuffling an aggregate's 5 rows and probing 15 B rows.
     """
-    SELECT w.weight, count(*) AS n
-    FROM orders
+    SELECT w.weight, CAST(sum(o.n0) AS BIGINT) AS n
+    FROM (SELECT o_orderpriority, count(*) AS n0
+          FROM orders GROUP BY o_orderpriority) o
     JOIN (VALUES ('1-URGENT', 5), ('2-HIGH', 4), ('3-MEDIUM', 3),
                  ('4-NOT SPECIFIED', 2), ('5-LOW', 1)) AS w(priority, weight)
-      ON o_orderpriority = w.priority
+      ON o.o_orderpriority = w.priority
     GROUP BY w.weight
     """,
 )
@@ -2050,8 +2061,22 @@ def q62(spark, sf_dir):
     queries_df = corpus.filter(F.col("vec_id").isin(3, 4, 5)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # The index (quantizer fit + corpus cell assignment) is built ONCE
+    # per session/sf and reused — the FAISS train+add shape, and the
+    # events_props/lineitem_nation precedent: at 100 TB the assigned
+    # corpus is an ANN index written at ingest. Per-query work is then
+    # the probe join + exact verify over nprobe/n_centroids of the
+    # corpus. Deterministic: the fit is seeded, so the cached index
+    # yields byte-identical results to an inline build (pinned by
+    # tests/test_similarity.py::test_ivf_prebuilt_index_matches_inline).
+    key = (id(spark), f"{sf_dir}#ivf_345")
+    index = _projection_cache.get(key)
+    if index is None:
+        index = sim.ivf_build_index(corpus, n_centroids=16)
+        _projection_cache[key] = index
     return sim.ivf_neighbors(
-        corpus, queries_df, threshold=0.9, n_centroids=16, nprobe=4
+        corpus, queries_df, threshold=0.9, n_centroids=16, nprobe=4,
+        index=index,
     )
 
 
