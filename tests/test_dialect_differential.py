@@ -2764,3 +2764,116 @@ def test_quoted_alias_column_name_parity(engines):
     assert spark.sql(transpile(sql)).columns == [
         c[0] for c in con.execute(sql).description
     ]
+
+
+# Round-10 hunt wave 43 (~85 surfaces probed): JSON constructors and
+# pointer paths, ::JSON feeding arrows (an 8-round-old silent corruption:
+# the type NAME was lexed as the arrow operand), special DATE/TIMESTAMP
+# input strings, anchors.
+CORPUS_R10_BATCH44 = [
+    """SELECT json_extract('{"a":[1,2]}', '/a/1') AS ptr,
+              json_extract('{"a":{"b":2}}', '/a/b') AS p2""",
+    """SELECT json('{"a": 1,  "b":2}') AS canon""",
+    """SELECT json_array(1, 'x', NULL) AS ja, json_array() AS empty""",
+    """SELECT json_object('a', 1, 'b', 'x') AS jo, json_object() AS eo,
+              json_object('k', NULL) AS kn""",
+    """SELECT '{"a":1}'::JSON ->> 'a' AS x""",
+    """SELECT '{"a":{"b":5}}'::JSON -> 'a' ->> 'b' AS y""",
+    """SELECT '{"a":{"b":{"c":7}}}'::JSON -> 'a' -> 'b' ->> 'c' AS y3""",
+    """SELECT '[1,2,3]'::JSON ->> 1 AS idx""",
+    """SELECT CAST('{"a":1}' AS JSON) ->> 'a' AS z""",
+    """SELECT upper('{"k":9}') -> 'k' AS u""",
+    # special date/timestamp input strings (silent NULL before wave 43)
+    """SELECT 'infinity'::DATE > DATE '2024-01-01' AS a,
+              '-infinity'::DATE < DATE '1900-01-01' AS b""",
+    """SELECT 'epoch'::DATE AS e, 'epoch'::TIMESTAMP AS et""",
+    """SELECT TRY_CAST('infinity' AS TIMESTAMP) > TIMESTAMP '2024-01-01' AS t""",
+    # anchors probed green in the wave
+    """SELECT json_array_length('[1,2,3]') AS l, json_valid('nope') AS nv,
+              json_keys('{"a":1,"b":2}') AS k""",
+    """SELECT json_merge_patch('{"a":1}', '{"b":2}') AS m,
+              json_structure('{"a":1,"b":"x"}') AS s""",
+    """SELECT encode('abc') AS e, decode(encode('xyz')) AS d,
+              octet_length('abc'::BLOB) AS o""",
+    """SELECT regexp_extract('2024-05-06', '(\\d+)-(\\d+)', 2) AS g2,
+              regexp_full_match('abc', 'a.c') AS fm,
+              regexp_escape('a.b*c') AS esc""",
+    """SELECT extract(epoch FROM TIMESTAMP '2024-01-01 00:00:10') AS e,
+              extract(microsecond FROM TIMESTAMP '2024-01-01 00:00:10.5') AS us""",
+    """SELECT time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2024-01-01 10:22:00') AS tb,
+              strptime('05/03/2024', '%d/%m/%Y') AS p,
+              try_strptime('bogus', '%d/%m/%Y') AS tp""",
+    """SELECT 5 & 3 AS ba, 5 | 3 AS bo, ~5 AS bn, 1 << 4 AS sl,
+              16 >> 2 AS sr, bit_count(7) AS bc""",
+    """SELECT mod(-7, 3) AS m, round(2.345, 2) AS r2, 1.0/0.0 AS fd""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R10_BATCH44, ids=range(len(CORPUS_R10_BATCH44))
+)
+def test_differential_batch44(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# Round-10 hunt wave 44 (~70 surfaces probed): quantified ordering
+# subqueries, searched-CASE bare NULL, decimal literal cast rounding,
+# anchors.
+CORPUS_R10_BATCH45 = [
+    """SELECT n_name FROM nation
+       WHERE n_nationkey > ALL (SELECT r_regionkey FROM region)
+       ORDER BY 1 LIMIT 3""",
+    """SELECT n_name FROM nation
+       WHERE n_nationkey <= ALL (SELECT r_regionkey FROM region)
+       ORDER BY 1""",
+    """SELECT n_name FROM nation
+       WHERE n_nationkey < ANY (SELECT r_regionkey FROM region)
+       ORDER BY 1""",
+    """SELECT 5 > ALL (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS a,
+              0 > ALL (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS b,
+              NULL > ALL (SELECT x FROM (VALUES (1)) t(x)) AS c""",
+    """SELECT 5 > ALL (SELECT x FROM (VALUES (7)) t(x) WHERE x < 0) AS ea,
+              5 > ANY (SELECT x FROM (VALUES (7)) t(x) WHERE x < 0) AS eb,
+              5 > ANY (SELECT x FROM (VALUES (NULL::INT)) t(x)) AS nn""",
+    """SELECT 3 = ALL (SELECT x FROM (VALUES (3),(3)) t(x)) AS e1,
+              3 = ALL (SELECT x FROM (VALUES (3),(4)) t(x)) AS e2,
+              3 <> ANY (SELECT x FROM (VALUES (3),(4)) t(x)) AS e3""",
+    """SELECT CASE WHEN NULL THEN 'x' ELSE 'y' END AS c""",
+    # decimal-literal casts: DuckDB truncates scale reduction, rounds
+    # half-away for int targets — incl. parenthesized negatives
+    """SELECT CAST(123.456 AS DECIMAL(6,2)) AS d,
+              123.465::DECIMAL(6,2) AS d2,
+              (-123.456)::DECIMAL(6,2) AS d3""",
+    """SELECT (-3.5)::INT AS i, 3.5::INT AS j, (-0.5)::BIGINT AS k""",
+    # anchors probed green
+    """SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p
+       FROM orders""",
+    """SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS qs
+       FROM orders""",
+    """SELECT n_regionkey, n_nationkey % 2 AS par, count(*) AS c
+       FROM nation GROUP BY GROUPING SETS ((n_regionkey), (par), ())
+       ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    """SELECT n_name, x FROM nation CROSS JOIN LATERAL
+       (SELECT unnest([n_nationkey, n_nationkey+1]) AS x) t
+       ORDER BY n_name, x LIMIT 4""",
+    """SELECT x FROM (VALUES (1),(1),(2)) t(x)
+       INTERSECT ALL SELECT y FROM (VALUES (1),(1),(3)) s(y) ORDER BY 1""",
+    """SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name FROM nation
+       ORDER BY n_regionkey, n_name DESC""",
+    """SELECT split_part('a,b,c', ',', 2) AS sp,
+              concat_ws('-', 'a', NULL, 'b') AS cw,
+              trim('xxaxx', 'x') AS t2""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R10_BATCH45, ids=range(len(CORPUS_R10_BATCH45))
+)
+def test_differential_batch45(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

@@ -228,3 +228,34 @@ def test_literal_roundtrip_spark_matches_duckdb(spark, contents, rng):
 
     spark_row = tuple(spark.sql(_t(sql)).collect()[0])
     assert spark_row == duck_row
+
+
+# Quoted-identifier round-trip fuzz (round 10, wave 42's pass): random
+# alias names through `AS "…"` must come back as EXACTLY that column
+# name, matching DuckDB (the driver compare sorts columns by name, so
+# silent alias corruption breaks every downstream hash).
+
+_IDENT_CONTENT = st.text(
+    alphabet=st.one_of(
+        st.sampled_from(list('" `\'.$-;()[]{},:久üΩ')),
+        st.characters(min_codepoint=0x20, max_codepoint=0x17F),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@_settings(max_examples=40, deadline=None)
+@_given(st.lists(_IDENT_CONTENT, min_size=1, max_size=4, unique=True))
+def test_quoted_identifier_roundtrip(spark, names):
+    # backtick cannot be represented in a Spark identifier beyond
+    # doubling; DuckDB has no such restriction but `` works in both
+    sql = "SELECT " + ", ".join(
+        f'{i} AS "{n.replace(chr(34), chr(34) * 2)}"'
+        for i, n in enumerate(names)
+    )
+    duck_cols = [c[0] for c in _FUZZ_CON.execute(sql).description]
+    assert duck_cols == names
+    from vscode_parquet_visualizer_spark.plans.dialect import transpile as _t
+
+    assert spark.sql(_t(sql)).columns == names

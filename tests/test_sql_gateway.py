@@ -961,3 +961,34 @@ def test_prepared_statement_string_args(spark):
     assert (row["m"], row["n"]) == ("hello, world?", 7)
     for name in ("sq1", "sq2", "sq3", "sq4"):
         run_sql(spark, f"DEALLOCATE {name}")
+
+
+def test_insert_column_list_and_index_noop(spark):
+    """Wave 45: INSERT INTO t (cols) VALUES — values bind to the named
+    columns, unmentioned columns fill NULL (no DEFAULT clauses in CTAS
+    tables); parenthesized query sources; CREATE/DROP INDEX accepted as
+    no-ops (DuckDB ART indexes are perf-only; UNIQUE enforcement not
+    emulated — COVERAGE.md)."""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    run_sql(spark, "CREATE TABLE ins45 (a INTEGER, b VARCHAR, c DOUBLE)")
+    run_sql(spark, "INSERT INTO ins45 (b, a) VALUES ('x', 1), ('y', 2)")
+    run_sql(spark, "INSERT INTO ins45 (c) VALUES (9.5)")
+    run_sql(spark, "INSERT INTO ins45 (SELECT 7, 'q', 1.0)")
+    rows = sorted(
+        map(tuple, run_sql(spark, "SELECT * FROM ins45").collect()),
+        key=repr,
+    )
+    assert rows == sorted(
+        [(1, "x", None), (2, "y", None), (None, None, 9.5), (7, "q", 1.0)],
+        key=repr,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown column"):
+        run_sql(spark, "INSERT INTO ins45 (zzz) VALUES (1)")
+    run_sql(spark, "CREATE INDEX idx45 ON ins45 (a)")
+    run_sql(spark, "CREATE UNIQUE INDEX IF NOT EXISTS idx45b ON ins45 (b, c)")
+    run_sql(spark, "DROP INDEX idx45")
+    run_sql(spark, "DROP INDEX IF EXISTS idx45b")
+    run_sql(spark, "DROP TABLE ins45")

@@ -248,6 +248,21 @@ def md5_number_upper(s: str | None):
     return Decimal(int.from_bytes(d[:8], "little"))
 
 
+def json_canonical(j: str | None) -> str | None:
+    """DuckDB ``json(x)``: parse and re-emit minified canonical JSON
+    text (whitespace dropped, key order preserved — probed v1.0).
+    Invalid input → NULL (DuckDB errors; NULL is the engine's lenient
+    posture, same as the arrow family's)."""
+    if j is None:
+        return None
+    import json as _json
+
+    try:
+        return _json.dumps(_json.loads(j), separators=(",", ":"))
+    except ValueError:
+        return None
+
+
 def json_quote(v) -> str | None:
     """DuckDB json_quote: render any value as JSON text (strings gain
     quotes, numbers/bools pass through, containers serialize)."""
@@ -386,6 +401,7 @@ def register(spark) -> None:
     spark.udf.register("json_type", json_type_of, StringType())
     spark.udf.register("json_contains", json_contains, BooleanType())
     spark.udf.register("json_quote", json_quote, StringType())
+    spark.udf.register("json", json_canonical, StringType())
     from pyspark.sql.types import DecimalType
 
     spark.udf.register(

@@ -85,12 +85,20 @@ _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 
 _SESSION_NOOP = re.compile(
     r"^\s*(BEGIN(\s+TRANSACTION)?|COMMIT|ROLLBACK|ABORT|CHECKPOINT"
-    r"|FORCE\s+CHECKPOINT|VACUUM(\s+ANALYZE)?|ANALYZE)\s*$",
+    r"|FORCE\s+CHECKPOINT|VACUUM(\s+ANALYZE)?|ANALYZE"
+    # DuckDB ART indexes are a perf structure with no result-visible
+    # effect; Spark has no index objects, so accept-and-ignore (wave
+    # 45). The UNIQUE variant's constraint enforcement is NOT emulated
+    # — documented in COVERAGE.md.
+    r"|CREATE\s+(UNIQUE\s+)?INDEX\s+(IF\s+NOT\s+EXISTS\s+)?[A-Za-z_]\w*"
+    r"\s+ON\s+[^;]+"
+    r"|DROP\s+INDEX\s+(IF\s+EXISTS\s+)?[A-Za-z_]\w*)\s*$",
     re.IGNORECASE,
 )
 
 _INSERT = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s+(?P<body>.+?)"
+    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_]\w*)\s*"
+    r"(?P<cols>\((?:[^()]|\([^()]*\))*\))?\s*(?P<body>.+?)"
     r"(?:\s+RETURNING\s+(?P<ret>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -649,19 +657,69 @@ def try_rewrite_ddl(
         if not spark.catalog.tableExists(name):
             raise ValueError(f'Table with name "{name}" does not exist')
         body = m.group("body").strip()
+        cols_txt = m.group("cols")
+        if cols_txt and re.match(
+            r"^\s*(SELECT|FROM|WITH|VALUES|TABLE)\b",
+            cols_txt[1:-1],
+            re.IGNORECASE,
+        ):
+            # parenthesized QUERY source, not a column list
+            body, cols_txt = (cols_txt + " " + body).strip(), None
+        # strip a parenthesized wrapper off the source — DuckDB accepts
+        # `INSERT INTO t (SELECT …)` (wave 45)
+        while (
+            body.startswith("(")
+            and body.endswith(")")
+            and re.match(
+                r"^\s*(SELECT|FROM|WITH|VALUES|TABLE)\b",
+                body[1:-1],
+                re.IGNORECASE,
+            )
+        ):
+            body = body[1:-1].strip()
         if not re.match(r"^(SELECT|FROM|WITH|VALUES|TABLE)\b", body, re.IGNORECASE):
             raise ValueError(f"INSERT INTO: cannot parse source {body!r}")
         add = run_sql(spark, body, **kw)
         base = _session_tables.get(key) or spark.table(name)
-        # positional semantics (DuckDB inserts by position); unionByName
-        # would silently reorder — align by renaming into the target's
-        # column names instead, erroring on arity mismatch like DuckDB.
-        if len(add.columns) != len(base.columns):
-            raise ValueError(
-                f"INSERT INTO {name}: {len(add.columns)} values for "
-                f"{len(base.columns)} columns"
-            )
-        add = add.toDF(*base.columns)
+        if cols_txt:
+            # explicit column-list form (wave 45): values bind to the
+            # NAMED columns positionally; unmentioned columns fill NULL
+            # (the engine's CTAS tables carry no DEFAULT clauses —
+            # ddl_sql.py:47)
+            from pyspark.sql import functions as F
+
+            names = [
+                c.strip().strip('"') for c in cols_txt[1:-1].split(",")
+            ]
+            lower_map = {c.lower(): c for c in base.columns}
+            tgt = [lower_map.get(nm.lower()) for nm in names]
+            if None in tgt:
+                bad = names[tgt.index(None)]
+                raise ValueError(
+                    f'INSERT INTO {name}: unknown column "{bad}"'
+                )
+            if len(add.columns) != len(tgt):
+                raise ValueError(
+                    f"INSERT INTO {name}: {len(add.columns)} values for "
+                    f"{len(tgt)} columns"
+                )
+            add = add.toDF(*tgt)
+            dtypes = dict(base.dtypes)
+            for c in base.columns:
+                if c not in tgt:
+                    add = add.withColumn(c, F.lit(None).cast(dtypes[c]))
+            add = add.select(*base.columns)
+        else:
+            # positional semantics (DuckDB inserts by position);
+            # unionByName would silently reorder — align by renaming
+            # into the target's column names instead, erroring on arity
+            # mismatch like DuckDB.
+            if len(add.columns) != len(base.columns):
+                raise ValueError(
+                    f"INSERT INTO {name}: {len(add.columns)} values for "
+                    f"{len(base.columns)} columns"
+                )
+            add = add.toDF(*base.columns)
         n_new = add.count()
         merged = base.unionByName(add).persist()
         merged.count()

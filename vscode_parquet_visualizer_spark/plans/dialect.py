@@ -482,6 +482,25 @@ def _protect_literals(sql: str) -> tuple[str, list[str]]:
                     out.append(keep_text(sql[i + len(tag) : end]))
                     i = end + len(tag)
                     continue
+        if c == '"':
+            # double-quoted IDENTIFIER (DuckDB has no "…" string form):
+            # stash under the \x00IDQ…\x00 namespace so no mid-pipeline
+            # rewrite can touch its CONTENT (`AS "0!"` was factorial-
+            # rewritten — r10 identifier fuzz); restore emits backticks.
+            j, closed = i + 1, -1
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        j += 2
+                        continue
+                    closed = j
+                    break
+                j += 1
+            if closed != -1 and closed > i + 1:  # "" stays loud
+                stash.append(sql[i : closed + 1])
+                out.append(f"\x00IDQ{len(stash) - 1}\x00")
+                i = closed + 1
+                continue
         out.append(c)
         i += 1
     return "".join(out), stash
@@ -527,6 +546,12 @@ def _spark_string_literal(content: str) -> str:
 
 def _restore_literals(sql: str, stash: list[str]) -> str:
     for i, lit in enumerate(stash):
+        idq = f"\x00IDQ{i}\x00"
+        if idq in sql:
+            # double-quoted identifier → Spark backticks ("" un-doubles,
+            # embedded backticks double)
+            name = lit[1:-1].replace('""', '"').replace("`", "``")
+            sql = sql.replace(idq, f"`{name}`")
         ph = f"\x00LIT{i}\x00"
         if ph not in sql:
             continue
@@ -665,6 +690,59 @@ def rewrite_string_int_cast_literals(sql: str, stash: list[str]) -> str:
     )
 
 
+_SPECIAL_DATE_VALUES = {
+    "infinity": ("9999-12-31", "9999-12-31 23:59:59.999999"),
+    "+infinity": ("9999-12-31", "9999-12-31 23:59:59.999999"),
+    "-infinity": ("0001-01-01", "0001-01-01 00:00:00"),
+    "epoch": ("1970-01-01", "1970-01-01 00:00:00"),
+}
+
+
+def rewrite_special_date_literals(sql: str, stash: list[str]) -> str:
+    """DuckDB's special DATE/TIMESTAMP input strings — ``'infinity'``,
+    ``'-infinity'``, ``'epoch'`` — cast to sentinel values; Spark's CAST
+    silently yields NULL for them (wave 43: a silent wrong-value class,
+    since ``d < 'infinity'::DATE`` becomes NULL instead of true). Map
+    to the representable extremes (9999-12-31 / 0001-01-01, epoch →
+    1970-01-01): ordering against any real data value is preserved;
+    only the rendered text differs from DuckDB's ``infinity`` sentinel
+    (documented repr divergence, COVERAGE.md wave 43). Handles both the
+    post-rewrite_pg_cast CAST form and typed-literal form."""
+
+    def sub(m: re.Match) -> str:
+        fn, idx, typ = m.group(1), m.group(3), m.group(4).upper()
+        txt = _lit_text(stash, idx).strip().lower()
+        mapped = _SPECIAL_DATE_VALUES.get(txt)
+        if mapped is None:
+            return m.group(0)
+        v = mapped[0] if typ == "DATE" else mapped[1]
+        return f"{fn}({_stash_add(stash, repr(v))} AS {typ})"
+
+    sql = re.sub(
+        r"\b(CAST|TRY_CAST)\s*\(\s*(\x00LIT(\d+)\x00)\s+AS\s+"
+        r"(DATE|TIMESTAMP)\s*\)",
+        sub,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    def sub_typed(m: re.Match) -> str:
+        typ, idx = m.group(1).upper(), m.group(3)
+        txt = _lit_text(stash, idx).strip().lower()
+        mapped = _SPECIAL_DATE_VALUES.get(txt)
+        if mapped is None:
+            return m.group(0)
+        v = mapped[0] if typ == "DATE" else mapped[1]
+        return f"{typ} {_stash_add(stash, repr(v))}"
+
+    return re.sub(
+        r"\b(DATE|TIMESTAMP)\s+(\x00LIT(\d+)\x00)",
+        sub_typed,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def rewrite_quoted_identifiers(sql: str) -> str:
     """DuckDB double-quoted tokens are IDENTIFIERS (its lexer has no
     double-quoted string form); Spark's default parser reads ``"x"`` as
@@ -706,6 +784,7 @@ def rewrite_pg_cast(sql: str) -> str:
         '(?:[^']|'')*'              # string literal
       | \x00LIT\d+\x00              # protected string literal
       | "[^"]+"                     # quoted identifier
+      | \x00IDQ\d+\x00              # protected quoted identifier
       | \((?:[^()]|\([^()]*\))*\)   # parenthesized (≤1 nesting level)
       | \[[^\[\]]*\]                # bracket list literal
       | \{[^{}]*\}                  # struct literal (pre-rewrite)
@@ -744,13 +823,17 @@ def rewrite_json_arrows(sql: str, stash: list[str] | None = None) -> str:
         sql, local = _protect_literals(sql)
         return _restore_literals(rewrite_json_arrows(sql, local), local)
 
-    ident = r"([A-Za-z_][A-Za-z0-9_.]*|\"[^\"]+\"|\x00LIT\d+\x00)"
+    ident = r"([A-Za-z_][A-Za-z0-9_.]*|\"[^\"]+\"|\x00IDQ\d+\x00|\x00LIT\d+\x00)"
     arrow = r"\s*->>?\s*(?:\x00LIT(\d+)\x00|(\d+))"
 
     def seg(key_idx: str | None, idx: str | None) -> str:
         return f".{_lit_text(stash, key_idx)}" if key_idx is not None else f"[{idx}]"
 
-    base = re.compile(ident + r"\s*->>?\s*\x00LIT(\d+)\x00")
+    # the operand may carry a pg-cast suffix — `'…'::JSON ->> 'k'` —
+    # which runs AFTER this pass; fold it into a CAST here so the type
+    # name is never mistaken for the operand (wave 43; ::JSON is
+    # normalized to ::STRING upstream)
+    base = re.compile(ident + r"(?:\s*::\s*(\w+))?\s*->>?\s*\x00LIT(\d+)\x00")
     chain = re.compile(
         r"get_json_object\(\s*((?:[^()]|\([^()]*\))*?),"
         r"\s*\x00LIT(\d+)\x00\s*\)" + arrow
@@ -764,16 +847,63 @@ def rewrite_json_arrows(sql: str, stash: list[str] | None = None) -> str:
         return f"get_json_object({m.group(1)}, {_stash_add(stash, lit)})"
 
     def base_sub(m: re.Match) -> str:
-        key = _lit_text(stash, m.group(2))
+        key = _lit_text(stash, m.group(3))
         # a '$'-rooted key IS a full JSONPath (DuckDB accepts either)
         path = key if key.startswith("$") else "$" + f".{key}"
         lit = "'" + path.replace("'", "''") + "'"
-        return f"get_json_object({m.group(1)}, {_stash_add(stash, lit)})"
+        operand = m.group(1)
+        if m.group(2):
+            operand = f"CAST({operand} AS {m.group(2)})"
+        return f"get_json_object({operand}, {_stash_add(stash, lit)})"
+
+    # call-form operand — `CAST(j AS STRING) ->> 'a'`, `fn(x) -> 'k'`
+    # (wave 43): scan back from the `)` to the whole call. A BARE
+    # parenthesized group is skipped — `(x) -> 'y'` is lambda params.
+    call_hop = re.compile(r"\)\s*->>?\s*(?:\x00LIT(\d+)\x00|(\d+))")
+
+    def call_base_pass(s: str) -> str:
+        for m in call_hop.finditer(s):
+            j = m.start()  # index of ')'
+            depth, i = 0, j
+            while i >= 0:
+                if s[i] == ")":
+                    depth += 1
+                elif s[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i -= 1
+            if i < 0:
+                continue
+            fm = re.search(r"([A-Za-z_][\w.]*)\s*$", s[:i])
+            if fm is None or fm.group(1).lower() in _NON_CALL_KEYWORDS:
+                continue  # grouping paren / keyword: not a call operand
+            if fm.group(1).lower() == "get_json_object":
+                continue  # chain pass owns collapsed prefixes
+            operand = s[fm.start(1) : j + 1]
+            path = "$" + seg(m.group(1), m.group(2))
+            lit = "'" + path.replace("'", "''") + "'"
+            return (
+                s[: fm.start(1)]
+                + f"get_json_object({operand}, {_stash_add(stash, lit)})"
+                + s[m.end() :]
+            )
+        return s
 
     prev = None
     while prev != sql:
         prev = sql
         sql = chain.sub(chain_sub, sql)
+        # call pass BEFORE the literal-operand pass: in
+        # `CAST(j AS STRING) -> 'a' ->> 'b'` the leftmost hop belongs
+        # to the call, and base would otherwise consume `'a' ->> 'b'`.
+        # When it fires, RESTART the loop so the chain pass collapses
+        # the remaining hops before base can mistake a pending KEY
+        # (`-> 'b' ->> 'c'`) for a literal operand.
+        new = call_base_pass(sql)
+        if new != sql:
+            sql = new
+            continue
         # one leftmost match per pass: a later quoted KEY ('b' in
         # j -> 'a' -> 'b') must not be mistaken for a literal operand —
         # the next pass's chain-collapse consumes it instead
@@ -956,7 +1086,7 @@ def rewrite_replace_projection(sql: str, columns: list[str] | None) -> str:
         repl: dict[str, tuple[str, str]] = {}
         for item in _split_top_level(sql[m.end() : close]):
             mm = re.match(
-                r"(?s)^\s*(.*?)\s+AS\s+(\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_]*)\s*$",
+                r"(?s)^\s*(.*?)\s+AS\s+(\"[^\"]+\"|\x00IDQ\d+\x00|[A-Za-z_][A-Za-z0-9_]*)\s*$",
                 item,
                 re.IGNORECASE,
             )
@@ -1775,7 +1905,7 @@ def rewrite_regex_operators(sql: str, stash: list[str] | None = None) -> str:
         sql, local = _protect_literals(sql)
         return _restore_literals(rewrite_regex_operators(sql, local), local)
 
-    ident = r"([A-Za-z_][A-Za-z0-9_.]*|\"[^\"]+\"|\))"
+    ident = r"([A-Za-z_][A-Za-z0-9_.]*|\"[^\"]+\"|\x00IDQ\d+\x00|\))"
     ph = r"\x00LIT(\d+)\x00"
 
     def anchored(idx: str) -> str:
@@ -1877,6 +2007,73 @@ _ANY_ALL = re.compile(
 )
 
 
+def _quantified_subquery(
+    operand: str, op: str, quant: str, args: str
+) -> str | None:
+    """Ordering-op quantified subqueries — ``x > ALL (SELECT …)`` — as
+    one scalar aggregate subquery over the extreme value, with the
+    standard's exact NULL/empty semantics (wave 44; was a loud
+    fall-through):
+
+    - empty set: ALL → true, ANY → false
+    - NULL operand over a non-empty set → NULL
+    - all-NULL set → NULL
+    - extreme comparison decides; a remaining NULL element makes a
+      would-be-decisive-by-default answer UNKNOWN (ALL: passes extreme
+      but set has NULLs → NULL; ANY: fails extreme but set has NULLs →
+      NULL).
+
+    ``agg``: > / >= quantify against max (ALL) or min (ANY); < / <= the
+    mirror; = ALL needs min = max = x; <> ANY its negation. Correlated
+    subqueries ride Spark's correlated-scalar-subquery support; shapes
+    it rejects fail loudly."""
+    o = op if op != "!=" else "<>"
+    is_all = quant == "ALL"
+    if o in (">", ">="):
+        agg = "max" if is_all else "min"
+        cond = f"({operand}) {o} {agg}(__qe)"
+    elif o in ("<", "<="):
+        agg = "min" if is_all else "max"
+        cond = f"({operand}) {o} {agg}(__qe)"
+    elif o == "=" and is_all:
+        cond = f"(({operand}) = min(__qe) AND ({operand}) = max(__qe))"
+    elif o == "<>" and not is_all:
+        cond = f"(min(__qe) <> ({operand}) OR max(__qe) <> ({operand}))"
+    else:
+        return None
+    empty_val = "true" if is_all else "false"
+    # The OPERAND may reference outer columns, and Spark rejects outer
+    # references inside a scalar subquery's project list — so every
+    # aggregate is its own uncorrelated scalar subquery and all operand
+    # comparisons stay OUTSIDE (identical subquery plans collapse via
+    # ReusedSubquery).
+    def q(aggexpr: str) -> str:
+        return f"(SELECT {aggexpr} FROM ({args}) AS __qsub(__qe))"
+
+    cond = cond.replace("min(__qe)", q("min(__qe)")).replace(
+        "max(__qe)", q("max(__qe)")
+    )
+    n_all, n_nn = q("count(*)"), q("count(__qe)")
+    if is_all:
+        decide = (
+            f"WHEN NOT {cond} THEN false "
+            f"WHEN {n_nn} < {n_all} THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE true"
+        )
+    else:
+        decide = (
+            f"WHEN {cond} THEN true "
+            f"WHEN {n_nn} < {n_all} THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE false"
+        )
+    return (
+        f"(CASE WHEN {n_all} = 0 THEN {empty_val} "
+        f"WHEN ({operand}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+        f"WHEN {n_nn} = 0 THEN CAST(NULL AS BOOLEAN) "
+        f"{decide} END)"
+    )
+
+
 def rewrite_any_all(sql: str) -> str:
     """DuckDB quantified comparisons over LISTS — ``x = ANY(arr)`` /
     ``x > ALL(arr)`` — lower to Spark's higher-order ``exists``/
@@ -1899,7 +2096,9 @@ def rewrite_any_all(sql: str) -> str:
             elif op in ("<>", "!=") and quant == "ALL":
                 repl = f"{operand} NOT IN ({args})"
             else:
-                return sql
+                repl = _quantified_subquery(operand, op, quant, args)
+                if repl is None:
+                    return sql
         else:
             fn = "exists" if quant in ("ANY", "SOME") else "forall"
             repl = f"{fn}({args}, __qq -> {operand} {op} __qq)"
@@ -2742,7 +2941,7 @@ def rewrite_unnest_in_expression(sql: str) -> str:
                     quant = item[: qm.end()] + " "
                     item = item[qm.end():]
             am = re.search(
-                r'\s+AS\s+("[^"]+"|[A-Za-z_]\w*)\s*$', item, re.IGNORECASE
+                r'\s+AS\s+("[^"]+"|\x00IDQ\d+\x00|[A-Za-z_]\w*)\s*$', item, re.IGNORECASE
             )
             body = item[: am.start()] if am else item
             alias = item[am.start():] if am else ""
@@ -4377,11 +4576,39 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         v = Decimal(m.group(2)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
         return f"{m.group(1) or ''}CAST({v} AS {m.group(3)})"
 
+    # the literal may be parenthesized — `(-3.5)::INT` arrives as
+    # CAST((-3.5) AS INT) from rewrite_pg_cast (wave 44)
+    _num = r"(?:\(\s*)?(-?\d+\.\d+)(?:\s*\))?"
     sql = re.sub(
-        r"\b(TRY_)?CAST\s*\(\s*(-?\d+\.\d+)\s+AS\s+"
+        r"\b(TRY_)?CAST\s*\(\s*" + _num + r"\s+AS\s+"
         r"(TINYINT|INT1|SMALLINT|INT2|SHORT|INTEGER|INT4|INT|BIGINT"
         r"|INT8|LONG|SIGNED)\s*\)",
         int_cast,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    # …and numeric-literal → DECIMAL(p,s) scale reduction TRUNCATES
+    # toward zero in DuckDB (123.456::DECIMAL(6,2) = 123.45 — probed
+    # v1.0) where Spark rounds HALF_UP (123.46). Fold literals exactly;
+    # typed COLUMNS keep Spark's rounding (documented divergence,
+    # wave 44).
+    def dec_cast(m: re.Match) -> str:
+        from decimal import ROUND_DOWN, Decimal
+
+        s = int(m.group(5))
+        v = Decimal(m.group(2)).quantize(
+            Decimal(1).scaleb(-s), rounding=ROUND_DOWN
+        )
+        return (
+            f"{m.group(1) or ''}CAST({v} AS "
+            f"{m.group(3)}({m.group(4)},{s}))"
+        )
+
+    sql = re.sub(
+        r"\b(TRY_)?CAST\s*\(\s*" + _num + r"\s+AS\s+"
+        r"(DECIMAL|NUMERIC)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*\)",
+        dec_cast,
         sql,
         flags=re.IGNORECASE,
     )
@@ -4876,7 +5103,13 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             return None
         p = _lit_text(stash, m.group(1))
         if p.startswith("/"):
-            p = "$." + ".".join(p.strip("/").split("/"))
+            # JSON-pointer: numeric tokens are ARRAY indexes (wave 43:
+            # /a/1 must become $.a[1], not the object key $.a.1 — a
+            # numeric OBJECT key is the rarer case and stays best-effort)
+            out = "$"
+            for tok in p.strip("/").split("/"):
+                out += f"[{tok}]" if tok.isdigit() else f".{tok}"
+            p = out
         elif not p.startswith("$"):
             p = "$." + p
         return _stash_add(stash, "'" + p.replace("'", "''") + "'")
@@ -4919,6 +5152,40 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         return f"json_object_keys(get_json_object({a[0]}, {ph}))"
 
     sql = _rewrite_calls(sql, "json_keys", json_keys_x)
+
+    # json_array / json_object constructors (wave 43): element-wise
+    # json_quote (renders ANY value as JSON text — Spark's to_json
+    # rejects scalars) folded with concat; NULL elements render as the
+    # JSON null token, matching DuckDB.
+    def _jval(x: str) -> str:
+        return f"coalesce(json_quote({x}), {_stash_add(stash, chr(39) + 'null' + chr(39))})"
+
+    def json_array_x(a):
+        if len(a) == 1 and not a[0].strip():
+            return _stash_add(stash, "'[]'")
+        parts = ", ".join(_jval(x) for x in a)
+        lb = _stash_add(stash, "'['")
+        rb = _stash_add(stash, "']'")
+        comma = _stash_add(stash, "','")
+        return f"concat({lb}, concat_ws({comma}, array({parts})), {rb})"
+
+    def json_object_x(a):
+        if len(a) == 1 and not a[0].strip():
+            return _stash_add(stash, "'{}'")
+        if len(a) % 2:
+            return None  # odd arity: DuckDB errors — stay loud
+        colon = _stash_add(stash, "':'")
+        pairs = ", ".join(
+            f"concat(json_quote({a[i]}), {colon}, {_jval(a[i + 1])})"
+            for i in range(0, len(a), 2)
+        )
+        lb = _stash_add(stash, "'{'")
+        rb = _stash_add(stash, "'}'")
+        comma = _stash_add(stash, "','")
+        return f"concat({lb}, concat_ws({comma}, array({pairs})), {rb})"
+
+    sql = _rewrite_calls(sql, "json_array", json_array_x)
+    sql = _rewrite_calls(sql, "json_object", json_object_x)
 
     # json_transform(j, '{"a":"INTEGER"}') (+ its DuckDB alias
     # from_json): the structure literal compiles to a Spark schema and
@@ -4997,7 +5264,13 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             return None
         p = _lit_text(stash, m.group(1))
         if p.startswith("/"):
-            p = "$." + ".".join(p.strip("/").split("/"))
+            # JSON-pointer: numeric tokens are ARRAY indexes (wave 43:
+            # /a/1 must become $.a[1], not the object key $.a.1 — a
+            # numeric OBJECT key is the rarer case and stays best-effort)
+            out = "$"
+            for tok in p.strip("/").split("/"):
+                out += f"[{tok}]" if tok.isdigit() else f".{tok}"
+            p = out
         elif not p.startswith("$"):
             p = "$." + p
         return _stash_add(stash, "'" + p.replace("'", "''") + "'")
@@ -5996,7 +6269,7 @@ def _xlate_cast_type(t: str) -> str | None:
     if m:
         parts = []
         for f in _split_top_level(m.group(1)):
-            fm = re.match(r'\s*("[^"]+"|[A-Za-z_]\w*)\s+(.+?)\s*$', f, re.DOTALL)
+            fm = re.match(r'\s*("[^"]+"|\x00IDQ\d+\x00|[A-Za-z_]\w*)\s+(.+?)\s*$', f, re.DOTALL)
             ft = _xlate_cast_type(fm.group(2)) if fm else None
             if ft is None:
                 return None
@@ -7316,6 +7589,31 @@ def transpile(
     # exactly what the bare aggregate computes (batch 40; Spark's parser
     # rejects the spelling)
     sql = re.sub(r"\bGROUP\s+BY\s*\(\s*\)", " ", sql, flags=re.IGNORECASE)
+    # `::JSON` normalizes to `::STRING` BEFORE the arrow pass (wave 43:
+    # `x::JSON ->> 'k'` mis-lexed the type NAME as the arrow operand,
+    # emitting CAST(x AS get_json_object(JSON, …)) — the engine's JSON
+    # type is a validated string anyway, see _CAST_TYPE_MAP)
+    sql = re.sub(r"::\s*JSON\b", "::STRING", sql, flags=re.IGNORECASE)
+    # searched-CASE bare-NULL condition (wave 44): DuckDB coerces the
+    # untyped NULL to BOOLEAN; Spark raises DATATYPE_MISMATCH. Only the
+    # form directly after CASE is safely identifiable as a searched
+    # CASE (a later `WHEN NULL` could be a simple-CASE value).
+    sql = re.sub(
+        r"\bCASE\s+WHEN\s+NULL\s+THEN\b",
+        "CASE WHEN CAST(NULL AS BOOLEAN) THEN",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # ...and a ::STRING cast directly feeding an arrow becomes CAST()
+    # now, so the arrow pass sees a call operand (handles integer-index
+    # first hops too: '[1,2]'::JSON ->> 1)
+    sql = re.sub(
+        r"((?:\x00LIT\d+\x00|[A-Za-z_][A-Za-z0-9_.]*))\s*::\s*STRING\b"
+        r"(?=\s*->)",
+        r"CAST(\1 AS STRING)",
+        sql,
+        flags=re.IGNORECASE,
+    )
     sql = rewrite_json_arrows(sql, stash)
     sql = rewrite_strftime(sql, stash)
     sql = rewrite_regex_operators(sql, stash)
@@ -7348,6 +7646,7 @@ def transpile(
     sql = rewrite_typed_literals(sql)
     sql = rewrite_pg_cast(sql)
     sql = rewrite_string_int_cast_literals(sql, stash)
+    sql = rewrite_special_date_literals(sql, stash)
     sql = rewrite_cast_type_names(sql)
     sql = rewrite_distinct_on(sql)
     sql = rewrite_exclude(sql)
