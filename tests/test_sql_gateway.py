@@ -992,3 +992,21 @@ def test_insert_column_list_and_index_noop(spark):
     run_sql(spark, "DROP INDEX idx45")
     run_sql(spark, "DROP INDEX IF EXISTS idx45b")
     run_sql(spark, "DROP TABLE ins45")
+
+
+def test_multi_statement_quoted_identifier_protection(spark):
+    """IDQ restore-mode regression pin (r10): statement splitting and
+    every other INTERMEDIATE restore must keep the original "…"
+    spelling — an early backtick conversion re-exposes identifier
+    content to transpile's rewrites (the "0!" alias would be
+    factorial-rewritten in the second statement of a batch)."""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    out = run_sql(
+        spark,
+        'CREATE TABLE "select" AS SELECT 1 AS "0!"; '
+        'SELECT "0!" + 1 AS v FROM "select"',
+    )
+    assert out.collect()[0]["v"] == 2
+    assert run_sql(spark, "SELECT 'x;y' AS s").collect()[0][0] == "x;y"
+    run_sql(spark, 'DROP TABLE "select"')

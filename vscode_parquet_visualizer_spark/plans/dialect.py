@@ -544,14 +544,25 @@ def _spark_string_literal(content: str) -> str:
     return "concat(" + ", ".join(parts) + ")" if parts else "''"
 
 
-def _restore_literals(sql: str, stash: list[str]) -> str:
+def _restore_literals(
+    sql: str, stash: list[str], idq: str = "raw"
+) -> str:
+    """``idq="backtick"`` is for the FINAL restore of the full transpile
+    only — every intermediate restore (statement splitting, EXECUTE
+    binding, macro expansion, mini-rewrites) must keep the original
+    ``"…"`` spelling, because the text flows BACK through transpile and
+    an early backtick conversion would re-expose identifier content to
+    the rewrites the IDQ protection exists to block."""
     for i, lit in enumerate(stash):
-        idq = f"\x00IDQ{i}\x00"
-        if idq in sql:
-            # double-quoted identifier → Spark backticks ("" un-doubles,
-            # embedded backticks double)
-            name = lit[1:-1].replace('""', '"').replace("`", "``")
-            sql = sql.replace(idq, f"`{name}`")
+        ph = f"\x00IDQ{i}\x00"
+        if ph in sql:
+            if idq == "backtick":
+                # double-quoted identifier → Spark backticks
+                # ("" un-doubles, embedded backticks double)
+                name = lit[1:-1].replace('""', '"').replace("`", "``")
+                sql = sql.replace(ph, f"`{name}`")
+            else:
+                sql = sql.replace(ph, lit)
         ph = f"\x00LIT{i}\x00"
         if ph not in sql:
             continue
@@ -7711,4 +7722,4 @@ def transpile(
             "window frame EXCLUDE clause not rewritable in this statement "
             f"shape: …{sql[max(0, leftover.start() - 60) : leftover.end()]}"
         )
-    return _restore_literals(sql, stash)
+    return _restore_literals(sql, stash, idq="backtick")
