@@ -10,6 +10,7 @@ previously-supported forms as regression anchors."""
 import datetime as dt
 import decimal
 import math
+import uuid
 
 import duckdb
 import pytest
@@ -197,6 +198,10 @@ def _norm(v):
             return "nan"
         return round(v, 6)
     if isinstance(v, (dt.date, dt.datetime)):
+        return str(v)
+    if isinstance(v, uuid.UUID):
+        # DuckDB returns a UUID object; the engine's UUID lowering is a
+        # lower-cased hex string (Spark has no UUID type) — value-equal
         return str(v)
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
@@ -2873,6 +2878,141 @@ CORPUS_R10_BATCH45 = [
     "sql", CORPUS_R10_BATCH45, ids=range(len(CORPUS_R10_BATCH45))
 )
 def test_differential_batch45(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# Round-10 hunt wave 46: MAP brace-literal subscripts, the full slice-
+# bound surface (open/negative/mixed-sign, fuzz-verified 300 pairs),
+# JSON arrow list-of-paths, UUID casts, sem(), exact Kahan aggregates,
+# calendar-exact bare age(), plus ~70 probed-green anchors.
+CORPUS_R10_BATCH46 = [
+    # MAP literal subscript returns a LIST ([] when missing) — the
+    # function-call base was handled; the brace spelling was a silent
+    # scalar
+    """SELECT MAP {'k': 5}['k'] AS v, MAP {'k': 5}['x'] AS w""",
+    # slice bounds: open ends, negative open ends, zero bounds,
+    # mixed-sign, overshoot — strings and lists
+    """SELECT 'abcdef'[2:] AS a, 'abcdef'[:3] AS b, 'abcdef'[-3:] AS c,
+              'abcdef'[:-2] AS d, 'abcdef'[:] AS e, 'abcdef'[0:3] AS f,
+              'abcdef'[2:-2] AS g, 'abcdef'[-7:4] AS h, 'abcdef'[3:0] AS i""",
+    """SELECT ([1,2,3,4,5])[2:] AS a, ([1,2,3,4,5])[:2] AS b,
+              ([1,2,3,4,5])[-2:] AS c, ([1,2,3,4,5])[:-2] AS d,
+              ([1,2,3,4,5])[2:-2] AS e, ([1,2,3,4,5])[-8:-3] AS f,
+              ([1,2,3,4,5])[-4:3] AS g, ([1,2,3,4,5])[0:] AS h""",
+    # JSON arrows with a LIST of paths → list of extractions
+    """SELECT '{"a":1,"b":{"c":2}}' -> ['a','b'] AS j,
+              '{"a":1,"b":2}' ->> ['a','b'] AS t,
+              '[10,20]' ->> ['$[0]','$[1]'] AS ix""",
+    # UUID cast: DuckDB parses + re-renders lowercase; engine lowers to
+    # a lower-cased string (no UUID cell type)
+    """SELECT 'A0EEBC99-9C0B-4EF8-BB6D-6BB9BD380A11'::UUID AS u,
+              try_cast('a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11' AS UUID) AS v""",
+    # sem = stddev_POP/sqrt(n) (probed); fsum/favg exact via
+    # DECIMAL(38,10) accumulation
+    """SELECT round(sem(o_totalprice), 6) AS s FROM orders""",
+    """SELECT fsum(o_totalprice) AS f, favg(o_totalprice) AS a FROM orders""",
+    # bare age(): calendar decomposition (year/month borrow from the
+    # EARLIER operand's month length), flattened with 30-day months —
+    # DuckDB's own client timedelta convention; sign-symmetric
+    """SELECT age(TIMESTAMP '2024-03-01', TIMESTAMP '2023-01-15') AS a1,
+              age(TIMESTAMP '2023-01-15', TIMESTAMP '2024-03-01') AS a2,
+              age(TIMESTAMP '2024-03-01 06:30:00',
+                  TIMESTAMP '2024-02-28 12:45:10') AS a3,
+              age(DATE '2024-03-30', DATE '2024-01-31') AS a4""",
+    # ---- anchors probed green in wave 46 ----
+    """SELECT (r_name).lower() AS v, ('ab' || 'cd').upper() AS w
+       FROM region ORDER BY r_regionkey""",
+    """SELECT x, lag(y IGNORE NULLS) OVER (ORDER BY x) AS p,
+              first_value(y IGNORE NULLS) OVER (ORDER BY x) AS f
+       FROM (VALUES (1,10),(2,NULL),(3,30),(4,NULL)) t(x,y) ORDER BY x""",
+    """SELECT SUBSTRING('abcdef' FROM 2 FOR 3) AS s,
+              POSITION('cd' IN 'abcdef') AS p,
+              TRIM(LEADING 'x' FROM 'xxaxx') AS a,
+              TRIM(TRAILING 'x' FROM 'xxaxx') AS b,
+              TRIM(BOTH 'x' FROM 'xxaxx') AS c""",
+    """SELECT DATE '2024-01-01' + 5 AS d, DATE '2024-01-10' - 3 AS e,
+              DATE '2024-03-01' - DATE '2024-01-01' AS days,
+              DATE '2024-01-01' + INTERVAL 1 MONTH * 3 AS m""",
+    """SELECT n_nationkey FROM nation ORDER BY 1 LIMIT 2+3""",
+    """SELECT n_nationkey FROM nation ORDER BY 1 OFFSET 20""",
+    """SELECT count(*) AS c FROM nation
+       WHERE (n_regionkey, n_nationkey % 2) IN ((1, 0), (2, 1))""",
+    """SELECT (1,2) < (1,3) AS a, (2,1) <= (1,9) AS b,
+              ROW(1,'x') = ROW(1,'x') AS e""",
+    """SELECT regexp_extract('2024-03-05', '(\\d+)-(\\d+)-(\\d+)',
+                             ['y','m','d']) AS s,
+              regexp_extract('abc123', '([a-z]+)(\\d+)', 2) AS g2""",
+    """SELECT map_entries(MAP {'a': 1}) AS e,
+              cardinality(MAP {'a':1,'b':2}) AS c""",
+    """SELECT round(1234.5, -2) AS a, round(1250, -2) AS b,
+              log(2, 8) AS l2, log10(100) AS l10, log2(8) AS lb""",
+    """SELECT greatest(1, NULL, 3) AS g, least(NULL, NULL) AS l,
+              greatest('a', 'b') AS s""",
+    """SELECT round(mad(o_totalprice), 4) AS mad,
+              round(kurtosis(o_totalprice), 6) AS k,
+              round(skewness(o_totalprice), 6) AS sk,
+              bit_xor(n_nationkey) AS bx
+       FROM orders, nation""",
+    """SELECT quantile_disc(o_totalprice, [0.1, 0.9]) AS q FROM orders""",
+    """SELECT mode(x) AS m FROM (VALUES (1),(2),(2)) t(x)""",
+    """SELECT printf('%d-%s-%.2f', 7, 'x', 3.14159) AS s,
+              format('{} and {}', 1, 'two') AS f,
+              translate('abcba', 'ab', 'xy') AS t""",
+    """SELECT to_base(255, 16) AS h, bin(5) AS b, hex(255) AS x,
+              ascii('A') AS a, chr(66) AS c, unicode('€') AS u""",
+    """SELECT left('abcdef', -2) AS l, right('abcdef', -2) AS r,
+              repeat('ab', 3) AS rep, reverse('abc') AS rev,
+              lpad('5', 3, '0') AS lp, rpad('5', 3, '*') AS rp""",
+    """SELECT md5('abc') AS m, sha256('abc') AS s""",
+    """SELECT damerau_levenshtein('ca', 'abc') AS d,
+              hamming('abc', 'abd') AS h, jaccard('abc', 'abd') AS j""",
+    """SELECT regexp_split_to_array('a1b22c', '\\d+') AS a,
+              string_split_regex('a1b2', '\\d') AS b""",
+    """SELECT round(list_cosine_similarity([1.0,2.0], [2.0,4.0]), 6) AS c,
+              list_distance([0.0,0.0], [3.0,4.0]) AS d,
+              list_dot_product([1.0,2.0], [3.0,4.0]) AS p""",
+    """SELECT list_grade_up([30,10,20]) AS g,
+              list_reverse_sort([1,3,2]) AS r,
+              flatten([[1,2],[3]]) AS f,
+              list_sort(list_intersect([1,2,3], [2,3,4])) AS i""",
+    """SELECT list_resize([1,2], 4, 0) AS r,
+              list_where([10,20,30], [true,false,true]) AS w,
+              list_select([10,20,30], [3,1]) AS sel,
+              list_sum([1,2,3]) AS s, list_min([3,1]) AS mn""",
+    """SELECT array_agg(DISTINCT n_regionkey ORDER BY n_regionkey DESC) AS l
+       FROM nation""",
+    """SELECT unnest({'a': 1, 'b': 'x'})""",
+    """SELECT unnest([[1,2],[3]], recursive := true) AS v""",
+    """SELECT generate_subscripts([10,20,30], 1) AS i""",
+    """SELECT * FROM range(DATE '2024-01-01', DATE '2024-04-01',
+                           INTERVAL 1 MONTH) t(d)""",
+    """SELECT count(*) AS c FROM range(TIMESTAMP '2024-01-01',
+              TIMESTAMP '2024-01-02', INTERVAL 4 HOUR)""",
+    """SELECT 'ab'::BLOB AS b, octet_length('ab'::BLOB) AS n""",
+    """SELECT count(*) FILTER (n_regionkey = 1) AS c FROM nation""",
+    """SELECT s.* FROM (SELECT {'a': 1, 'b': 'x'} AS s) t""",
+    """SELECT extract(month FROM INTERVAL 14 MONTH) AS m""",
+    """SELECT date_trunc('quarter', DATE '2024-05-05') AS q,
+              date_trunc('decade', DATE '2024-05-05') AS d""",
+    """SELECT date_diff('day', DATE '2024-01-01', DATE '2024-03-01') AS dd,
+              date_sub('month', DATE '2024-01-15', DATE '2024-03-20') AS ds""",
+    """SELECT epoch_ms(TIMESTAMP '2024-01-01 00:00:01') AS ms,
+              epoch(TIMESTAMP '2024-01-01 00:00:01') AS s,
+              julian(DATE '2024-01-01') AS j""",
+    """SELECT make_timestamp(2024, 3, 5, 6, 7, 8.5) AS ts,
+              dayname(DATE '2024-03-05') AS d,
+              monthname(DATE '2024-03-05') AS m,
+              weekofyear(DATE '2024-03-05') AS w""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R10_BATCH46, ids=range(len(CORPUS_R10_BATCH46))
+)
+def test_differential_batch46(engines, sql):
     spark, con = engines
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()

@@ -901,6 +901,36 @@ def rewrite_json_arrows(sql: str, stash: list[str] | None = None) -> str:
             )
         return s
 
+    # list-of-paths RHS (wave 46): `j -> ['a','b']` / `->> [...]`
+    # returns a LIST with one extraction per element (keys, '$'-paths,
+    # or root array indices all accepted, like the scalar form). Runs
+    # BEFORE the scalar passes — their RHS patterns never match a `[`,
+    # so ordering is safe; the list elements are still placeholders at
+    # this point (the array-literal pass runs later).
+    lst = re.compile(
+        ident
+        + r"\s*->>?\s*\[\s*"
+        + r"((?:\x00LIT\d+\x00|\d+)(?:\s*,\s*(?:\x00LIT\d+\x00|\d+))*)\s*\]"
+    )
+
+    def lst_sub(m: re.Match) -> str:
+        operand = m.group(1)
+        parts = []
+        for el in re.split(r"\s*,\s*", m.group(2)):
+            pm = re.fullmatch(r"\x00LIT(\d+)\x00", el)
+            if pm is not None:
+                key = _lit_text(stash, pm.group(1))
+                path = key if key.startswith("$") else "$." + key
+            else:
+                path = f"$[{el}]"
+            lit = "'" + path.replace("'", "''") + "'"
+            parts.append(
+                f"get_json_object({operand}, {_stash_add(stash, lit)})"
+            )
+        return f"array({', '.join(parts)})"
+
+    sql = lst.sub(lst_sub, sql)
+
     prev = None
     while prev != sql:
         prev = sql
@@ -1516,6 +1546,87 @@ _STRING_PRODUCING = {
 _SUBSCRIPT_IDX = r"-?\d+|\x00LIT\d+\x00"
 
 
+def _slice_expr(base: str, a: int | None, b: int | None, kind: str) -> str | None:
+    """DuckDB 1-based inclusive slice ``x[a:b]`` with OPTIONAL bounds
+    (wave 46: ``x[2:]``, ``x[:3]``, ``x[-3:]``, ``x[:-2]``, ``x[:]``
+    were unhandled → Spark parse errors) → a Spark expression, for
+    ``kind`` 'str' (substring) or 'arr' (slice). Bound conventions,
+    probed on DuckDB v1.0: a missing start is 1, a missing end is the
+    length; a negative bound counts from the end (-1 = last); bound 0
+    behaves as 1 on the start side and as empty on the end side; an
+    overshooting bound clamps to the container (fuzz-verified across
+    250 random bound pairs incl. mixed-sign forms like s[2:-2])."""
+    if b == 0:
+        # end position 0 precedes any start: empty (probed, fuzz 46)
+        return "''" if kind == "str" else "array()"
+    if a == 0:
+        a = None  # start 0 behaves as an open start (position 1)
+    if a is None and b is None:
+        return base
+    if kind == "str":
+        if b is None:
+            # negative start works natively (substring counts from end)
+            return f"substring({base}, {a})"
+        if a is None:
+            if b >= 0:
+                return f"substring({base}, 1, {b})"
+            return f"substring({base}, 1, greatest(0, length({base}) + {b} + 1))"
+        if a > 0 and b < 0:
+            # positive start, from-the-end stop: 'abcdef'[2:-2]='bcde'
+            return (
+                f"substring({base}, {a}, "
+                f"greatest(0, length({base}) + {b} + 2 - {a}))"
+            )
+        if a < 0 and b > 0:
+            s1 = f"greatest(length({base}) + {a} + 1, 1)"
+            return (
+                f"substring({base}, {s1}, "
+                f"greatest(0, least({b}, length({base})) - {s1} + 1))"
+            )
+        if a >= 0:
+            a = max(a, 1)  # same-sign: start 0 behaves as 1
+        return "''" if b < a else f"substring({base}, {a}, {b - a + 1})"
+    # arrays
+    size = f"size({base})"
+    if b is None:
+        if a >= 0:
+            a = max(a, 1)
+            return f"slice({base}, {a}, greatest(0, {size} - {a} + 1))"
+        return (
+            f"(CASE WHEN {size} = 0 THEN array() ELSE "
+            f"slice({base}, greatest({a}, -{size}), least({-a}, {size})) END)"
+        )
+    if a is None:
+        if b >= 0:
+            return f"slice({base}, 1, least({b}, {size}))"
+        return f"slice({base}, 1, greatest(0, {size} + {b} + 1))"
+    if a > 0 and b < 0:
+        # positive start, from-the-end stop: l[2:-2] drops first 1 +
+        # last 2 elements (end position size+b+1, inclusive)
+        return (
+            f"slice({base}, {a}, greatest(0, {size} + {b} + 2 - {a}))"
+        )
+    if a < 0 and b > 0:
+        s1 = f"greatest({size} + {a} + 1, 1)"
+        return (
+            f"slice({base}, {s1}, "
+            f"greatest(0, least({b}, {size}) - {s1} + 1))"
+        )
+    if a < 0:
+        # both negative, with DuckDB's clamping of an overshooting
+        # start to position 1 (fuzz 46: [-8:-3] on a 5-list is [1..3];
+        # a raw slice(base, -8, 6) is an empty/invalid Spark window)
+        e0 = f"({size} + {b} + 1)"
+        s1 = f"greatest({size} + {a} + 1, 1)"
+        return (
+            f"(CASE WHEN {size} = 0 THEN array() ELSE "
+            f"slice({base}, greatest({a}, -{size}), "
+            f"greatest(0, {e0} - {s1} + 1)) END)"
+        )
+    a = max(a, 1)
+    return "array()" if b < a else f"slice({base}, {a}, {b - a + 1})"
+
+
 _NON_CALL_KEYWORDS = {
     "select", "where", "and", "or", "not", "then", "else", "when", "end",
     "by", "on", "from", "in", "as", "case", "union", "all", "distinct",
@@ -1552,15 +1663,14 @@ def rewrite_expr_subscripts(sql: str) -> str:
     sql = re.sub(r"(\x00LIT\d+\x00)\s*\[\s*(-?\d+)\s*\]", str_idx, sql)
 
     def str_slice(m):
-        ph, a, b = m.group(1), int(m.group(2)), int(m.group(3))
-        if (a < 0) != (b < 0):
-            return m.group(0)
-        if b < a:
-            return "''"
-        return f"substring({ph}, {a}, {b - a + 1})"
+        ph = m.group(1)
+        a = int(m.group(2)) if m.group(2) else None
+        b = int(m.group(3)) if m.group(3) else None
+        repl = _slice_expr(ph, a, b, "str")
+        return m.group(0) if repl is None else repl
 
     sql = re.sub(
-        r"(\x00LIT\d+\x00)\s*\[\s*(-?\d+)\s*:\s*(-?\d+)\s*\]", str_slice, sql
+        r"(\x00LIT\d+\x00)\s*\[\s*(-?\d+)?\s*:\s*(-?\d+)?\s*\]", str_slice, sql
     )
 
     array_fns = (
@@ -1570,13 +1680,13 @@ def rewrite_expr_subscripts(sql: str) -> str:
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
-        if ch not in ")]":
+        if ch not in ")]}":
             out.append(ch)
             i += 1
             continue
         rest = sql[i + 1 :]
         m_idx = re.match(rf"\s*\[\s*({_SUBSCRIPT_IDX})\s*\]", rest)
-        m_slc = re.match(r"\s*\[\s*(-?\d+)\s*:\s*(-?\d+)\s*\]", rest)
+        m_slc = re.match(r"\s*\[\s*(-?\d+)?\s*:\s*(-?\d+)?\s*\]", rest)
         m_stp = re.match(
             r"\s*\[\s*(\d+)\s*:\s*(\d+)\s*:\s*(\d+)\s*\]", rest
         )
@@ -1585,7 +1695,7 @@ def rewrite_expr_subscripts(sql: str) -> str:
             i += 1
             continue
         done = "".join(out) + ch
-        open_ch = "(" if ch == ")" else "["
+        open_ch = {")": "(", "]": "[", "}": "{"}[ch]
         depth, j = 0, len(done) - 1
         while j >= 0:
             if done[j] == ch:
@@ -1601,7 +1711,20 @@ def rewrite_expr_subscripts(sql: str) -> str:
             continue
         is_map = False
         is_str = False
-        if ch == ")":
+        if ch == "}":
+            # brace literal base: `MAP {…}[k]` (wave 46 — the function-
+            # call form map_from_arrays(…)[k] was handled, but the MAP
+            # literal rewrite runs AFTER this pass, so the brace
+            # spelling slipped through as Spark's scalar subscript —
+            # silently a bare value where DuckDB returns a LIST)
+            mm = re.search(r"\bMAP\s*$", done[:j], re.IGNORECASE)
+            if mm is None:
+                out.append(ch)
+                i += 1
+                continue
+            is_map = True
+            base_start = mm.start()
+        elif ch == ")":
             fm = re.search(r"([A-Za-z_][\w.]*)\s*$", done[:j])
             fname = fm.group(1).split(".")[-1].lower() if fm else None
             base_start = fm.start(1) if fm else None
@@ -1618,17 +1741,11 @@ def rewrite_expr_subscripts(sql: str) -> str:
                 inner = done[j + 1 : len(done) - 1].strip()
                 if re.fullmatch(r"\[.*\]", inner, re.DOTALL):
                     base_start = j
-                elif re.fullmatch(r"\x00LIT\d+\x00", inner) and m_idx:
-                    idx = m_idx.group(1)
-                    repl = (
-                        "''"
-                        if idx.lstrip("-").isdigit() and int(idx) == 0
-                        else f"substring({inner}, {idx}, 1)"
-                    )
-                    out = list(done[:j])
-                    out.append(repl)
-                    i = i + 1 + m_idx.end()
-                    continue
+                elif re.fullmatch(r"\x00LIT\d+\x00", inner):
+                    # parenthesized string literal: the generic is_str
+                    # paths below own single index AND slice forms
+                    is_str = True
+                    base_start = j
                 else:
                     out.append(ch)
                     i += 1
@@ -1656,12 +1773,13 @@ def rewrite_expr_subscripts(sql: str) -> str:
             i = i + 1 + m_idx.end()
             continue
         if is_str and m_slc is not None:
-            a, b = int(m_slc.group(1)), int(m_slc.group(2))
-            if (a < 0) != (b < 0):
+            a = int(m_slc.group(1)) if m_slc.group(1) else None
+            b = int(m_slc.group(2)) if m_slc.group(2) else None
+            repl = _slice_expr(base, a, b, "str")
+            if repl is None:
                 out.append(ch)
                 i += 1
                 continue
-            repl = "''" if b < a else f"substring({base}, {a}, {b - a + 1})"
             out = list(done[:base_start])
             out.append(repl)
             i = i + 1 + m_slc.end()
@@ -1691,14 +1809,13 @@ def rewrite_expr_subscripts(sql: str) -> str:
                 out.append(ch)
                 i += 1
                 continue
-            a, b = int(m_slc.group(1)), int(m_slc.group(2))
-            if (a < 0) != (b < 0):
+            a = int(m_slc.group(1)) if m_slc.group(1) else None
+            b = int(m_slc.group(2)) if m_slc.group(2) else None
+            repl = _slice_expr(base, a, b, "arr")
+            if repl is None:
                 out.append(ch)
                 i += 1
                 continue
-            repl = (
-                "array()" if b < a else f"slice({base}, {a}, {b - a + 1})"
-            )
             consumed = m_slc.end()
         else:
             # stepped slice [a:b:c] on an expression base (batch 29):
@@ -1745,11 +1862,12 @@ def rewrite_bracket_slice(
     default to SUBSTRING for integer indexes, matching the slice
     convention below — on an actual array column that fails loudly,
     which beats the silent 0-based access it replaced (round-7 hunt
-    17). Both-negative slice bounds share the b-a+1 length formula
-    (substring/slice accept negative starts); mixed-sign bounds are
-    left to fail loudly (their clamping semantics differ). Expression
-    bases — ``fn(...)[i]``, ``[1,2][i]``, ``'lit'[i]``, ``MAP(..)[k]``
-    — are handled by rewrite_expr_subscripts first."""
+    17). Slice bounds cover every sign/openness combination via
+    ``_slice_expr`` (wave 46: open-ended ``[a:]``/``[:b]``, negative
+    open bounds, and mixed-sign ``[2:-2]`` were raw Spark parse
+    errors; DuckDB's clamping fuzz-verified over 300 bound pairs).
+    Expression bases — ``fn(...)[i]``, ``[1,2][i]``, ``'lit'[i]``,
+    ``MAP(..)[k]`` — are handled by rewrite_expr_subscripts first."""
     sql = rewrite_expr_subscripts(sql)
     arr = {c.lower() for c in (array_columns or set())}
 
@@ -1777,37 +1895,18 @@ def rewrite_bracket_slice(
     )
 
     def sub(m: re.Match) -> str:
-        name, a, b = m.group(1), int(m.group(2)), int(m.group(3))
-        if (a < 0) != (b < 0):
-            return m.group(0)  # mixed signs: clamping differs — loud
-        fn = "slice" if is_arr(name) else "substring"
-        if b < a:
-            return "array()" if is_arr(name) else "''"
-        return f"{fn}({name}, {a}, {b - a + 1})"
+        # optional signed bounds, both sides (wave 46: negative
+        # open-ended forms x[-3:] / x[:-2] and bare x[:] were raw)
+        name = m.group(1)
+        a = int(m.group(2)) if m.group(2) else None
+        b = int(m.group(3)) if m.group(3) else None
+        kind = "arr" if is_arr(name) else "str"
+        repl = _slice_expr(name, a, b, kind)
+        return m.group(0) if repl is None else repl
 
     sql = re.sub(
-        r"([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*(-?\d+)\s*:\s*(-?\d+)\s*\]",
+        r"([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*(-?\d+)?\s*:\s*(-?\d+)?\s*\]",
         sub,
-        sql,
-    )
-
-    def sub_open(m: re.Match) -> str:
-        name, a, b = m.group(1), m.group(2), m.group(3)
-        if a:  # x[a:] — from position a to the end (clamped)
-            if is_arr(name):
-                return (
-                    f"slice({name}, {a}, "
-                    f"greatest(size({name}) - {a} + 1, 0))"
-                )
-            return f"substring({name}, {a})"
-        if b:  # x[:b] — first b items
-            fn = "slice" if is_arr(name) else "substring"
-            return f"{fn}({name}, 1, {b})"
-        return m.group(0)
-
-    sql = re.sub(
-        r"([A-Za-z_][A-Za-z0-9_.]*)\s*\[\s*(?:(\d+)\s*:|:\s*(\d+))\s*\]",
-        sub_open,
         sql,
     )
 
@@ -3211,9 +3310,11 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     # '1 month 30 days' on DuckDB, 28 days under the PG rule); a negative
     # time-of-day diff borrows one day; a<b negates every field. The
     # composed form is lowered to that arithmetic directly — Spark has no
-    # mixed year-month-day interval to extract from. Bare age() keeps the
-    # (a - b) day-time lowering below (docstring'd divergence).
-    def _age_part_expr(part, a_raw, b_raw):
+    # mixed year-month-day interval to extract from. Bare age() gets the
+    # same decomposition flattened to a day-time interval under DuckDB's
+    # own client convention (30-day months — exactly how its Python
+    # driver renders a mixed INTERVAL as a timedelta), below.
+    def _age_fields(a_raw, b_raw):
         A = f"CAST({a_raw} AS TIMESTAMP)"
         B = f"CAST({b_raw} AS TIMESTAMP)"
         hi = f"greatest({A}, {B})"
@@ -3230,6 +3331,10 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             f"((year({hi}) - year({lo})) * 12 + month({hi}) - month({lo})"
             f" - {dbor})"
         )
+        return sgn, months, days, tus
+
+    def _age_part_expr(part, a_raw, b_raw):
+        sgn, months, days, tus = _age_fields(a_raw, b_raw)
         exprs = {
             "year": f"({months} DIV 12)",
             "years": f"({months} DIV 12)",
@@ -3284,9 +3389,24 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
 
     sql = _rewrite_calls(sql, "date_part", _age_datepart_x)
     sql = _rewrite_calls(sql, "datepart", _age_datepart_x)
-    sql = _rewrite_calls(
-        sql, "age", lambda a: f"({a[0]} - {a[1]})" if len(a) == 2 else None
-    )
+    # bare age(a, b) (wave 46 — was the plain (a - b) timestamp diff,
+    # a silently different value whenever the span crosses uneven month
+    # lengths): the same calendar decomposition as date_part(age(…)),
+    # flattened to a day-time interval with 30-day months — the exact
+    # convention DuckDB's Python client uses to render its mixed
+    # INTERVAL as a timedelta, so client-observed values agree. The
+    # remaining divergence is rendering-side only (DuckDB SQL text says
+    # '1 year 1 month 17 days'; Spark has no mixed-unit interval type).
+    def _age_x(a):
+        if len(a) != 2:
+            return None
+        sgn, months, days, tus = _age_fields(a[0], a[1])
+        return (
+            f"(make_dt_interval({months} * 30 + {days}, 0, 0, "
+            f"{tus} / CAST(1e6 AS DOUBLE)) * {sgn})"
+        )
+
+    sql = _rewrite_calls(sql, "age", _age_x)
     sql = _rewrite_calls(
         sql,
         "to_base",
@@ -3490,20 +3610,36 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
                 else None
             ),
         )
-    # Kahan-compensated float aggs: Spark's JVM sum/avg match DuckDB's
-    # result type (DOUBLE); the compensation itself is an accumulation-
-    # noise concern below the workload's rounding contract
+    # Kahan-compensated float aggs (wave 46): Spark has no compensated
+    # variant, but accumulating in DECIMAL(38,10) is exact for inputs
+    # whose true scale fits 10 decimal digits (prices, measurements) —
+    # which is when DuckDB's fsum visibly diverges from a plain double
+    # sum. Bound: |sum| < 10^28 (Spark returns NULL on overflow with
+    # ANSI off — loud-ish, not silently wrong); inputs with >10
+    # fractional digits of information fall back to being rounded per
+    # addend, still within one ulp of the Kahan result in practice.
+    def _kahan_x(agg):
+        def x(a):
+            if len(a) != 1:
+                return None
+            arg = a[0]
+            dm = re.match(r"\s*DISTINCT\s+(.*)$", arg, re.IGNORECASE | re.DOTALL)
+            q, arg = ("DISTINCT ", dm.group(1)) if dm else ("", arg)
+            return (
+                f"CAST({agg}({q}CAST({arg} AS DECIMAL(38,10))) AS DOUBLE)"
+            )
+        return x
+
+    for _kfn in ("sumkahan", "fsum", "kahan_sum"):
+        sql = _rewrite_calls(sql, _kfn, _kahan_x("sum"))
+    sql = _rewrite_calls(sql, "favg", _kahan_x("avg"))
+    # sem(x): standard error of the mean — DuckDB computes it from the
+    # POPULATION stddev (probed wave 46: sem([1,2,4]) = 0.720082 =
+    # stddev_pop/sqrt(3), not stddev_samp/sqrt(3) = 0.881917)
     sql = _rewrite_calls(
-        sql, "sumkahan",
-        lambda a: f"sum(CAST({a[0]} AS DOUBLE))" if len(a) == 1 else None,
-    )
-    sql = _rewrite_calls(
-        sql, "fsum",
-        lambda a: f"sum(CAST({a[0]} AS DOUBLE))" if len(a) == 1 else None,
-    )
-    sql = _rewrite_calls(
-        sql, "favg",
-        lambda a: f"avg(CAST({a[0]} AS DOUBLE))" if len(a) == 1 else None,
+        sql, "sem",
+        lambda a: f"(stddev_pop({a[0]}) / sqrt(count({a[0]})))"
+        if len(a) == 1 else None,
     )
     # RE2 QuoteMeta: escape regex metacharacters only. The 'g' flag
     # matters: this emission still flows through the DuckDB
@@ -7656,6 +7792,32 @@ def transpile(
     )
     sql = rewrite_typed_literals(sql)
     sql = rewrite_pg_cast(sql)
+
+    # UUID casts (wave 46): Spark has no UUID type — DuckDB's parses a
+    # hex UUID and renders it back lowercase, so the value-faithful
+    # lowering is a lower-cased string. (DuckDB also REJECTS malformed
+    # UUIDs at cast time; that validation is not emulated — a malformed
+    # input flows through as its lowercased text instead of erroring.)
+    def _uuid_cast(fn):
+        def x(a):
+            if len(a) != 1:
+                return None
+            m = re.fullmatch(
+                r"(?s)(.*)\s+AS\s+UUID\s*", a[0], re.IGNORECASE
+            )
+            if m is None:
+                return None
+            return f"lower({fn}({m.group(1)} AS STRING))"
+        return x
+
+    # fixpoint: a UUID cast nested inside another cast ('x'::UUID::TEXT)
+    # is skipped by _rewrite_calls' outer-first scan on the first pass
+    while re.search(r"\bAS\s+UUID\b", sql, re.IGNORECASE):
+        prev = sql
+        sql = _rewrite_calls(sql, "cast", _uuid_cast("CAST"))
+        sql = _rewrite_calls(sql, "try_cast", _uuid_cast("TRY_CAST"))
+        if sql == prev:
+            break
     sql = rewrite_string_int_cast_literals(sql, stash)
     sql = rewrite_special_date_literals(sql, stash)
     sql = rewrite_cast_type_names(sql)
