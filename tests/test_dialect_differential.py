@@ -3017,3 +3017,108 @@ def test_differential_batch46(engines, sql):
     spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
     duck_rows = con.execute(sql).fetchall()
     assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+# Round-10 hunt wave 47 (~65 surfaces probed): typed-literal pg-casts,
+# list element access, any_value NULL-skipping, positional
+# struct_extract, time_bucket origins, plus anchors.
+CORPUS_R10_BATCH47 = [
+    # TIMESTAMP 'x'::VARCHAR bound the keyword OUTSIDE the cast (parse
+    # error since round 2 — the typed literal binds first)
+    """SELECT TIMESTAMP '2024-01-01 12:34:56.789123'::VARCHAR AS s,
+              DATE '2024-03-01'::VARCHAR AS d,
+              TIMESTAMP '2024-01-01 00:00:00'::DATE AS dd""",
+    # list_extract/list_element: 1-based, negative from end, NULL OOB
+    """SELECT list_extract([10,20,30], 2) AS e, list_element([10,20], 1) AS el,
+              list_extract([10,20], -1) AS ln, list_extract([1], 9) AS oob""",
+    # any_value skips NULLs in DuckDB
+    """SELECT any_value(x) AS a FROM (VALUES (NULL),(3),(4)) t(x)""",
+    # struct_extract by position (unnamed row()/struct() tuples)
+    """SELECT struct_extract(row(7,'x'), 1) AS f,
+              struct_extract(row(7,'x'), 2) AS g,
+              struct_extract({'a': 42}, 'a') AS h""",
+    # time_bucket with a DATE/TIMESTAMP origin (was loud)
+    """SELECT time_bucket(INTERVAL 7 DAY, DATE '2024-03-05',
+                          DATE '2024-01-01') AS b,
+              time_bucket(INTERVAL 4 HOUR, TIMESTAMP '2024-03-05 13:00:00',
+                          TIMESTAMP '2024-01-01 01:00:00') AS h,
+              time_bucket(INTERVAL 2 WEEK, DATE '2024-03-05',
+                          DATE '2024-01-08') AS w""",
+    # ---- anchors probed green in wave 47 ----
+    """SELECT 1 / 0 AS a, 1.0 / 0.0 AS b, 5 % 0 AS c, 5 // 0 AS d""",
+    """SELECT strpos('hello','l') AS p, instr('hello','l') AS i,
+              prefix('abcd','ab') AS pf, suffix('abcd','cd') AS sf,
+              starts_with('abcd','ab') AS sw, ends_with('abcd','cd') AS ew""",
+    """SELECT format_bytes(1234567) AS f, bar(3, 0, 10, 10) AS b,
+              nextafter(1.0, 2.0) AS n, signbit(-0.5) AS s""",
+    """SELECT list_has_any([1,2],[2,3]) AS a, list_has_all([1,2,3],[2,3]) AS b,
+              list_position([10,20,30], 20) AS p, list_indexof([10,20],99) AS m,
+              list_unique([1,1,2,NULL]) AS u, list_any_value([NULL,5,6]) AS av""",
+    """SELECT list_reduce([1,2,3], (a,b) -> a+b) AS r,
+              struct_insert({'a':1}, b := 2) AS s""",
+    """SELECT count(DISTINCT (n_regionkey, n_nationkey % 3)) AS c FROM nation""",
+    """SELECT first(n_name ORDER BY n_nationkey DESC) AS f,
+              last(n_name ORDER BY n_nationkey) AS l,
+              string_agg(n_name ORDER BY n_name) AS sa
+       FROM nation""",
+    """SELECT round(corr(o_totalprice, o_orderkey), 6) AS c,
+              round(covar_samp(o_totalprice, o_orderkey), 2) AS cs
+       FROM orders""",
+    """SELECT n_nationkey, median(n_nationkey) OVER (PARTITION BY n_regionkey) AS m,
+              lead(n_name, -1) OVER (ORDER BY n_nationkey) AS p,
+              nth_value(n_name, 2) OVER (ORDER BY n_nationkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nv
+       FROM nation ORDER BY n_nationkey LIMIT 5""",
+    """SELECT o_orderkey, count(*) OVER (ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW) AS c
+       FROM orders ORDER BY o_orderkey LIMIT 5""",
+    """SELECT count(*) AS c FROM nation HAVING count(*) > 3""",
+    """SELECT n_regionkey + 1 AS g, count(*) AS c FROM nation
+       GROUP BY g ORDER BY g""",
+    """SELECT * FROM (VALUES (1,'a'),(2,'b')) t(k, x)
+       FULL JOIN (VALUES (2,'B'),(3,'C')) s(k, y) USING (k)
+       ORDER BY k NULLS FIRST""",
+    """SELECT 5 BETWEEN 10 AND 1 AS a,
+              NULL IS NOT DISTINCT FROM NULL AS b,
+              1 IN (2, NULL) AS c, 1 NOT IN (2, NULL) AS d,
+              CASE WHEN 1=2 THEN 'x' END AS e""",
+    """SELECT true::INT AS a, 1::BOOLEAN AS b, 'true'::BOOLEAN AS c,
+              't'::BOOLEAN AS d, - -5 AS e, 'ab' || NULL AS n""",
+    """SELECT last_day(TIMESTAMP '2024-02-10 10:00:00') AS d,
+              greatest(DATE '2024-01-01', DATE '2023-05-05') AS g,
+              INTERVAL 2 DAY > INTERVAL 1 DAY AS c,
+              extract(week FROM DATE '2024-01-01') AS w,
+              extract(isoyear FROM DATE '2024-01-01') AS iy""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R10_BATCH47, ids=range(len(CORPUS_R10_BATCH47))
+)
+def test_differential_batch47(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)
+
+
+def test_file_table_functions_parity(engines, sf_dir):
+    """glob/read_blob/read_text (wave 47): value parity with DuckDB on
+    the same local files — counts, sizes, and UTF-8 content lengths."""
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    spark, con = engines
+    for sql in (
+        f"SELECT count(*) AS c FROM glob('{sf_dir}/*.parquet')",
+        f"SELECT filename, size FROM read_blob('{sf_dir}/region.parquet')",
+    ):
+        duck = con.execute(sql).fetchall()
+        got = [tuple(r) for r in run_sql(spark, sql).collect()]
+        assert sorted(got) == sorted(duck), sql
+    # read_text decodes UTF-8: length(content) counts CHARACTERS while
+    # size counts bytes — both must match DuckDB exactly
+    sql = "SELECT length(content) AS n, size FROM read_text('/root/repo/README.md')"
+    assert (
+        [tuple(r) for r in run_sql(spark, sql).collect()]
+        == con.execute(sql).fetchall()
+    )

@@ -59,6 +59,11 @@ FUNCTION_RENAMES = {
     "list_reverse": "reverse",
     "list_concat": "concat",
     "list_cat": "concat",  # DuckDB alias of list_concat (batch 39)
+    # 1-based element access incl. negative from-the-end indexes;
+    # NULL out-of-range — try_element_at matches exactly (wave 47;
+    # literal index 0, NULL on DuckDB, stays loud — Spark rejects it)
+    "list_extract": "try_element_at",
+    "list_element": "try_element_at",
     # generate_series is NOT a plain rename: Spark's sequence flips to a
     # descending list on inverted bounds where DuckDB returns [] —
     # rewrite_function_shapes lowers it (and scalar range) with guards.
@@ -792,7 +797,11 @@ def rewrite_pg_cast(sql: str) -> str:
     """``expr::TYPE`` → ``CAST(expr AS TYPE)`` for simple operands
     (identifier, quoted identifier, literal, or parenthesized expr)."""
     operand = r"""(
-        '(?:[^']|'')*'              # string literal
+        (?i:DATE|TIMESTAMP)\s+\x00LIT\d+\x00  # typed literal (wave 47:
+                                    # TIMESTAMP 'x'::VARCHAR left the
+                                    # keyword outside the CAST — parse
+                                    # error; the literal binds first)
+      | '(?:[^']|'')*'              # string literal
       | \x00LIT\d+\x00              # protected string literal
       | "[^"]+"                     # quoted identifier
       | \x00IDQ\d+\x00              # protected quoted identifier
@@ -4022,14 +4031,19 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         else:
             n, unit = int(m.group(1)), m.group(3).lower()
         ts = a[1]
-        # optional 3rd arg: INTERVAL offset — bucket(ts - off) + off
-        # (DATE/TIMESTAMP origin variants are NOT lowered: loud failure)
+        # optional 3rd arg: INTERVAL offset — bucket(ts - off) + off —
+        # or a DATE/TIMESTAMP origin (wave 47) replacing the default
+        # 2000-01-03 anchor for day/week and sub-day widths
+        # (month-width origins stay loud: the origin's day-of-month
+        # shifts month boundaries in ways a month counter can't express)
         off = None
+        origin = None
         if len(a) == 3:
-            if not re.match(r"INTERVAL\b", a[2].strip(), re.IGNORECASE):
-                return None
-            off = a[2].strip()
-            ts = f"(CAST({ts} AS TIMESTAMP) - {off})"
+            if re.match(r"INTERVAL\b", a[2].strip(), re.IGNORECASE):
+                off = a[2].strip()
+                ts = f"(CAST({ts} AS TIMESTAMP) - {off})"
+            else:
+                origin = a[2].strip()
 
         def _finish(expr):
             return f"({expr} + {off})" if off else expr
@@ -4045,6 +4059,8 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             "century": 1200, "centuries": 1200,
         }
         if unit in _MONTH_UNITS:
+            if origin is not None:
+                return None  # loud: see docstring note above
             nm = n * _MONTH_UNITS[unit]
             months = f"((year({ts}) - 2000) * 12 + month({ts}) - 1)"
             floored = (
@@ -4066,6 +4082,14 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         if unit in _DAY_UNITS:
             nd = n * _DAY_UNITS[unit]
             d = f"CAST({ts} AS DATE)"
+            if origin is not None:
+                o = f"CAST({origin} AS DATE)"
+                out = (
+                    f"date_add({o}, "
+                    f"CAST(floor(datediff({d}, {o}) / {nd}.0) AS INT)"
+                    f" * {nd})"
+                )
+                return _finish(out)
             out = (
                 f"date_add(DATE '2000-01-03', "
                 f"CAST(floor((unix_date({d}) - 10959) / {nd}.0) AS INT)"
@@ -4079,10 +4103,14 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         # sub-day widths anchor at the same 2000-01-03 00:00:00 origin
         # (946857600 s): identical to a plain epoch floor for widths
         # dividing 86400, and DuckDB-exact for the odd ones (7 min, 90 s)
+        anchor = (
+            f"unix_seconds(CAST({origin} AS TIMESTAMP))"
+            if origin is not None else "946857600"
+        )
         return _finish(
             f"timestamp_seconds(CAST(floor((unix_seconds(CAST({ts} AS "
-            f"TIMESTAMP)) - 946857600) / {secs}.0) AS BIGINT) * {secs} "
-            f"+ 946857600)"
+            f"TIMESTAMP)) - {anchor}) / {secs}.0) AS BIGINT) * {secs} "
+            f"+ {anchor})"
         )
 
     sql = _rewrite_calls(sql, "time_bucket", time_bucket_x)
@@ -5818,6 +5846,15 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             return None
         m = re.fullmatch(r"\x00LIT(\d+)\x00", a[1])
         if m is None:
+            # positional form struct_extract(s, N) (wave 47): only safe
+            # when the base is an UNNAMED tuple — row()/struct() — whose
+            # Spark field names are col1..colN by construction; named
+            # structs would need the schema, so they stay loud
+            if (
+                re.fullmatch(r"[1-9]\d*", a[1])
+                and re.match(r"(?:row|struct)\s*\(", a[0].strip(), re.IGNORECASE)
+            ):
+                return f"({a[0]}).col{a[1]}"
             return None
         return f"({a[0]}).{_lit_text(stash, m.group(1))}"
 
@@ -6160,6 +6197,17 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
         return x
 
     sql = _rewrite_calls(sql, "any_value", ordered_first_x(False))
+
+    # plain any_value(x) (wave 47): DuckDB skips NULLs (first NON-NULL
+    # value); Spark's default any_value respects them — any_value of
+    # (NULL, 3, 4) silently returned NULL. Spark's 2-arg ignoreNulls
+    # form matches.
+    sql = _rewrite_calls(
+        sql, "any_value",
+        lambda a: f"any_value({a[0]}, true)"
+        if len(a) == 1 and not re.search(r"\bORDER\s+BY\b", a[0], re.IGNORECASE)
+        else None,
+    )
 
     # struct_insert: append fields to a struct. Literal structs merge
     # textually; column references splat via struct(col.*, …)

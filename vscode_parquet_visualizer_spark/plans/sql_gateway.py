@@ -202,6 +202,53 @@ def _route_read_functions(
     return _READ_FN_CALL.sub(sub, sql)
 
 
+_FILE_FN_CALL = re.compile(
+    r"\b(glob|read_blob|read_text)\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE
+)
+
+
+def _route_file_functions(spark: SparkSession, sql: str) -> str:
+    """DuckDB's file-listing table functions (wave 47):
+
+    - ``glob('pat')`` → one ``file`` row per match. Globbing is a
+      driver-side metadata operation on every engine; local patterns
+      use Python's glob (absolute paths come back as given, matching
+      DuckDB's local filesystem behavior).
+    - ``read_blob('pat')`` / ``read_text('pat')`` → (filename,
+      content, size, last_modified) via Spark's binaryFile source
+      (glob-capable, distributed, content column prunable); read_text
+      decodes UTF-8. Divergence: paths render absolute (binaryFile
+      URIs, scheme-stripped) where DuckDB echoes a relative pattern
+      relatively.
+    """
+    import hashlib
+
+    def sub(m: re.Match) -> str:
+        fn, pattern = m.group(1).lower(), m.group(2)
+        view = "__file_" + hashlib.md5(
+            (fn + ":" + pattern).encode()
+        ).hexdigest()[:12]
+        if fn == "glob":
+            import glob as _glob
+
+            files = sorted(_glob.glob(pattern))
+            df = spark.createDataFrame(
+                [(f,) for f in files], "file string"
+            )
+            df.createOrReplaceTempView(view)
+            return view
+        df = spark.read.format("binaryFile").load(pattern)
+        df.createOrReplaceTempView(view)
+        content = "content" if fn == "read_blob" else "decode(content, 'UTF-8')"
+        return (
+            f"(SELECT regexp_replace(path, '^file:(//)?', '') AS filename, "
+            f"{content} AS content, length AS size, "
+            f"modificationTime AS last_modified FROM {view})"
+        )
+
+    return _FILE_FN_CALL.sub(sub, sql)
+
+
 def _route_file_relations(spark: SparkSession, sql: str) -> str:
     import hashlib
 
@@ -539,6 +586,8 @@ def run_sql(
     stripped = sql.rstrip().rstrip(";")
     if _READ_FN_CALL.search(stripped):
         stripped = _route_read_functions(spark, stripped, dataset_path)
+    if _FILE_FN_CALL.search(stripped):
+        stripped = _route_file_functions(spark, stripped)
     bound = dialect.rewrite_from_data(
         stripped, view=view, dataset_path=dataset_path
     )
