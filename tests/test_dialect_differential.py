@@ -3122,3 +3122,67 @@ def test_file_table_functions_parity(engines, sf_dir):
         [tuple(r) for r in run_sql(spark, sql).collect()]
         == con.execute(sql).fetchall()
     )
+
+
+# Round-10 hunt wave 48 (~45 expression surfaces + statement sweep —
+# statement fixes tested in test_sql_gateway): slash-date literals,
+# plus anchors.
+CORPUS_R10_BATCH48 = [
+    # DuckDB parses slash-separated date strings; Spark CAST silently
+    # NULLed them (wrong-value class)
+    """SELECT '2024/03/05'::DATE AS d, '2024/3/5'::DATE AS e,
+              '2024/03/05 10:11:12'::TIMESTAMP AS t,
+              DATE '2024/3/5' AS f,
+              try_cast('2024/13/05' AS DATE) AS bad""",
+    # ---- anchors probed green in wave 48 ----
+    """SELECT date_part('dow', DATE '2024-03-03') AS sun,
+              date_part('dow', DATE '2024-03-04') AS mon,
+              dayofweek(DATE '2024-03-03') AS dw,
+              week(DATE '2024-01-01') AS w""",
+    """SELECT [1,2] < [1,3] AS a, [1,2] = [1,2] AS b, [2] > [1,9] AS c,
+              {'a':1} < {'a':2} AS d, row(1,2) < row(1,3) AS e""",
+    """SELECT [1,2] || [3] AS l, [1,2]::DOUBLE[] AS d, ['1','2']::INT[] AS i,
+              {'a':1}::STRUCT(a DOUBLE) AS s""",
+    """SELECT split_part('a,b,c', ',', -1) AS sp,
+              array_slice('abcdef', 2, 4) AS ss,
+              list_slice([1,2,3,4,5], 2, 4) AS a,
+              list_slice([1,2,3,4,5], 2, NULL) AS b,
+              list_slice([1,2,3,4,5], 2, 4, 2) AS c""",
+    """SELECT format('{:.2f}|{:>6}|{:04d}', 3.14159, 'x', 42) AS f,
+              printf('%10d|%-5s|%05.1f', 42, 'ab', 3.14) AS p""",
+    """SELECT regexp_matches('abc123', '[a-z]+\\d') AS m,
+              regexp_extract_all('a1b2', '([a-z])(\\d)', 2) AS g""",
+    """SELECT strptime('2024-03-05 06:07:08.123456',
+                       '%Y-%m-%d %H:%M:%S.%f') AS ts,
+              try_strptime('bogus', '%Y') AS n,
+              strftime(DATE '2024-03-05', '%a %b %j') AS s""",
+    """SELECT median(x) AS m FROM (VALUES (1),(2),(3),(4)) t(x)""",
+    """SELECT product(x) AS p, bool_and(x > 1.0) AS a, bool_or(x > 3.0) AS o
+       FROM (VALUES (2.0),(3.0),(4.0)) t(x)""",
+    """SELECT '1e3'::DOUBLE::INT AS v, 'ab'::BLOB::VARCHAR AS b""",
+    """SELECT n_nationkey, sum(n_nationkey) OVER
+         (ORDER BY n_nationkey ROWS 2 PRECEDING) AS s
+       FROM nation ORDER BY n_nationkey LIMIT 4""",
+    """SELECT x, first_value(y RESPECT NULLS) OVER (ORDER BY x) AS f,
+              row_number() OVER (ORDER BY y DESC) AS r
+       FROM (VALUES (1,NULL),(2,20),(3,30)) t(x,y) ORDER BY x""",
+    """SELECT 'a_b' LIKE 'a!_b' ESCAPE '!' AS e,
+              '50%' LIKE '50|%' ESCAPE '|' AS p""",
+    """SELECT n_regionkey, grouping(n_regionkey) AS g FROM nation
+       GROUP BY ROLLUP (n_regionkey) ORDER BY 1 NULLS LAST, 2""",
+    """SELECT r_name FROM region WHERE EXISTS
+         (SELECT 1 FROM nation WHERE n_regionkey = r_regionkey
+          AND n_nationkey > 20) ORDER BY 1""",
+    """SELECT array_to_string([1,2,3], '-') AS s,
+              list_aggregate(['x','y'], 'string_agg', ',') AS l""",
+]
+
+
+@pytest.mark.parametrize(
+    "sql", CORPUS_R10_BATCH48, ids=range(len(CORPUS_R10_BATCH48))
+)
+def test_differential_batch48(engines, sql):
+    spark, con = engines
+    spark_rows = [tuple(r) for r in spark.sql(transpile(sql)).collect()]
+    duck_rows = con.execute(sql).fetchall()
+    assert _rowset(spark_rows) == _rowset(duck_rows)

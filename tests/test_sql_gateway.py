@@ -70,10 +70,12 @@ def test_pivot_shorthand_subquery_dataset(spark, orders_view):
 
 def test_pivot_rewrite_declines_non_pivot(spark):
     assert try_rewrite_pivot(spark, "SELECT 1 AS x") is None
-    # multiple USING aggregates: not lowered — loud failure upstream
+    # multi-ON / IN-list forms: not lowered — loud failure upstream
+    # (multiple USING aggregates ARE lowered as of wave 48 —
+    # TestWave48Statements::test_pivot_multiple_aggregates)
     assert (
         try_rewrite_pivot(
-            spark, "PIVOT t ON k USING sum(a), count(*) GROUP BY g"
+            spark, "PIVOT t ON k IN (1, 2) USING sum(a) GROUP BY g"
         )
         is None
     )
@@ -1010,3 +1012,113 @@ def test_multi_statement_quoted_identifier_protection(spark):
     assert out.collect()[0]["v"] == 2
     assert run_sql(spark, "SELECT 'x;y' AS s").collect()[0][0] == "x;y"
     run_sql(spark, 'DROP TABLE "select"')
+
+
+class TestWave48Statements:
+    """Wave 48: sequences, ENUM types, COMMENT ON, INSERT DEFAULT
+    VALUES, multi-aggregate PIVOT — each compared against DuckDB's
+    behavior probed on the same scripts."""
+
+    def test_sequence_lifecycle(self, spark):
+        from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+        run_sql(spark, "CREATE SEQUENCE w48_seq").collect()
+        rows = run_sql(
+            spark,
+            "SELECT nextval('w48_seq') AS a, nextval('w48_seq') AS b, "
+            "currval('w48_seq') AS c",
+        ).collect()
+        assert [tuple(rows[0])] == [(1, 2, 2)]
+        run_sql(spark, "DROP SEQUENCE w48_seq").collect()
+        with pytest.raises(Exception, match="does not exist"):
+            run_sql(spark, "SELECT nextval('w48_seq')").collect()
+
+    def test_sequence_start_increment_maxvalue(self, spark):
+        from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+        run_sql(
+            spark,
+            "CREATE SEQUENCE w48_s2 START 10 INCREMENT 3 MAXVALUE 14",
+        ).collect()
+        rows = run_sql(
+            spark, "SELECT nextval('w48_s2') AS a, nextval('w48_s2') AS b"
+        ).collect()
+        assert tuple(rows[0]) == (10, 13)
+        # DuckDB: "nextval: reached maximum value of sequence"
+        with pytest.raises(Exception, match="maximum value"):
+            run_sql(spark, "SELECT nextval('w48_s2')").collect()
+
+    def test_sequence_per_row_is_loud(self, spark, sf_dir):
+        from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+        run_sql(spark, "CREATE SEQUENCE IF NOT EXISTS w48_s3").collect()
+        spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(
+            "w48_region"
+        )
+        # per-row advancement over a relation is not emulated — must not
+        # silently under-advance the counter
+        with pytest.raises(NotImplementedError, match="per input row"):
+            run_sql(spark, "SELECT nextval('w48_s3') FROM w48_region").collect()
+
+    def test_enum_type(self, spark):
+        from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+        run_sql(
+            spark, "CREATE TYPE w48_mood AS ENUM ('sad','ok','happy')"
+        ).collect()
+        rows = run_sql(
+            spark,
+            "SELECT 'happy'::w48_mood AS m, "
+            "CAST('sad' AS w48_mood) AS n",
+        ).collect()
+        assert tuple(rows[0]) == ("happy", "sad")
+        # invalid member: DuckDB raises a Conversion Error at bind time
+        with pytest.raises(Exception, match="Could not convert"):
+            run_sql(spark, "SELECT 'angry'::w48_mood").collect()
+        run_sql(spark, "DROP TYPE w48_mood").collect()
+
+    def test_comment_on_noop(self, spark):
+        from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+        rows = run_sql(
+            spark,
+            "CREATE TABLE w48_tc AS SELECT 1 AS x; "
+            "COMMENT ON TABLE w48_tc IS 'hello'; "
+            "COMMENT ON COLUMN w48_tc.x IS 'col'; "
+            "SELECT x FROM w48_tc",
+        ).collect()
+        assert [tuple(r) for r in rows] == [(1,)]
+        run_sql(spark, "DROP TABLE w48_tc").collect()
+
+    def test_insert_default_values(self, spark):
+        from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+        rows = run_sql(
+            spark,
+            "CREATE TABLE w48_td (a INTEGER, b VARCHAR); "
+            "INSERT INTO w48_td DEFAULT VALUES; "
+            "SELECT * FROM w48_td",
+        ).collect()
+        assert [tuple(r) for r in rows] == [(None, None)]
+        run_sql(spark, "DROP TABLE w48_td").collect()
+
+    def test_pivot_multiple_aggregates(self, spark):
+        from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+        run_sql(
+            spark,
+            "CREATE TABLE w48_tp AS SELECT range % 2 AS par, range AS g, "
+            "range * 10 AS v FROM range(6)",
+        ).collect()
+        df = run_sql(
+            spark,
+            "PIVOT w48_tp ON par USING sum(v) AS s, count(v) AS c "
+            "GROUP BY g ORDER BY g",
+        )
+        # DuckDB's naming ({value}_{alias}) and absent-group fill
+        # (count → 0, sum → NULL), probed
+        assert df.columns == ["g", "0_s", "0_c", "1_s", "1_c"]
+        rows = [tuple(r) for r in df.collect()]
+        assert rows[0] == (0, 0, 1, None, 0)
+        assert rows[1] == (1, None, 0, 10, 1)
+        run_sql(spark, "DROP TABLE w48_tp").collect()

@@ -92,7 +92,12 @@ _SESSION_NOOP = re.compile(
     # — documented in COVERAGE.md.
     r"|CREATE\s+(UNIQUE\s+)?INDEX\s+(IF\s+NOT\s+EXISTS\s+)?[A-Za-z_]\w*"
     r"\s+ON\s+[^;]+"
-    r"|DROP\s+INDEX\s+(IF\s+EXISTS\s+)?[A-Za-z_]\w*)\s*$",
+    r"|DROP\s+INDEX\s+(IF\s+EXISTS\s+)?[A-Za-z_]\w*"
+    # COMMENT ON (wave 48): DuckDB stores object comments in catalog
+    # metadata (observable only via duckdb_* introspection functions);
+    # the engine's temp views carry none — accept-and-ignore
+    r"|COMMENT\s+ON\s+(TABLE|VIEW|COLUMN|INDEX|SEQUENCE|TYPE|MACRO"
+    r"|MACRO\s+TABLE|DATABASE|SCHEMA)\s+[^;]+IS\s+[^;]+)\s*$",
     re.IGNORECASE,
 )
 
@@ -284,6 +289,145 @@ def table_info_df(spark: SparkSession, name: str) -> DataFrame:
 def _count_df(spark: SparkSession, n: int | None) -> DataFrame:
     rows = [] if n is None else [(n,)]
     return local_df(spark, rows, _COUNT_SCHEMA)
+
+
+# --- sequences and ENUM types (wave 48) --------------------------------
+# DuckDB CREATE SEQUENCE / nextval / currval (src: the reference app's
+# DuckDB backend supports arbitrary session DDL). Session-scoped
+# counters; nextval advances per CALL in driver-evaluated statements.
+_CREATE_SEQ = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?SEQUENCE\s+"
+    r"(?P<ifnex>IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)"
+    r"(?P<opts>[^;]*?)\s*$",
+    re.IGNORECASE,
+)
+_DROP_SEQ = re.compile(
+    r"^\s*DROP\s+SEQUENCE\s+(?P<ifex>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+# id(spark), lower_name → {"next": int, "inc": int, "max": int|None,
+# "min": int|None, "curr": int|None}
+_session_sequences: dict[tuple[int, str], dict] = {}
+
+_CREATE_ENUM = re.compile(
+    r"^\s*CREATE\s+TYPE\s+(?P<name>[A-Za-z_]\w*)\s+AS\s+ENUM\s*"
+    r"\((?P<vals>[^)]*)\)\s*$",
+    re.IGNORECASE,
+)
+_DROP_TYPE = re.compile(
+    r"^\s*DROP\s+TYPE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>[A-Za-z_]\w*)\s*$",
+    re.IGNORECASE,
+)
+# id(spark), lower_name → list of member strings (definition order)
+_session_enums: dict[tuple[int, str], list[str]] = {}
+
+_SEQ_CALL = re.compile(
+    r"\b(nextval|currval)\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE
+)
+
+
+def substitute_sequences(spark: SparkSession, sql: str) -> str:
+    """Replace ``nextval('s')`` / ``currval('s')`` with literal values,
+    advancing the session counter per occurrence — exact for statements
+    the driver evaluates once (SELECT without FROM, VALUES inserts: the
+    dominant sequence usage in an engine with no column DEFAULTs).
+    Per-ROW nextval over a relation would need the row count to advance
+    the counter; that shape raises loudly rather than silently
+    under-advancing."""
+    if not _SEQ_CALL.search(sql):
+        return sql
+    if re.search(r"\bFROM\b", sql, re.IGNORECASE) and re.search(
+        r"\bnextval\b", sql, re.IGNORECASE
+    ):
+        raise NotImplementedError(
+            "nextval() per input row is not supported — sequences advance "
+            "per statement here; use row_number() for row ids"
+        )
+
+    def sub(m: re.Match) -> str:
+        fn, name = m.group(1).lower(), m.group(2).lower()
+        seq = _session_sequences.get((id(spark), name))
+        if seq is None:
+            raise ValueError(f"Sequence with name {m.group(2)} does not exist!")
+        if fn == "currval":
+            if seq["curr"] is None:
+                raise ValueError(
+                    "currval: sequence is not yet defined in this session"
+                )
+            return str(seq["curr"])
+        val = seq["next"]
+        if seq["max"] is not None and val > seq["max"]:
+            raise ValueError(
+                f'nextval: reached maximum value of sequence "{name}" '
+                f"({seq['max']})"
+            )
+        if seq["min"] is not None and val < seq["min"]:
+            raise ValueError(
+                f'nextval: reached minimum value of sequence "{name}" '
+                f"({seq['min']})"
+            )
+        seq["curr"] = val
+        seq["next"] = val + seq["inc"]
+        return str(val)
+
+    return _SEQ_CALL.sub(sub, sql)
+
+
+def substitute_enums(spark: SparkSession, sql: str) -> str:
+    """Lower casts to session ENUM types: the engine's enum cells are
+    their member strings. A string-literal operand is validated at
+    rewrite time (loud ConversionError parity); a column operand gets a
+    runtime membership CASE with raise_error. Divergence (documented):
+    comparisons order enum CELLS lexicographically, not by definition
+    order — DuckDB compares the member indexes."""
+    enums = {
+        name: vals
+        for (sid, name), vals in _session_enums.items()
+        if sid == id(spark)
+    }
+    if not enums:
+        return sql
+    for name, vals in enums.items():
+        lit_pat = re.compile(
+            r"'((?:[^']|'')*)'\s*::\s*" + name + r"\b", re.IGNORECASE
+        )
+
+        def lit_sub(m: re.Match, vals=vals, name=name) -> str:
+            raw = m.group(1).replace("''", "'")
+            if raw not in vals:
+                raise ValueError(
+                    f"Could not convert string '{raw}' to {name}"
+                )
+            return f"'{m.group(1)}'"
+
+        sql = lit_pat.sub(lit_sub, sql)
+        col_pat = re.compile(
+            r"([A-Za-z_][\w.]*)\s*::\s*" + name + r"\b", re.IGNORECASE
+        )
+        members = ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+
+        def col_sub(m: re.Match, members=members, name=name) -> str:
+            c = m.group(1)
+            return (
+                f"(CASE WHEN {c} IS NULL OR {c} IN ({members}) THEN {c} "
+                f"ELSE raise_error(concat('Could not convert string ''', "
+                f"{c}, ''' to {name}')) END)"
+            )
+
+        sql = col_pat.sub(col_sub, sql)
+        # CAST(expr AS name) spelling → the :: forms above ran first,
+        # so only the explicit keyword form remains (anchored on CAST(
+        # so a column alias named like the enum is never touched)
+        sql = re.sub(
+            r"(\b(?:TRY_)?CAST\s*\(((?:[^()]|\([^()]*\))*?)\s+AS\s+)"
+            + name
+            + r"\b(\s*\))",
+            r"\1STRING\3",
+            sql,
+            flags=re.IGNORECASE,
+        )
+    return sql
 
 
 _CREATE_MACRO = re.compile(
@@ -509,6 +653,80 @@ def try_rewrite_ddl(
                 f'Macro with name "{m.group("name")}" does not exist'
             )
         return local_df(spark, [], _SUCCESS_SCHEMA)
+    m = _CREATE_SEQ.match(sql)
+    if m is not None and not re.match(
+        r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?"
+        r"(?:TABLE|VIEW|MACRO|FUNCTION|INDEX|TYPE)\b",
+        sql,
+        re.IGNORECASE,
+    ):
+        key = (id(spark), m.group("name").lower())
+        if key in _session_sequences and m.group("ifnex"):
+            return local_df(spark, [], _SUCCESS_SCHEMA)
+        opts = m.group("opts") or ""
+        start = inc = None
+        om = re.search(r"\bSTART\s+(?:WITH\s+)?(-?\d+)", opts, re.IGNORECASE)
+        if om:
+            start = int(om.group(1))
+        om = re.search(r"\bINCREMENT\s+(?:BY\s+)?(-?\d+)", opts, re.IGNORECASE)
+        if om:
+            inc = int(om.group(1))
+        mx = re.search(r"\bMAXVALUE\s+(-?\d+)", opts, re.IGNORECASE)
+        mn = re.search(r"\bMINVALUE\s+(-?\d+)", opts, re.IGNORECASE)
+        inc = 1 if inc is None else inc
+        if start is None:
+            # DuckDB: ascending sequences start at MINVALUE/1,
+            # descending at MAXVALUE/-1
+            start = (
+                (int(mn.group(1)) if mn else 1)
+                if inc > 0
+                else (int(mx.group(1)) if mx else -1)
+            )
+        _session_sequences[key] = {
+            "next": start,
+            "inc": inc,
+            "max": int(mx.group(1)) if mx else None,
+            "min": int(mn.group(1)) if mn else None,
+            "curr": None,
+        }
+        return local_df(spark, [], _SUCCESS_SCHEMA)
+
+    m = _DROP_SEQ.match(sql)
+    if m is not None:
+        removed = _session_sequences.pop(
+            (id(spark), m.group("name").lower()), None
+        )
+        if removed is None and not m.group("ifex"):
+            raise ValueError(
+                f'Sequence with name {m.group("name")} does not exist!'
+            )
+        return local_df(spark, [], _SUCCESS_SCHEMA)
+
+    m = _CREATE_ENUM.match(sql)
+    if m is not None:
+        from vscode_parquet_visualizer_spark.plans.dialect import (
+            _split_top_level,
+        )
+
+        vals = [
+            v.strip()[1:-1].replace("''", "'")
+            for v in _split_top_level(m.group("vals"))
+            if v.strip().startswith("'")
+        ]
+        _session_enums[(id(spark), m.group("name").lower())] = vals
+        return local_df(spark, [], _SUCCESS_SCHEMA)
+
+    m = _DROP_TYPE.match(sql)
+    if m is not None:
+        removed = _session_enums.pop(
+            (id(spark), m.group("name").lower()), None
+        )
+        if removed is None and not m.group("ifex"):
+            raise ValueError(
+                f'Type with name {m.group("name")} does not exist!'
+            )
+        return local_df(spark, [], _SUCCESS_SCHEMA)
+
     m = _PREPARE.match(sql)
     if m is not None:
         _session_prepared[(id(spark), m.group("name").lower())] = m.group(
@@ -677,6 +895,14 @@ def try_rewrite_ddl(
             )
         ):
             body = body[1:-1].strip()
+        if re.match(r"^DEFAULT\s+VALUES$", body, re.IGNORECASE):
+            # one row of defaults; CTAS/typed tables carry no DEFAULT
+            # clauses (ddl_sql.py:47), so every column is NULL (wave 48)
+            tgt = _session_tables.get(key) or spark.table(name)
+            body = "SELECT " + ", ".join(
+                f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+                for f in tgt.schema.fields
+            )
         if not re.match(r"^(SELECT|FROM|WITH|VALUES|TABLE)\b", body, re.IGNORECASE):
             raise ValueError(f"INSERT INTO: cannot parse source {body!r}")
         add = run_sql(spark, body, **kw)

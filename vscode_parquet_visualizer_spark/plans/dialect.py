@@ -725,11 +725,27 @@ def rewrite_special_date_literals(sql: str, stash: list[str]) -> str:
     (documented repr divergence, COVERAGE.md wave 43). Handles both the
     post-rewrite_pg_cast CAST form and typed-literal form."""
 
+    def _slash_norm(txt: str) -> str | None:
+        # DuckDB also parses slash-separated dates ('2024/3/5', with an
+        # optional time tail); Spark CAST silently NULLs them (wave 48)
+        m = re.fullmatch(r"(\d{4})/(\d{1,2})/(\d{1,2})(.*)", txt.strip())
+        if m is None:
+            return None
+        return (
+            f"{m.group(1)}-{int(m.group(2)):02d}-{int(m.group(3)):02d}"
+            f"{m.group(4)}"
+        )
+
     def sub(m: re.Match) -> str:
         fn, idx, typ = m.group(1), m.group(3), m.group(4).upper()
         txt = _lit_text(stash, idx).strip().lower()
         mapped = _SPECIAL_DATE_VALUES.get(txt)
         if mapped is None:
+            norm = _slash_norm(_lit_text(stash, idx))
+            if norm is not None:
+                return (
+                    f"{fn}({_stash_add(stash, repr(norm))} AS {typ})"
+                )
             return m.group(0)
         v = mapped[0] if typ == "DATE" else mapped[1]
         return f"{fn}({_stash_add(stash, repr(v))} AS {typ})"
@@ -747,6 +763,11 @@ def rewrite_special_date_literals(sql: str, stash: list[str]) -> str:
         txt = _lit_text(stash, idx).strip().lower()
         mapped = _SPECIAL_DATE_VALUES.get(txt)
         if mapped is None:
+            norm = _slash_norm(_lit_text(stash, idx))
+            if norm is not None:
+                if typ == "DATE":
+                    norm = norm.split(" ")[0]
+                return f"{typ} {_stash_add(stash, repr(norm))}"
             return m.group(0)
         v = mapped[0] if typ == "DATE" else mapped[1]
         return f"{typ} {_stash_add(stash, repr(v))}"

@@ -89,15 +89,46 @@ def try_rewrite_pivot(spark: SparkSession, sql: str) -> DataFrame | None:
         return None  # multi-ON / IN-list forms not lowered — fail loud upstream
     on_col = mo.group(1)
     tail = rest[mo.end() :]
+    # split a TOP-LEVEL trailing ORDER BY / LIMIT off the tail (wave
+    # 48: `… GROUP BY g ORDER BY g` leaked the ORDER BY into the
+    # group-by text); depth-scan so in-call ORDER BY (string_agg(x
+    # ORDER BY y)) is never touched
+    suffix = ""
+    depth = 0
+    for i in range(len(tail)):
+        ch = tail[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and re.match(
+            r"(?:ORDER\s+BY|LIMIT)\b", tail[i:], re.IGNORECASE
+        ):
+            tail, suffix = tail[:i], " " + tail[i:]
+            break
     mg = _GROUP_BY.search(tail)
     if mg is not None:
         agg, group_by = tail[: mg.start()].strip(), tail[mg.end() :].strip()
     else:
         agg, group_by = tail.strip(), None
-    if "," in _strip_parens(agg):
-        return None  # multiple USING aggregates unsupported
-
     from vscode_parquet_visualizer_spark.plans import dialect
+
+    # multiple USING aggregates (wave 48): one FILTER column per
+    # (value, aggregate) pair, named {value}_{alias} — alias is the
+    # AS name when given, else the aggregate's own text (DuckDB's
+    # naming, probed: `0_s, 0_c` / `0_sum(v)`). The FILTER lowering
+    # keeps DuckDB's absent-group fill exactly (count → 0, sum → NULL)
+    # where a native pivot would NULL-fill count cells.
+    aggs: list[tuple[str, str | None]] = []
+    for item in dialect._split_top_level(agg):
+        item = item.strip()
+        am = re.match(r"(?s)(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE)
+        if am is not None:
+            aggs.append((am.group(1).strip(), am.group(2)))
+        else:
+            aggs.append((item, None))
+    if not aggs:
+        return None
 
     vals_sql = dialect.transpile(
         f"SELECT DISTINCT {on_col} AS __v FROM {from_clause} "
@@ -113,8 +144,14 @@ def try_rewrite_pivot(spark: SparkSession, sql: str) -> DataFrame | None:
         lit = _value_literal(v)
         if lit is None:
             return None
-        name = str(v).replace("`", "``")
-        cols.append(f"{agg} FILTER (WHERE {on_col} = {lit}) AS `{name}`")
+        for expr, alias in aggs:
+            if len(aggs) == 1 and alias is None:
+                name = str(v).replace("`", "``")
+            else:
+                name = f"{v}_{alias or expr}".replace("`", "``")
+            cols.append(
+                f"{expr} FILTER (WHERE {on_col} = {lit}) AS `{name}`"
+            )
     if group_by:
         lowered = (
             f"SELECT {group_by}, {', '.join(cols)} FROM {from_clause} "
@@ -122,7 +159,7 @@ def try_rewrite_pivot(spark: SparkSession, sql: str) -> DataFrame | None:
         )
     else:
         lowered = f"SELECT {', '.join(cols)} FROM {from_clause}"
-    return spark.sql(dialect.transpile(lowered))
+    return spark.sql(dialect.transpile(lowered + suffix))
 
 
 _UNPIVOT_STMT = re.compile(
@@ -163,15 +200,3 @@ def try_rewrite_unpivot(spark: SparkSession, sql: str) -> DataFrame | None:
     return out.filter(F.col(value_col).isNotNull())
 
 
-def _strip_parens(s: str) -> str:
-    """Remove parenthesized spans so a top-level comma check ignores
-    commas inside function arguments."""
-    out, depth = [], 0
-    for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif depth == 0:
-            out.append(ch)
-    return "".join(out)

@@ -594,10 +594,14 @@ def run_sql(
     from vscode_parquet_visualizer_spark.plans.ddl_sql import (
         _CREATE_MACRO,
         expand_macros,
+        substitute_enums,
+        substitute_sequences,
     )
 
     if not _CREATE_MACRO.match(bound):
         bound = expand_macros(spark, bound)
+    bound = substitute_sequences(spark, bound)
+    bound = substitute_enums(spark, bound)
     if _FILE_REL.search(bound):
         bound = _route_file_relations(spark, bound)
     intro = _INTROSPECT.match(bound)
