@@ -1041,7 +1041,7 @@ _ARRAY_PRODUCING = {
     "list_concat", "list_reverse", "list_resize", "list_where",
     "list_select", "list_zip", "list_slice", "array_slice",
     "array_pop_back", "array_pop_front", "str_split", "str_split_regex",
-    "regexp_split_to_array", "array_reverse",
+    "regexp_split_to_array", "array_reverse", "array_sort",
 }
 
 
@@ -1465,6 +1465,46 @@ def rewrite_struct_literals(sql: str) -> str:
     return "".join(out)
 
 
+def rewrite_int_literal_mathfns(sql: str) -> str:
+    """ceil/floor/round on an INTEGER LITERAL are DOUBLE-typed in
+    DuckDB (ceil(-3)::VARCHAR renders '-3.0'; Spark's ceil is BIGINT,
+    '-3' — fuzz 49). Fold the no-op and emit the DOUBLE cast directly.
+    Runs BEFORE rewrite_arithmetic_operators so its float sniff sees
+    the DOUBLE marker (ceil(0) // 2 is DuckDB plain division).
+    Composed integer-typed operands stay engine-native — statically
+    unknowable, value-equal, repr-divergent only under a string cast
+    (documented)."""
+
+    def _int_lit(t: str) -> int | None:
+        lm = re.fullmatch(r"\(?\s*(-?\d+)\s*\)?", t.strip())
+        return int(lm.group(1)) if lm else None
+
+    def _ceil_floor_x(a):
+        if len(a) != 1 or _int_lit(a[0]) is None:
+            return None
+        return f"CAST({_int_lit(a[0])} AS DOUBLE)"
+
+    for _cfn in ("ceil", "ceiling", "floor"):
+        sql = _rewrite_calls(sql, _cfn, _ceil_floor_x)
+
+    def _round_int_x(a):
+        if len(a) != 2:
+            return None
+        v, d = _int_lit(a[0]), _int_lit(a[1])
+        if v is None or d is None:
+            return None
+        if d >= 0:
+            return f"CAST({v} AS DOUBLE)"
+        import decimal as _dec
+
+        q = _dec.Decimal(v).quantize(
+            _dec.Decimal(1).scaleb(-d), rounding=_dec.ROUND_HALF_UP
+        )
+        return f"CAST({int(q)} AS DOUBLE)"
+
+    return _rewrite_calls(sql, "round", _round_int_x)
+
+
 def rewrite_arithmetic_operators(sql: str) -> str:
     """DuckDB arithmetic spellings with different/absent Spark meanings:
 
@@ -1475,8 +1515,14 @@ def rewrite_arithmetic_operators(sql: str) -> str:
       compute the wrong thing — the one class of dialect gap that can't
       be allowed to fail loud-or-correct on its own.
 
-    Operand scope: simple operands (identifier/number/paren group), the
-    common case; anything fancier is left for the parser."""
+    Operand scope (fuzz 49 — was a one-level regex that missed call
+    results, negative right operands, and CASE blocks, leaving loud
+    parse errors or, worse, matching `ND` inside `END`): operands are
+    now found by a LINEAR token scan around each operator occurrence —
+    balanced parens (any depth), call names, CASE…END blocks with
+    nesting (token-counted), numbers/identifiers/placeholders, and a
+    unary minus on the right. Regex backtracking never happens, so
+    paren-heavy statements don't blow up."""
     operand = r"(\([^()]*\)|[A-Za-z_][A-Za-z0-9_.]*(?:\([^()]*\))?|\d+(?:\.\d+)?)"
 
     # a @> b / a <@ b list containment (batch 36): "a contains every
@@ -1542,25 +1588,164 @@ def rewrite_arithmetic_operators(sql: str) -> str:
     # // on a FLOAT literal operand is plain division in DuckDB
     # (probed batch 27: 7.5 // 2 = 3.75, typed DOUBLE); integer
     # operands truncate toward zero, which Spark's div matches
-    # (-7 // 2 = -3 in both). Column-typed floats are not statically
-    # knowable — they keep div (documented divergence).
-    def intdiv(m: re.Match) -> str:
-        a, b = m.group(1), m.group(2)
-        if re.fullmatch(r"\d+\.\d+", a) or re.fullmatch(r"\d+\.\d+", b):
-            # DOUBLE like DuckDB — Spark would type this DECIMAL
-            return f"CAST({a} / {b} AS DOUBLE)"
+    # (-7 // 2 = -3 in both). Composed operands are sniffed for a
+    # decimal-point NUMERIC literal anywhere in their text (fuzz 49:
+    # (-3 - 12.5) // 100 is DuckDB plain division, -0.155 — string
+    # literals are placeholders at this pass, so a visible `12.5` is a
+    # genuine number). Column-typed floats remain statically unknowable
+    # — they keep div (documented divergence).
+    def render_intdiv(a: str, b: str) -> str:
+        # DuckDB's // is integer division ONLY when both operands are
+        # integer-typed; any float/decimal operand makes it PLAIN
+        # division (probed: -15.5 // 100 = -0.155, 7.0 // 2 = 3.5).
+        # Float markers visible textually: a decimal-point literal, a
+        # DOUBLE/FLOAT cast, or ceil/floor/round (DOUBLE- or DECIMAL-
+        # typed in DuckDB for every input). String literals are
+        # placeholders at this pass, so the digit scan can't false-hit.
+        floatish = (
+            r"\d+\.\d+|\bDOUBLE\b|\bFLOAT\b|\bceil(?:ing)?\s*\("
+            r"|\bfloor\s*\(|\bround\s*\("
+        )
+        if re.search(floatish, a + " " + b, re.IGNORECASE):
+            # DOUBLE division like DuckDB. The operand (not just the
+            # result) must be DOUBLE: Spark's DECIMAL/DECIMAL division
+            # rounds to a fixed scale first (7 // 3.25 was 2.153846 vs
+            # DuckDB's full-precision 2.1538461538… — fuzz 49)
+            return f"(CAST({a} AS DOUBLE) / ({b}))"
         return f"{a} div {b}"
 
-    prev = None
-    while prev != sql:  # left-fold chains: a//b//c -> (a div b) div c
-        prev = sql
-        sql = re.sub(operand + r"\s*//\s*" + operand, intdiv, sql, count=1)
-    pow_pat = re.compile(operand + r"\s*(?:\*\*|\^)\s*" + operand)
-    prev = None
-    while prev != sql:  # left-fold chains: a^b^c -> power(power(a,b),c)
-        prev = sql
-        sql = pow_pat.sub(lambda m: f"power({m.group(1)}, {m.group(2)})", sql, count=1)
+    # left-fold falls out of the rescan-from-replacement discipline:
+    # a//b//c → "a div b // c" → "(a div b) div c"-equivalent flat text
+    sql = _rewrite_binop(sql, re.compile(r"//"), render_intdiv)
+    sql = _rewrite_binop(
+        sql,
+        re.compile(r"\*\*|\^(?!@)"),
+        lambda a, b: f"power({a}, {b})",
+    )
     return sql
+
+
+_BINOP_KEYWORDS = _SQL_KEYWORDS_BEFORE_EXPR | {
+    "when", "then", "else", "end", "group", "order", "partition", "over",
+    "exists", "null", "true", "false",
+}
+
+
+def _scan_operand_left(s: str, i: int) -> tuple[int, int] | None:
+    """Span of the expression operand ENDING just before index ``i``
+    (whitespace-skipped): a balanced paren group with optional call
+    name, a CASE…END block (token-counted nesting), or a single
+    number/identifier/placeholder token. None when the text before the
+    operator isn't a recognizable operand (keyword, empty, …)."""
+    j = i
+    while j > 0 and s[j - 1].isspace():
+        j -= 1
+    if j == 0:
+        return None
+    end = j
+    if s[j - 1] == ")":
+        depth, k = 0, j - 1
+        while k >= 0:
+            if s[k] == ")":
+                depth += 1
+            elif s[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k < 0:
+            return None
+        m = re.search(r"[A-Za-z_][\w.]*\s*$", s[:k])
+        if m and m.group(0).strip().lower() not in _BINOP_KEYWORDS:
+            return m.start(), end
+        return k, end
+    m = re.search(r"(?i)\bEND\s*$", s[:j])
+    if m is not None:
+        depth = 1
+        for tm in reversed(
+            list(re.finditer(r"(?i)\b(CASE|END)\b", s[: m.start()]))
+        ):
+            if tm.group(1).upper() == "END":
+                depth += 1
+            else:
+                depth -= 1
+                if depth == 0:
+                    return tm.start(), end
+        return None
+    m = re.search(r"(\x00(?:LIT|IDQ)\d+\x00|[\w.]+)\s*$", s[:j])
+    if m is None:
+        return None
+    tok = m.group(1)
+    if tok.split(".")[-1].lower() in _BINOP_KEYWORDS:
+        return None
+    return m.start(1), end
+
+
+def _scan_operand_right(s: str, i: int) -> tuple[int, int] | None:
+    """Span of the expression operand STARTING at/after index ``i``:
+    optional unary minus, then a paren group / call / CASE…END /
+    number / identifier / placeholder."""
+    j = i
+    n = len(s)
+    while j < n and s[j].isspace():
+        j += 1
+    if j >= n:
+        return None
+    start = j
+    if s[j] == "-":
+        j += 1
+        while j < n and s[j].isspace():
+            j += 1
+        if j >= n:
+            return None
+    if s[j] == "(":
+        close = _balanced_span(s, j)
+        return (start, close + 1) if close > 0 else None
+    cm = re.match(r"(?i)CASE\b", s[j:])
+    if cm is not None:
+        depth = 0
+        for tm in re.finditer(r"(?i)\b(CASE|END)\b", s[j:]):
+            if tm.group(1).upper() == "CASE":
+                depth += 1
+            else:
+                depth -= 1
+                if depth == 0:
+                    return start, j + tm.end()
+        return None
+    m = re.match(r"\x00(?:LIT|IDQ)\d+\x00|\d+(?:\.\d+)?|[A-Za-z_][\w.]*", s[j:])
+    if m is None:
+        return None
+    tok = m.group(0)
+    if re.fullmatch(r"[A-Za-z_][\w.]*", tok):
+        if tok.split(".")[-1].lower() in _BINOP_KEYWORDS:
+            return None
+        k = j + m.end()
+        while k < n and s[k].isspace():
+            k += 1
+        if k < n and s[k] == "(":  # call suffix
+            close = _balanced_span(s, k)
+            return (start, close + 1) if close > 0 else None
+    return start, j + m.end()
+
+
+def _rewrite_binop(sql: str, op_pat: re.Pattern, render) -> str:
+    """Replace every ``<operand> OP <operand>`` for an operator Spark
+    lacks, finding operands with the linear scanners above. Occurrences
+    whose operands aren't recognizable stay untouched (loud downstream
+    — never a mangled fragment)."""
+    pos = 0
+    while True:
+        m = op_pat.search(sql, pos)
+        if m is None:
+            return sql
+        lo = _scan_operand_left(sql, m.start())
+        ro = _scan_operand_right(sql, m.end())
+        if lo is None or ro is None:
+            pos = m.end()
+            continue
+        repl = render(sql[lo[0] : lo[1]], sql[ro[0] : ro[1]])
+        sql = sql[: lo[0]] + repl + sql[ro[1] :]
+        pos = lo[0]
 
 
 _EXPR_SUBSCRIPT_FNS = {"try_element_at", "get"}
@@ -1769,11 +1954,27 @@ def rewrite_expr_subscripts(sql: str) -> str:
                 # literal (array semantics) or a string literal
                 # (substring) — e.g. ([1,2,3,4])[-2] (batch 25)
                 inner = done[j + 1 : len(done) - 1].strip()
+                ifm = re.match(r"([A-Za-z_]\w*)\s*\(", inner)
+                if ifm is not None and _balanced_span(
+                    inner, ifm.end() - 1
+                ) != len(inner) - 1:
+                    ifm = None  # group holds more than the one call
                 if re.fullmatch(r"\[.*\]", inner, re.DOTALL):
                     base_start = j
                 elif re.fullmatch(r"\x00LIT\d+\x00", inner):
                     # parenthesized string literal: the generic is_str
                     # paths below own single index AND slice forms
+                    is_str = True
+                    base_start = j
+                elif ifm is not None and ifm.group(1).lower() in array_fns:
+                    # parenthesized array-producing CALL — e.g.
+                    # (list_sort(l))[2:3] (fuzz 49: the group pinned
+                    # neither literal form, so the slice stayed raw)
+                    base_start = j
+                elif (
+                    ifm is not None
+                    and ifm.group(1).lower() in _STRING_PRODUCING
+                ):
                     is_str = True
                     base_start = j
                 else:
@@ -1908,6 +2109,8 @@ def rewrite_bracket_slice(
         name, a, b, c = (
             m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
         )
+        if name.lower() in _NON_CALL_KEYWORDS:
+            return m.group(0)
         if not is_arr(name) or a < 1 or c < 1:
             return m.group(0)
         if b < a:
@@ -1928,6 +2131,8 @@ def rewrite_bracket_slice(
         # optional signed bounds, both sides (wave 46: negative
         # open-ended forms x[-3:] / x[:-2] and bare x[:] were raw)
         name = m.group(1)
+        if name.lower() in _NON_CALL_KEYWORDS:
+            return m.group(0)
         a = int(m.group(2)) if m.group(2) else None
         b = int(m.group(3)) if m.group(3) else None
         kind = "arr" if is_arr(name) else "str"
@@ -1942,6 +2147,13 @@ def rewrite_bracket_slice(
 
     def sub_index(m: re.Match) -> str:
         name = m.group(1)
+        if name.lower() in _NON_CALL_KEYWORDS:
+            # keyword before '[': a LIST LITERAL follows, not a
+            # subscript base — `SELECT [5]` was mangled into
+            # substring(SELECT, 5, 1) (fuzz 49; only single-element
+            # lists hit the single-index pattern, which is why every
+            # multi-element literal in eight rounds of tests missed it)
+            return m.group(0)
         if not is_arr(name):
             # unknown type: DuckDB integer subscripts on strings are
             # 1-based chars (negative = from the end) — substring
@@ -2811,31 +3023,46 @@ def _rewrite_from_table_fn(sql: str, name: str, render) -> str:
         pos = close_idx + 1
 
 
-def _rewrite_calls(sql: str, name: str, xform) -> str:
+def _rewrite_calls(sql: str, name: str, xform, rescan: bool = False) -> str:
     """Rewrite every call ``name( <balanced args> )`` with
     ``xform(list_of_top_level_args) -> replacement_text`` (return None to
     leave a call unchanged). Word-boundary on the name; literal-protected
-    text expected."""
+    text expected.
+
+    Scan discipline (expression fuzz, wave 49): a None/unchanged result
+    advances past the NAME only, so same-named calls nested in an
+    UNMATCHED outer call's arguments are still visited (the old
+    close-paren skip was the round-9 EXECUTE-args defect family). A
+    replacement advances past the replacement text by default — many
+    transforms WRAP their own call (``date_trunc(x)`` →
+    ``CAST(date_trunc(x) AS DATE)``) and rescanning would wrap forever.
+    ``rescan=True`` opts a NAME-ELIMINATING transform into rescanning
+    its replacement, so self-nested calls (``list_sort(list_sort(x))``,
+    whose inner call the default discipline leaves for dead) are
+    transformed too; callers must guarantee the name never survives in
+    the output."""
     pat = re.compile(rf"(?<![\w.]){name}\s*\(", re.IGNORECASE)
-    out, pos = [], 0
-    while True:
+    pos = 0
+    for _guard in range(100_000):
         m = pat.search(sql, pos)
         if m is None:
-            out.append(sql[pos:])
-            return "".join(out)
+            return sql
         open_idx = m.end() - 1
         close_idx = _balanced_span(sql, open_idx)
         if close_idx == -1:
-            out.append(sql[pos:])
-            return "".join(out)
+            return sql
         args = [a.strip() for a in _split_top_level(sql[open_idx + 1 : close_idx])]
         repl = xform(args)
-        out.append(sql[pos : m.start()])
-        if repl is None:
-            out.append(sql[m.start() : close_idx + 1])
-        else:
-            out.append(repl)
-        pos = close_idx + 1
+        if repl is None or repl == sql[m.start() : close_idx + 1]:
+            # unchanged output counts as None — normalizing transforms
+            # (AS VARCHAR → AS STRING) reach a fixpoint, not a loop
+            pos = m.end()
+            continue
+        sql = sql[: m.start()] + repl + sql[close_idx + 1 :]
+        pos = m.start() if rescan else m.start() + len(repl)
+    raise RuntimeError(
+        f"_rewrite_calls({name!r}): non-convergent transform"
+    )
 
 
 _TIME_BUCKET_UNITS = {
@@ -3468,21 +3695,27 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
     # left/right with NEGATIVE n: all-but-|n|-from-the-other-end
     # (Spark returns ''). Non-negative literal counts stay untouched.
     def _lr(fn):
+        # fully substring-based: the THEN branch must not re-emit the
+        # function's own name (convergence contract of _rewrite_calls'
+        # wave-49 rescan; probed: substring(s, -(n), n) ≡ right(s, n)
+        # for n ≥ 0 including 0 and overshoot)
         def x(a):
             if len(a) != 2 or re.fullmatch(r"\d+", a[1].strip()):
                 return None
             if fn == "left":
-                neg = f"substr({a[0]}, 1, greatest(length({a[0]}) + ({a[1]}), 0))"
+                pos = f"substring({a[0]}, 1, {a[1]})"
+                neg = f"substring({a[0]}, 1, greatest(length({a[0]}) + ({a[1]}), 0))"
             else:
-                neg = f"substr({a[0]}, (-({a[1]})) + 1)"
+                pos = f"substring({a[0]}, -({a[1]}), {a[1]})"
+                neg = f"substring({a[0]}, (-({a[1]})) + 1)"
             return (
-                f"(CASE WHEN ({a[1]}) >= 0 THEN {fn}({a[0]}, {a[1]}) "
+                f"(CASE WHEN ({a[1]}) >= 0 THEN {pos} "
                 f"ELSE {neg} END)"
             )
         return x
 
-    sql = _rewrite_calls(sql, "left", _lr("left"))
-    sql = _rewrite_calls(sql, "right", _lr("right"))
+    sql = _rewrite_calls(sql, "left", _lr("left"), rescan=True)
+    sql = _rewrite_calls(sql, "right", _lr("right"), rescan=True)
     # fdiv = floor division, fmod = FLOORED modulo, both DOUBLE (probed:
     # fdiv(-7,2) = -4.0, fmod(-7,2) = 1.0 — not C fmod)
     sql = _rewrite_calls(
@@ -4978,8 +5211,8 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             return f"substr({a[0]}, 1)"
         return None
 
-    sql = _rewrite_calls(sql, "substr", substr_zero_x)
-    sql = _rewrite_calls(sql, "substring", substr_zero_x)
+    sql = _rewrite_calls(sql, "substr", substr_zero_x, rescan=True)
+    sql = _rewrite_calls(sql, "substring", substr_zero_x, rescan=True)
 
     # monthname/dayname return FULL names in DuckDB; Spark 4's
     # same-named builtins return abbreviations
@@ -5104,7 +5337,7 @@ def rewrite_function_shapes(sql: str, stash: list[str] | None = None) -> str:
             return f"array_sort({a[0]})"  # asc + nulls last: the default
         return _cmp_sort(a[0], desc, nulls_first)
 
-    sql = _rewrite_calls(sql, "list_sort", list_sort_x)
+    sql = _rewrite_calls(sql, "list_sort", list_sort_x, rescan=True)
     for _rs in ("list_reverse_sort", "array_reverse_sort"):
         sql = _rewrite_calls(
             sql,
@@ -7901,6 +8134,7 @@ def transpile(
     sql = rewrite_dot_calls(sql)
     sql = rewrite_len(sql, array_columns)
     sql = rewrite_postfix_factorial(sql)
+    sql = rewrite_int_literal_mathfns(sql)
     sql = rewrite_arithmetic_operators(sql)
     sql = rewrite_sample(sql)
     sql = rewrite_collate(sql)
