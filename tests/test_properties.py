@@ -339,23 +339,72 @@ def _gen_list(rng, depth):
     return f"list_append({a}, {rng.randrange(0, 9)})"
 
 
+def _gen_date(rng, depth):
+    if depth <= 0 or rng.random() < 0.45:
+        y, mo, d = rng.randrange(1995, 2030), rng.randrange(1, 13), rng.randrange(1, 29)
+        if rng.random() < 0.4:
+            return (
+                f"TIMESTAMP '{y}-{mo:02d}-{d:02d} "
+                f"{rng.randrange(24):02d}:{rng.randrange(60):02d}:{rng.randrange(60):02d}'"
+            )
+        return f"DATE '{y}-{mo:02d}-{d:02d}'"
+    pick = rng.random()
+    a = _gen_date(rng, depth - 1)
+    if pick < 0.35:
+        unit = rng.choice(["DAY", "MONTH", "HOUR"])
+        op = rng.choice(["+", "-"])
+        return f"({a} {op} INTERVAL {rng.randrange(1, 40)} {unit})"
+    if pick < 0.6:
+        part = rng.choice(["day", "month", "year", "week", "quarter"])
+        return f"date_trunc('{part}', {a})"
+    if pick < 0.8:
+        return f"greatest({a}, {_gen_date(rng, depth - 1)})"
+    return f"last_day({a})"
+
+
 def _gen_bool(rng, depth):
     if depth <= 0:
         return rng.choice(["true", "false"])
     pick = rng.random()
-    if pick < 0.5:
+    if pick < 0.35:
         op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
         return f"({_gen_num(rng, depth - 1)} {op} {_gen_num(rng, depth - 1)})"
-    if pick < 0.7:
+    if pick < 0.5:
         op = rng.choice(["=", "<", ">"])
         return f"({_gen_str(rng, depth - 1)} {op} {_gen_str(rng, depth - 1)})"
-    if pick < 0.85:
+    if pick < 0.6:
+        op = rng.choice(["<", ">=", "="])
+        return f"({_gen_date(rng, depth - 1)} {op} {_gen_date(rng, depth - 1)})"
+    if pick < 0.7:
+        items = ", ".join(rng.choice(["1", "2", "5", "-1"]) for _ in range(2))
+        return f"({_gen_num(rng, depth - 1)} IN ({items}))"
+    if pick < 0.78:
+        lo, hi = sorted((rng.randrange(-5, 9), rng.randrange(-5, 9)))
+        return f"({_gen_num(rng, depth - 1)} BETWEEN {lo} AND {hi})"
+    if pick < 0.86:
         return f"({_gen_bool(rng, depth - 1)} AND {_gen_bool(rng, depth - 1)})"
-    return f"(NOT {_gen_bool(rng, depth - 1)})"
+    if pick < 0.94:
+        return f"(NOT {_gen_bool(rng, depth - 1)})"
+    return f"(nullif({rng.randrange(0, 3)}, 1) IS NULL)"
+
+
+def _gen_struct(rng, depth):
+    # struct literal + field access / map literal + subscript (scalar
+    # OUTPUT only — struct/map cells themselves are the documented
+    # Row-vs-tuple and MAP-render repr classes)
+    if rng.random() < 0.5:
+        return f"({{'f1': {_gen_num(rng, max(depth - 1, 0))}, 'f2': 'x'}}).f1"
+    k = rng.choice(["a", "b"])
+    return (
+        f"(MAP {{'a': {rng.randrange(9)}, 'b': {rng.randrange(9)}}}"
+        f"['{k}'])[1]"
+    )
 
 
 def _gen_expr(rng, depth=3):
-    return rng.choice([_gen_num, _gen_str, _gen_list, _gen_bool])(rng, depth)
+    return rng.choice(
+        [_gen_num, _gen_str, _gen_list, _gen_bool, _gen_date, _gen_struct]
+    )(rng, depth)
 
 
 def _fuzz_norm(v):

@@ -1465,6 +1465,76 @@ def rewrite_struct_literals(sql: str) -> str:
     return "".join(out)
 
 
+def rewrite_interval_arith_casts(sql: str) -> str:
+    """``<date-ish> ± INTERVAL …`` returns TIMESTAMP in DuckDB for
+    EVERY temporal operand (probed: DATE, last_day(…), greatest of
+    dates — all TIMESTAMP out); Spark keeps DATE for date + day-ish
+    intervals, so the cell TYPE silently diverged for non-literal
+    operands (extended-grammar fuzz; the round-3 rule covered only the
+    ``DATE 'lit'`` spelling). Cast the left operand to TIMESTAMP via
+    the linear operand scanner. Interval-typed operands (INTERVAL
+    literals, make_dt/ym_interval lowerings) are skipped — interval +
+    interval stays an interval."""
+    pat = re.compile(r"[+-]\s*INTERVAL\b", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if m is None:
+            return sql
+        lo = _scan_operand_left(sql, m.start())
+        if lo is None:
+            pos = m.end()
+            continue
+        # `INTERVAL 1 DAY + INTERVAL 2 DAY`: the scanner takes the UNIT
+        # word (DAY) as the operand — the real operand is the interval
+        # literal; intervals stay uncast. Only fires when the operand
+        # IS a bare unit keyword directly after `INTERVAL <n>`.
+        if re.fullmatch(
+            r"(?i)(?:MICRO|MILLI)?SECONDS?|MINUTES?|HOURS?|DAYS?"
+            r"|WEEKS?|MONTHS?|QUARTERS?|YEARS?|DECADES?"
+            r"|CENTUR(?:Y|IES)|MILLENNIUMS?|MILLENNIA",
+            sql[lo[0] : lo[1]].strip(),
+        ) and re.search(
+            r"(?i)\bINTERVAL\s+(?:\x00LIT\d+\x00|\d+|\([^()]*\))\s*$",
+            sql[: lo[0]],
+        ):
+            pos = m.end()
+            continue
+        # absorb a typed-literal prefix: the scanner returns only the
+        # placeholder of `DATE '…'` — the keyword is part of the operand
+        km = re.search(r"(?i)\b(DATE|TIMESTAMP)\s*$", sql[: lo[0]])
+        if km is not None and re.fullmatch(
+            r"\x00LIT\d+\x00", sql[lo[0] : lo[1]].strip()
+        ):
+            lo = (km.start(1), lo[1])
+        a = sql[lo[0] : lo[1]]
+        at = a.strip()
+        # cast only PROVABLY date-ish operands (typed literal anywhere
+        # in the text — covers greatest(DATE…, DATE…) — or a known
+        # temporal-returning call, or an AS DATE/TIMESTAMP cast).
+        # Unknown-typed identifiers/columns stay engine-native
+        # (documented residual: a date COLUMN + INTERVAL keeps Spark's
+        # DATE cell where DuckDB says TIMESTAMP — same instant);
+        # interval-typed operands never match the sniff.
+        dateish = re.search(
+            r"(?i)\b(?:DATE|TIMESTAMP)\s+\x00LIT\d+\x00"
+            r"|\b(?:last_day|date_trunc|date_add|date_sub|make_date"
+            r"|make_timestamp|to_date|to_timestamp|strptime"
+            r"|try_strptime|current_date|current_timestamp|now"
+            r")\s*\("
+            r"|\bAS\s+(?:DATE|TIMESTAMP)\s*\)",
+            at,
+        )
+        if dateish is None or re.fullmatch(
+            r"(?is)CAST\s*\(.*\bAS\s+TIMESTAMP\s*\)", at
+        ):
+            pos = m.end()
+            continue
+        repl = f"CAST({a} AS TIMESTAMP)"
+        sql = sql[: lo[0]] + repl + sql[lo[1] :]
+        pos = m.end() + (len(repl) - (lo[1] - lo[0]))
+
+
 def rewrite_int_literal_mathfns(sql: str) -> str:
     """ceil/floor/round on an INTEGER LITERAL are DOUBLE-typed in
     DuckDB (ceil(-3)::VARCHAR renders '-3.0'; Spark's ceil is BIGINT,
@@ -1971,6 +2041,15 @@ def rewrite_expr_subscripts(sql: str) -> str:
                     # (list_sort(l))[2:3] (fuzz 49: the group pinned
                     # neither literal form, so the slice stayed raw)
                     base_start = j
+                elif re.match(
+                    r"(?is)\(*\s*CASE\s+WHEN\s.*\bTHEN\s+array\s*\(", inner
+                ) and inner.rstrip(" )").upper().endswith("END"):
+                    # the map-subscript wrapper this very pass emits:
+                    # (CASE WHEN map_contains_key(…) THEN array(…) ELSE
+                    # array() END)[1] — the map[k][1] idiom's trailing
+                    # subscript was silently 0-based (fuzz 49 extended
+                    # grammar: returned NULL instead of the value)
+                    base_start = j
                 elif (
                     ifm is not None
                     and ifm.group(1).lower() in _STRING_PRODUCING
@@ -2022,9 +2101,13 @@ def rewrite_expr_subscripts(sql: str) -> str:
         if m_idx is not None:
             idx = m_idx.group(1)
             if is_map:
+                # try_element_at, NOT a native [idx] subscript: the
+                # caller iterates this pass to a fixpoint, and a
+                # re-emitted `MAP {…}[k]` would be re-wrapped forever
                 repl = (
                     f"(CASE WHEN map_contains_key({base}, {idx}) "
-                    f"THEN array({base}[{idx}]) ELSE array() END)"
+                    f"THEN array(try_element_at({base}, {idx})) "
+                    f"ELSE array() END)"
                 )
             elif re.fullmatch(r"\x00LIT\d+\x00", idx):
                 out.append(ch)  # quoted key on an array base: leave
@@ -2098,8 +2181,16 @@ def rewrite_bracket_slice(
     open bounds, and mixed-sign ``[2:-2]`` were raw Spark parse
     errors; DuckDB's clamping fuzz-verified over 300 bound pairs).
     Expression bases — ``fn(...)[i]``, ``[1,2][i]``, ``'lit'[i]``,
-    ``MAP(..)[k]`` — are handled by rewrite_expr_subscripts first."""
-    sql = rewrite_expr_subscripts(sql)
+    ``MAP(..)[k]`` — are handled by rewrite_expr_subscripts first, to
+    a FIXPOINT: the scanner never re-reads its own replacement, so a
+    chained subscript on a rewritten expression base
+    (``MAP {…}['k'][1]``) only resolves on the next iteration (fuzz 49
+    extended grammar: the trailing ``[1]`` stayed Spark-0-based and
+    silently returned NULL)."""
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = rewrite_expr_subscripts(sql)
     arr = {c.lower() for c in (array_columns or set())}
 
     def is_arr(name: str) -> bool:
@@ -8086,12 +8177,7 @@ def transpile(
         sql,
         flags=re.IGNORECASE,
     )
-    sql = re.sub(
-        r"\b(DATE\s+\x00LIT\d+\x00)(\s*[+-]\s*INTERVAL\b)",
-        r"CAST(\1 AS TIMESTAMP)\2",
-        sql,
-        flags=re.IGNORECASE,
-    )
+    sql = rewrite_interval_arith_casts(sql)
     sql = rewrite_typed_literals(sql)
     sql = rewrite_pg_cast(sql)
 

@@ -116,6 +116,10 @@ _DEFAULTS = {
     # Dialect-generated literals avoid backslashes by construction
     # (bracket-class regex quoting) so they are mode-independent.
     "spark.sql.parser.escapedStringLiterals": "true",
+    # No ${var} substitution: Spark rewrites `${…}` spans (even inside
+    # backtick identifiers — an alias named `${"}` came back EMPTY,
+    # identifier fuzz wave 49); DuckDB performs no such substitution.
+    "spark.sql.variable.substitute": "false",
 }
 
 
