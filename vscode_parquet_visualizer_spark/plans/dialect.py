@@ -2698,6 +2698,60 @@ def rewrite_collate(sql: str) -> str:
     )
 
 
+_FRAME_INSENSITIVE_FNS = (
+    r"row_number|rank|dense_rank|percent_rank|ntile|cume_dist|lag|lead"
+)
+
+
+def rewrite_rank_frames(sql: str) -> str:
+    """DuckDB ACCEPTS (and ignores) an explicit window frame on the
+    rank family and lag/lead — the functions are frame-insensitive by
+    definition. Spark REJECTS the same spelling ("must match the
+    required frame" / "Cannot specify window frame for lead"), so a
+    user frame copied across expressions in one OVER clause broke only
+    on Spark (window fuzz, wave 51). Strip the frame (incl. EXCLUDE)
+    from the inline OVER of those functions; named-window references
+    are left alone (shared by frame-SENSITIVE members — loud there)."""
+    pat = re.compile(
+        rf"\b(?:{_FRAME_INSENSITIVE_FNS})\s*\(", re.IGNORECASE
+    )
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if m is None:
+            return sql
+        close = _balanced_span(sql, m.end() - 1)
+        if close == -1:
+            return sql
+        om = re.match(r"\s*OVER\s*\(", sql[close + 1 :], re.IGNORECASE)
+        if om is None:
+            pos = close + 1
+            continue
+        ostart = close + 1 + om.end() - 1
+        oclose = _balanced_span(sql, ostart)
+        if oclose == -1:
+            return sql
+        body = sql[ostart + 1 : oclose]
+        fm = None
+        depth = 0
+        for i, ch in enumerate(body):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and re.match(
+                r"(?i)(?:ROWS|RANGE|GROUPS)\b", body[i:]
+            ) and (i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")):
+                fm = i
+                break
+        if fm is None:
+            pos = oclose + 1
+            continue
+        new_body = body[:fm].rstrip()
+        sql = sql[: ostart + 1] + new_body + sql[oclose:]
+        pos = ostart + 1 + len(new_body) + 1
+
+
 def rewrite_window_chain(sql: str) -> str:
     """DuckDB allows a named window to EXTEND another —
     ``WINDOW w1 AS (ORDER BY x), w2 AS (w1 ROWS …)`` — Spark only
@@ -8257,6 +8311,10 @@ def transpile(
     sql = rewrite_sample(sql)
     sql = rewrite_collate(sql)
     sql = rewrite_window_chain(sql)
+    # after chain expansion (named windows resolve to inline bodies
+    # where possible), before the EXCLUDE/DISTINCT frame lowerings —
+    # a stripped frame never reaches those passes
+    sql = rewrite_rank_frames(sql)
     sql = rewrite_series_table_functions(sql)
     sql = rewrite_multi_unnest(sql)
     sql = rewrite_unnest_in_expression(sql)
