@@ -345,3 +345,39 @@ def test_engine_query_array_subscripts_one_based(spark, tmp_path):
     row = rs.page(1, 1)[0]
     assert row["f"] == 10 and row["z"] is None and row["la"] == 30
     assert row["s"] in ("[20, 30]", "[20,30]", [20, 30])
+
+
+def test_date_column_interval_returns_timestamp(tmp_path):
+    """Wave 51: a DATE-typed COLUMN + INTERVAL must yield a midnight
+    TIMESTAMP cell like DuckDB (schema context supplies the date
+    columns; literals/temporal calls were already sniffed textually)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vscode_parquet_visualizer_spark import Engine
+
+    p = str(tmp_path / "datecol.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "d": pa.array(
+                    [dt.date(2024, 1, 1), dt.date(2024, 2, 29)],
+                    pa.date32(),
+                ),
+                "x": [1, 2],
+            }
+        ),
+        p,
+    )
+    eng = Engine(shuffle_partitions=2)
+    try:
+        ds = eng.open(p)
+        rows = ds.query(
+            "SELECT d + INTERVAL 1 DAY AS t, x FROM data ORDER BY x"
+        ).page(1, 2)
+        assert rows[0]["t"] == "2024-01-02 00:00:00"
+        assert rows[1]["t"] == "2024-03-01 00:00:00"  # leap-day rollover
+    finally:
+        pass  # session shared across tests; do not stop

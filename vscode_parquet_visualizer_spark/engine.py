@@ -268,6 +268,14 @@ class Dataset:
                 for f in self.df.schema.fields
                 if isinstance(f.dataType, T.ArrayType)
             },
+            # DATE-typed columns: `d + INTERVAL …` must become a
+            # TIMESTAMP cell like DuckDB's (wave 51; literals and
+            # temporal calls are sniffed textually, columns need schema)
+            date_columns={
+                f.name
+                for f in self.df.schema.fields
+                if isinstance(f.dataType, T.DateType)
+            },
             # integral columns let the sliding agg(DISTINCT) fold use an
             # exact DECIMAL(38,0) accumulator instead of DOUBLE
             integral_columns={

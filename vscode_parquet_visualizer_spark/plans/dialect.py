@@ -1465,7 +1465,9 @@ def rewrite_struct_literals(sql: str) -> str:
     return "".join(out)
 
 
-def rewrite_interval_arith_casts(sql: str) -> str:
+def rewrite_interval_arith_casts(
+    sql: str, date_columns: set[str] | None = None
+) -> str:
     """``<date-ish> ± INTERVAL …`` returns TIMESTAMP in DuckDB for
     EVERY temporal operand (probed: DATE, last_day(…), greatest of
     dates — all TIMESTAMP out); Spark keeps DATE for date + day-ish
@@ -1525,6 +1527,15 @@ def rewrite_interval_arith_casts(sql: str) -> str:
             r"|\bAS\s+(?:DATE|TIMESTAMP)\s*\)",
             at,
         )
+        if dateish is None and date_columns:
+            # schema context (Dataset.query supplies the DATE-typed
+            # column names): a bare date-column identifier is a
+            # provably temporal operand too
+            im = re.fullmatch(r"[A-Za-z_][\w.]*", at)
+            if im is not None and at.split(".")[-1].lower() in {
+                c.lower() for c in date_columns
+            }:
+                dateish = im
         if dateish is None or re.fullmatch(
             r"(?is)CAST\s*\(.*\bAS\s+TIMESTAMP\s*\)", at
         ):
@@ -8192,6 +8203,7 @@ def transpile(
     columns: list[str] | None = None,
     dataset_path: str | None = None,
     array_columns: set[str] | None = None,
+    date_columns: set[str] | None = None,
     integral_columns: set[str] | None = None,
 ) -> str:
     """Full DuckDB-dialect → Spark SQL rewrite chain. ``columns`` enables
@@ -8263,7 +8275,7 @@ def transpile(
         sql,
         flags=re.IGNORECASE,
     )
-    sql = rewrite_interval_arith_casts(sql)
+    sql = rewrite_interval_arith_casts(sql, date_columns)
     sql = rewrite_typed_literals(sql)
     sql = rewrite_pg_cast(sql)
 

@@ -556,6 +556,7 @@ def run_sql(
     columns: list[str] | None = None,
     dataset_path: str | None = None,
     array_columns: set[str] | None = None,
+    date_columns: set[str] | None = None,
     integral_columns: set[str] | None = None,
 ) -> DataFrame:
     """Execute DuckDB-dialect ``sql`` and return the result DataFrame.
@@ -580,6 +581,7 @@ def run_sql(
                 columns=columns,
                 dataset_path=dataset_path,
                 array_columns=array_columns,
+                date_columns=date_columns,
             )
         assert out is not None
         return out
@@ -619,6 +621,7 @@ def run_sql(
             columns=columns,
             dataset_path=dataset_path,
             array_columns=array_columns,
+            date_columns=date_columns,
         )
         fn = (
             describe_df
@@ -636,6 +639,7 @@ def run_sql(
         columns=columns,
         dataset_path=dataset_path,
         array_columns=array_columns,
+        date_columns=date_columns,
     )
     if ddl is not None:
         return ddl
@@ -646,6 +650,7 @@ def run_sql(
         columns=columns,
         dataset_path=dataset_path,
         array_columns=array_columns,
+        date_columns=date_columns,
     )
     if ubn is not None:
         return ubn
@@ -680,6 +685,7 @@ def run_sql(
             columns=columns,
             dataset_path=dataset_path,
             array_columns=array_columns,
+            date_columns=date_columns,
             integral_columns=integral_columns,
         )
     )
