@@ -1122,3 +1122,111 @@ class TestWave48Statements:
         assert rows[0] == (0, 0, 1, None, 0)
         assert rows[1] == (1, None, 0, 10, 1)
         run_sql(spark, "DROP TABLE w48_tp").collect()
+
+
+class TestRound11AdviceFixes:
+    """Regressions for the r10 ADVICE defects (all verified against
+    DuckDB v1.x this round)."""
+
+    def test_sequence_text_inside_literal_untouched(self, spark):
+        # ADVICE r10 medium: nextval() inside a dollar-quoted literal
+        # was substituted (data corrupted, counter advanced)
+        run_sql(spark, "CREATE SEQUENCE r11_s1").collect()
+        rows = run_sql(
+            spark, "SELECT $$literal nextval('r11_s1') text$$ AS t"
+        ).collect()
+        assert rows[0]["t"] == "literal nextval('r11_s1') text"
+        # counter must NOT have advanced: first real call returns 1
+        rows = run_sql(spark, "SELECT nextval('r11_s1') AS v").collect()
+        assert rows[0]["v"] == 1
+        run_sql(spark, "DROP SEQUENCE r11_s1").collect()
+
+    def test_sequence_with_non_clause_from(self, spark):
+        # ADVICE r10 low: the per-row guard matched ANY \bFROM\b —
+        # extract(year FROM …) is not a relation scan (DuckDB: (1, 2024))
+        run_sql(spark, "CREATE SEQUENCE r11_s2").collect()
+        rows = run_sql(
+            spark,
+            "SELECT nextval('r11_s2') AS v, "
+            "extract(year FROM DATE '2024-01-01') AS y",
+        ).collect()
+        assert tuple(rows[0]) == (1, 2024)
+        # a real top-level FROM still raises loudly
+        with pytest.raises(NotImplementedError, match="per input row"):
+            run_sql(
+                spark, "SELECT nextval('r11_s2') FROM range(3)"
+            ).collect()
+        run_sql(spark, "DROP SEQUENCE r11_s2").collect()
+
+    def test_pivot_group_by_identifier_ending_in_limit(self, spark):
+        # ADVICE r10 medium: `GROUP BY rate_limit` split mid-identifier
+        # at the `limit` suffix
+        run_sql(
+            spark,
+            "CREATE TABLE r11_tp AS SELECT range % 2 AS par, "
+            "range % 3 AS rate_limit, range AS v FROM range(12)",
+        ).collect()
+        df = run_sql(
+            spark,
+            "PIVOT r11_tp ON par USING count(*) "
+            "GROUP BY rate_limit ORDER BY rate_limit",
+        )
+        assert df.columns == ["rate_limit", "0", "1"]
+        assert [tuple(r) for r in df.collect()] == [
+            (0, 2, 2),
+            (1, 2, 2),
+            (2, 2, 2),
+        ]
+        run_sql(spark, "DROP TABLE r11_tp").collect()
+
+    def test_enum_cast_keyword_spelling_validated(self, spark):
+        # ADVICE r10 low: CAST('zebra' AS mood) silently succeeded
+        # where DuckDB raises a ConversionError; TRY_CAST NULLs
+        run_sql(
+            spark, "CREATE TYPE r11_mood AS ENUM ('sad','ok','happy')"
+        ).collect()
+        with pytest.raises(Exception, match="Could not convert"):
+            run_sql(spark, "SELECT CAST('zebra' AS r11_mood)").collect()
+        rows = run_sql(
+            spark,
+            "SELECT TRY_CAST('zebra' AS r11_mood) AS a, "
+            "TRY_CAST('ok' AS r11_mood) AS b",
+        ).collect()
+        assert tuple(rows[0]) == (None, "ok")
+        run_sql(spark, "DROP TYPE r11_mood").collect()
+
+    def test_macro_nextval_evaluated_per_invocation(self, spark):
+        # ADVICE r10 low: sequence substitution inside CREATE MACRO
+        # froze nextval() at definition time; DuckDB evaluates the
+        # body per invocation (probed: 2 then 3 after one direct call)
+        run_sql(spark, "CREATE SEQUENCE r11_s3").collect()
+        run_sql(
+            spark, "CREATE MACRO r11_nv() AS nextval('r11_s3')"
+        ).collect()
+        a = run_sql(spark, "SELECT r11_nv() AS a").collect()[0]["a"]
+        b = run_sql(spark, "SELECT r11_nv() AS a").collect()[0]["a"]
+        assert (a, b) == (1, 2)
+        run_sql(spark, "DROP MACRO r11_nv").collect()
+        run_sql(spark, "DROP SEQUENCE r11_s3").collect()
+
+    def test_multistatement_quote_doubled_literal(self, spark):
+        # r11: the statement splitter's intermediate restore re-encoded
+        # 'it''s' into Spark's "it's" string spelling, which the NEXT
+        # protect pass read as a quoted IDENTIFIER and backticked —
+        # the literal came back as a column reference
+        rows = run_sql(
+            spark,
+            "CREATE OR REPLACE TABLE r11_q AS SELECT 'it''s' AS x; "
+            "SELECT x FROM r11_q",
+        ).collect()
+        assert rows[0]["x"] == "it's"
+        run_sql(spark, "DROP TABLE r11_q").collect()
+
+    def test_execute_bound_quote_doubled_literal(self, spark):
+        # same class through the EXECUTE-binding restore
+        run_sql(
+            spark, "PREPARE r11_p AS SELECT ? AS x, 'a''b' AS y"
+        ).collect()
+        rows = run_sql(spark, "EXECUTE r11_p('it''s')").collect()
+        assert tuple(rows[0]) == ("it's", "a'b")
+        run_sql(spark, "DEALLOCATE r11_p").collect()

@@ -95,7 +95,7 @@ def try_rewrite_positional(spark: SparkSession, sql: str) -> str | None:
         tgt = c + "_right" if c in left_cols else c
         out = re.sub(rf"\b{re.escape(rali)}\.{re.escape(c)}\b", tgt, out)
     out = re.sub(rf"\b{re.escape(lali)}\.([A-Za-z_]\w*)\b", r"\1", out)
-    return _restore_literals(out, stash)
+    return _restore_literals(out, stash, form="duck")
 
 
 def try_rewrite_asof(spark: SparkSession, sql: str) -> str | None:
@@ -175,4 +175,4 @@ def try_rewrite_asof(spark: SparkSession, sql: str) -> str | None:
             tgt = c
         out = re.sub(rf"\b{re.escape(rali)}\.{re.escape(c)}\b", tgt, out)
     out = re.sub(rf"\b{re.escape(lali)}\.([A-Za-z_]\w*)\b", r"\1", out)
-    return _restore_literals(out, stash)
+    return _restore_literals(out, stash, form="duck")

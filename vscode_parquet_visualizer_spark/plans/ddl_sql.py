@@ -252,7 +252,7 @@ def _bind_prepared(body: str, args_text: str) -> str:
     protected = re.sub(
         r"\x00ARG(\d+)\x00", lambda m: values[int(m.group(1))], protected
     )
-    return _restore_literals(protected, stash)
+    return _restore_literals(protected, stash, form="duck")
 
 # session tables created here, for unpersist-on-replace: (sparkId, name) → df
 _session_tables: dict[tuple[int, str], DataFrame] = {}
@@ -325,6 +325,27 @@ _session_enums: dict[tuple[int, str], list[str]] = {}
 _SEQ_CALL = re.compile(
     r"\b(nextval|currval)\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE
 )
+# after _protect_literals the sequence-name argument is a stash
+# placeholder, so the protected-text matcher resolves it by index
+_SEQ_CALL_PROT = re.compile(
+    r"\b(nextval|currval)\s*\(\s*\x00LIT(\d+)\x00\s*\)", re.IGNORECASE
+)
+
+
+def _has_top_level_from(protected: str) -> bool:
+    """True only for a real depth-0 ``FROM`` clause — ``extract(year
+    FROM …)`` / subquery FROMs sit inside parentheses and don't make
+    the statement per-row (ADVICE r10)."""
+    depth = 0
+    for m in re.finditer(r"[()]|\bFROM\b", protected, re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
 
 
 def substitute_sequences(spark: SparkSession, sql: str) -> str:
@@ -334,11 +355,24 @@ def substitute_sequences(spark: SparkSession, sql: str) -> str:
     dominant sequence usage in an engine with no column DEFAULTs).
     Per-ROW nextval over a relation would need the row count to advance
     the counter; that shape raises loudly rather than silently
-    under-advancing."""
+    under-advancing.
+
+    Runs over literal-PROTECTED text (ADVICE r10: ``$$… nextval('s')
+    …$$`` inside a string was being rewritten, corrupting the data AND
+    advancing the counter), and the per-row guard looks for a real
+    depth-0 FROM clause, not any ``FROM`` token."""
     if not _SEQ_CALL.search(sql):
         return sql
-    if re.search(r"\bFROM\b", sql, re.IGNORECASE) and re.search(
-        r"\bnextval\b", sql, re.IGNORECASE
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        _protect_literals,
+        _restore_literals,
+    )
+
+    prot, stash = _protect_literals(sql)
+    if not _SEQ_CALL_PROT.search(prot):
+        return sql  # every call sits inside a string literal — data
+    if _has_top_level_from(prot) and re.search(
+        r"\bnextval\b", prot, re.IGNORECASE
     ):
         raise NotImplementedError(
             "nextval() per input row is not supported — sequences advance "
@@ -346,10 +380,14 @@ def substitute_sequences(spark: SparkSession, sql: str) -> str:
         )
 
     def sub(m: re.Match) -> str:
-        fn, name = m.group(1).lower(), m.group(2).lower()
+        fn = m.group(1).lower()
+        arg = stash[int(m.group(2))]
+        name = arg[1:-1].replace("''", "'").lower()
         seq = _session_sequences.get((id(spark), name))
         if seq is None:
-            raise ValueError(f"Sequence with name {m.group(2)} does not exist!")
+            raise ValueError(
+                f"Sequence with name {arg[1:-1]} does not exist!"
+            )
         if fn == "currval":
             if seq["curr"] is None:
                 raise ValueError(
@@ -371,16 +409,20 @@ def substitute_sequences(spark: SparkSession, sql: str) -> str:
         seq["next"] = val + seq["inc"]
         return str(val)
 
-    return _SEQ_CALL.sub(sub, sql)
+    return _restore_literals(_SEQ_CALL_PROT.sub(sub, prot), stash, form="duck")
 
 
 def substitute_enums(spark: SparkSession, sql: str) -> str:
     """Lower casts to session ENUM types: the engine's enum cells are
     their member strings. A string-literal operand is validated at
-    rewrite time (loud ConversionError parity); a column operand gets a
-    runtime membership CASE with raise_error. Divergence (documented):
-    comparisons order enum CELLS lexicographically, not by definition
-    order — DuckDB compares the member indexes."""
+    rewrite time (loud ConversionError parity) in BOTH the ``::`` and
+    ``CAST(… AS enum)`` spellings (ADVICE r10: the CAST spelling was
+    blindly rewritten to STRING, so ``CAST('zebra' AS mood)`` silently
+    succeeded); a column/expression operand gets a runtime membership
+    CASE with raise_error. ``TRY_CAST`` NULLs a non-member (DuckDB's
+    semantics) via a membership CASE without raise_error. Runs over
+    literal-protected text so enum-cast-like spellings inside string
+    data are never touched."""
     enums = {
         name: vals
         for (sid, name), vals in _session_enums.items()
@@ -388,46 +430,75 @@ def substitute_enums(spark: SparkSession, sql: str) -> str:
     }
     if not enums:
         return sql
-    for name, vals in enums.items():
-        lit_pat = re.compile(
-            r"'((?:[^']|'')*)'\s*::\s*" + name + r"\b", re.IGNORECASE
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        _protect_literals,
+        _restore_literals,
+    )
+
+    prot, stash = _protect_literals(sql)
+
+    def member_of(ph_idx: str, vals: list[str], name: str) -> str:
+        raw = stash[int(ph_idx)][1:-1].replace("''", "'")
+        if raw not in vals:
+            raise ValueError(
+                f"Could not convert string '{raw}' to {name}"
+            )
+        return f"\x00LIT{ph_idx}\x00"
+
+    def runtime_check(expr: str, members: str, name: str) -> str:
+        return (
+            f"(CASE WHEN {expr} IS NULL OR {expr} IN ({members}) "
+            f"THEN {expr} "
+            f"ELSE raise_error(concat('Could not convert string ''', "
+            f"{expr}, ''' to {name}')) END)"
         )
 
-        def lit_sub(m: re.Match, vals=vals, name=name) -> str:
-            raw = m.group(1).replace("''", "'")
-            if raw not in vals:
-                raise ValueError(
-                    f"Could not convert string '{raw}' to {name}"
-                )
-            return f"'{m.group(1)}'"
-
-        sql = lit_pat.sub(lit_sub, sql)
+    for name, vals in enums.items():
+        members = ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+        lit_pat = re.compile(
+            r"\x00LIT(\d+)\x00\s*::\s*" + name + r"\b", re.IGNORECASE
+        )
+        prot = lit_pat.sub(
+            lambda m, vals=vals, name=name: member_of(m.group(1), vals, name),
+            prot,
+        )
         col_pat = re.compile(
             r"([A-Za-z_][\w.]*)\s*::\s*" + name + r"\b", re.IGNORECASE
         )
-        members = ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+        prot = col_pat.sub(
+            lambda m, members=members, name=name: runtime_check(
+                m.group(1), members, name
+            ),
+            prot,
+        )
 
-        def col_sub(m: re.Match, members=members, name=name) -> str:
-            c = m.group(1)
-            return (
-                f"(CASE WHEN {c} IS NULL OR {c} IN ({members}) THEN {c} "
-                f"ELSE raise_error(concat('Could not convert string ''', "
-                f"{c}, ''' to {name}')) END)"
-            )
+        def cast_sub(
+            m: re.Match, vals=vals, members=members, name=name
+        ) -> str:
+            is_try = bool(m.group(1))
+            operand = m.group(2).strip()
+            if is_try:
+                # DuckDB: TRY_CAST of a non-member → NULL, no error
+                return (
+                    f"(CASE WHEN CAST({operand} AS STRING) IN ({members}) "
+                    f"THEN CAST({operand} AS STRING) END)"
+                )
+            pm = re.fullmatch(r"\x00LIT(\d+)\x00", operand)
+            if pm is not None:
+                return f"CAST({member_of(pm.group(1), vals, name)} AS STRING)"
+            if re.fullmatch(r"NULL", operand, re.IGNORECASE):
+                return "CAST(NULL AS STRING)"
+            return f"CAST({runtime_check(operand, members, name)} AS STRING)"
 
-        sql = col_pat.sub(col_sub, sql)
-        # CAST(expr AS name) spelling → the :: forms above ran first,
-        # so only the explicit keyword form remains (anchored on CAST(
-        # so a column alias named like the enum is never touched)
-        sql = re.sub(
-            r"(\b(?:TRY_)?CAST\s*\(((?:[^()]|\([^()]*\))*?)\s+AS\s+)"
+        prot = re.sub(
+            r"\b(TRY_)?CAST\s*\(((?:[^()]|\([^()]*\))*?)\s+AS\s+"
             + name
-            + r"\b(\s*\))",
-            r"\1STRING\3",
-            sql,
+            + r"\b\s*\)",
+            cast_sub,
+            prot,
             flags=re.IGNORECASE,
         )
-    return sql
+    return _restore_literals(prot, stash, form="duck")
 
 
 _CREATE_MACRO = re.compile(
@@ -565,13 +636,15 @@ def expand_macros(spark: SparkSession, sql: str, _depth: int = 0) -> str:
             continue
 
         def sub(args, params=params, body=body):
+            if args == [""]:
+                args = []  # zero-arg call: name() splits to one empty arg
             bound = _bind_args(params, args)
             if bound is None:
                 return None
             return f"({substitute(body, bound)})"
 
         out = _rewrite_calls(out, name, sub)
-    out = _restore_literals(out, stash)
+    out = _restore_literals(out, stash, form="duck")
     if out != sql:  # macros calling macros: iterate to fixpoint
         return expand_macros(spark, out, _depth + 1)
     return out

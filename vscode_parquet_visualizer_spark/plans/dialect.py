@@ -550,14 +550,23 @@ def _spark_string_literal(content: str) -> str:
 
 
 def _restore_literals(
-    sql: str, stash: list[str], idq: str = "raw"
+    sql: str, stash: list[str], idq: str = "raw", form: str = "spark"
 ) -> str:
     """``idq="backtick"`` is for the FINAL restore of the full transpile
     only — every intermediate restore (statement splitting, EXECUTE
     binding, macro expansion, mini-rewrites) must keep the original
     ``"…"`` spelling, because the text flows BACK through transpile and
     an early backtick conversion would re-expose identifier content to
-    the rewrites the IDQ protection exists to block."""
+    the rewrites the IDQ protection exists to block.
+
+    ``form="duck"`` restores the stash VERBATIM (DuckDB-dialect text)
+    for restores whose output re-enters the gateway/transpile pipeline
+    — the default ``"spark"`` form re-encodes quote-doubled /
+    backslash-carrying literals for Spark's raw lexer, and that
+    re-encoding picks the ``"…"`` double-quoted spelling when the
+    content holds a single quote, which a LATER ``_protect_literals``
+    pass reads as a quoted IDENTIFIER and backticks (r11: multi-
+    statement ``SELECT 'it''s'; …`` came back as the column `it's`)."""
     for i, lit in enumerate(stash):
         ph = f"\x00IDQ{i}\x00"
         if ph in sql:
@@ -570,6 +579,9 @@ def _restore_literals(
                 sql = sql.replace(ph, lit)
         ph = f"\x00LIT{i}\x00"
         if ph not in sql:
+            continue
+        if form == "duck":
+            sql = sql.replace(ph, lit)
             continue
         # SQL-standard quote doubling must be re-encoded for Spark's raw
         # literal mode (see _spark_string_literal) — applies equally to

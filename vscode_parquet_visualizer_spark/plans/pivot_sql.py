@@ -95,17 +95,36 @@ def try_rewrite_pivot(spark: SparkSession, sql: str) -> DataFrame | None:
     # ORDER BY y)) is never touched
     suffix = ""
     depth = 0
-    for i in range(len(tail)):
+    i = 0
+    while i < len(tail):
         ch = tail[i]
+        if ch == "'":
+            # skip string literals ('' doubling) — a LIMIT/ORDER
+            # spelling inside one must not split (ADVICE r10)
+            j = i + 1
+            while j < len(tail):
+                if tail[j] == "'":
+                    if j + 1 < len(tail) and tail[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0 and re.match(
-            r"(?:ORDER\s+BY|LIMIT)\b", tail[i:], re.IGNORECASE
+        elif (
+            depth == 0
+            # left word boundary: `GROUP BY rate_limit` must not split
+            # mid-identifier at its `limit` suffix (ADVICE r10)
+            and (i == 0 or not (tail[i - 1].isalnum() or tail[i - 1] == "_"))
+            and re.match(r"(?:ORDER\s+BY|LIMIT)\b", tail[i:], re.IGNORECASE)
         ):
             tail, suffix = tail[:i], " " + tail[i:]
             break
+        i += 1
     mg = _GROUP_BY.search(tail)
     if mg is not None:
         agg, group_by = tail[: mg.start()].strip(), tail[mg.end() :].strip()

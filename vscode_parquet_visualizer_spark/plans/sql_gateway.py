@@ -285,7 +285,7 @@ def _split_statements(sql: str) -> list[str]:
             last = i + 1
     parts.append(prot[last:])
     stmts = [
-        _restore_literals(p, stash).strip() for p in parts
+        _restore_literals(p, stash, form="duck").strip() for p in parts
     ]
     return [s for s in stmts if s]
 
@@ -342,7 +342,7 @@ def _try_union_by_name(
     sides = [
         run_sql(
             spark,
-            _strip_outer_parens(_restore_literals(seg, stash)),
+            _strip_outer_parens(_restore_literals(seg, stash, form="duck")),
             **kw,
         )
         for seg in segments
@@ -358,7 +358,8 @@ def _try_union_by_name(
         view = f"__union_by_name_{_ubn_counter}"
         out.createOrReplaceTempView(view)
         return run_sql(
-            spark, f"SELECT * FROM {view} {_restore_literals(tail, stash)}"
+            spark, f"SELECT * FROM {view} "
+            f'{_restore_literals(tail, stash, form="duck")}'
         )
     return out
 
@@ -601,9 +602,14 @@ def run_sql(
     )
 
     if not _CREATE_MACRO.match(bound):
+        # a macro DEFINITION keeps nextval()/enum casts as text — DuckDB
+        # evaluates the body per invocation, so substituting here would
+        # freeze nextval('s') to one definition-time value (ADVICE r10);
+        # expand_macros runs first, so call-time expansion flows through
+        # these substitutions on every invocation.
         bound = expand_macros(spark, bound)
-    bound = substitute_sequences(spark, bound)
-    bound = substitute_enums(spark, bound)
+        bound = substitute_sequences(spark, bound)
+        bound = substitute_enums(spark, bound)
     if _FILE_REL.search(bound):
         bound = _route_file_relations(spark, bound)
     intro = _INTROSPECT.match(bound)
