@@ -271,3 +271,64 @@ def test_partkey_projection_queries_plan_exchange_free(spark, sf_dir):
             jp = jp.initialPlan()
         n_ex = count_ex(jp)
         assert n_ex <= allowed, f"{name}: {n_ex} exchanges\n{plan_of(df)}"
+
+
+def test_q18_distinct_agg_has_no_expand(spark, sf_dir):
+    # r10 verdict item 1: mixing count(DISTINCT) with FILTER aggregates
+    # in one Aggregate forces Spark's Expand-based plan (~2x row
+    # inflation through the first shuffle on the fact table). q18 is
+    # restructured as a two-level aggregation; pin Expand out of the
+    # plan so a rewrite can't silently reintroduce it.
+    from vscode_parquet_visualizer_spark import workload
+
+    df = workload.QUERIES["q18_filtered_distinct_agg"](spark, sf_dir)
+    p = plan_of(df)
+    assert "Expand" not in p, p
+    # and exactly two exchanges: (flag, supp) pre-aggregate + final
+    # (count the tree section only — node details repeat each name)
+    tree = p.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2, p
+
+
+def test_exclude_peer_aligned_shapes_avoid_collect_fold(spark, sf_dir):
+    # r10 verdict item 7: the general EXCLUDE lowering materializes the
+    # frame per row (collect_list + fold, O(frame) memory — documented
+    # bound, COVERAGE.md round-10). The SCALE path — peer-aligned and
+    # frameless shapes — must keep the algebraic/two-level lowering
+    # with NO collect_list in the optimized plan.
+    from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+    spark.catalog.clearCache()
+    registry.read(
+        spark, f"{sf_dir}/lineitem.parquet", "parquet"
+    ).createOrReplaceTempView("lineitem_xp")
+    shapes = {
+        "sum_current_row": """
+            SELECT l_orderkey,
+                   sum(l_quantity) OVER (
+                     PARTITION BY l_returnflag ORDER BY l_orderkey
+                     EXCLUDE CURRENT ROW) AS s
+            FROM lineitem_xp""",
+        "count_group_frameless": """
+            SELECT l_orderkey,
+                   count(*) OVER (
+                     PARTITION BY l_returnflag ORDER BY l_orderkey
+                     EXCLUDE GROUP) AS c
+            FROM lineitem_xp""",
+        "avg_ties_range": """
+            SELECT l_orderkey,
+                   avg(l_extendedprice) OVER (
+                     PARTITION BY l_returnflag ORDER BY l_orderkey
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     EXCLUDE TIES) AS a
+            FROM lineitem_xp""",
+        "min_frameless_exclude": """
+            SELECT l_orderkey,
+                   min(l_quantity) OVER (
+                     PARTITION BY l_returnflag ORDER BY l_orderkey
+                     EXCLUDE CURRENT ROW) AS m
+            FROM lineitem_xp""",
+    }
+    for name, sql in shapes.items():
+        p = plan_of(run_sql(spark, sql))
+        assert "collect_list" not in p, f"{name} routed through the O(frame) fold:\n{p}"
