@@ -1230,3 +1230,68 @@ class TestRound11AdviceFixes:
         rows = run_sql(spark, "EXECUTE r11_p('it''s')").collect()
         assert tuple(rows[0]) == ("it's", "a'b")
         run_sql(spark, "DEALLOCATE r11_p").collect()
+
+
+class TestRound11PivotForms:
+    """r10 verdict item 4: subquery-form and SQL-standard PIVOT count
+    cells must 0-fill like DuckDB (Spark's native pivot NULL-fills)."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def pv_table(self, spark):
+        run_sql(
+            spark,
+            "CREATE OR REPLACE TABLE r11_pv AS SELECT range % 3 AS g, "
+            "CASE range % 2 WHEN 0 THEN 'x' ELSE 'y' END AS s, range AS v "
+            "FROM range(10) WHERE NOT (range % 3 = 2 AND range % 2 = 1)",
+        ).collect()
+        yield
+        run_sql(spark, "DROP TABLE r11_pv").collect()
+
+    def test_shorthand_pivot_as_derived_table(self, spark):
+        # previously a Spark parse error (the full-statement route only
+        # matched a leading PIVOT); DuckDB-verified rows incl. the
+        # (2, 2, 0) zero-filled cell
+        df = run_sql(
+            spark,
+            "SELECT * FROM (PIVOT r11_pv ON s USING count(*) GROUP BY g) "
+            "ORDER BY g",
+        )
+        assert df.columns == ["g", "x", "y"]
+        assert [tuple(r) for r in df.collect()] == [
+            (0, 2, 2), (1, 1, 2), (2, 2, 0),
+        ]
+
+    def test_standard_pivot_count_zero_fill(self, spark):
+        # rode Spark's native pivot before (NULL in the absent cell);
+        # DuckDB 0-fills count
+        df = run_sql(
+            spark,
+            "SELECT * FROM (SELECT g, s FROM r11_pv) "
+            "PIVOT (count(*) FOR s IN ('x','y')) ORDER BY g",
+        )
+        assert df.columns == ["g", "x", "y"]
+        assert [tuple(r) for r in df.collect()] == [
+            (0, 2, 2), (1, 1, 2), (2, 2, 0),
+        ]
+
+    def test_standard_pivot_alias_naming(self, spark):
+        # DuckDB naming probed r11: agg alias suffixes as {value}_{alias}
+        df = run_sql(
+            spark,
+            "SELECT * FROM (SELECT g, s FROM r11_pv) "
+            "PIVOT (count(*) AS c FOR s IN ('x','y')) ORDER BY g",
+        )
+        assert df.columns == ["g", "x_c", "y_c"]
+
+    def test_standard_pivot_counted_column_excluded_from_ids(self, spark):
+        # count(v): v is consumed by the aggregate, so ids = {g} only
+        # (DuckDB-probed rule); value-alias naming
+        df = run_sql(
+            spark,
+            "SELECT * FROM (SELECT g, s, v FROM r11_pv) "
+            "PIVOT (count(v) FOR s IN ('x' AS ex, 'y')) ORDER BY g",
+        )
+        assert df.columns == ["g", "ex", "y"]
+        assert [tuple(r) for r in df.collect()] == [
+            (0, 2, 2), (1, 1, 2), (2, 2, 0),
+        ]

@@ -67,6 +67,21 @@ def _value_literal(v) -> str | None:
 def try_rewrite_pivot(spark: SparkSession, sql: str) -> DataFrame | None:
     """If ``sql`` is a full-statement DuckDB PIVOT shorthand, run it and
     return the result DataFrame; otherwise return ``None``."""
+    from vscode_parquet_visualizer_spark.plans import dialect
+
+    lowered = lower_pivot_text(spark, sql)
+    if lowered is None:
+        return None
+    return spark.sql(dialect.transpile(lowered))
+
+
+def lower_pivot_text(spark: SparkSession, sql: str) -> str | None:
+    """Lower a DuckDB PIVOT-shorthand statement to a plain grouped
+    SELECT in DuckDB-dialect text (the FILTER lowering with exact
+    absent-group fill), or ``None`` if ``sql`` isn't a supported
+    shorthand. Text-level so the same lowering serves the
+    full-statement route AND the subquery form
+    ``SELECT … FROM (PIVOT t ON c USING agg)`` (r10 verdict item 4)."""
     s = sql.strip().rstrip(";").strip()
     m = _PIVOT_HEAD.match(s)
     if m is None:
@@ -178,7 +193,7 @@ def try_rewrite_pivot(spark: SparkSession, sql: str) -> DataFrame | None:
         )
     else:
         lowered = f"SELECT {', '.join(cols)} FROM {from_clause}"
-    return spark.sql(dialect.transpile(lowered + suffix))
+    return lowered + suffix
 
 
 _UNPIVOT_STMT = re.compile(
@@ -219,3 +234,136 @@ def try_rewrite_unpivot(spark: SparkSession, sql: str) -> DataFrame | None:
     return out.filter(F.col(value_col).isNotNull())
 
 
+
+def route_embedded_pivots(spark: SparkSession, sql: str) -> str:
+    """Lower DuckDB PIVOT-shorthand DERIVED TABLES —
+    ``… FROM (PIVOT t ON c USING agg [GROUP BY …]) [alias] …`` — in
+    place (r10 verdict item 4: the subquery form previously fell
+    through to a Spark parse error; the full-statement route only
+    matched a leading PIVOT). Each parenthesized shorthand is replaced
+    by its FILTER lowering, which keeps DuckDB's absent-group fill
+    (count → 0) exactly. Literal-protected scan so PIVOT-like text in
+    string data is never touched."""
+    if re.search(r"\(\s*PIVOT\b", sql, re.IGNORECASE) is None:
+        return sql
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        _protect_literals,
+        _restore_literals,
+    )
+
+    prot, stash = _protect_literals(sql)
+    out, pos = [], 0
+    for _ in range(1000):
+        m = re.search(r"\(\s*PIVOT\b", prot[pos:], re.IGNORECASE)
+        if m is None:
+            break
+        open_idx = pos + m.start()
+        close_idx = _balanced_close(prot, open_idx)
+        if close_idx < 0:
+            break
+        inner = _restore_literals(
+            prot[open_idx + 1 : close_idx], stash, form="duck"
+        )
+        lowered = lower_pivot_text(spark, inner)
+        if lowered is None:
+            out.append(prot[pos : close_idx + 1])
+            pos = close_idx + 1
+            continue
+        reprot, extra = _protect_literals(lowered)
+        # re-stash the lowered text's literals into the shared stash
+        for lit in extra:
+            stash.append(lit)
+        reprot = re.sub(
+            r"\x00(LIT|IDQ)(\d+)\x00",
+            lambda mm: f"\x00{mm.group(1)}{int(mm.group(2)) + len(stash) - len(extra)}\x00",
+            reprot,
+        )
+        out.append(prot[pos:open_idx] + "(" + reprot + ")")
+        pos = close_idx + 1
+    out.append(prot[pos:])
+    return _restore_literals("".join(out), stash, form="duck")
+
+
+_STD_PIVOT = re.compile(
+    r"\bFROM\s+(?P<rel>\((?:[^()]|\([^()]*\)|\((?:[^()]|\([^()]*\))*\))*\)"
+    r"|[A-Za-z_][\w.]*)\s+"
+    r"PIVOT\s*\(\s*count\s*\(\s*(?P<op>\*|[A-Za-z_]\w*)\s*\)\s*"
+    r"(?:AS\s+(?P<alias>[A-Za-z_]\w*)\s*)?"
+    r"FOR\s+(?P<col>[A-Za-z_]\w*)\s+IN\s*\((?P<vals>[^()]*)\)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def rewrite_standard_count_pivot(
+    spark: SparkSession, sql: str, run_sql, **kw
+) -> str:
+    """SQL-standard ``<rel> PIVOT (count(…) FOR col IN (…))`` →  the
+    FILTER lowering, using the relation's resolved schema for the
+    implicit group-by columns. Spark's native pivot NULL-fills absent
+    COUNT cells where DuckDB fills 0 (wave-48 record); only the
+    count-aggregate single-agg form diverges, so only it is lowered —
+    sum/avg/min/max NULL-fill identically in both engines and stay on
+    Spark's native pivot. DuckDB semantics reproduced (probed r11):
+    id columns = relation columns minus the FOR column minus the
+    counted column; names are the IN value, ``value AS alias`` wins,
+    and an aggregate alias suffixes as ``{value}_{alias}``."""
+    if re.search(r"\bPIVOT\s*\(", sql, re.IGNORECASE) is None:
+        return sql
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        _protect_literals,
+        _restore_literals,
+        _split_top_level,
+    )
+
+    prot, stash = _protect_literals(sql)
+
+    def one(m: re.Match) -> str:
+        rel = m.group("rel")
+        op, alias, col = m.group("op"), m.group("alias"), m.group("col")
+        rel_duck = _restore_literals(rel, stash, form="duck")
+        try:
+            rel_cols = run_sql(
+                spark, f"SELECT * FROM {rel_duck} __std_pivot_src LIMIT 0"
+                if rel_duck.startswith("(")
+                else f"SELECT * FROM {rel_duck} LIMIT 0",
+                **kw,
+            ).columns
+        except Exception:
+            return m.group(0)  # unresolvable source: keep native route
+        ids = [
+            c for c in rel_cols
+            if c.lower() != col.lower()
+            and (op == "*" or c.lower() != op.lower())
+        ]
+        cols = []
+        for item in _split_top_level(m.group("vals")):
+            item = item.strip()
+            if not item:
+                continue
+            vm = re.match(
+                r"(?s)(.+?)\s+AS\s+([A-Za-z_]\w*)\s*$", item, re.IGNORECASE
+            )
+            vexpr, vname = (
+                (vm.group(1).strip(), vm.group(2)) if vm else (item, None)
+            )
+            if vname is None:
+                raw = vexpr
+                lm = re.fullmatch(r"\x00LIT(\d+)\x00", raw)
+                if lm is not None:
+                    raw = stash[int(lm.group(1))][1:-1].replace("''", "'")
+                vname = raw if alias is None else f"{raw}_{alias}"
+            name = vname.replace("`", "``")
+            cols.append(
+                f"count({op}) FILTER (WHERE {col} = {vexpr}) AS `{name}`"
+            )
+        if not cols:
+            return m.group(0)
+        sel = (", ".join(ids) + ", ") if ids else ""
+        grp = f" GROUP BY {', '.join(ids)}" if ids else ""
+        return (
+            f"FROM (SELECT {sel}{', '.join(cols)} FROM {rel} "
+            f"__std_pivot_src{grp})"
+        )
+
+    out = _STD_PIVOT.sub(one, prot)
+    return _restore_literals(out, stash, form="duck")

@@ -678,6 +678,27 @@ def run_sql(
         )
         if routed is not None:
             bound = routed
+    if re.search(r"\(\s*PIVOT\b", bound, re.IGNORECASE):
+        from vscode_parquet_visualizer_spark.plans.pivot_sql import (
+            route_embedded_pivots,
+        )
+
+        bound = route_embedded_pivots(spark, bound)
+    if re.search(r"\bPIVOT\s*\(", bound, re.IGNORECASE):
+        from vscode_parquet_visualizer_spark.plans.pivot_sql import (
+            rewrite_standard_count_pivot,
+        )
+
+        bound = rewrite_standard_count_pivot(
+            spark,
+            bound,
+            run_sql,
+            view=view,
+            columns=columns,
+            dataset_path=dataset_path,
+            array_columns=array_columns,
+            date_columns=date_columns,
+        )
     pivoted = try_rewrite_pivot(spark, bound)
     if pivoted is not None:
         return pivoted
