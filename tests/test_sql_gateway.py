@@ -1295,3 +1295,52 @@ class TestRound11PivotForms:
         assert [tuple(r) for r in df.collect()] == [
             (0, 2, 2), (1, 1, 2), (2, 2, 0),
         ]
+
+
+class TestRound11EnumOrdering:
+    """r10 verdict item 5: DuckDB compares enums by MEMBER INDEX, not
+    cell text — observable wherever definition order != lex order.
+    All expectations below verified against DuckDB v1.x this round."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def mood(self, spark):
+        run_sql(
+            spark, "CREATE TYPE r11_mood2 AS ENUM ('sad','ok','happy')"
+        ).collect()
+        yield
+        run_sql(spark, "DROP TYPE r11_mood2").collect()
+
+    def test_order_by_alias_of_enum_cast(self, spark):
+        r = run_sql(
+            spark,
+            "SELECT unnest(['happy','sad','ok'])::r11_mood2 AS m ORDER BY m",
+        ).collect()
+        assert [t[0] for t in r] == ["sad", "ok", "happy"]
+        r = run_sql(
+            spark,
+            "SELECT unnest(['happy','sad','ok'])::r11_mood2 AS m "
+            "ORDER BY m DESC",
+        ).collect()
+        assert [t[0] for t in r] == ["happy", "ok", "sad"]
+
+    def test_order_by_direct_enum_cast(self, spark):
+        run_sql(
+            spark,
+            "CREATE OR REPLACE TABLE r11_et AS "
+            "SELECT unnest(['happy','sad','ok']) AS c",
+        ).collect()
+        r = run_sql(
+            spark, "SELECT c FROM r11_et ORDER BY c::r11_mood2"
+        ).collect()
+        assert [t[0] for t in r] == ["sad", "ok", "happy"]
+        run_sql(spark, "DROP TABLE r11_et").collect()
+
+    def test_enum_comparisons_by_member_index(self, spark):
+        r = run_sql(
+            spark,
+            "SELECT 'ok'::r11_mood2 < 'happy'::r11_mood2 AS a, "
+            "'ok'::r11_mood2 > 'happy'::r11_mood2 AS b, "
+            "'ok'::r11_mood2 >= 'sad'::r11_mood2 AS c, "
+            "'ok'::r11_mood2 = 'ok'::r11_mood2 AS d",
+        ).collect()
+        assert tuple(r[0]) == (True, False, True, True)

@@ -412,6 +412,156 @@ def substitute_sequences(spark: SparkSession, sql: str) -> str:
     return _restore_literals(_SEQ_CALL_PROT.sub(sub, prot), stash, form="duck")
 
 
+# enum-cast operand forms: stash placeholder, a CALL with balanced
+# parens (≤3 nesting levels), or a dotted identifier — longest first
+_ENUM_OPND = (
+    r"(?:\x00LIT\d+\x00"
+    r"|[A-Za-z_][\w.]*\s*\((?:[^()]|\([^()]*\)"
+    r"|\((?:[^()]|\([^()]*\))*\))*\)"
+    r"|[A-Za-z_][\w.]*)"
+)
+
+
+def _enum_index_expr(
+    operand: str, stash: list[str], name: str, vals: list[str]
+) -> str:
+    """Member-index expression for an enum-cast operand: a stash
+    placeholder folds to its index (loud on a non-member, DuckDB's
+    bind-time ConversionError); an identifier/expression gets a runtime
+    CASE — NULL stays NULL, a non-member raises."""
+    pm = re.fullmatch(r"\x00LIT(\d+)\x00", operand.strip())
+    if pm is not None:
+        raw = stash[int(pm.group(1))][1:-1].replace("''", "'")
+        if raw not in vals:
+            raise ValueError(f"Could not convert string '{raw}' to {name}")
+        return str(vals.index(raw))
+    e = operand.strip()
+    whens = " ".join(
+        f"WHEN {e} = '{v.replace(chr(39), chr(39) * 2)}' THEN {i}"
+        for i, v in enumerate(vals)
+    )
+    return (
+        f"(CASE WHEN {e} IS NULL THEN NULL {whens} "
+        f"ELSE raise_error(concat('Could not convert string ''', "
+        f"{e}, ''' to {name}')) END)"
+    )
+
+
+def _rewrite_enum_ordering(
+    prot: str, stash: list[str], name: str, vals: list[str]
+) -> str:
+    """Order-sensitive enum sites → member-index expressions (runs on
+    literal-protected text, before the cast-stripping passes).
+
+    1. ``a::name  <|<=|>|>=  b::name`` — both sides become indexes.
+    2. ``ORDER BY x::name [ASC|DESC|NULLS …]`` items — the cast becomes
+       the index (the cell itself isn't projected by the sort item).
+    3. ``ORDER BY alias`` where the select list defines
+       ``expr::name AS alias`` — the item becomes an index CASE over
+       the alias (Spark resolves select aliases inside ORDER BY
+       expressions; probed r11).
+    Out of scope (documented): min/max over enum cells, enum ordering
+    through set operations or inside window ORDER BY clauses."""
+    opnd = _ENUM_OPND
+    # 1. comparisons between two enum casts
+    cmp_pat = re.compile(
+        rf"(?P<l>{opnd})\s*::\s*{name}\s*(?P<op><=|>=|<|>)\s*"
+        rf"(?P<r>{opnd})\s*::\s*{name}\b",
+        re.IGNORECASE,
+    )
+    prot = cmp_pat.sub(
+        lambda m: (
+            f"{_enum_index_expr(m.group('l'), stash, name, vals)} "
+            f"{m.group('op')} "
+            f"{_enum_index_expr(m.group('r'), stash, name, vals)}"
+        ),
+        prot,
+    )
+    # aliases of enum casts in the select list
+    aliases = {
+        m.group(1).lower()
+        for m in re.finditer(
+            rf"{opnd}\s*::\s*{name}\s+AS\s+([A-Za-z_]\w*)",
+            prot,
+            re.IGNORECASE,
+        )
+    }
+    # 2/3. ORDER BY items
+    out = []
+    pos = 0
+    for ob in re.finditer(r"\bORDER\s+BY\s+", prot):
+        if ob.start() < pos:
+            continue
+        out.append(prot[pos : ob.end()])
+        i = ob.end()
+        depth = 0
+        item_start = i
+        items: list[str] = []
+        while i <= len(prot):
+            ch = prot[i] if i < len(prot) else ""
+            ended = i == len(prot)
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    ended = True
+                else:
+                    depth -= 1
+            elif depth == 0 and ch == ",":
+                items.append(prot[item_start:i] + ",")
+                item_start = i + 1
+            elif depth == 0 and re.match(
+                r"(?:LIMIT|OFFSET|FETCH|FOR)\b", prot[i:], re.IGNORECASE
+            ) and (i == 0 or not (prot[i - 1].isalnum() or prot[i - 1] == "_")):
+                ended = True
+            if ended:
+                items.append(prot[item_start:i])
+                break
+            i += 1
+
+        def fix_item(item: str) -> str:
+            trail = ""
+            if item.endswith(","):
+                item, trail = item[:-1], ","
+            m = re.fullmatch(
+                rf"(\s*)(?P<o>{opnd})\s*::\s*{name}\b"
+                rf"(?P<tail>(?:\s+(?:ASC|DESC|NULLS\s+(?:FIRST|LAST)))*\s*)",
+                item,
+                re.IGNORECASE,
+            )
+            if m is not None:
+                return (
+                    m.group(1)
+                    + _enum_index_expr(m.group("o"), stash, name, vals)
+                    + m.group("tail")
+                    + trail
+                )
+            am = re.fullmatch(
+                r"(\s*)(?P<a>[A-Za-z_]\w*)"
+                r"(?P<tail>(?:\s+(?:ASC|DESC|NULLS\s+(?:FIRST|LAST)))*\s*)",
+                item,
+                re.IGNORECASE,
+            )
+            if am is not None and am.group("a").lower() in aliases:
+                whens = " ".join(
+                    f"WHEN {am.group('a')} = "
+                    f"'{v.replace(chr(39), chr(39) * 2)}' THEN {i}"
+                    for i, v in enumerate(vals)
+                )
+                return (
+                    am.group(1)
+                    + f"(CASE {whens} END)"
+                    + am.group("tail")
+                    + trail
+                )
+            return item + trail
+
+        out.append("".join(fix_item(it) for it in items))
+        pos = i
+    out.append(prot[pos:])
+    return "".join(out)
+
+
 def substitute_enums(spark: SparkSession, sql: str) -> str:
     """Lower casts to session ENUM types: the engine's enum cells are
     their member strings. A string-literal operand is validated at
@@ -455,6 +605,13 @@ def substitute_enums(spark: SparkSession, sql: str) -> str:
 
     for name, vals in enums.items():
         members = ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
+        # ordering semantics FIRST (r10 verdict item 5): DuckDB compares
+        # enums by MEMBER INDEX, not cell text — rewrite order-sensitive
+        # comparison operators between enum casts, and ORDER BY items
+        # that are enum casts (or aliases of them), through the member
+        # index before the casts are stripped below. =/<> are
+        # order-independent and stay on the cell strings.
+        prot = _rewrite_enum_ordering(prot, stash, name, vals)
         lit_pat = re.compile(
             r"\x00LIT(\d+)\x00\s*::\s*" + name + r"\b", re.IGNORECASE
         )
@@ -462,6 +619,26 @@ def substitute_enums(spark: SparkSession, sql: str) -> str:
             lambda m, vals=vals, name=name: member_of(m.group(1), vals, name),
             prot,
         )
+        call_pat = re.compile(
+            r"([A-Za-z_][\w.]*\s*\((?:[^()]|\([^()]*\)"
+            r"|\((?:[^()]|\([^()]*\))*\))*\))\s*::\s*" + name + r"\b",
+            re.IGNORECASE,
+        )
+
+        def call_sub(m, members=members, name=name):
+            # a GENERATOR call (unnest/generate_series) can't be
+            # duplicated inside the membership CASE — strip the cast
+            # (cells are member strings already; ordering rides the
+            # alias/index paths; validation divergence documented)
+            if re.match(
+                r"(?:unnest|generate_series|range)\s*\(",
+                m.group(1),
+                re.IGNORECASE,
+            ):
+                return m.group(1)
+            return runtime_check(m.group(1), members, name)
+
+        prot = call_pat.sub(call_sub, prot)
         col_pat = re.compile(
             r"([A-Za-z_][\w.]*)\s*::\s*" + name + r"\b", re.IGNORECASE
         )
