@@ -1344,3 +1344,91 @@ class TestRound11EnumOrdering:
             "'ok'::r11_mood2 = 'ok'::r11_mood2 AS d",
         ).collect()
         assert tuple(r[0]) == (True, False, True, True)
+
+
+class TestRound11CompositeWaveFinds:
+    """Defects flushed by the round-11 composite script fuzz (statement
+    x expression x identifier x literal grammars in one script); each
+    pinned against DuckDB-verified expectations."""
+
+    def test_update_quoted_identifier_with_comma(self, spark):
+        # the SET splitter broke "c,d" at the comma
+        run_sql(
+            spark,
+            'CREATE OR REPLACE TABLE r11_u1 AS '
+            'SELECT range AS rid, range * 10 AS "c,d" FROM range(3)',
+        ).collect()
+        run_sql(
+            spark,
+            'UPDATE r11_u1 SET "c,d" = "c,d" + 1 WHERE rid >= 1',
+        ).collect()
+        rows = run_sql(
+            spark, 'SELECT "c,d" AS v FROM r11_u1 ORDER BY rid'
+        ).collect()
+        assert [r["v"] for r in rows] == [0, 11, 21]
+        run_sql(spark, "DROP TABLE r11_u1").collect()
+
+    def test_update_quote_doubled_identifier_applies(self, spark):
+        # "sel""ect" resolved to nothing and the assignment was
+        # SILENTLY dropped (wrong-value class)
+        run_sql(
+            spark,
+            'CREATE OR REPLACE TABLE r11_u2 AS '
+            'SELECT range AS rid, range AS "sel""ect" FROM range(3)',
+        ).collect()
+        run_sql(
+            spark,
+            'UPDATE r11_u2 SET "sel""ect" = "sel""ect" * 2 + 1 '
+            "WHERE rid % 3 = 0",
+        ).collect()
+        rows = run_sql(
+            spark, 'SELECT "sel""ect" AS v FROM r11_u2 ORDER BY rid'
+        ).collect()
+        assert [r["v"] for r in rows] == [1, 1, 2]
+        run_sql(spark, "DROP TABLE r11_u2").collect()
+
+    def test_update_unknown_column_is_loud(self, spark):
+        run_sql(
+            spark,
+            "CREATE OR REPLACE TABLE r11_u3 AS SELECT 1 AS a",
+        ).collect()
+        with pytest.raises(Exception, match="does not exist"):
+            run_sql(spark, "UPDATE r11_u3 SET nope = 2").collect()
+        run_sql(spark, "DROP TABLE r11_u3").collect()
+
+    def test_update_unicode_quoted_identifier(self, spark):
+        # the bare-unicode backtick pass double-wrapped an
+        # already-backticked name in the UPDATE rebuild (parse error)
+        run_sql(
+            spark,
+            'CREATE OR REPLACE TABLE r11_u4 AS '
+            'SELECT range AS rid, range AS "ümlaut" FROM range(2)',
+        ).collect()
+        run_sql(
+            spark,
+            'UPDATE r11_u4 SET "ümlaut" = "ümlaut" * 2 + 1 WHERE rid = 0',
+        ).collect()
+        rows = run_sql(
+            spark, 'SELECT "ümlaut" AS v FROM r11_u4 ORDER BY rid'
+        ).collect()
+        assert [r["v"] for r in rows] == [1, 1]
+        run_sql(spark, "DROP TABLE r11_u4").collect()
+
+    def test_update_identifier_containing_double_quote(self, spark):
+        # a '"' inside a rewrite-generated backtick span opened an IDQ
+        # that swallowed text across the backtick (parse error)
+        run_sql(
+            spark,
+            'CREATE OR REPLACE TABLE r11_u5 AS '
+            "SELECT range AS rid, 'A b' AS \"sel\"\"ect\" FROM range(2)",
+        ).collect()
+        run_sql(
+            spark,
+            'UPDATE r11_u5 SET "sel""ect" = trim("sel""ect") '
+            "WHERE rid >= 1",
+        ).collect()
+        rows = run_sql(
+            spark, 'SELECT "sel""ect" AS s FROM r11_u5 ORDER BY rid'
+        ).collect()
+        assert [r["s"] for r in rows] == ["A b", "A b"]
+        run_sql(spark, "DROP TABLE r11_u5").collect()

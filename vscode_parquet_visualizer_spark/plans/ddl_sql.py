@@ -1366,26 +1366,55 @@ def try_rewrite_ddl(
         name, pred = m.group("name"), m.group("pred")
         if not spark.catalog.tableExists(name):
             raise ValueError(f'Table with name "{name}" does not exist')
+        from vscode_parquet_visualizer_spark.plans.dialect import (
+            _protect_literals,
+            _restore_literals,
+        )
+
+        # literal/identifier-protect the SET list before splitting:
+        # a comma or `=` inside a string literal or quoted column name
+        # ("c,d" = …) mis-split the assignments, and stripping bare
+        # quotes left `""`-doubled names unresolvable — which then
+        # SILENTLY matched no column and dropped the assignment
+        # (r11 composite fuzz, silent wrong-value class)
+        prot_sets, set_stash = _protect_literals(m.group("sets"))
         sets = {}
-        for item in _split_top_level(m.group("sets")):
+        for item in _split_top_level(prot_sets):
             col, eq, val = item.partition("=")
             if not eq:
                 raise ValueError(f"UPDATE: cannot parse assignment {item!r}")
-            sets[col.strip().strip('"').lower()] = val.strip()
+            col = col.strip()
+            idm = re.fullmatch(r"\x00IDQ(\d+)\x00", col)
+            if idm is not None:
+                colname = set_stash[int(idm.group(1))][1:-1].replace(
+                    '""', '"'
+                )
+            else:
+                colname = col.strip('"')
+            sets[colname.lower()] = _restore_literals(
+                val.strip(), set_stash, form="duck"
+            )
+        table_cols = {c.lower() for c in spark.table(name).columns}
+        unknown = sorted(k for k in sets if k not in table_cols)
+        if unknown:
+            raise ValueError(
+                f'UPDATE {name}: column "{unknown[0]}" does not exist'
+            )
         proj = []
         for c in spark.table(name).columns:
+            bt = c.replace("`", "``")
             if c.lower() in sets:
                 val = sets[c.lower()]
                 expr = (
-                    f"CASE WHEN ({pred}) THEN ({val}) ELSE `{c}` END"
+                    f"CASE WHEN ({pred}) THEN ({val}) ELSE `{bt}` END"
                     if pred
                     else f"({val})"
                 )
                 proj.append(
-                    f"CAST({expr} AS {_col_type(spark, name, c)}) AS `{c}`"
+                    f"CAST({expr} AS {_col_type(spark, name, c)}) AS `{bt}`"
                 )
             else:
-                proj.append(f"`{c}`")
+                proj.append(f"`{bt}`")
         n = (
             run_sql(spark, f"SELECT count(*) FROM {name} WHERE {pred}", **kw)
             .collect()[0][0]

@@ -487,6 +487,26 @@ def _protect_literals(sql: str) -> tuple[str, list[str]]:
                     out.append(keep_text(sql[i + len(tag) : end]))
                     i = end + len(tag)
                     continue
+        if c == "`":
+            # BACKTICK identifier — only rewrite-generated text carries
+            # these (DDL rebuilds emit Spark-form `col` names); stash
+            # opaque so neither this lexer (a '"' inside the name used
+            # to open an IDQ span crossing the backtick — r11 composite
+            # fuzz) nor any later rewrite can touch the content
+            j, closed = i + 1, -1
+            while j < n:
+                if sql[j] == "`":
+                    if j + 1 < n and sql[j + 1] == "`":
+                        j += 2
+                        continue
+                    closed = j
+                    break
+                j += 1
+            if closed != -1:
+                stash.append(sql[i : closed + 1])
+                out.append(f"\x00BTK{len(stash) - 1}\x00")
+                i = closed + 1
+                continue
         if c == '"':
             # double-quoted IDENTIFIER (DuckDB has no "…" string form):
             # stash under the \x00IDQ…\x00 namespace so no mid-pipeline
@@ -568,6 +588,9 @@ def _restore_literals(
     pass reads as a quoted IDENTIFIER and backticks (r11: multi-
     statement ``SELECT 'it''s'; …`` came back as the column `it's`)."""
     for i, lit in enumerate(stash):
+        ph = f"\x00BTK{i}\x00"
+        if ph in sql:
+            sql = sql.replace(ph, lit)  # backtick span: verbatim always
         ph = f"\x00IDQ{i}\x00"
         if ph in sql:
             if idq == "backtick":
@@ -807,6 +830,11 @@ def rewrite_quoted_identifiers(sql: str) -> str:
     def sub(m: re.Match) -> str:
         if m.group(3) is not None:
             return m.group(3)  # rewrite-generated raw literal: opaque
+        if m.group(4) is not None:
+            # already-backticked span (rewrite-generated, e.g. the DDL
+            # UPDATE rebuild) \u2014 opaque, else a non-ASCII name inside it
+            # would be wrapped AGAIN into ``name`` (r11 composite fuzz)
+            return m.group(4)
         if m.group(1) is not None:
             name = m.group(1)
             if not name:
@@ -820,7 +848,8 @@ def rewrite_quoted_identifiers(sql: str) -> str:
     return re.sub(
         '"((?:[^"]|"")*)"'
         "|([A-Za-z_\u0080-\uffff][\\w\u0080-\uffff]*)"
-        "|('(?:[^']|'')*')",
+        "|('(?:[^']|'')*')"
+        "|(`(?:[^`]|``)*`)",
         sub,
         sql,
     )
@@ -1765,7 +1794,7 @@ def _scan_operand_left(s: str, i: int) -> tuple[int, int] | None:
                 if depth == 0:
                     return tm.start(), end
         return None
-    m = re.search(r"(\x00(?:LIT|IDQ)\d+\x00|[\w.]+)\s*$", s[:j])
+    m = re.search(r"(\x00(?:LIT|IDQ|BTK)\d+\x00|[\w.]+)\s*$", s[:j])
     if m is None:
         return None
     tok = m.group(1)
@@ -1805,7 +1834,7 @@ def _scan_operand_right(s: str, i: int) -> tuple[int, int] | None:
                 if depth == 0:
                     return start, j + tm.end()
         return None
-    m = re.match(r"\x00(?:LIT|IDQ)\d+\x00|\d+(?:\.\d+)?|[A-Za-z_][\w.]*", s[j:])
+    m = re.match(r"\x00(?:LIT|IDQ|BTK)\d+\x00|\d+(?:\.\d+)?|[A-Za-z_][\w.]*", s[j:])
     if m is None:
         return None
     tok = m.group(0)

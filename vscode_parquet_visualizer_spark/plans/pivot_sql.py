@@ -274,7 +274,7 @@ def route_embedded_pivots(spark: SparkSession, sql: str) -> str:
         for lit in extra:
             stash.append(lit)
         reprot = re.sub(
-            r"\x00(LIT|IDQ)(\d+)\x00",
+            r"\x00(LIT|IDQ|BTK)(\d+)\x00",
             lambda mm: f"\x00{mm.group(1)}{int(mm.group(2)) + len(stash) - len(extra)}\x00",
             reprot,
         )
