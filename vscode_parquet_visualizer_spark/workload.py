@@ -1979,9 +1979,9 @@ sql_query(
     """,
 )
 
-sql_query(
+@q(
     "q59_rank_functions",
-    """
+    oracle="""
     SELECT o_orderkey,
            CAST(rank() OVER w AS BIGINT) AS rnk,
            CAST(dense_rank() OVER w AS BIGINT) AS drnk,
@@ -1994,6 +1994,63 @@ sql_query(
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
     """,
 )
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank family over a 3-value window partition — the shape where
+    Spark's WindowExec hits its scalability wall (whole partition on
+    one task: 3 single-threaded 5M-row sorts at sf10, 13.5 s measured
+    r11; does not run at 100 TB). Rewired onto the distributed-rank
+    operator (operators/rank.py): one PARALLEL range-shuffle sort +
+    tiny offset fix-up gives the global row number; the window order
+    (o_totalprice DESC, o_orderkey) is total, so rank = dense_rank =
+    row_number exactly, percent_rank = (rn-1)/(n-1), and ntile folds
+    from (rn, n). first/nth_value are a 3-row broadcast attach from
+    the rn<=2 slice.
+
+    Size profile (the _stream_profile pattern): below 64 MiB of orders
+    the single-task window is FASTER than the distributed machinery's
+    fixed cost (checkpoint + stats job ≈ 1-2 s; window at sf0.1 is
+    0.19 s) — interactive scale keeps the window, the distributed path
+    takes over where the wall starts (sf10: 13.6 s window → 9.2 s
+    distributed, and only the distributed shape runs at 100 TB)."""
+    from vscode_parquet_visualizer_spark.operators.rank import (
+        ntile_from_rn,
+        with_row_numbers,
+    )
+
+    t = load_tables(spark, sf_dir)
+    if _table_bytes(f"{sf_dir}/orders.parquet") < 64 * 1024 * 1024:
+        return spark.sql(ORACLES["q59_rank_functions"])
+    d = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
+    r = with_row_numbers(
+        d,
+        ["o_orderstatus"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+    )
+    tops = (
+        r.filter(F.col("__rn") <= 2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.max(
+                F.when(F.col("__rn") == 1, F.col("o_orderkey"))
+            ).alias("first_in_status"),
+            F.max(
+                F.when(F.col("__rn") == 2, F.col("o_orderkey"))
+            ).alias("second_best"),
+        )
+    )
+    rn, n = F.col("__rn"), F.col("__pn")
+    return (
+        r.join(F.broadcast(tops), "o_orderstatus")
+        .select(
+            "o_orderkey",
+            rn.alias("rnk"),
+            rn.alias("drnk"),
+            F.round((rn - 1) / (n - 1), 6).alias("prnk"),
+            ntile_from_rn(rn, n, 4).alias("quartile"),
+            "first_in_status",
+            "second_best",
+        )
+    )
 
 
 @q(
