@@ -103,12 +103,40 @@ def gen_script(rng: random.Random, k: int):
         sel_items.append(f"fzm{k}(rid) AS mm")
     if use_seq:
         sel_items.append(f"(SELECT {k} WHERE false) IS NULL AS sq")
+    if rng.random() < 0.2:
+        members = rng.sample(["zz", "mm", "aa", "kk", "bb"], 3)
+        mlist = ", ".join(f"'{m}'" for m in members)
+        stmts.append(f"CREATE TYPE fze{k} AS ENUM ({mlist})")
+        sel_items.append(f"'{members[1]}'::fze{k} AS ec")
+        sel_items.append(
+            f"'{members[0]}'::fze{k} < '{members[2]}'::fze{k} AS ecmp"
+        )
     where = ""
     if rng.random() < 0.4:
         where = f" WHERE rid <= {rng.randrange(1, 120)}"
-    stmts.append(
+    final = (
         f"SELECT {', '.join(sel_items)} FROM {src}{where} ORDER BY rid"
     )
+    pick = rng.random()
+    if pick < 0.15:
+        # PREPARE/EXECUTE the final select with a bound parameter
+        bound = rng.randrange(1, 120)
+        stmts.append(
+            f"PREPARE fzp{k} AS SELECT {', '.join(sel_items)} "
+            f"FROM {src} WHERE rid <= ? ORDER BY rid"
+        )
+        stmts.append(f"EXECUTE fzp{k}({bound})")
+    elif pick < 0.3:
+        # set-operation final over the mutated relation
+        op = rng.choice(["UNION ALL", "UNION"])
+        stmts.append(
+            f"SELECT {', '.join(sel_items)} FROM {src} "
+            f"WHERE rid % 2 = 0 {op} "
+            f"SELECT {', '.join(sel_items)} FROM {src} "
+            f"WHERE rid % 2 = 1 ORDER BY rid"
+        )
+    else:
+        stmts.append(final)
     return stmts
 
 
