@@ -1432,3 +1432,53 @@ class TestRound11CompositeWaveFinds:
         ).collect()
         assert [r["s"] for r in rows] == ["A b", "A b"]
         run_sql(spark, "DROP TABLE r11_u5").collect()
+
+
+class TestRound11StdPivotMultiAgg:
+    """Multi-aggregate SQL-standard PIVOT with a count: DuckDB 0-fills
+    count cells and NULL-fills sum cells; naming is value-major with
+    {value}_{alias-or-rendered} (probed r11)."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def pv2(self, spark):
+        run_sql(
+            spark,
+            "CREATE OR REPLACE TABLE r11_pv2 AS SELECT range % 3 AS g, "
+            "CASE range % 2 WHEN 0 THEN 'x' ELSE 'y' END AS s, range AS v "
+            "FROM range(10) WHERE NOT (range % 3 = 2 AND range % 2 = 1)",
+        ).collect()
+        yield
+        run_sql(spark, "DROP TABLE r11_pv2").collect()
+
+    def test_count_and_sum_with_aliases(self, spark):
+        df = run_sql(
+            spark,
+            "SELECT * FROM (SELECT g,s,v FROM r11_pv2) "
+            "PIVOT (count(*) AS c, sum(v) AS sv FOR s IN ('x','y')) "
+            "ORDER BY g",
+        )
+        assert df.columns == ["g", "x_c", "x_sv", "y_c", "y_sv"]
+        assert [tuple(r) for r in df.collect()] == [
+            (0, 2, 6, 2, 12), (1, 1, 4, 2, 8), (2, 2, 10, 0, None),
+        ]
+
+    def test_aliasless_rendering(self, spark):
+        df = run_sql(
+            spark,
+            "SELECT * FROM (SELECT g,s,v FROM r11_pv2) "
+            "PIVOT (count(*), sum(v) FOR s IN ('x','y')) ORDER BY g",
+        )
+        assert df.columns == [
+            "g", "x_count_star()", "x_sum(v)",
+            "y_count_star()", "y_sum(v)",
+        ]
+
+    def test_value_alias_with_counted_column(self, spark):
+        df = run_sql(
+            spark,
+            "SELECT * FROM (SELECT g,s,v FROM r11_pv2) "
+            "PIVOT (sum(v) AS sv, count(v) AS c FOR s IN ('x' AS ex,'y')) "
+            "ORDER BY g",
+        )
+        assert df.columns == ["g", "ex_sv", "ex_c", "y_sv", "y_c"]
+        assert [tuple(r) for r in df.collect()][2] == (2, 10, 2, None, 0)

@@ -287,9 +287,16 @@ def route_embedded_pivots(spark: SparkSession, sql: str) -> str:
 _STD_PIVOT = re.compile(
     r"\bFROM\s+(?P<rel>\((?:[^()]|\([^()]*\)|\((?:[^()]|\([^()]*\))*\))*\)"
     r"|[A-Za-z_][\w.]*)\s+"
-    r"PIVOT\s*\(\s*count\s*\(\s*(?P<op>\*|[A-Za-z_]\w*)\s*\)\s*"
-    r"(?:AS\s+(?P<alias>[A-Za-z_]\w*)\s*)?"
+    r"PIVOT\s*\(\s*(?P<aggs>(?:[^()]|\([^()]*\))*?)\s+"
     r"FOR\s+(?P<col>[A-Za-z_]\w*)\s+IN\s*\((?P<vals>[^()]*)\)\s*\)",
+    re.IGNORECASE,
+)
+
+# one aggregate item inside the standard PIVOT clause: a simple call
+# over * / a bare column / a protected literal, with optional alias
+_STD_AGG = re.compile(
+    r"^(?P<fn>[A-Za-z_]\w*)\s*\(\s*(?P<op>\*|[A-Za-z_]\w*|\x00LIT\d+\x00)"
+    r"\s*\)(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?$",
     re.IGNORECASE,
 )
 
@@ -297,16 +304,19 @@ _STD_PIVOT = re.compile(
 def rewrite_standard_count_pivot(
     spark: SparkSession, sql: str, run_sql, **kw
 ) -> str:
-    """SQL-standard ``<rel> PIVOT (count(…) FOR col IN (…))`` →  the
+    """SQL-standard ``<rel> PIVOT (agg[, agg…] FOR col IN (…))`` → the
     FILTER lowering, using the relation's resolved schema for the
     implicit group-by columns. Spark's native pivot NULL-fills absent
-    COUNT cells where DuckDB fills 0 (wave-48 record); only the
-    count-aggregate single-agg form diverges, so only it is lowered —
-    sum/avg/min/max NULL-fill identically in both engines and stay on
-    Spark's native pivot. DuckDB semantics reproduced (probed r11):
-    id columns = relation columns minus the FOR column minus the
-    counted column; names are the IN value, ``value AS alias`` wins,
-    and an aggregate alias suffixes as ``{value}_{alias}``."""
+    COUNT cells where DuckDB fills 0 (wave-48 record); the lowering
+    fires when the aggregate list contains a count (sum/avg/min/max
+    NULL-fill identically in both engines, so count-free pivots stay
+    on Spark's native route). DuckDB semantics reproduced (probed
+    r11): id columns = relation columns minus the FOR column minus
+    every aggregate's operand column; output columns value-major; a
+    single alias-less aggregate names columns by the IN value alone
+    (``value AS alias`` wins), otherwise ``{value}_{alias}`` with
+    alias-less aggregates rendered as their own text (``count_star()``
+    for ``count(*)``)."""
     if re.search(r"\bPIVOT\s*\(", sql, re.IGNORECASE) is None:
         return sql
     from vscode_parquet_visualizer_spark.plans.dialect import (
@@ -318,8 +328,23 @@ def rewrite_standard_count_pivot(
     prot, stash = _protect_literals(sql)
 
     def one(m: re.Match) -> str:
-        rel = m.group("rel")
-        op, alias, col = m.group("op"), m.group("alias"), m.group("col")
+        rel, col = m.group("rel"), m.group("col")
+        # parse the aggregate list: all items must be simple calls, and
+        # at least one a count (only count's fill diverges); otherwise
+        # keep Spark's native pivot route
+        aggs: list[tuple[str, str, str | None]] = []
+        for item in _split_top_level(m.group("aggs")):
+            item = item.strip()
+            if not item:
+                continue
+            am = _STD_AGG.match(item)
+            if am is None:
+                return m.group(0)
+            aggs.append(
+                (am.group("fn").lower(), am.group("op"), am.group("alias"))
+            )
+        if not aggs or not any(fn == "count" for fn, _, _ in aggs):
+            return m.group(0)
         rel_duck = _restore_literals(rel, stash, form="duck")
         try:
             rel_cols = run_sql(
@@ -330,11 +355,10 @@ def rewrite_standard_count_pivot(
             ).columns
         except Exception:
             return m.group(0)  # unresolvable source: keep native route
-        ids = [
-            c for c in rel_cols
-            if c.lower() != col.lower()
-            and (op == "*" or c.lower() != op.lower())
-        ]
+        consumed = {
+            op.lower() for _, op, _ in aggs if op != "*"
+        } | {col.lower()}
+        ids = [c for c in rel_cols if c.lower() not in consumed]
         cols = []
         for item in _split_top_level(m.group("vals")):
             item = item.strip()
@@ -351,11 +375,26 @@ def rewrite_standard_count_pivot(
                 lm = re.fullmatch(r"\x00LIT(\d+)\x00", raw)
                 if lm is not None:
                     raw = stash[int(lm.group(1))][1:-1].replace("''", "'")
-                vname = raw if alias is None else f"{raw}_{alias}"
-            name = vname.replace("`", "``")
-            cols.append(
-                f"count({op}) FILTER (WHERE {col} = {vexpr}) AS `{name}`"
-            )
+                vname = raw
+            # DuckDB naming (probed r11, value-major order): single
+            # alias-less aggregate → the value alone; otherwise
+            # {value}_{alias-or-rendered-aggregate}, count(*)
+            # rendering as count_star()
+            for fn, op, alias in aggs:
+                if len(aggs) == 1 and alias is None:
+                    name = vname
+                else:
+                    rendered = (
+                        "count_star()"
+                        if (fn, op) == ("count", "*")
+                        else f"{fn}({op})"
+                    )
+                    name = f"{vname}_{alias or rendered}"
+                name = name.replace("`", "``")
+                cols.append(
+                    f"{fn}({op}) FILTER (WHERE {col} = {vexpr}) "
+                    f"AS `{name}`"
+                )
         if not cols:
             return m.group(0)
         sel = (", ".join(ids) + ", ") if ids else ""
