@@ -16,6 +16,7 @@ because every test path went through get_spark).
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -31,7 +32,10 @@ from vscode_parquet_visualizer_spark.session import get_spark
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in workload.TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # make_sf1.py writes one file per copy
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 

@@ -796,7 +796,13 @@ sql_query(
     WITH big_orders AS (
       SELECT * FROM orders WHERE o_totalprice > 400000
     )
-    SELECT n_name, count(*) AS n, round(sum(o_totalprice) / 1000.0, 2) AS total_k
+    -- DECIMAL accumulator + round BEFORE the /1000: a double-sum hits
+    -- engine-divergent half-boundary rounding once magnitudes grow
+    -- (sf1 sweep, r11 — the q02/q68 lesson); round(DECIMAL, n) is
+    -- exact and identical in both engines, and IEEE division of the
+    -- rounded multiple-of-10 by 1000 is correctly rounded on both
+    SELECT n_name, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), -1) / 1000 AS DOUBLE) AS total_k
     FROM big_orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -2426,7 +2432,10 @@ def q67(spark, sf_dir):
     """
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            count(*) AS n,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))) AS DOUBLE), 2) AS revenue
+           -- round in DECIMAL, cast after: rounding the DOUBLE hits
+           -- the Java-vs-C half-boundary divergence at sf1 magnitudes
+           -- (553689546.175 → .18 vs .17, r11 sweep)
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18, 4))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -2480,7 +2489,9 @@ def q68(spark, sf_dir):
             "cust_nation",
             "supp_nation",
             "n",
-            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+            # round the exact DECIMAL, cast after (r11: rounding the
+            # double diverges at half boundaries once sums grow)
+            F.round(F.col("rev"), 2).cast("double").alias("revenue"),
         )
     )
 
