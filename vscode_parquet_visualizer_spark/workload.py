@@ -937,7 +937,10 @@ sql_query(
     SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS STRING) AS month,
            CAST(year(o_orderdate) AS BIGINT) AS yr,
            CAST(month(o_orderdate) AS BIGINT) AS mo,
-           count(*) AS n, round(sum(o_totalprice) / 1000.0, 2) AS total_k
+           count(*) AS n,
+           -- DECIMAL accumulator, round before /1000 (the q16/q68
+           -- half-boundary class; hit at sf10, r11 targeted sweep)
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), -1) / 1000 AS DOUBLE) AS total_k
     FROM orders GROUP BY 1, 2, 3
     """,
 )
