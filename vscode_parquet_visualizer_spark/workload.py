@@ -1765,7 +1765,9 @@ sql_query(
     "q47_group_by_all",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice) / 1000.0, 2) AS total_k
+           -- DECIMAL accumulator, round before /1000 (q16/q68/q21
+           -- half-boundary class; hit at sf10, r11 targeted sweep)
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), -1) / 1000 AS DOUBLE) AS total_k
     FROM orders GROUP BY ALL
     """,
 )
