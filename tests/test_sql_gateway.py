@@ -1482,3 +1482,53 @@ class TestRound11StdPivotMultiAgg:
         )
         assert df.columns == ["g", "ex_sv", "ex_c", "y_sv", "y_c"]
         assert [tuple(r) for r in df.collect()][2] == (2, 10, 2, None, 0)
+
+
+class TestRound12AdviceFixes:
+    """Round-12 ADVICE regressions, each DuckDB-verified this round."""
+
+    def test_lowercase_order_by_enum_member_index(self, spark):
+        # ddl_sql's ORDER BY scanner lacked re.IGNORECASE: lowercase
+        # 'order by' skipped the member-index rewrite and sorted enum
+        # cells lexicographically (DuckDB keywords are case-insensitive)
+        run_sql(
+            spark, "CREATE TYPE r12_mood AS ENUM ('sad','ok','happy')"
+        ).collect()
+        try:
+            r = run_sql(
+                spark,
+                "select unnest(['happy','sad','ok'])::r12_mood as m "
+                "order by m",
+            ).collect()
+            assert [t[0] for t in r] == ["sad", "ok", "happy"]
+            r = run_sql(
+                spark,
+                "select unnest(['happy','sad','ok'])::r12_mood as m "
+                "Order By m desc",
+            ).collect()
+            assert [t[0] for t in r] == ["happy", "ok", "sad"]
+        finally:
+            run_sql(spark, "DROP TYPE r12_mood").collect()
+
+    def test_count_pivot_quoted_id_column(self, spark):
+        # the count-pivot lowering spliced id columns unquoted into
+        # SELECT/GROUP BY; a column needing quoting broke the rewrite
+        # (DuckDB: [(0,2,1),(1,1,2),(2,2,1)] on this data)
+        run_sql(
+            spark,
+            'CREATE OR REPLACE TABLE r12_pv AS SELECT range % 3 AS '
+            '"group col", CASE WHEN range % 2 = 0 THEN \'x\' ELSE \'y\' '
+            "END AS s FROM range(9)",
+        ).collect()
+        try:
+            df = run_sql(
+                spark,
+                'SELECT * FROM (SELECT "group col", s FROM r12_pv) '
+                "PIVOT (count(*) FOR s IN ('x','y')) ORDER BY \"group col\"",
+            )
+            assert df.columns == ["group col", "x", "y"]
+            assert [tuple(r) for r in df.collect()] == [
+                (0, 2, 1), (1, 1, 2), (2, 2, 1),
+            ]
+        finally:
+            run_sql(spark, "DROP TABLE r12_pv").collect()

@@ -489,7 +489,7 @@ def _rewrite_enum_ordering(
     # 2/3. ORDER BY items
     out = []
     pos = 0
-    for ob in re.finditer(r"\bORDER\s+BY\s+", prot):
+    for ob in re.finditer(r"\bORDER\s+BY\s+", prot, re.IGNORECASE):
         if ob.start() < pos:
             continue
         out.append(prot[pos : ob.end()])

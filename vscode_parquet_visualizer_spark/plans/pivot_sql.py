@@ -397,8 +397,12 @@ def rewrite_standard_count_pivot(
                 )
         if not cols:
             return m.group(0)
-        sel = (", ".join(ids) + ", ") if ids else ""
-        grp = f" GROUP BY {', '.join(ids)}" if ids else ""
+        # id columns come from the resolved source schema and may need
+        # quoting (reserved words, spaces, unicode) — backtick each,
+        # doubling embedded backticks
+        qids = ["`" + c.replace("`", "``") + "`" for c in ids]
+        sel = (", ".join(qids) + ", ") if ids else ""
+        grp = f" GROUP BY {', '.join(qids)}" if ids else ""
         return (
             f"FROM (SELECT {sel}{', '.join(cols)} FROM {rel} "
             f"__std_pivot_src{grp})"

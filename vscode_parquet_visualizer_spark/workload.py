@@ -317,6 +317,18 @@ def _stream_mode() -> str:
     return os.environ.get("SPARK_GRAFT_STREAMING", "auto").lower()
 
 
+def _rank_mode() -> str:
+    """Execution mode for the rank-family queries with a size profile:
+    'auto' (default) routes onto the distributed-rank operator
+    (operators/rank.py) only above the 64 MiB wall where Spark's
+    one-task-per-window-partition WindowExec stops scaling; 'distributed'
+    forces the operator path at ANY size so the branch that runs at
+    100 TB is the branch the correctness gates see (mirrors
+    SPARK_GRAFT_STREAMING — round-11 verdict item 2: the scale branch
+    must not be gate-invisible); 'window' forces the plain window plan."""
+    return os.environ.get("SPARK_GRAFT_RANK", "auto").lower()
+
+
 def q(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -2022,14 +2034,20 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed cost (checkpoint + stats job ≈ 1-2 s; window at sf0.1 is
     0.19 s) — interactive scale keeps the window, the distributed path
     takes over where the wall starts (sf10: 13.6 s window → 9.2 s
-    distributed, and only the distributed shape runs at 100 TB)."""
+    distributed, and only the distributed shape runs at 100 TB).
+    SPARK_GRAFT_RANK=distributed forces the operator path at any size
+    (tests/test_rank.py pins the full composition row-equal to the
+    window oracle at driver-gate scale)."""
     from vscode_parquet_visualizer_spark.operators.rank import (
         ntile_from_rn,
+        percent_rank_from_rn,
         with_row_numbers,
     )
 
     t = load_tables(spark, sf_dir)
-    if _table_bytes(f"{sf_dir}/orders.parquet") < 64 * 1024 * 1024:
+    mode = _rank_mode()
+    small = _table_bytes(f"{sf_dir}/orders.parquet") < 64 * 1024 * 1024
+    if mode == "window" or (mode != "distributed" and small):
         return spark.sql(ORACLES["q59_rank_functions"])
     d = t["orders"].select("o_orderkey", "o_orderstatus", "o_totalprice")
     r = with_row_numbers(
@@ -2056,7 +2074,7 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             rn.alias("rnk"),
             rn.alias("drnk"),
-            F.round((rn - 1) / (n - 1), 6).alias("prnk"),
+            percent_rank_from_rn(rn, n, digits=6).alias("prnk"),
             ntile_from_rn(rn, n, 4).alias("quartile"),
             "first_in_status",
             "second_best",
