@@ -47,6 +47,87 @@ def shed_to_fit(
     return line
 
 
+def _reference_timings(here: str, sf: str) -> dict[str, float]:
+    """Per-query reference times for end-of-sweep outlier detection
+    (r11 verdict item 1: two rounds in a row the official bench record
+    was contamination-shaped — q16 4.47 s vs 0.145 s in the same-code
+    rehearsal). Sources, same-sf only: the latest committed load-gated
+    crossover artifact, plus the committed BENCH_DETAIL; where both
+    know a query, the smaller (cleaner) reading wins."""
+    import glob as _glob
+    import re as _re
+
+    refs: dict[str, float] = {}
+
+    def _take(d: dict):
+        for k, v in (d or {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                refs[k] = min(refs.get(k, v), float(v))
+
+    def _round_no(path):
+        m = _re.search(r"CROSSOVER_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    latest = max(
+        _glob.glob(os.path.join(here, "CROSSOVER_r*.json")),
+        key=_round_no,
+        default=None,
+    )
+    if latest:
+        try:
+            with open(latest) as fh:
+                _take(json.load(fh)["spark"].get(sf, {}).get("queries"))
+        except (OSError, KeyError, ValueError):
+            pass
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+            detail = json.load(fh)
+        if str(detail.get("sf")) == str(float(sf)):
+            _take(detail.get("queries"))
+    except (OSError, ValueError):
+        pass
+    return refs
+
+
+def _measure(fn, spark, sf_dir, reps: int, max_extra: int = 3):
+    """One query's timing: returns (cold_sec, warm_min_sec, n_warm).
+
+    Rep 1 pays query construction (dialect transpile, DataFrame
+    building, any driver-side fit); later reps REUSE the analyzed plan
+    — the steady state an interactive session sees for a repeated
+    query, and the analogue of DuckDB re-running a prepared statement.
+    The reported figure is the min over WARM reps only (r10 verdict
+    item 3). Warm reps EXTEND past the default (up to ``max_extra``
+    more) while the warm spread exceeds 2× — two reps proved too few
+    when the box degrades mid-run (r11: both warm reps of q16 read
+    ≥4.47 s under load_avg 3-5 where the true value was 0.145 s)."""
+    df = None
+    cold = None
+    warm: list[float] = []
+    want_warm = reps - 1
+    while True:
+        t0 = time.perf_counter()
+        if df is None:
+            df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - t0
+        if cold is None:
+            cold = dt
+            if reps == 1:
+                return cold, cold, 0
+            continue
+        warm.append(dt)
+        if len(warm) < want_warm:
+            continue
+        spread_bad = (
+            min(warm) > 0.05 and max(warm) / min(warm) > 2.0
+        )
+        if spread_bad and want_warm < (reps - 1) + max_extra:
+            want_warm += 1
+            continue
+        return cold, min(warm), len(warm)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -236,35 +317,36 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, fn in selected:
-        best = None
         try:
-            df = None
-            for i in range(reps):
-                t0 = time.perf_counter()
-                if df is None:
-                    # rep 1 pays query construction (dialect transpile,
-                    # DataFrame building, any driver-side fit); later
-                    # reps REUSE the analyzed plan — the steady state an
-                    # interactive session sees for a repeated query, and
-                    # the analogue of DuckDB re-running a prepared
-                    # statement (its per-rep re-parse is microseconds).
-                    df = fn(spark, sf_dir)
-                df.write.mode("overwrite").format("noop").save()
-                dt = time.perf_counter() - t0
-                if i == 0:
-                    cold[name] = round(dt, 4)
-                    if reps > 1:
-                        # the per-query figure is the min over WARM reps
-                        # only (r10 verdict item 3: a contaminated run
-                        # let q18's cold rep stand as the reported 0.79 s
-                        # against 0.12 s in the same round's crossover);
-                        # the cold number stays visible as cold_sec
-                        continue
-                best = dt if best is None else min(best, dt)
+            c, best, _ = _measure(fn, spark, sf_dir, reps)
+            cold[name] = round(c, 4)
             timings[name] = round(best, 4)
         except Exception as exc:  # a failing query must not kill the bench
             timings[name] = -1.0
             print(f"bench error in {name}: {exc}", file=sys.stderr)
+
+    # End-of-sweep outlier pass (r11 verdict item 1): a query whose warm
+    # min exceeds its committed reference (crossover / BENCH_DETAIL,
+    # same sf) by >3× was likely measured through a transient load
+    # spike; re-measure it now — the end of the sweep is an independent
+    # sample in time — and take the min. The re-run can only LOWER a
+    # reading, never raise one, and every re-run is recorded in the
+    # artifact (outlier_rerun) so a record that still reads high is
+    # visibly a repeated, not one-off, measurement.
+    here = os.path.dirname(os.path.abspath(__file__))
+    refs = _reference_timings(here, sf)
+    rerun: list[str] = []
+    for name, fn in selected:
+        t, ref = timings.get(name, -1.0), refs.get(name)
+        if t >= 0 and ref and t > 3 * ref and t - ref > 0.25:
+            try:
+                _, best, _ = _measure(fn, spark, sf_dir, reps=3)
+                rerun.append(name)
+                if best < t:
+                    timings[name] = round(best, 4)
+            except Exception as exc:
+                print(f"outlier rerun failed for {name}: {exc}",
+                      file=sys.stderr)
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     oracle_names = set(workload.ORACLES)
@@ -290,10 +372,16 @@ def main() -> None:
         # FIRST-rep times — the single-shot cold number rounds 2-3
         # reported — kept alongside for trend comparison.
         "rep_protocol": (
-            f"min-of-{reps - 1}-warm, rep1 cold excluded (cold_sec)"
+            f"min-of-{reps - 1}-warm (+up to 3 on >2x spread), rep1 cold "
+            "excluded (cold_sec), end-of-sweep rerun of >3x-vs-reference "
+            "outliers"
             if reps > 1
             else "single rep, cold"
         ),
+        # queries re-measured by the end-of-sweep outlier pass (empty on
+        # a clean box; non-empty means the box degraded mid-run and the
+        # recorded values are the min over two independent samples)
+        "outlier_rerun": sorted(rerun),
         # 1/5/15-min load averages at bench start and end: a reading
         # taken under box load is not comparable across rounds (the r10
         # crossover's sf1 sweep was uniformly ~1.8x inflated by
@@ -313,8 +401,11 @@ def main() -> None:
     # records parsed=null (rounds 1 and 2 both hit this). The line keeps
     # the headline metrics plus the slowest queries, shedding entries
     # until it fits.
+    # A SPARK_GRAFT_QUERIES-restricted run must not clobber the committed
+    # full-sweep detail file — it now feeds the outlier-pass references.
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_DETAIL_partial.json" if names else "BENCH_DETAIL.json",
     )
     try:
         with open(detail_path, "w") as fh:
