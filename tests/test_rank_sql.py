@@ -1,0 +1,148 @@
+"""Gateway lowering of pass-through rank-family window SQL onto the
+distributed rank operator (plans/rank_sql.py) — round-11 verdict item
+5: q59's own SQL text at forced-large size must produce the distributed
+plan (no WindowExec over the fact table), row-equal to the window plan.
+The reference passes this SQL verbatim to its engine
+(src/worker.ts:516-541)."""
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from vscode_parquet_visualizer_spark.plans.sql_gateway import run_sql
+
+Q59_SQL = """
+    SELECT o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           first_value(o_orderkey) OVER w AS first_in_status,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_best
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark):
+    spark.read.parquet(
+        "/root/testdata/sf0.01/orders.parquet"
+    ).createOrReplaceTempView("orders")
+    # tie-heavy table: 4 partitions x heavily duplicated order keys,
+    # NULLs in both the partition and the order column
+    spark.range(400).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id") % 4)
+        .alias("g"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id") % 5)
+        .alias("k"),
+        F.col("id").alias("uid"),
+    ).createOrReplaceTempView("ties")
+
+
+def _rows(spark, sql):
+    return sorted(tuple(r) for r in run_sql(spark, sql).collect())
+
+
+def test_q59_sql_forced_distributed_row_equal(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, Q59_SQL)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    df = run_sql(spark, Q59_SQL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "lowered q59 SQL must not plan WindowExec"
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == want and len(got) == 15000
+
+
+def test_ties_and_nulls_tie_correct(spark, monkeypatch):
+    # rank/dense_rank/percent_rank/cume_dist under heavy ties and NULL
+    # keys — the tie-CORRECT paths (keystats join, distinct-key rank);
+    # row_number/ntile excluded: their tie order is engine-arbitrary
+    sql = """
+        SELECT uid,
+               rank() OVER w AS r,
+               dense_rank() OVER w AS dr,
+               round(percent_rank() OVER w, 9) AS pr,
+               round(cume_dist() OVER w, 9) AS cd,
+               first_value(uid) OVER w AS fv
+        FROM ties
+        WINDOW w AS (PARTITION BY g ORDER BY k DESC NULLS FIRST)
+    """
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    df = run_sql(spark, sql)
+    assert "Window" not in df._jdf.queryExecution().executedPlan().toString()
+    assert sorted(tuple(r) for r in df.collect()) == want
+
+
+def test_default_frame_nth_and_last_value(spark, monkeypatch):
+    # default frame: nth_value is NULL until the k-th row; last_value's
+    # frame ends at the current row (the row's own value). Total order
+    # so the window oracle is deterministic.
+    sql = """
+        SELECT uid,
+               nth_value(uid, 3) OVER w AS n3,
+               last_value(uid) OVER w AS lv,
+               last_value(uid) OVER (PARTITION BY g ORDER BY uid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS lv_all,
+               row_number() OVER w AS rn
+        FROM ties
+        WINDOW w AS (PARTITION BY g ORDER BY uid)
+    """
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    assert _rows(spark, sql) == want
+
+
+def test_auto_mode_small_input_keeps_window_plan(spark, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_RANK", raising=False)
+    df = run_sql(
+        spark,
+        "SELECT o_orderkey, rank() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_totalprice) AS r FROM orders",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan  # below the 64 MiB gate: plain window plan
+
+
+def test_unsupported_shape_warns_loudly(spark, monkeypatch):
+    # a wall-shaped query the lowering can't cover (rank + a bounded
+    # frame on another call sharing the spec) must warn, not silently
+    # plan the non-scaling WindowExec
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = run_sql(
+            spark,
+            "SELECT rank() OVER (PARTITION BY o_orderstatus ORDER BY "
+            "o_totalprice ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS r "
+            "FROM orders",
+        )
+        df.limit(1).collect()
+    assert any(
+        "WindowExec" in str(x.message) or "distributed-rank" in str(x.message)
+        for x in w
+    )
+
+
+def test_where_and_tail_survive_lowering(spark, monkeypatch):
+    sql = """
+        SELECT uid, dense_rank() OVER (PARTITION BY g ORDER BY k, uid) AS dr
+        FROM ties WHERE uid >= 100 ORDER BY uid LIMIT 7
+    """
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = [tuple(r) for r in run_sql(spark, sql).collect()]
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    got = [tuple(r) for r in run_sql(spark, sql).collect()]
+    assert got == want and len(got) == 7 and got[0][0] == 100

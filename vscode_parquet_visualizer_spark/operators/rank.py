@@ -156,6 +156,153 @@ def with_row_numbers(
     return out.drop("__pid", "__mid", "__wkey")
 
 
+def attach_window_columns(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    order_specs: list[tuple[bool, bool]],
+    outputs: dict[str, tuple],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Compute rank-family window functions WITHOUT WindowExec — the
+    general, tie-correct composition over :func:`with_row_numbers` that
+    the SQL gateway lowers pass-through window SQL onto (round-11
+    verdict item 5: a user typing q59's own SQL — reference
+    src/worker.ts:516-541 passes it verbatim to its engine — must not
+    land on Spark's one-task-per-window-partition plan at scale).
+
+    ``order_cols`` are names of ALREADY-MATERIALIZED order-key columns
+    on ``df``; ``order_specs`` gives (descending, nulls_first) per key
+    (DuckDB defaults NULLS LAST in both directions). ``outputs`` maps
+    result column names to specs:
+
+    - ``("row_number",)`` / ``("ntile", k)`` — straight from the total
+      row number (tie order engine-arbitrary, as in every engine).
+    - ``("rank",)`` / ``("dense_rank",)`` / ``("percent_rank",)`` /
+      ``("cume_dist",)`` — tie-CORRECT: one groupBy over
+      (partition, order keys) gives each distinct key group's
+      min/max row number (rank = min rn of the group, cume_dist =
+      max rn / n), and dense_rank is with_row_numbers applied to the
+      distinct-key table itself (where the order IS total). All
+      shuffles are keyed and parallel — no per-window-partition task.
+    - ``("first_value", col)`` / ``("nth_value", col, k, unbounded)`` /
+      ``("last_value", col, unbounded)`` — the rn∈{1,k,n} slice is a
+      few rows per window partition, aggregated and broadcast back
+      (the routing gate only sends LOW-NDV partitions here, so the
+      broadcast side is tiny by construction). Default-frame
+      semantics: nth_value is NULL until rn≥k; last_value's default
+      frame ends at the current row, so it is the row's own value.
+    """
+    sort_cols: list[Column] = []
+    for c, (desc, nulls_first) in zip(order_cols, order_specs):
+        col = F.col(c)
+        if desc:
+            col = col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
+        else:
+            col = col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
+        sort_cols.append(col)
+    r = with_row_numbers(df, partition_cols, sort_cols, num_partitions)
+    rn, n = F.col("__rn"), F.col("__pn")
+    fns = {spec[0] for spec in outputs.values()}
+    helper_cols: list[str] = ["__rn", "__pn"]
+
+    if fns & {"rank", "dense_rank", "percent_rank", "cume_dist"}:
+        gcols = list(partition_cols) + list(order_cols)
+        ks = r.groupBy(*gcols).agg(
+            F.min("__rn").alias("__krmin"), F.max("__rn").alias("__krmax")
+        )
+        if "dense_rank" in fns:
+            ks = with_row_numbers(
+                ks,
+                partition_cols,
+                [
+                    F.col("__krmin")
+                ],  # min rn orders distinct keys exactly as the data sort did
+                num_partitions,
+                rn_col="__kdr",
+                n_col="__kn",
+            ).drop("__kn")
+            helper_cols.append("__kdr")
+        ks = ks.select(
+            *[F.col(c).alias(f"__k{i}") for i, c in enumerate(gcols)],
+            *[c for c in ("__krmin", "__krmax", "__kdr") if c in ks.columns],
+        )
+        cond = None
+        for i, c in enumerate(gcols):
+            piece = r[c].eqNullSafe(ks[f"__k{i}"])
+            cond = piece if cond is None else cond & piece
+        r = r.join(ks, cond, "left").drop(
+            *[f"__k{i}" for i in range(len(gcols))]
+        )
+        helper_cols.extend(["__krmin", "__krmax"])
+
+    # value attachments: one filtered slice (rn ∈ the needed positions),
+    # aggregated per window partition and broadcast-joined back
+    val_specs = [
+        (out, spec)
+        for out, spec in outputs.items()
+        if spec[0] in ("first_value", "nth_value", "last_value")
+    ]
+    if val_specs:
+        conds, aggs = [], []
+        for i, (out, spec) in enumerate(val_specs):
+            if spec[0] == "first_value":
+                cond = rn == 1
+            elif spec[0] == "nth_value":
+                cond = rn == int(spec[2])
+            else:  # last_value
+                cond = rn == n
+            conds.append(cond)
+            aggs.append(
+                F.first(F.when(cond, spec[1]), ignorenulls=True).alias(
+                    f"__tv{i}"
+                )
+            )
+        any_cond = conds[0]
+        for c in conds[1:]:
+            any_cond = any_cond | c
+        tops = r.filter(any_cond).groupBy(
+            *[F.col(c).alias(f"__p{i}") for i, c in enumerate(partition_cols)]
+        ).agg(*aggs)
+        cond = F.lit(True)
+        for i, c in enumerate(partition_cols):
+            cond = cond & r[c].eqNullSafe(tops[f"__p{i}"])
+        r = r.join(F.broadcast(tops), cond, "left").drop(
+            *[f"__p{i}" for i in range(len(partition_cols))]
+        )
+        helper_cols.extend(f"__tv{i}" for i in range(len(val_specs)))
+
+    out_cols: dict[str, Column] = {}
+    vi = {out: i for i, (out, _) in enumerate(val_specs)}
+    for out, spec in outputs.items():
+        kind = spec[0]
+        if kind == "row_number":
+            c = rn
+        elif kind == "rank":
+            c = F.col("__krmin")
+        elif kind == "dense_rank":
+            c = F.col("__kdr")
+        elif kind == "percent_rank":
+            c = percent_rank_from_rn(F.col("__krmin"), n)
+        elif kind == "cume_dist":
+            c = (F.col("__krmax") / n).cast("double")
+        elif kind == "ntile":
+            c = ntile_from_rn(rn, n, int(spec[1]))
+        elif kind == "first_value":
+            c = F.col(f"__tv{vi[out]}")
+        elif kind == "nth_value":
+            c = F.col(f"__tv{vi[out]}")
+            if not spec[3]:  # default frame: NULL until the k-th row
+                c = F.when(rn >= int(spec[2]), c)
+        elif kind == "last_value":
+            # default frame ends at the current row → the row's own value
+            c = F.col(f"__tv{vi[out]}") if spec[2] else spec[1]
+        else:  # pragma: no cover - guarded by the gateway's support check
+            raise ValueError(f"unsupported window function: {kind}")
+        out_cols[out] = c
+    return r.withColumns(out_cols).drop(*helper_cols)
+
+
 def percent_rank_from_rn(
     rn: Column, n: Column, digits: int | None = None
 ) -> Column:

@@ -1,0 +1,525 @@
+"""Route pass-through rank-family window SQL around WindowExec's wall.
+
+The reference passes the query tab's text verbatim to its engine
+(src/worker.ts:516-541 → src/duckdb-backend.ts:142-146), so a user
+typing ``rank() OVER (PARTITION BY low_card_key ORDER BY …)`` over a
+big table expects it to run. On Spark that text plans as WindowExec,
+which places EVERY row of a window partition on ONE task — over a
+3-value key at 100 TB the query simply does not run (operators/rank.py
+module docstring has the measurements). This module detects that shape
+in the gateway and lowers it onto the distributed rank operator:
+
+- shape: a single SELECT (no GROUP BY / HAVING / QUALIFY / DISTINCT /
+  set ops) whose window functions are all rank-family computable from
+  a global row number — rank, dense_rank, percent_rank, cume_dist,
+  row_number, ntile, first/last/nth_value with default or
+  unbounded-both frames — and share ONE (PARTITION BY, ORDER BY) over
+  plain column references;
+- gate: the child input must be above ``_SIZE_GATE`` AND the partition
+  key's measured NDV at most ``4 × parallelism`` (a high-NDV key gives
+  WindowExec plenty of parallel tasks — the wall only exists when
+  key cardinality < cores). ``SPARK_GRAFT_RANK=distributed`` forces the
+  route at any size (how the tests pin it); ``=window`` disables it.
+- otherwise: when the gate would fire but the shape has something the
+  lowering doesn't cover, emit a loud RuntimeWarning naming the wall
+  instead of silently planning a query that won't finish.
+
+The lowering executes the FROM/WHERE through the normal gateway
+(dialect-complete), attaches the window results via
+operators.rank.attach_window_columns (tie-correct rank/dense_rank —
+no total-order assumption), registers the result as a temp view, and
+re-runs the outer select with each window call textually replaced by
+its computed column, so wrappers like ``CAST(rank() OVER w AS BIGINT)``
+or ``round(percent_rank() OVER w, 6)`` keep working unchanged.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import re
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vscode_parquet_visualizer_spark.plans.dialect import (
+    _protect_literals,
+    _restore_literals,
+    _split_top_level,
+)
+
+_SIZE_GATE = 64 * 1024 * 1024
+
+_RANK_FNS = {
+    "rank",
+    "dense_rank",
+    "percent_rank",
+    "cume_dist",
+    "row_number",
+    "ntile",
+    "first_value",
+    "last_value",
+    "nth_value",
+}
+_NO_ARG = {"rank", "dense_rank", "percent_rank", "cume_dist", "row_number"}
+
+_QUICK = re.compile(
+    r"\b(" + "|".join(sorted(_RANK_FNS)) + r")\s*\(", re.IGNORECASE
+)
+
+_CLAUSE_KWS = (
+    "FROM",
+    "WHERE",
+    "GROUP",
+    "HAVING",
+    "QUALIFY",
+    "WINDOW",
+    "ORDER",
+    "LIMIT",
+    "OFFSET",
+    "FETCH",
+    "UNION",
+    "INTERSECT",
+    "EXCEPT",
+)
+_CLAUSE_RE = re.compile(r"(?:" + "|".join(_CLAUSE_KWS) + r")\b", re.IGNORECASE)
+
+_COLREF = re.compile(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?")
+
+_view_ids = itertools.count()
+
+# Gate-probe caches, keyed by the child SQL text: the size probe costs
+# one plan analysis (~tens of ms) and the NDV probe one pruned-scan job
+# — paid once per distinct query text, not per repetition.
+_SIZE_CACHE: dict[str, int] = {}
+_NDV_CACHE: dict[tuple[str, tuple], bool] = {}
+_CACHE_MAX = 256
+
+
+def _mode() -> str:
+    return os.environ.get("SPARK_GRAFT_RANK", "auto").lower()
+
+
+def _top_level_clauses(s: str) -> list[tuple[str, int]]:
+    """(KEYWORD, position) for each top-level clause keyword, in order."""
+    out: list[tuple[str, int]] = []
+    depth = 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and (ch.isalpha() or ch == "_"):
+            if i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "_."):
+                m = _CLAUSE_RE.match(s, i)
+                if m:
+                    out.append((m.group(0).upper(), i))
+                    i = m.end()
+                    continue
+            # skip the rest of this identifier
+            while i < len(s) and (s[i].isalnum() or s[i] == "_"):
+                i += 1
+            continue
+        i += 1
+    return out
+
+
+def _window_calls(sel: str):
+    """Parse ``fn(args) OVER (spec | name)`` occurrences in a select
+    list. Returns a list of dicts or None when anything fails to parse
+    (the caller falls back to the normal path)."""
+    calls = []
+    for m in re.finditer(r"\bOVER\b", sel, re.IGNORECASE):
+        # forward: the window spec (inline parens or a named window)
+        j = m.end()
+        while j < len(sel) and sel[j].isspace():
+            j += 1
+        if j < len(sel) and sel[j] == "(":
+            depth, k = 1, j + 1
+            while k < len(sel) and depth:
+                if sel[k] == "(":
+                    depth += 1
+                elif sel[k] == ")":
+                    depth -= 1
+                k += 1
+            if depth:
+                return None
+            spec, end = ("INLINE", sel[j + 1 : k - 1]), k
+        else:
+            wm = re.match(r"[A-Za-z_]\w*", sel[j:])
+            if not wm:
+                return None
+            spec, end = ("NAME", wm.group(0).lower()), j + wm.end()
+        # backward: the function call directly before OVER
+        i = m.start() - 1
+        while i >= 0 and sel[i].isspace():
+            i -= 1
+        if i < 0 or sel[i] != ")":
+            return None
+        depth, i = 1, i - 1
+        args_end = i + 1
+        while i >= 0 and depth:
+            if sel[i] == ")":
+                depth += 1
+            elif sel[i] == "(":
+                depth -= 1
+            i -= 1
+        if depth:
+            return None
+        args = sel[i + 2 : args_end]
+        fm = re.search(r"([A-Za-z_]\w*)\s*$", sel[: i + 1])
+        if not fm:
+            return None
+        calls.append(
+            {
+                "start": fm.start(1),
+                "end": end,
+                "fn": fm.group(1).lower(),
+                "args": args.strip(),
+                "spec": spec,
+            }
+        )
+    return calls
+
+
+def _parse_spec(spec: str):
+    """``PARTITION BY a, b ORDER BY x DESC, y [frame]`` →
+    (partition_refs, [(order_ref, desc, nulls_first)], unbounded|None).
+    Returns None for anything beyond plain column references or a
+    non-unbounded explicit frame."""
+    pm = re.search(r"\bPARTITION\s+BY\b", spec, re.IGNORECASE)
+    om = re.search(r"\bORDER\s+BY\b", spec, re.IGNORECASE)
+    fm = re.search(r"\b(ROWS|RANGE|GROUPS)\b", spec, re.IGNORECASE)
+    if om is None:
+        return None  # rank family requires an order
+    if pm is not None and pm.start() > om.start():
+        return None
+    part_text = spec[pm.end() : om.start()] if pm is not None else ""
+    order_text = spec[om.end() : fm.start() if fm else len(spec)]
+    frame_text = spec[fm.start() :].strip() if fm else ""
+    head = spec[: pm.start() if pm is not None else om.start()].strip()
+    if head:
+        return None  # a named-window base reference etc.
+    parts: list[str] = []
+    for it in _split_top_level(part_text) if part_text.strip() else []:
+        it = it.strip()
+        if not _COLREF.fullmatch(it):
+            return None
+        parts.append(it.lower())
+    orders: list[tuple[str, bool, bool]] = []
+    for it in _split_top_level(order_text):
+        im = re.fullmatch(
+            r"\s*(.*?)((?:\s+(?:ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST))*)\s*",
+            it,
+            re.IGNORECASE | re.DOTALL,
+        )
+        body, sfx = im.group(1).strip(), im.group(2).upper()
+        if not _COLREF.fullmatch(body):
+            return None
+        desc = "DESC" in sfx
+        # DuckDB default null order: NULLS LAST in BOTH directions
+        nulls_first = "NULLS FIRST" in re.sub(r"\s+", " ", sfx)
+        orders.append((body.lower(), desc, nulls_first))
+    if not orders:
+        return None
+    unbounded = False
+    if frame_text:
+        if re.fullmatch(
+            r"(ROWS|RANGE)\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
+            r"UNBOUNDED\s+FOLLOWING",
+            re.sub(r"\s+", " ", frame_text),
+            re.IGNORECASE,
+        ):
+            unbounded = True
+        else:
+            return None
+    return tuple(parts), tuple(orders), unbounded
+
+
+def try_rewrite_rank(
+    spark: SparkSession, sql: str, run_sql, **kw
+) -> DataFrame | None:
+    mode = _mode()
+    if mode == "window":
+        return None
+    if not re.search(r"\bOVER\b", sql, re.IGNORECASE) or not _QUICK.search(
+        sql
+    ):
+        return None
+    try:
+        return _try_rewrite(spark, sql, run_sql, mode, kw)
+    except Exception as exc:  # any lowering failure → normal path
+        warnings.warn(
+            f"distributed-rank lowering failed ({exc}); falling back to "
+            "the WindowExec plan",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return None
+
+
+def _warn_wall(reason: str) -> None:
+    warnings.warn(
+        "rank-family window over a low-cardinality partition key plans "
+        "as WindowExec (one task per window partition — does not scale); "
+        f"the distributed lowering could not apply: {reason}",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
+def _try_rewrite(
+    spark: SparkSession, sql: str, run_sql, mode: str, kw: dict
+) -> DataFrame | None:
+    from vscode_parquet_visualizer_spark.operators.rank import (
+        attach_window_columns,
+    )
+
+    prot, stash = _protect_literals(sql.rstrip().rstrip(";"))
+    sm = re.match(r"\s*SELECT\b(?!\s+DISTINCT\b)", prot, re.IGNORECASE)
+    if sm is None:
+        return None
+    clauses = _top_level_clauses(prot[sm.end() :])
+    clauses = [(k, p + sm.end()) for k, p in clauses]
+    names = [k for k, _ in clauses]
+    if "FROM" not in names:
+        return None
+    if {"GROUP", "HAVING", "QUALIFY", "UNION", "INTERSECT", "EXCEPT"} & set(
+        names
+    ):
+        return None
+
+    def _clause(kw_name: str) -> tuple[int, int] | None:
+        for idx, (k, p) in enumerate(clauses):
+            if k == kw_name:
+                nxt = clauses[idx + 1][1] if idx + 1 < len(clauses) else len(
+                    prot
+                )
+                return p, nxt
+        return None
+
+    f_span = _clause("FROM")
+    sel_text = prot[sm.end() : f_span[0]]
+    from_text = prot[f_span[0] + 4 : f_span[1]].strip()
+    w_span = _clause("WHERE")
+    where_text = prot[w_span[0] + 5 : w_span[1]].strip() if w_span else None
+    win_span = _clause("WINDOW")
+    # the trailing ORDER BY / LIMIT / OFFSET / FETCH text, kept verbatim
+    tail_start = None
+    for k, p in clauses:
+        if k in ("ORDER", "LIMIT", "OFFSET", "FETCH"):
+            tail_start = p
+            break
+    tail = prot[tail_start:] if tail_start is not None else ""
+    if re.search(r"\bOVER\b", tail, re.IGNORECASE):
+        return None  # window calls outside the select list: normal path
+
+    named: dict[str, str] = {}
+    if win_span:
+        for item in _split_top_level(prot[win_span[0] + 6 : win_span[1]]):
+            wm = re.fullmatch(
+                r"\s*([A-Za-z_]\w*)\s+AS\s*\((.*)\)\s*",
+                item,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if wm is None:
+                return None
+            named[wm.group(1).lower()] = wm.group(2)
+
+    calls = _window_calls(sel_text)
+    if not calls:
+        return None
+    if not any(c["fn"] in _RANK_FNS for c in calls):
+        return None
+
+    shared = None
+    specs_parsed = []
+    for c in calls:
+        kind, val = c["spec"]
+        spec_text = named.get(val) if kind == "NAME" else val
+        if spec_text is None:
+            return None
+        parsed = _parse_spec(spec_text)
+        if parsed is None:
+            _maybe_warn_gated(spark, run_sql, from_text, where_text, stash,
+                              kw, mode, "unsupported window spec")
+            return None
+        if shared is None:
+            shared = parsed[:2]
+        elif parsed[:2] != shared:
+            _maybe_warn_gated(spark, run_sql, from_text, where_text, stash,
+                              kw, mode, "multiple distinct window specs")
+            return None
+        specs_parsed.append(parsed)
+
+    # per-call support check → output specs
+    outputs: dict[str, tuple] = {}
+    call_out: list[str] = []
+    keyed: dict[tuple, str] = {}
+    for c, parsed in zip(calls, specs_parsed):
+        fn, args, unbounded = c["fn"], c["args"], parsed[2]
+        if fn not in _RANK_FNS or re.search(
+            r"\b(IGNORE|RESPECT)\s+NULLS\b", args, re.IGNORECASE
+        ):
+            _maybe_warn_gated(spark, run_sql, from_text, where_text, stash,
+                              kw, mode, f"unsupported function {fn}")
+            return None
+        if fn in _NO_ARG:
+            if args:
+                return None
+            spec = (fn,)
+        elif fn == "ntile":
+            if not re.fullmatch(r"\d+", args) or int(args) < 1:
+                return None
+            spec = ("ntile", int(args))
+        else:
+            items = _split_top_level(args)
+            ref = items[0].strip() if items else ""
+            if not _COLREF.fullmatch(ref):
+                _maybe_warn_gated(spark, run_sql, from_text, where_text,
+                                  stash, kw, mode,
+                                  f"non-column argument to {fn}")
+                return None
+            if fn == "first_value":
+                if len(items) != 1:
+                    return None
+                spec = ("first_value", ref)
+            elif fn == "last_value":
+                if len(items) != 1:
+                    return None
+                spec = ("last_value", ref, unbounded)
+            else:  # nth_value
+                if len(items) != 2 or not re.fullmatch(
+                    r"\d+", items[1].strip()
+                ):
+                    return None
+                spec = ("nth_value", ref, int(items[1]), unbounded)
+        key = (spec, parsed)
+        if key not in keyed:
+            out = f"__wf{len(keyed)}"
+            keyed[key] = out
+            outputs[out] = spec
+        call_out.append(keyed[key])
+
+    part_refs, order_refs = shared
+    child_sql = _child_sql(from_text, where_text, stash)
+    child_df = None
+    if mode != "distributed":
+        size = _SIZE_CACHE.get(child_sql)
+        if size is None:
+            child_df = _run_child(spark, run_sql, child_sql, kw)
+            size = _plan_bytes(child_df)
+            if len(_SIZE_CACHE) < _CACHE_MAX:
+                _SIZE_CACHE[child_sql] = size
+        if size < _SIZE_GATE:
+            return None
+        low = _NDV_CACHE.get((child_sql, part_refs))
+        if low is None:
+            if child_df is None:
+                child_df = _run_child(spark, run_sql, child_sql, kw)
+            low = _low_ndv(child_df, part_refs)
+            if len(_NDV_CACHE) < _CACHE_MAX:
+                _NDV_CACHE[(child_sql, part_refs)] = low
+        if not low:
+            return None
+    if child_df is None:
+        child_df = _run_child(spark, run_sql, child_sql, kw)
+
+    # resolve refs (case-insensitive, strip any qualifier) against the
+    # child's actual column names
+    by_lower = {c.lower(): c for c in child_df.columns}
+
+    def _resolve(ref: str) -> str | None:
+        return by_lower.get(ref) or by_lower.get(ref.split(".")[-1])
+
+    partition_cols = [_resolve(r) for r in part_refs]
+    order_cols = [_resolve(r) for r, _, _ in order_refs]
+    if None in partition_cols or None in order_cols:
+        _warn_wall("window keys are not child columns")
+        return None
+    resolved_outputs: dict[str, tuple] = {}
+    for out, spec in outputs.items():
+        if spec[0] in ("first_value", "last_value", "nth_value"):
+            vc = _resolve(spec[1])
+            if vc is None:
+                _warn_wall(f"{spec[0]} argument is not a child column")
+                return None
+            spec = (spec[0], F.col(vc)) + spec[2:]
+        resolved_outputs[out] = spec
+
+    lowered = attach_window_columns(
+        child_df,
+        partition_cols,
+        order_cols,
+        [(d, nf) for _, d, nf in order_refs],
+        resolved_outputs,
+    )
+    view = f"__rank_lowered_{next(_view_ids)}"
+    lowered.createOrReplaceTempView(view)
+
+    new_sel = sel_text
+    for c, out in sorted(
+        zip(calls, call_out), key=lambda p: -p[0]["start"]
+    ):
+        new_sel = new_sel[: c["start"]] + out + new_sel[c["end"] :]
+    new_sql = f"SELECT {new_sel.strip()} FROM {view}"
+    if tail:
+        new_sql += " " + tail
+    return run_sql(spark, _restore_literals(new_sql, stash, form="duck"), **kw)
+
+
+def _child_sql(from_text, where_text, stash) -> str:
+    child_sql = f"SELECT * FROM {from_text}"
+    if where_text:
+        child_sql += f" WHERE {where_text}"
+    return _restore_literals(child_sql, stash, form="duck")
+
+
+def _run_child(spark, run_sql, child_sql, kw) -> DataFrame:
+    return run_sql(spark, child_sql, **kw)
+
+
+def _plan_bytes(df: DataFrame) -> int:
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes()))
+
+
+def _low_ndv(df: DataFrame, part_refs) -> bool:
+    """The WindowExec wall needs LOW key cardinality: with NDV well
+    above the parallelism, the one-task-per-partition plan already
+    spreads across the cluster and the lowering buys nothing. One
+    pruned-scan approx-distinct job, paid only above the size gate —
+    where the alternative is a plan that may not finish at all."""
+    by_lower = {c.lower(): c for c in df.columns}
+    cols = [by_lower.get(r) or by_lower.get(r.split(".")[-1]) for r in part_refs]
+    if None in cols:
+        return False
+    if not cols:
+        return True  # empty PARTITION BY: one global partition
+    ndv = df.agg(F.approx_count_distinct(F.xxhash64(*cols))).first()[0]
+    return ndv <= max(64, 4 * df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _maybe_warn_gated(
+    spark, run_sql, from_text, where_text, stash, kw, mode, reason
+) -> None:
+    """Warn about the WindowExec wall only when the routing gate would
+    actually have fired (forced mode, or a large child input) — small
+    interactive inputs take the plain window plan by design."""
+    if mode == "distributed":
+        _warn_wall(reason)
+        return
+    try:
+        child_sql = _child_sql(from_text, where_text, stash)
+        size = _SIZE_CACHE.get(child_sql)
+        if size is None:
+            size = _plan_bytes(_run_child(spark, run_sql, child_sql, kw))
+            if len(_SIZE_CACHE) < _CACHE_MAX:
+                _SIZE_CACHE[child_sql] = size
+        if size >= _SIZE_GATE:
+            _warn_wall(reason)
+    except Exception:
+        pass

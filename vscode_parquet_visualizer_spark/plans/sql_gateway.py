@@ -705,6 +705,29 @@ def run_sql(
     unpivoted = try_rewrite_unpivot(spark, bound)
     if unpivoted is not None:
         return unpivoted
+    if re.search(r"\bOVER\b", bound, re.IGNORECASE):
+        # rank-family window over a low-cardinality key above the size
+        # gate: lower onto the distributed rank operator instead of
+        # WindowExec's one-task-per-window-partition plan (plans/
+        # rank_sql.py; reference passes this SQL verbatim to its engine,
+        # src/worker.ts:516-541)
+        from vscode_parquet_visualizer_spark.plans.rank_sql import (
+            try_rewrite_rank,
+        )
+
+        ranked = try_rewrite_rank(
+            spark,
+            bound,
+            run_sql,
+            view=view,
+            columns=columns,
+            dataset_path=dataset_path,
+            array_columns=array_columns,
+            date_columns=date_columns,
+            integral_columns=integral_columns,
+        )
+        if ranked is not None:
+            return ranked
     return spark.sql(
         dialect.transpile(
             bound,
