@@ -1532,3 +1532,87 @@ class TestRound12AdviceFixes:
             ]
         finally:
             run_sql(spark, "DROP TABLE r12_pv").collect()
+
+
+class TestRound12EnumResiduals:
+    """r11 verdict item 7: the documented enum-ordering residuals —
+    min/max over enum cells, set-op and window ORDER BY, unnest member
+    validation. Every expectation DuckDB-verified this round."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def mood(self, spark):
+        run_sql(
+            spark, "CREATE TYPE r12_mood AS ENUM ('sad','ok','happy')"
+        ).collect()
+        run_sql(
+            spark,
+            "CREATE OR REPLACE TABLE r12_et AS "
+            "SELECT unnest(['happy','sad','ok','sad']) AS c",
+        ).collect()
+        yield
+        run_sql(spark, "DROP TABLE r12_et").collect()
+        run_sql(spark, "DROP TYPE r12_mood").collect()
+
+    def test_min_max_by_member_index(self, spark):
+        r = run_sql(
+            spark,
+            "SELECT min(c::r12_mood) AS mn, max(c::r12_mood) AS mx "
+            "FROM r12_et",
+        ).collect()
+        assert tuple(r[0]) == ("sad", "happy")
+
+    def test_min_over_window(self, spark):
+        r = run_sql(
+            spark,
+            "SELECT c, min(c::r12_mood) OVER () AS m FROM r12_et LIMIT 1",
+        ).collect()
+        assert r[0]["m"] == "sad"
+
+    def test_setop_positional_order_by(self, spark):
+        r = run_sql(
+            spark,
+            "SELECT 'happy'::r12_mood UNION ALL SELECT 'sad'::r12_mood "
+            "UNION ALL SELECT 'ok'::r12_mood ORDER BY 1",
+        ).collect()
+        assert [t[0] for t in r] == ["sad", "ok", "happy"]
+        r = run_sql(
+            spark,
+            "SELECT 'happy'::r12_mood UNION ALL SELECT 'sad'::r12_mood "
+            "UNION ALL SELECT 'ok'::r12_mood ORDER BY 1 DESC LIMIT 2",
+        ).collect()
+        assert [t[0] for t in r] == ["happy", "ok"]
+
+    def test_plain_select_positional_order_by(self, spark):
+        r = run_sql(
+            spark, "SELECT c::r12_mood FROM r12_et ORDER BY 1"
+        ).collect()
+        assert [t[0] for t in r] == ["sad", "sad", "ok", "happy"]
+
+    def test_window_order_by_with_frame(self, spark):
+        r = run_sql(
+            spark,
+            "SELECT c, first_value(c) OVER (ORDER BY c::r12_mood "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+            "AS f FROM r12_et ORDER BY c",
+        ).collect()
+        assert [t["f"] for t in r] == ["sad"] * 4
+
+    def test_window_order_by_member_index(self, spark):
+        # frameless form (worked before, pin it): rank by member index
+        r = run_sql(
+            spark,
+            "SELECT c, rank() OVER (ORDER BY c::r12_mood) AS r "
+            "FROM r12_et ORDER BY c",
+        ).collect()
+        assert [(t["c"], t["r"]) for t in r] == [
+            ("happy", 4), ("ok", 3), ("sad", 1), ("sad", 1),
+        ]
+
+    def test_unnest_cast_validates_members(self, spark):
+        r = run_sql(
+            spark,
+            "SELECT unnest(['ok','happy'])::r12_mood AS m ORDER BY m",
+        ).collect()
+        assert [t[0] for t in r] == ["ok", "happy"]
+        with pytest.raises(Exception, match="Could not convert"):
+            run_sql(spark, "SELECT unnest(['zebra'])::r12_mood").collect()

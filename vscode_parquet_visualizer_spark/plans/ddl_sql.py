@@ -447,6 +447,65 @@ def _enum_index_expr(
     )
 
 
+def _top_select_items(prot: str) -> list[str] | None:
+    """The statement's own top-level select items (for ordinal ORDER BY
+    resolution), or None when the statement is not a plain SELECT or a
+    top-level set operation follows (there the ordinal references the
+    MERGED output — try_rewrite_enum_setop_order handles that at the
+    DataFrame level). Runs on literal-protected text."""
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        _split_top_level,
+    )
+
+    m = re.match(r"\s*SELECT\b(?:\s+DISTINCT\b)?", prot, re.IGNORECASE)
+    if m is None:
+        return None
+    sel_end = None
+    depth = 0
+    i = m.end()
+    while i < len(prot):
+        ch = prot[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and (ch.isalpha() or ch == "_")
+            and not (prot[i - 1].isalnum() or prot[i - 1] in "_.")
+        ):
+            km = re.match(
+                r"(FROM|WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|LIMIT"
+                r"|OFFSET|FETCH|UNION|INTERSECT|EXCEPT)\b",
+                prot[i:],
+                re.IGNORECASE,
+            )
+            if km:
+                kw = km.group(1).upper()
+                if kw in ("UNION", "INTERSECT"):
+                    return None
+                if kw == "EXCEPT":
+                    # DuckDB also spells projection exclusion
+                    # ``SELECT * EXCEPT (cols)`` — only the set-op form
+                    # (followed by SELECT/ALL/DISTINCT or a
+                    # parenthesized SELECT) disqualifies
+                    tail = prot[i + km.end(1) :].lstrip()
+                    if re.match(
+                        r"(?:ALL\b|DISTINCT\b|SELECT\b|\(\s*SELECT\b)",
+                        tail,
+                        re.IGNORECASE,
+                    ):
+                        return None
+                elif sel_end is None:
+                    sel_end = i
+            while i < len(prot) and (prot[i].isalnum() or prot[i] == "_"):
+                i += 1
+            continue
+        i += 1
+    text = prot[m.end() : sel_end if sel_end is not None else len(prot)]
+    return _split_top_level(text)
+
+
 def _rewrite_enum_ordering(
     prot: str, stash: list[str], name: str, vals: list[str]
 ) -> str:
@@ -460,9 +519,39 @@ def _rewrite_enum_ordering(
        ``expr::name AS alias`` — the item becomes an index CASE over
        the alias (Spark resolves select aliases inside ORDER BY
        expressions; probed r11).
-    Out of scope (documented): min/max over enum cells, enum ordering
-    through set operations or inside window ORDER BY clauses."""
+    4. ``min(x::name)`` / ``max(x::name)`` (plain aggregate or with an
+       OVER clause) — aggregate the member INDEX, then map the winning
+       index back to its member string (r11 verdict item 7: these
+       stayed lexicographic).
+    5. Window ``ORDER BY x::name ROWS/RANGE/GROUPS …`` — the frame
+       keywords end the sort item (they used to ride along and defeat
+       the item match).
+    6. ``ORDER BY <ordinal>`` where the statement's select item at that
+       position is an enum cast (no set operation at top level — the
+       set-op form routes at the DataFrame level,
+       try_rewrite_enum_setop_order).
+    Out of scope (documented): enum ordering through a set operation
+    whose ORDER BY references neither an alias nor an ordinal the
+    gateway can resolve."""
     opnd = _ENUM_OPND
+    # 4. min/max over enum casts (incl. the OVER form): aggregate the
+    # index, map back to the member string
+    vesc = [v.replace("'", "''") for v in vals]
+    back = " ".join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(vesc))
+    agg_pat = re.compile(
+        rf"\b(?P<fn>min|max)\s*\(\s*(?P<o>{opnd})\s*::\s*{name}\s*\)"
+        rf"(?P<over>\s*OVER\s*(?:[A-Za-z_]\w*"
+        rf"|\((?:[^()]|\([^()]*\))*\)))?",
+        re.IGNORECASE,
+    )
+    prot = agg_pat.sub(
+        lambda m: (
+            f"(CASE ({m.group('fn')}"
+            f"({_enum_index_expr(m.group('o'), stash, name, vals)})"
+            f"{m.group('over') or ''}) {back} END)"
+        ),
+        prot,
+    )
     # 1. comparisons between two enum casts
     cmp_pat = re.compile(
         rf"(?P<l>{opnd})\s*::\s*{name}\s*(?P<op><=|>=|<|>)\s*"
@@ -486,12 +575,15 @@ def _rewrite_enum_ordering(
             re.IGNORECASE,
         )
     }
-    # 2/3. ORDER BY items
+    # 2/3/6. ORDER BY items
+    top_items = _top_select_items(prot)
     out = []
     pos = 0
     for ob in re.finditer(r"\bORDER\s+BY\s+", prot, re.IGNORECASE):
         if ob.start() < pos:
             continue
+        head = prot[: ob.start()]
+        at_top = head.count("(") == head.count(")")
         out.append(prot[pos : ob.end()])
         i = ob.end()
         depth = 0
@@ -511,8 +603,13 @@ def _rewrite_enum_ordering(
                 items.append(prot[item_start:i] + ",")
                 item_start = i + 1
             elif depth == 0 and re.match(
-                r"(?:LIMIT|OFFSET|FETCH|FOR)\b", prot[i:], re.IGNORECASE
+                r"(?:LIMIT|OFFSET|FETCH|FOR|ROWS|RANGE|GROUPS)\b",
+                prot[i:],
+                re.IGNORECASE,
             ) and (i == 0 or not (prot[i - 1].isalnum() or prot[i - 1] == "_")):
+                # ROWS/RANGE/GROUPS: a window frame after the OVER
+                # clause's last sort item (it used to ride along inside
+                # the item and defeat the enum-cast match)
                 ended = True
             if ended:
                 items.append(prot[item_start:i])
@@ -536,6 +633,36 @@ def _rewrite_enum_ordering(
                     + m.group("tail")
                     + trail
                 )
+            dm = re.fullmatch(
+                r"(\s*)(?P<n>\d+)"
+                r"(?P<tail>(?:\s+(?:ASC|DESC|NULLS\s+(?:FIRST|LAST)))*\s*)",
+                item,
+                re.IGNORECASE,
+            )
+            if dm is not None and at_top and top_items:
+                # ordinal item: resolve against the statement's own
+                # top-level select list (only at top level — a nested
+                # subquery's ordinal refers to ITS select list, and a
+                # window ORDER BY's integer is a constant, not an
+                # ordinal)
+                ordn = int(dm.group("n"))
+                if 1 <= ordn <= len(top_items):
+                    im = re.fullmatch(
+                        rf"\s*(?P<o>{opnd})\s*::\s*{name}"
+                        rf"(?:\s+AS\s+[A-Za-z_]\w*)?\s*",
+                        top_items[ordn - 1],
+                        re.IGNORECASE,
+                    )
+                    if im is not None:
+                        return (
+                            dm.group(1)
+                            + _enum_index_expr(
+                                im.group("o"), stash, name, vals
+                            )
+                            + dm.group("tail")
+                            + trail
+                        )
+                return item + trail
             am = re.fullmatch(
                 r"(\s*)(?P<a>[A-Za-z_]\w*)"
                 r"(?P<tail>(?:\s+(?:ASC|DESC|NULLS\s+(?:FIRST|LAST)))*\s*)",
@@ -560,6 +687,181 @@ def _rewrite_enum_ordering(
         pos = i
     out.append(prot[pos:])
     return "".join(out)
+
+
+def try_rewrite_enum_setop_order(
+    spark: SparkSession, sql: str, run_sql, **kw
+) -> DataFrame | None:
+    """``<set-op of enum-cast branches> ORDER BY 1 [LIMIT n]`` — the
+    ordinal references the MERGED output column, which no textual
+    rewrite can reach (the output name of an aliasless cast is not
+    knowable before execution). Route at the DataFrame level instead:
+    run the set operation without its tail, then sort on the output
+    column BY POSITION through a member-index CASE (r11 verdict item
+    7: this stayed lexicographic). Alias items resolve by name; any
+    other item shape falls back to the normal textual path."""
+    enums = {
+        name: vals
+        for (sid, name), vals in _session_enums.items()
+        if sid == id(spark)
+    }
+    if not enums:
+        return None
+    if not re.search(
+        r"\b(UNION|INTERSECT|EXCEPT)\b", sql, re.IGNORECASE
+    ) or not re.search(r"\bORDER\s+BY\b", sql, re.IGNORECASE):
+        return None
+    from pyspark.sql import functions as F
+
+    from vscode_parquet_visualizer_spark.plans.dialect import (
+        _protect_literals,
+        _restore_literals,
+        _split_top_level,
+    )
+
+    prot, stash = _protect_literals(sql.rstrip().rstrip(";"))
+    if not re.match(r"\s*SELECT\b", prot, re.IGNORECASE):
+        return None
+    # top-level scan: first set-op keyword, last ORDER BY, LIMIT/OFFSET
+    depth = 0
+    first_setop = None
+    order_pos = None
+    tail_pos = None
+    i = 0
+    while i < len(prot):
+        ch = prot[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and (ch.isalpha() or ch == "_")
+            and (i == 0 or not (prot[i - 1].isalnum() or prot[i - 1] in "_."))
+        ):
+            km = re.match(
+                r"(UNION|INTERSECT|EXCEPT|ORDER\s+BY|LIMIT|OFFSET|FETCH)\b",
+                prot[i:],
+                re.IGNORECASE,
+            )
+            if km:
+                kw_name = re.sub(r"\s+", " ", km.group(1).upper())
+                if kw_name in ("UNION", "INTERSECT", "EXCEPT"):
+                    if kw_name == "EXCEPT" and not re.match(
+                        r"(?:ALL\b|DISTINCT\b|SELECT\b|\(\s*SELECT\b)",
+                        prot[i + km.end(1) :].lstrip(),
+                        re.IGNORECASE,
+                    ):
+                        pass  # SELECT * EXCEPT (cols) projection form
+                    elif first_setop is None:
+                        first_setop = i
+                elif kw_name == "ORDER BY":
+                    order_pos = (i, i + km.end(1))
+                    tail_pos = None
+                elif tail_pos is None and order_pos is not None:
+                    tail_pos = i
+            while i < len(prot) and (prot[i].isalnum() or prot[i] == "_"):
+                i += 1
+            continue
+        i += 1
+    if first_setop is None or order_pos is None or order_pos[0] < first_setop:
+        return None
+    first_items = _top_select_items(prot[:first_setop])
+    if not first_items:
+        return None
+
+    def _enum_of(item_text: str) -> tuple[list[str], str | None] | None:
+        for name, vals in enums.items():
+            im = re.fullmatch(
+                rf"\s*(?:{_ENUM_OPND})\s*::\s*{name}"
+                rf"(?:\s+AS\s+(?P<a>[A-Za-z_]\w*))?\s*",
+                item_text,
+                re.IGNORECASE,
+            )
+            if im is not None:
+                return vals, im.group("a")
+        return None
+
+    items_text = prot[
+        order_pos[1] : tail_pos if tail_pos is not None else len(prot)
+    ]
+    tail_text = prot[tail_pos:] if tail_pos is not None else ""
+    limit = offset = None
+    if tail_text.strip():
+        tm = re.fullmatch(
+            r"\s*(?:LIMIT\s+(?P<l>\d+))?\s*(?:OFFSET\s+(?P<o>\d+))?\s*",
+            tail_text,
+            re.IGNORECASE,
+        )
+        if tm is None or (tm.group("l") is None and tm.group("o") is None):
+            return None
+        limit = int(tm.group("l")) if tm.group("l") else None
+        offset = int(tm.group("o")) if tm.group("o") else None
+    plans: list[tuple[object, str, bool, bool | None]] = []
+    alias_map = {
+        (a or "").lower(): it for it in first_items
+        for a in [
+            (re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", it, re.IGNORECASE)
+             or [None, None])[1]
+        ]
+        if a
+    }
+    for it in _split_top_level(items_text):
+        im = re.fullmatch(
+            r"\s*(?P<b>\d+|[A-Za-z_]\w*)"
+            r"(?P<sfx>(?:\s+(?:ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST))*)\s*,?\s*",
+            it,
+            re.IGNORECASE,
+        )
+        if im is None:
+            return None
+        body = im.group("b")
+        sfx = re.sub(r"\s+", " ", im.group("sfx").upper())
+        desc = "DESC" in sfx
+        nulls_first = "NULLS FIRST" in sfx
+        if body.isdigit():
+            ordn = int(body)
+            if not (1 <= ordn <= len(first_items)):
+                return None
+            src = ("pos", ordn - 1)
+            em = _enum_of(first_items[ordn - 1])
+        else:
+            src = ("name", body)
+            em = (
+                _enum_of(alias_map[body.lower()])
+                if body.lower() in alias_map
+                else None
+            )
+        plans.append((src, em[0] if em else None, desc, nulls_first))
+    if not any(vals for _, vals, _, _ in plans):
+        return None  # no enum involvement: normal path
+    inner = _restore_literals(prot[: order_pos[0]], stash, form="duck")
+    df = run_sql(spark, inner, **kw)
+    sort_cols = []
+    for (kind, ref), vals, desc, nulls_first in plans:
+        if kind == "pos":
+            if ref >= len(df.columns):
+                return None
+            col = F.col(df.columns[ref])
+        else:
+            col = F.col(ref)
+        if vals:
+            c = F.when(F.lit(False), F.lit(0))
+            for idx, v in enumerate(vals):
+                c = c.when(col == v, idx)
+            col = c
+        if desc:
+            col = col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
+        else:
+            # DuckDB default null order: NULLS LAST in both directions
+            col = col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
+        sort_cols.append(col)
+    out = df.orderBy(*sort_cols)
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
 
 
 def substitute_enums(spark: SparkSession, sql: str) -> str:
@@ -626,16 +928,30 @@ def substitute_enums(spark: SparkSession, sql: str) -> str:
         )
 
         def call_sub(m, members=members, name=name):
-            # a GENERATOR call (unnest/generate_series) can't be
-            # duplicated inside the membership CASE — strip the cast
-            # (cells are member strings already; ordering rides the
-            # alias/index paths; validation divergence documented)
+            # a GENERATOR call can't be duplicated inside the
+            # membership CASE (Spark allows one generator per select
+            # item). unnest: validate the LIST ARGUMENT element-wise
+            # instead — a lambda runs before the explode, so members
+            # are checked without duplicating the generator (r11
+            # verdict item 7: the cast used to strip unvalidated).
+            # generate_series/range yield numbers, never enum members —
+            # loud bind-time parity with DuckDB's conversion error.
+            um = re.match(r"unnest\s*\((.*)\)\s*$", m.group(1),
+                          re.IGNORECASE | re.DOTALL)
+            if um is not None:
+                return (
+                    f"unnest(list_transform({um.group(1)}, __ev -> "
+                    f"(CASE WHEN __ev IS NULL OR __ev IN ({members}) "
+                    f"THEN __ev "
+                    f"ELSE raise_error(concat('Could not convert "
+                    f"string ''', __ev, ''' to {name}')) END)))"
+                )
             if re.match(
-                r"(?:unnest|generate_series|range)\s*\(",
-                m.group(1),
-                re.IGNORECASE,
+                r"(?:generate_series|range)\s*\(", m.group(1), re.IGNORECASE
             ):
-                return m.group(1)
+                raise ValueError(
+                    f"Could not convert series value to {name}"
+                )
             return runtime_check(m.group(1), members, name)
 
         prot = call_pat.sub(call_sub, prot)

@@ -609,6 +609,22 @@ def run_sql(
         # these substitutions on every invocation.
         bound = expand_macros(spark, bound)
         bound = substitute_sequences(spark, bound)
+        from vscode_parquet_visualizer_spark.plans.ddl_sql import (
+            try_rewrite_enum_setop_order,
+        )
+
+        es = try_rewrite_enum_setop_order(
+            spark,
+            bound,
+            run_sql,
+            view=view,
+            columns=columns,
+            dataset_path=dataset_path,
+            array_columns=array_columns,
+            date_columns=date_columns,
+        )
+        if es is not None:
+            return es
         bound = substitute_enums(spark, bound)
     if _FILE_REL.search(bound):
         bound = _route_file_relations(spark, bound)
