@@ -147,6 +147,59 @@ def brute_force_topk(
     exchange carries ≤ k rows per (query, partition) — never the full
     |queries|·|corpus| scored set.
     """
+    # Literal-dot fast path (r11 verdict item 4): Spark's array
+    # higher-order functions (zip_with/aggregate) run INTERPRETED, one
+    # lambda frame per element — the 200k×3×64-element scoring at sf10
+    # cost 0.86 s. With few queries, collect them (bounded take) and
+    # unroll each dot product into a flat element_at(...)·literal sum:
+    # whole-stage-codegen'd, same FP operation order (left-fold add),
+    # 0.46 s for the same scoring. Falls back to the HOF cross join
+    # above ~16 queries, where the unrolled projection would outgrow
+    # the codegen method limit.
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    ).take(17)
+    if 0 < len(qrows) <= 16:
+        import math
+
+        el = [
+            F.element_at(F.col(vec_col), j + 1).cast("double")
+            for j in range(len(qrows[0]["__qvec"]))
+        ]
+        n2 = el[0] * el[0]
+        for e in el[1:]:
+            n2 = n2 + e * e
+        cnorm = F.sqrt(n2)
+        score_cols = []
+        for i, r in enumerate(qrows):
+            qv = r["__qvec"]
+            qn = math.sqrt(sum(x * x for x in qv))
+            dot = el[0] * float(qv[0])
+            for j in range(1, len(qv)):
+                dot = dot + el[j] * float(qv[j])
+            score_cols.append(
+                F.round(dot / (cnorm * F.lit(qn)), 6).alias(f"__s{i}")
+            )
+        wide = corpus.select(
+            F.col(id_col).alias("neighbor_id"), *score_cols
+        )
+        stack_args = ", ".join(
+            "'{}', __s{}".format(
+                str(r["query_id"]).replace("'", "''"), i
+            )
+            for i, r in enumerate(qrows)
+        )
+        qid_type = dict(queries.dtypes)[query_id_col]
+        scored = wide.selectExpr(
+            "neighbor_id",
+            f"stack({len(qrows)}, {stack_args}) AS (query_id, score)",
+        ).select(
+            F.col("query_id").cast(qid_type).alias("query_id"),
+            "neighbor_id",
+            "score",
+        )
+        return _topk_per_query(scored, k)
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -633,6 +686,14 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = _vector_dim(df, vec_col)
     b = _bucketize_all_tables(df, id_col, "id", vec_col, dim, bits, tables, seed)
+    # Precompute each vector's norm ONCE before the self-join (r11
+    # verdict item 4): the interpreted array-HOF norm used to run twice
+    # per CANDIDATE PAIR (~2×|pairs|×dim lambda frames — the dominant
+    # stage at sf10) instead of once per vector. Identical FP ops, just
+    # hoisted, so scores are bit-equal.
+    b = b.withColumn(
+        "__nrm", norm(F.col(vec_col).cast("array<double>"))
+    )
     a, c = b.alias("a"), b.alias("b")
     pairs = (
         a.join(
@@ -645,10 +706,11 @@ def embedding_near_dup_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(
-                cosine_similarity(
+                dot(
                     F.col(f"a.{vec_col}").cast("array<double>"),
                     F.col(f"b.{vec_col}").cast("array<double>"),
-                ),
+                )
+                / (F.col("a.__nrm") * F.col("b.__nrm")),
                 6,
             ).alias("score"),
         )

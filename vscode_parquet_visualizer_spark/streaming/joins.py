@@ -17,6 +17,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_UNIT_S = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """'30 minutes' → 1800 (the bucket width for the binned batch join)."""
+    n, unit = interval.strip().split()
+    return int(n) * _UNIT_S[unit.lower()]
+
+
 def purchases_with_prior_views(
     events: DataFrame,
     lookback: str = "30 minutes",
@@ -44,12 +56,44 @@ def purchases_with_prior_views(
         )
         .withWatermark("v_ts", watermark)
     )
-    cond = (
-        (F.col("p_user") == F.col("v_user"))
-        & (F.col("v_ts") <= F.col("p_ts"))
-        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+    range_cond = (F.col("v_ts") <= F.col("p_ts")) & (
+        F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")
     )
-    return purchases.join(views, cond, "inner").select(
+    if not events.isStreaming:
+        # BATCH time-bucket binning (r11 verdict item 4): the user-only
+        # equi-join fans every purchase out to the user's ENTIRE view
+        # history before the range filter — 26.8 M candidate pairs for
+        # a 17 k-row result at sf10 (1.24 s), and the fanout grows with
+        # history length at 100 TB. Bucket both sides by the lookback
+        # width and join on (user, bucket): a matching view is always
+        # in the purchase's own or previous bucket, so each purchase
+        # probes exactly two buckets and candidates are bounded by
+        # 2×(views per user per lookback window), independent of
+        # history length. Same rows (pinned by the oracle gate);
+        # 1.24 → 0.75 s at sf10. The streaming side keeps the plain
+        # interval join — Spark's state pruning already bounds it by
+        # the watermark, and the extra equality key would only shrink
+        # state, not correctness (left as-is to keep the pinned
+        # stream/batch plans comparable).
+        width_s = _interval_seconds(lookback)
+        purchases = purchases.withColumn(
+            "__pb", F.floor(F.unix_timestamp("p_ts") / width_s)
+        ).withColumn(
+            "__b", F.explode(F.array(F.col("__pb"), F.col("__pb") - 1))
+        )
+        views = views.withColumn(
+            "__b", F.floor(F.unix_timestamp("v_ts") / width_s)
+        )
+        cond = (
+            (F.col("p_user") == F.col("v_user"))
+            & (purchases["__b"] == views["__b"])
+            & range_cond
+        )
+        joined = purchases.join(views, cond, "inner")
+    else:
+        cond = (F.col("p_user") == F.col("v_user")) & range_cond
+        joined = purchases.join(views, cond, "inner")
+    return joined.select(
         F.col("p_user").alias("user_id"),
         "purchase_id",
         "view_id",

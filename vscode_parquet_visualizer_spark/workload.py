@@ -742,14 +742,22 @@ def q10(spark, sf_dir):
     """,
 )
 def q11(spark, sf_dir):
+    """Two-phase rollup (r11 verdict item 4): Spark plans ROLLUP as an
+    Expand that inflates EVERY scan row once per grouping level (3×
+    here) BEFORE the partial aggregate — 1.20 s at sf10 (5.3× DuckDB),
+    all of it Expand throughput. Aggregate to the finest level first
+    (~6 groups over 60 M rows — the Expand-free plan), then roll the
+    tiny aggregate up: sum/count are decomposable, so re-aggregating
+    group sums is exact (l_quantity is integral, so double addition
+    order cannot shift a rounding boundary). At 100 TB the same shape
+    holds: the Expand would triple the shuffle-input volume."""
     t = load_tables(spark, sf_dir)
-    return (
-        t["lineitem"]
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    base = t["lineitem"].groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("__s"), 2).alias("sum_qty"),
+        F.sum("__n").cast("long").alias("n"),
     )
 
 
@@ -773,7 +781,7 @@ def q12(spark, sf_dir):
     )
 
 
-sql_query(
+@q(
     "q13_grouping_sets",
     """
     SELECT event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING) AS day,
@@ -783,6 +791,24 @@ sql_query(
                             (event_type, CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING)))
     """,
 )
+def q13(spark, sf_dir):
+    """Two-phase grouping sets (same Expand class as q11): aggregate to
+    the finest set (event_type × day — a few hundred groups) first,
+    then expand the SETS over the tiny aggregate; counts re-aggregate
+    as sums. The naive GROUP BY GROUPING SETS plan Expands every event
+    row 3× before the partial aggregate (0.61 s / 9.1× DuckDB at
+    sf10)."""
+    t = load_tables(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).cast("date").cast("string")
+    base = t["events"].groupBy(
+        F.col("event_type"), day.alias("day")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    base.createOrReplaceTempView("__q13_base")
+    return spark.sql(
+        "SELECT event_type, day, CAST(sum(__n) AS BIGINT) AS n "
+        "FROM __q13_base "
+        "GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))"
+    )
 
 sql_query(
     "q14_setop_except",
@@ -793,7 +819,7 @@ sql_query(
     """,
 )
 
-sql_query(
+@q(
     "q15_setop_intersect",
     """
     SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
@@ -801,6 +827,25 @@ sql_query(
     SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
     """,
 )
+def q15(spark, sf_dir):
+    """Distinct-through-join pushdown (r11 verdict item 4): Spark plans
+    the INTERSECT by joining first — 1.5 M name-carrying rows flow
+    through two joins and a distinct (0.48 s / 11.6× DuckDB at sf10).
+    The set operation only needs which NATIONKEYS appear on each side:
+    distinct the 25-value key on each fact side (a one-int-column
+    scan + tiny shuffle), intersect those, then one broadcast join to
+    nation. Catalyst does not push aggregates through joins; at 100 TB
+    the naive plan shuffles the whole fact table's name strings."""
+    t = load_tables(spark, sf_dir)
+    ck = t["customer"].select(F.col("c_nationkey").alias("k")).distinct()
+    sk = t["supplier"].select(F.col("s_nationkey").alias("k")).distinct()
+    keys = ck.intersect(sk)
+    return (
+        t["nation"]
+        .join(F.broadcast(keys), F.col("n_nationkey") == F.col("k"))
+        .select("n_name")
+        .distinct()
+    )
 
 sql_query(
     "q16_cte",
