@@ -146,3 +146,19 @@ def test_where_and_tail_survive_lowering(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
     got = [tuple(r) for r in run_sql(spark, sql).collect()]
     assert got == want and len(got) == 7 and got[0][0] == 100
+
+
+def test_default_null_order_parity(spark, monkeypatch):
+    # no explicit NULLS modifier: the lowered path must apply the same
+    # default null placement as the transpiled window path (DuckDB:
+    # NULLS LAST in both directions)
+    for spec in ("ORDER BY k", "ORDER BY k DESC"):
+        sql = (
+            "SELECT uid, rank() OVER (PARTITION BY g " + spec + ", uid) "
+            "AS r, dense_rank() OVER (PARTITION BY g " + spec + ", uid) "
+            "AS dr FROM ties"
+        )
+        monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+        want = _rows(spark, sql)
+        monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+        assert _rows(spark, sql) == want, spec

@@ -770,14 +770,18 @@ def q11(spark, sf_dir):
     """,
 )
 def q12(spark, sf_dir):
+    """Two-phase cube (the q11 Expand class): CUBE plans as a 4× Expand
+    of every scan row; aggregate to the finest level first (~15 groups
+    over orders), cube the tiny aggregate. avg decomposes as
+    sum/count; the double sum re-aggregates over ≤15 partials, far
+    below any rounding-boundary magnitude the sf10 sweep flagged."""
     t = load_tables(spark, sf_dir)
-    return (
-        t["orders"]
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-        )
+    base = t["orders"].groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum("o_totalprice").alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    return base.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.round(F.sum("__s") / F.sum("__n"), 4).alias("avg_price"),
     )
 
 
@@ -853,13 +857,15 @@ sql_query(
     WITH big_orders AS (
       SELECT * FROM orders WHERE o_totalprice > 400000
     )
-    -- DECIMAL accumulator + round BEFORE the /1000: a double-sum hits
-    -- engine-divergent half-boundary rounding once magnitudes grow
-    -- (sf1 sweep, r11 — the q02/q68 lesson); round(DECIMAL, n) is
-    -- exact and identical in both engines, and IEEE division of the
-    -- rounded multiple-of-10 by 1000 is correctly rounded on both
+    -- exact-integer cents accumulator + round BEFORE the /1000: a
+    -- double-sum hits engine-divergent half-boundary rounding once
+    -- magnitudes grow (sf1 sweep, r11 — the q02/q68 lesson). Prices
+    -- are 2-decimal, so LONG cents sum exactly in both engines and
+    -- round(total, -1)/1000 folds to FLOOR((cents+500)/1000)/100
+    -- (see q47's note; replaces the r11 DECIMAL accumulator, which
+    -- Spark sums ~2x slower than primitive longs)
     SELECT n_name, count(*) AS n,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), -1) / 1000 AS DOUBLE) AS total_k
+           CAST(FLOOR((sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 500) / 1000) AS DOUBLE) / 100 AS total_k
     FROM big_orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -995,9 +1001,11 @@ sql_query(
            CAST(year(o_orderdate) AS BIGINT) AS yr,
            CAST(month(o_orderdate) AS BIGINT) AS mo,
            count(*) AS n,
-           -- DECIMAL accumulator, round before /1000 (the q16/q68
-           -- half-boundary class; hit at sf10, r11 targeted sweep)
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), -1) / 1000 AS DOUBLE) AS total_k
+           -- exact-integer cents accumulator (see q47's note): the
+           -- q16/q68 half-boundary class stays closed, at primitive
+           -- long-sum speed instead of DECIMAL (0.46 -> 0.94 s at
+           -- sf10 with the r11 decimal accumulator, CROSSOVER_r12)
+           CAST(FLOOR((sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 500) / 1000) AS DOUBLE) / 100 AS total_k
     FROM orders GROUP BY 1, 2, 3
     """,
 )
@@ -1822,9 +1830,15 @@ sql_query(
     "q47_group_by_all",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           -- DECIMAL accumulator, round before /1000 (q16/q68/q21
-           -- half-boundary class; hit at sf10, r11 targeted sweep)
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), -1) / 1000 AS DOUBLE) AS total_k
+           -- EXACT-INTEGER cents accumulator (q16/q68/q21 half-boundary
+           -- class, r11): prices are 2-decimal, so sum exact LONG cents
+           -- and fold round(total, -1)/1000 into integer math —
+           -- FLOOR((cents+500)/1000)/100. Identical in both engines
+           -- (sums < 2^53, so the one double division cannot cross a
+           -- floor boundary), and a primitive long sum instead of the
+           -- r11 DECIMAL accumulator Spark pays ~2x scan cost for
+           -- (0.25 -> 0.63 s at sf10, CROSSOVER_r12).
+           CAST(FLOOR((sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 500) / 1000) AS DOUBLE) / 100 AS total_k
     FROM orders GROUP BY ALL
     """,
 )
