@@ -44,6 +44,18 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """``dot`` with the fold unrolled to ``element_at`` terms — Spark's
+    array HOFs run INTERPRETED (one lambda frame per element), while
+    the flat sum whole-stage-codegens. Same FP operation order as the
+    HOF left-fold (0.0 + x₁ ≡ x₁), so results are bit-equal. Needs the
+    dimension statically."""
+    out = F.element_at(a, 1) * F.element_at(b, 1)
+    for j in range(2, dim + 1):
+        out = out + F.element_at(a, j) * F.element_at(b, j)
+    return out
+
+
 def _lloyd(
     sample: "np.ndarray", k: int, seed: int = 42, iters: int = 8
 ) -> "np.ndarray":
@@ -706,9 +718,10 @@ def embedding_near_dup_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(
-                dot(
+                dot_unrolled(
                     F.col(f"a.{vec_col}").cast("array<double>"),
                     F.col(f"b.{vec_col}").cast("array<double>"),
+                    dim,
                 )
                 / (F.col("a.__nrm") * F.col("b.__nrm")),
                 6,
