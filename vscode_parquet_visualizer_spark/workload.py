@@ -656,10 +656,16 @@ def q06(spark, sf_dir):
     """,
 )
 def q07(spark, sf_dir):
-    """Anti join (NOT EXISTS)."""
+    """Anti join (NOT EXISTS), distinct-reduced build side: NOT EXISTS
+    only needs the SET of o_custkey, and a groupBy dedupes MAP-SIDE
+    before the shuffle — ~1M distinct keys move instead of 15M raw
+    ones at sf10 (Spark's anti join does no build-side dedup itself).
+    Same rows by construction; at 100 TB the shuffle-volume ratio is
+    the fact-table's duplication factor."""
     t = load_tables(spark, sf_dir)
+    keys = t["orders"].select("o_custkey").distinct()
     return t["customer"].join(
-        t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
 
 
