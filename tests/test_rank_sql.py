@@ -162,3 +162,69 @@ def test_default_null_order_parity(spark, monkeypatch):
         want = _rows(spark, sql)
         monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
         assert _rows(spark, sql) == want, spec
+
+
+def test_lag_lead_lowering(spark, monkeypatch):
+    # lag/lead via keyed self-join on (partition, rn∓offset); total
+    # order so the window oracle is deterministic; includes an explicit
+    # offset and a default value
+    sql = """
+        SELECT uid,
+               lag(uid) OVER w AS prev1,
+               lag(k, 2, -1) OVER w AS prev2_dflt,
+               lead(uid, 3) OVER w AS next3
+        FROM ties
+        WINDOW w AS (PARTITION BY g ORDER BY uid)
+    """
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    df = run_sql(spark, sql)
+    assert "Window" not in df._jdf.queryExecution().executedPlan().toString()
+    assert sorted(tuple(r) for r in df.collect()) == want
+
+
+def test_whole_partition_aggregates(spark, monkeypatch):
+    # sum/avg/min/count(*) OVER (PARTITION BY p) — no ORDER BY: lowered
+    # to one groupBy + broadcast attach, no WindowExec
+    sql = """
+        SELECT uid,
+               sum(k) OVER (PARTITION BY g) AS s,
+               round(avg(k) OVER (PARTITION BY g), 9) AS a,
+               min(uid) OVER (PARTITION BY g) AS mn,
+               count(*) OVER (PARTITION BY g) AS cnt
+        FROM ties
+    """
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    df = run_sql(spark, sql)
+    assert "Window" not in df._jdf.queryExecution().executedPlan().toString()
+    assert sorted(tuple(r) for r in df.collect()) == want
+
+
+def test_global_aggregate_over_empty_partition(spark, monkeypatch):
+    sql = "SELECT uid, count(*) OVER () AS n, max(k) OVER () AS mx FROM ties"
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    assert _rows(spark, sql) == want
+
+
+def test_cumulative_aggregate_falls_back_with_warning(spark, monkeypatch):
+    # ORDER BY + default frame = running sum: not lowered (needs a
+    # segmented prefix sum), must warn and produce the window answer
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    sql = (
+        "SELECT uid, sum(k) OVER (PARTITION BY g ORDER BY uid) AS rs "
+        "FROM ties"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = run_sql(spark, sql)
+        df.limit(1).collect()
+    assert any("cumulative" in str(x.message) for x in w)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    assert _rows(spark, sql) == sorted(
+        tuple(r) for r in run_sql(spark, sql).collect()
+    )

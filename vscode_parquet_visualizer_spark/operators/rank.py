@@ -192,6 +192,16 @@ def attach_window_columns(
       broadcast side is tiny by construction). Default-frame
       semantics: nth_value is NULL until rn≥k; last_value's default
       frame ends at the current row, so it is the row's own value.
+    - ``("lag", col, offset, default|None)`` / ``("lead", …)`` — one
+      keyed self-join per output on (partition keys, rn ∓ offset):
+      both sides are hash-partitioned on a high-cardinality composite
+      key, so the join parallelizes regardless of window-partition
+      cardinality.
+    - ``("pagg", fn_name, col|None)`` — a whole-partition aggregate
+      (``sum(x) OVER (PARTITION BY p)`` or with an unbounded-both
+      frame): one groupBy + broadcast attach; ``col=None`` is
+      ``count(*)``. When EVERY output is a pagg, ``order_cols`` may be
+      empty and no sort/row-number pass runs at all.
     """
     sort_cols: list[Column] = []
     for c, (desc, nulls_first) in zip(order_cols, order_specs):
@@ -201,9 +211,16 @@ def attach_window_columns(
         else:
             col = col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
         sort_cols.append(col)
+    fns = {spec[0] for spec in outputs.values()}
+    needs_rn = bool(fns - {"pagg"})
+    if not needs_rn:
+        return _attach_partition_aggs(df, partition_cols, outputs)
+    if not order_cols:
+        raise ValueError(
+            "order_cols required for non-aggregate window functions"
+        )
     r = with_row_numbers(df, partition_cols, sort_cols, num_partitions)
     rn, n = F.col("__rn"), F.col("__pn")
-    fns = {spec[0] for spec in outputs.values()}
     helper_cols: list[str] = ["__rn", "__pn"]
 
     if fns & {"rank", "dense_rank", "percent_rank", "cume_dist"}:
@@ -272,10 +289,51 @@ def attach_window_columns(
         )
         helper_cols.extend(f"__tv{i}" for i in range(len(val_specs)))
 
+    # lag/lead: one keyed self-join per output on (partition, rn∓off) —
+    # high-cardinality composite key, so parallelism is task-bounded
+    for i, (out, spec) in enumerate(
+        (o, s) for o, s in outputs.items() if s[0] in ("lag", "lead")
+    ):
+        off = int(spec[2]) if spec[0] == "lag" else -int(spec[2])
+        pcols = [f"__lp{i}_{j}" for j in range(len(partition_cols))]
+        shifted = r.select(
+            *[
+                F.col(c).alias(p)
+                for c, p in zip(partition_cols, pcols)
+            ],
+            (F.col("__rn") + off).alias(f"__lrn{i}"),
+            spec[1].alias(out),
+            F.lit(True).alias(f"__lh{i}"),
+        )
+        cond = r["__rn"] == shifted[f"__lrn{i}"]
+        for c, p in zip(partition_cols, pcols):
+            cond = cond & r[c].eqNullSafe(shifted[p])
+        r = r.join(shifted, cond, "left").drop(f"__lrn{i}", *pcols)
+        if spec[3] is not None:
+            # the default applies only when the offset row does not
+            # EXIST — an existing row whose value is NULL stays NULL
+            r = r.withColumn(
+                out,
+                F.when(F.col(f"__lh{i}"), F.col(out)).otherwise(
+                    F.lit(spec[3])
+                ),
+            )
+        r = r.drop(f"__lh{i}")
+
+    pagg_specs = [
+        (out, spec) for out, spec in outputs.items() if spec[0] == "pagg"
+    ]
+    if pagg_specs:
+        r = _attach_partition_aggs(
+            r, partition_cols, dict(pagg_specs)
+        )
+
     out_cols: dict[str, Column] = {}
     vi = {out: i for i, (out, _) in enumerate(val_specs)}
     for out, spec in outputs.items():
         kind = spec[0]
+        if kind in ("lag", "lead", "pagg"):
+            continue  # already attached above
         if kind == "row_number":
             c = rn
         elif kind == "rank":
@@ -301,6 +359,27 @@ def attach_window_columns(
             raise ValueError(f"unsupported window function: {kind}")
         out_cols[out] = c
     return r.withColumns(out_cols).drop(*helper_cols)
+
+
+def _attach_partition_aggs(
+    df: DataFrame, partition_cols: list[str], outputs: dict[str, tuple]
+) -> DataFrame:
+    """Whole-partition aggregates without WindowExec: one groupBy over
+    the partition keys + a broadcast attach (the routing gate only
+    sends low-NDV partitions here, so the aggregate side is tiny)."""
+    aggs = []
+    for out, spec in outputs.items():
+        fn, arg = spec[1], spec[2]
+        col = F.lit(1) if arg is None else arg
+        aggs.append(getattr(F, fn)(col).alias(out))
+    pcols = [f"__pa{i}" for i in range(len(partition_cols))]
+    pa = df.groupBy(
+        *[F.col(c).alias(p) for c, p in zip(partition_cols, pcols)]
+    ).agg(*aggs)
+    cond = F.lit(True)
+    for c, p in zip(partition_cols, pcols):
+        cond = cond & df[c].eqNullSafe(pa[p])
+    return df.join(F.broadcast(pa), cond, "left").drop(*pcols)
 
 
 def percent_rank_from_rn(

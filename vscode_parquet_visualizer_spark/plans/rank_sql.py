@@ -10,11 +10,14 @@ module docstring has the measurements). This module detects that shape
 in the gateway and lowers it onto the distributed rank operator:
 
 - shape: a single SELECT (no GROUP BY / HAVING / QUALIFY / DISTINCT /
-  set ops) whose window functions are all rank-family computable from
-  a global row number — rank, dense_rank, percent_rank, cume_dist,
-  row_number, ntile, first/last/nth_value with default or
-  unbounded-both frames — and share ONE (PARTITION BY, ORDER BY) over
-  plain column references;
+  set ops) whose window functions are all computable from a global row
+  number or a per-partition aggregate — rank, dense_rank,
+  percent_rank, cume_dist, row_number, ntile, first/last/nth_value
+  with default or unbounded-both frames, lag/lead (keyed self-join on
+  (partition, rn∓offset)), and whole-partition sum/avg/min/max/count
+  (no ORDER BY or unbounded frame; cumulative frames warn + fall
+  back) — and share ONE (PARTITION BY, ORDER BY) over plain column
+  references;
 - gate: the child input must be above ``_SIZE_GATE`` AND the partition
   key's measured NDV at most ``4 × parallelism`` (a high-NDV key gives
   WindowExec plenty of parallel tasks — the wall only exists when
@@ -61,11 +64,18 @@ _RANK_FNS = {
     "first_value",
     "last_value",
     "nth_value",
+    "lag",
+    "lead",
 }
 _NO_ARG = {"rank", "dense_rank", "percent_rank", "cume_dist", "row_number"}
+# whole-partition aggregates: lowered to groupBy + broadcast attach when
+# the spec has no ORDER BY (or an unbounded-both frame); with an order
+# and the default frame they are CUMULATIVE — not lowered (warned)
+_PAGG_FNS = {"sum", "avg", "min", "max", "count"}
 
 _QUICK = re.compile(
-    r"\b(" + "|".join(sorted(_RANK_FNS)) + r")\s*\(", re.IGNORECASE
+    r"\b(" + "|".join(sorted(_RANK_FNS | _PAGG_FNS)) + r")\s*\(",
+    re.IGNORECASE,
 )
 
 _CLAUSE_KWS = (
@@ -193,15 +203,19 @@ def _parse_spec(spec: str):
     pm = re.search(r"\bPARTITION\s+BY\b", spec, re.IGNORECASE)
     om = re.search(r"\bORDER\s+BY\b", spec, re.IGNORECASE)
     fm = re.search(r"\b(ROWS|RANGE|GROUPS)\b", spec, re.IGNORECASE)
-    if om is None:
-        return None  # rank family requires an order
-    if pm is not None and pm.start() > om.start():
+    if om is None and fm is not None:
+        return None  # a frame without an order is malformed
+    if pm is not None and om is not None and pm.start() > om.start():
         return None
-    part_text = spec[pm.end() : om.start()] if pm is not None else ""
-    order_text = spec[om.end() : fm.start() if fm else len(spec)]
+    spec_end = len(spec)
+    om_start = om.start() if om else (fm.start() if fm else spec_end)
+    part_text = spec[pm.end() : om_start] if pm is not None else ""
+    order_text = (
+        spec[om.end() : fm.start() if fm else spec_end] if om else ""
+    )
     frame_text = spec[fm.start() :].strip() if fm else ""
-    head = spec[: pm.start() if pm is not None else om.start()].strip()
-    if head:
+    head_end = pm.start() if pm is not None else om_start
+    if spec[:head_end].strip():
         return None  # a named-window base reference etc.
     parts: list[str] = []
     for it in _split_top_level(part_text) if part_text.strip() else []:
@@ -210,7 +224,7 @@ def _parse_spec(spec: str):
             return None
         parts.append(it.lower())
     orders: list[tuple[str, bool, bool]] = []
-    for it in _split_top_level(order_text):
+    for it in _split_top_level(order_text) if order_text.strip() else []:
         im = re.fullmatch(
             r"\s*(.*?)((?:\s+(?:ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST))*)\s*",
             it,
@@ -223,7 +237,7 @@ def _parse_spec(spec: str):
         # DuckDB default null order: NULLS LAST in BOTH directions
         nulls_first = "NULLS FIRST" in re.sub(r"\s+", " ", sfx)
         orders.append((body.lower(), desc, nulls_first))
-    if not orders:
+    if om is not None and not orders:
         return None
     unbounded = False
     if frame_text:
@@ -332,7 +346,7 @@ def _try_rewrite(
     calls = _window_calls(sel_text)
     if not calls:
         return None
-    if not any(c["fn"] in _RANK_FNS for c in calls):
+    if not any(c["fn"] in (_RANK_FNS | _PAGG_FNS) for c in calls):
         return None
 
     shared = None
@@ -361,13 +375,36 @@ def _try_rewrite(
     keyed: dict[tuple, str] = {}
     for c, parsed in zip(calls, specs_parsed):
         fn, args, unbounded = c["fn"], c["args"], parsed[2]
-        if fn not in _RANK_FNS or re.search(
+        has_order = bool(parsed[1])
+        if fn not in (_RANK_FNS | _PAGG_FNS) or re.search(
             r"\b(IGNORE|RESPECT)\s+NULLS\b", args, re.IGNORECASE
         ):
             _maybe_warn_gated(spark, run_sql, from_text, where_text, stash,
                               kw, mode, f"unsupported function {fn}")
             return None
-        if fn in _NO_ARG:
+        if fn in _PAGG_FNS:
+            if has_order and not unbounded:
+                # ORDER BY + default frame = a CUMULATIVE aggregate —
+                # needs a segmented prefix sum the operator doesn't
+                # cover yet; warn (it still hits the wall) and fall back
+                _maybe_warn_gated(spark, run_sql, from_text, where_text,
+                                  stash, kw, mode,
+                                  f"cumulative {fn} (running frame)")
+                return None
+            if fn == "count" and args.strip() == "*":
+                spec = ("pagg", "count", None)
+            else:
+                items = _split_top_level(args)
+                ref = items[0].strip() if items else ""
+                if len(items) != 1 or not _COLREF.fullmatch(ref):
+                    _maybe_warn_gated(spark, run_sql, from_text,
+                                      where_text, stash, kw, mode,
+                                      f"non-column argument to {fn}")
+                    return None
+                spec = ("pagg", fn, ref)
+        elif not has_order:
+            return None  # rank family without ORDER BY: engine error
+        elif fn in _NO_ARG:
             if args:
                 return None
             spec = (fn,)
@@ -375,6 +412,25 @@ def _try_rewrite(
             if not re.fullmatch(r"\d+", args) or int(args) < 1:
                 return None
             spec = ("ntile", int(args))
+        elif fn in ("lag", "lead"):
+            items = _split_top_level(args)
+            ref = items[0].strip() if items else ""
+            if not (1 <= len(items) <= 3) or not _COLREF.fullmatch(ref):
+                _maybe_warn_gated(spark, run_sql, from_text, where_text,
+                                  stash, kw, mode,
+                                  f"non-column argument to {fn}")
+                return None
+            off = 1
+            if len(items) >= 2:
+                if not re.fullmatch(r"\d+", items[1].strip()):
+                    return None
+                off = int(items[1])
+            default = None
+            if len(items) == 3:
+                ok, default = _literal_value(items[2], stash)
+                if not ok:
+                    return None
+            spec = (fn, ref, off, default)
         else:
             items = _split_top_level(args)
             ref = items[0].strip() if items else ""
@@ -442,12 +498,19 @@ def _try_rewrite(
         return None
     resolved_outputs: dict[str, tuple] = {}
     for out, spec in outputs.items():
-        if spec[0] in ("first_value", "last_value", "nth_value"):
+        if spec[0] in ("first_value", "last_value", "nth_value", "lag",
+                       "lead"):
             vc = _resolve(spec[1])
             if vc is None:
                 _warn_wall(f"{spec[0]} argument is not a child column")
                 return None
             spec = (spec[0], F.col(vc)) + spec[2:]
+        elif spec[0] == "pagg" and spec[2] is not None:
+            vc = _resolve(spec[2])
+            if vc is None:
+                _warn_wall(f"{spec[1]} argument is not a child column")
+                return None
+            spec = ("pagg", spec[1], F.col(vc))
         resolved_outputs[out] = spec
 
     lowered = attach_window_columns(
@@ -469,6 +532,24 @@ def _try_rewrite(
     if tail:
         new_sql += " " + tail
     return run_sql(spark, _restore_literals(new_sql, stash, form="duck"), **kw)
+
+
+def _literal_value(text: str, stash: list[str]):
+    """(ok, value) for a simple literal argument (lag/lead defaults):
+    integers, decimals, NULL, and stashed single-quoted strings."""
+    t = text.strip()
+    if re.fullmatch(r"-?\d+", t):
+        return True, int(t)
+    if re.fullmatch(r"-?\d+\.\d+", t):
+        return True, float(t)
+    if re.fullmatch(r"NULL", t, re.IGNORECASE):
+        return True, None
+    m = re.fullmatch(r"\x00LIT(\d+)\x00", t)
+    if m:
+        raw = stash[int(m.group(1))]
+        if raw.startswith("'") and raw.endswith("'"):
+            return True, raw[1:-1].replace("''", "'")
+    return False, None
 
 
 def _child_sql(from_text, where_text, stash) -> str:
