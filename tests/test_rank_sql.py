@@ -211,13 +211,13 @@ def test_global_aggregate_over_empty_partition(spark, monkeypatch):
     assert _rows(spark, sql) == want
 
 
-def test_cumulative_aggregate_falls_back_with_warning(spark, monkeypatch):
-    # ORDER BY + default frame = running sum: not lowered (needs a
-    # segmented prefix sum), must warn and produce the window answer
+def test_cumulative_avg_falls_back_with_warning(spark, monkeypatch):
+    # running avg is the one cumulative form not lowered yet (needs the
+    # sum/count composition); it must warn and produce the window answer
     monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
     sql = (
-        "SELECT uid, sum(k) OVER (PARTITION BY g ORDER BY uid) AS rs "
-        "FROM ties"
+        "SELECT uid, round(avg(k) OVER (PARTITION BY g ORDER BY uid), 9) "
+        "AS ra FROM ties"
     )
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
@@ -228,3 +228,46 @@ def test_cumulative_aggregate_falls_back_with_warning(spark, monkeypatch):
     assert _rows(spark, sql) == sorted(
         tuple(r) for r in run_sql(spark, sql).collect()
     )
+
+
+def test_running_aggregates_lowering(spark, monkeypatch):
+    # running sum/min/max/count via the distributed segmented prefix;
+    # total order so rows- and range-frames agree and the oracle is
+    # deterministic
+    sql = """
+        SELECT uid,
+               sum(k) OVER w AS rs,
+               min(k) OVER w AS rmin,
+               max(uid) OVER w AS rmax,
+               count(k) OVER w AS rck,
+               count(*) OVER w AS rc,
+               sum(uid) OVER (PARTITION BY g ORDER BY uid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs_rows
+        FROM ties
+        WINDOW w AS (PARTITION BY g ORDER BY uid)
+    """
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    df = run_sql(spark, sql)
+    assert "Window" not in df._jdf.queryExecution().executedPlan().toString()
+    assert sorted(tuple(r) for r in df.collect()) == want
+
+
+def test_running_aggregates_tie_inclusive(spark, monkeypatch):
+    # the DEFAULT frame is RANGE ... CURRENT ROW: all peers of the
+    # current row are in frame, so tied order keys share one running
+    # value — deterministic even though the tie ORDER is not. k is
+    # heavily duplicated and NULL-bearing in the ties fixture.
+    sql = """
+        SELECT uid,
+               sum(uid) OVER w AS rs,
+               count(*) OVER w AS rc,
+               min(uid) OVER w AS rmin
+        FROM ties
+        WINDOW w AS (PARTITION BY g ORDER BY k)
+    """
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    assert _rows(spark, sql) == want

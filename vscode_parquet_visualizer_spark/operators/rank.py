@@ -223,6 +223,16 @@ def attach_window_columns(
     rn, n = F.col("__rn"), F.col("__pn")
     helper_cols: list[str] = ["__rn", "__pn"]
 
+    # running aggregates FIRST: the segmented-prefix pass relies on r
+    # still being the direct (range-partitioned, sorted, narrow-lineage)
+    # output of with_row_numbers — the keyed joins below would destroy
+    # that
+    ragg_specs = [
+        (out, spec) for out, spec in outputs.items() if spec[0] == "ragg"
+    ]
+    if ragg_specs:
+        r = _attach_running_aggs(r, partition_cols, order_cols, ragg_specs)
+
     if fns & {"rank", "dense_rank", "percent_rank", "cume_dist"}:
         gcols = list(partition_cols) + list(order_cols)
         ks = r.groupBy(*gcols).agg(
@@ -332,7 +342,7 @@ def attach_window_columns(
     vi = {out: i for i, (out, _) in enumerate(val_specs)}
     for out, spec in outputs.items():
         kind = spec[0]
-        if kind in ("lag", "lead", "pagg"):
+        if kind in ("lag", "lead", "pagg", "ragg"):
             continue  # already attached above
         if kind == "row_number":
             c = rn
@@ -359,6 +369,278 @@ def attach_window_columns(
             raise ValueError(f"unsupported window function: {kind}")
         out_cols[out] = c
     return r.withColumns(out_cols).drop(*helper_cols)
+
+
+def _attach_running_aggs(
+    r: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    specs: list[tuple[str, tuple]],
+) -> DataFrame:
+    """Running (cumulative) sum/min/max/count without WindowExec — the
+    distributed SEGMENTED PREFIX over with_row_numbers' output:
+
+    1. ``r`` is still range-partitioned and sorted by (partition keys,
+       order keys) with ``__rn`` attached — the prefix segments are the
+       (spark partition × window partition) runs.
+    2. One tiny stats job aggregates each segment's measure total +
+       non-null count; the driver combines them in pid order into a
+       per-segment CARRY-IN (like with_row_numbers' offset map).
+    3. One Arrow-batched ``mapInPandas`` pass computes vectorized
+       group-wise cumulatives within each sorted partition and adds the
+       carry-in — integral measures accumulate in exact int64, floats
+       in float64 (the addition tree differs from a sequential window
+       by partial-sum grouping — same class of reordering every
+       distributed sum performs). SQL NULL semantics: a NULL measure
+       contributes nothing and the running value is NULL until the
+       segment has seen a value.
+    4. A spec with ``rows_frame=False`` (the SQL DEFAULT frame, RANGE
+       UNBOUNDED PRECEDING..CURRENT ROW) is tie-inclusive: the row's
+       value is the ROW-level value of its key group's LAST row —
+       attached as ``max_by(value, rn)`` per (partition, order-key)
+       group, one keyed groupBy + null-safe join.
+
+    ``count(*)`` needs no pandas pass at all: rows-frame is ``__rn``
+    itself, and the range form rides the same tie fixup.
+    Decimal measures raise (caught by the gateway → loud fallback).
+    """
+    from pyspark.sql import types as T
+
+    spark = r.sparkSession
+    pandas_specs = [
+        (i, spec[1], spec[2])
+        for i, (_, spec) in enumerate(specs)
+        if not (spec[1] == "count" and spec[2] is None)
+    ]
+    wkey = F.concat_ws(
+        _SEP,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in partition_cols
+        ],
+    )
+    mcols = {"__rpid": F.spark_partition_id(), "__rwkey": wkey}
+    meta = []  # (measure col name, combine op)
+    for j, (i, fn, col) in enumerate(pandas_specs):
+        if fn == "count":
+            mcols[f"__rm{j}"] = col.isNotNull().cast("long")
+            meta.append((f"__rm{j}", "sum"))
+        else:
+            mcols[f"__rm{j}"] = col
+            meta.append((f"__rm{j}", fn))
+    r2 = r.withColumns(mcols)
+    dtypes = dict(r2.dtypes)
+    kinds = []
+    for j in range(len(meta)):
+        t = dtypes[f"__rm{j}"]
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            kinds.append("int")
+        elif t in ("float", "double"):
+            kinds.append("float")
+        else:
+            raise ValueError(f"running aggregate over unsupported type {t}")
+
+    if pandas_specs:
+        aggs = []
+        for j, (name, op) in enumerate(meta):
+            agg_fn = F.sum if op == "sum" else (F.min if op == "min" else F.max)
+            aggs.append(agg_fn(name).alias(f"__pv{j}"))
+            aggs.append(F.count(name).alias(f"__pc{j}"))
+        parts = r2.groupBy("__rpid", "__rwkey").agg(*aggs).collect()
+        offsets: dict[tuple, list] = {}
+        state: dict[str, list] = {}
+        ops = [op for _, op in meta]
+        for row in sorted(parts, key=lambda x: (x["__rwkey"], x["__rpid"])):
+            k = row["__rwkey"]
+            cur = state.get(k, [(0, None)] * len(meta))
+            offsets[(row["__rpid"], k)] = cur
+            nxt = []
+            for j, op in enumerate(ops):
+                c0, v0 = cur[j]
+                pv, pc = row[f"__pv{j}"], row[f"__pc{j}"]
+                if pv is None:
+                    nxt.append((c0, v0))
+                elif v0 is None:
+                    nxt.append((c0 + pc, pv))
+                else:
+                    comb = (
+                        v0 + pv
+                        if op == "sum"
+                        else (min(v0, pv) if op == "min" else max(v0, pv))
+                    )
+                    nxt.append((c0 + pc, comb))
+            state[k] = nxt
+        n_meta = len(meta)
+        meta2 = [
+            (f"__rm{j}", ops[j], kinds[j], f"__rv{j}")
+            for j in range(n_meta)
+        ]
+        out_struct = T.StructType(
+            r2.schema.fields
+            + [
+                T.StructField(
+                    f"__rv{j}",
+                    T.LongType() if kinds[j] == "int" else T.DoubleType(),
+                )
+                for j in range(n_meta)
+            ]
+        )
+        names = [f.name for f in out_struct.fields]
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            carry: dict[str, list] = {}
+            pid = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    for j in range(n_meta):
+                        pdf[f"__rv{j}"] = pd.Series(dtype="float64")
+                    yield pdf.reindex(columns=names)
+                    continue
+                if pid is None:
+                    pid = int(pdf["__rpid"].iloc[0])
+                keys = pdf["__rwkey"]
+                for k in keys.unique():
+                    if k not in carry:
+                        carry[k] = [
+                            tuple(x)
+                            for x in offsets.get(
+                                (pid, k), [(0, None)] * n_meta
+                            )
+                        ]
+                kv = keys.values
+                for mname, op, kind, oname in meta2:
+                    j = int(oname[4:])
+                    m = pdf[mname]
+                    notna = m.notna()
+                    cnt_local = (
+                        notna.astype("int64").groupby(kv).cumsum()
+                    )
+                    if kind == "int":
+                        if op == "sum":
+                            fill = 0
+                        elif op == "min":
+                            fill = np.iinfo("int64").max
+                        else:
+                            fill = np.iinfo("int64").min
+                        # nullable ints arrive as float64; fill in the
+                        # NULLABLE INT domain — ±(2^63-1) is not float64-
+                        # representable and a float round-trip wraps the
+                        # sentinel to the opposite extreme
+                        mi = (
+                            m
+                            if str(m.dtype) in ("int64", "Int64")
+                            else m.astype("Int64")
+                        )
+                        vals = mi.fillna(fill).astype("int64")
+                    else:
+                        fill = (
+                            0.0
+                            if op == "sum"
+                            else (np.inf if op == "min" else -np.inf)
+                        )
+                        vals = m.astype("float64").fillna(fill)
+                    if op == "sum":
+                        cum = vals.groupby(kv).cumsum()
+                    elif op == "min":
+                        cum = vals.groupby(kv).cummin()
+                    else:
+                        cum = vals.groupby(kv).cummax()
+                    ccnt = keys.map(
+                        lambda k: carry[k][j][0]
+                    ).astype("int64")
+                    cval_raw = keys.map(
+                        lambda k: carry[k][j][1]
+                        if carry[k][j][1] is not None
+                        else fill
+                    )
+                    if kind == "int":
+                        cval = cval_raw.astype("int64")
+                    else:
+                        cval = cval_raw.astype("float64")
+                    if op == "sum":
+                        outv = cum + cval
+                    elif op == "min":
+                        outv = np.minimum(cum, cval)
+                    else:
+                        outv = np.maximum(cum, cval)
+                    total_cnt = cnt_local + ccnt
+                    mask = total_cnt == 0
+                    if kind == "int":
+                        res = pd.array(outv, dtype="Int64")
+                        res[mask.values] = pd.NA
+                    else:
+                        res = pd.array(
+                            outv.astype("float64"), dtype="Float64"
+                        )
+                        res[mask.values] = pd.NA
+                    pdf[oname] = res
+                    # fold the batch's per-key totals into the carry
+                    gb = pd.DataFrame(
+                        {"k": kv, "v": vals, "c": notna.astype("int64")}
+                    ).groupby("k", sort=False)
+                    if op == "sum":
+                        totals = gb["v"].sum()
+                    elif op == "min":
+                        totals = gb["v"].min()
+                    else:
+                        totals = gb["v"].max()
+                    counts = gb["c"].sum()
+                    for k, cnt in counts.items():
+                        c0, v0 = carry[k][j]
+                        if cnt == 0:
+                            continue
+                        tv = totals[k]
+                        if v0 is None:
+                            nv = tv
+                        elif op == "sum":
+                            nv = v0 + tv
+                        elif op == "min":
+                            nv = min(v0, tv)
+                        else:
+                            nv = max(v0, tv)
+                        carry[k][j] = (c0 + int(cnt), nv)
+                yield pdf.reindex(columns=names)
+
+        r2 = r2.mapInPandas(gen, schema=out_struct)
+
+    # route row-level values (and the pandas-free count(*)) to outputs
+    rowvals: dict[str, Column] = {}
+    for j, (i, fn, col) in enumerate(pandas_specs):
+        rowvals[specs[i][0]] = F.col(f"__rv{j}")
+    for out, spec in specs:
+        if spec[1] == "count" and spec[2] is None:
+            rowvals[out] = F.col("__rn").cast("long")
+    rows_outs = [(out, spec) for out, spec in specs if spec[3]]
+    range_outs = [(out, spec) for out, spec in specs if not spec[3]]
+    for out, _ in rows_outs:
+        r2 = r2.withColumn(out, rowvals[out])
+    if range_outs:
+        # tie-inclusive (default/RANGE frame): the key group's LAST
+        # row-level value, attached per (partition, order keys)
+        gcols = list(partition_cols) + list(order_cols)
+        ag = r2.groupBy(
+            *[F.col(c).alias(f"__rq{i}") for i, c in enumerate(gcols)]
+        ).agg(
+            *[
+                F.max_by(rowvals[out], F.col("__rn")).alias(f"__rr{i}")
+                for i, (out, _) in enumerate(range_outs)
+            ]
+        )
+        cond = None
+        for i, c in enumerate(gcols):
+            piece = r2[c].eqNullSafe(ag[f"__rq{i}"])
+            cond = piece if cond is None else cond & piece
+        r2 = r2.join(ag, cond, "left").drop(
+            *[f"__rq{i}" for i in range(len(gcols))]
+        )
+        for i, (out, _) in enumerate(range_outs):
+            r2 = r2.withColumn(out, F.col(f"__rr{i}")).drop(f"__rr{i}")
+    drop = ["__rpid", "__rwkey"] + [f"__rm{j}" for j in range(len(meta))]
+    drop += [f"__rv{j}" for j in range(len(pandas_specs))]
+    return r2.drop(*drop)
 
 
 def _attach_partition_aggs(

@@ -239,18 +239,31 @@ def _parse_spec(spec: str):
         orders.append((body.lower(), desc, nulls_first))
     if om is not None and not orders:
         return None
-    unbounded = False
+    frame = "default"
     if frame_text:
+        ft = re.sub(r"\s+", " ", frame_text)
         if re.fullmatch(
-            r"(ROWS|RANGE)\s+BETWEEN\s+UNBOUNDED\s+PRECEDING\s+AND\s+"
-            r"UNBOUNDED\s+FOLLOWING",
-            re.sub(r"\s+", " ", frame_text),
+            r"(ROWS|RANGE) BETWEEN UNBOUNDED PRECEDING AND "
+            r"UNBOUNDED FOLLOWING",
+            ft,
             re.IGNORECASE,
         ):
-            unbounded = True
+            frame = "unbounded"
+        elif re.fullmatch(
+            r"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            ft,
+            re.IGNORECASE,
+        ):
+            frame = "cume_rows"
+        elif re.fullmatch(
+            r"RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+            ft,
+            re.IGNORECASE,
+        ):
+            frame = "cume_range"  # same as the default frame
         else:
             return None
-    return tuple(parts), tuple(orders), unbounded
+    return tuple(parts), tuple(orders), frame
 
 
 def try_rewrite_rank(
@@ -374,7 +387,8 @@ def _try_rewrite(
     call_out: list[str] = []
     keyed: dict[tuple, str] = {}
     for c, parsed in zip(calls, specs_parsed):
-        fn, args, unbounded = c["fn"], c["args"], parsed[2]
+        fn, args, frame = c["fn"], c["args"], parsed[2]
+        unbounded = frame == "unbounded"
         has_order = bool(parsed[1])
         if fn not in (_RANK_FNS | _PAGG_FNS) or re.search(
             r"\b(IGNORE|RESPECT)\s+NULLS\b", args, re.IGNORECASE
@@ -383,16 +397,8 @@ def _try_rewrite(
                               kw, mode, f"unsupported function {fn}")
             return None
         if fn in _PAGG_FNS:
-            if has_order and not unbounded:
-                # ORDER BY + default frame = a CUMULATIVE aggregate —
-                # needs a segmented prefix sum the operator doesn't
-                # cover yet; warn (it still hits the wall) and fall back
-                _maybe_warn_gated(spark, run_sql, from_text, where_text,
-                                  stash, kw, mode,
-                                  f"cumulative {fn} (running frame)")
-                return None
             if fn == "count" and args.strip() == "*":
-                spec = ("pagg", "count", None)
+                ref = None
             else:
                 items = _split_top_level(args)
                 ref = items[0].strip() if items else ""
@@ -401,7 +407,19 @@ def _try_rewrite(
                                       where_text, stash, kw, mode,
                                       f"non-column argument to {fn}")
                     return None
+            if not has_order or unbounded:
                 spec = ("pagg", fn, ref)
+            elif fn == "avg":
+                # running avg = running sum / running count — not
+                # composed yet; warn (it still hits the wall), fall back
+                _maybe_warn_gated(spark, run_sql, from_text, where_text,
+                                  stash, kw, mode, "cumulative avg")
+                return None
+            else:
+                # ORDER BY + default/cumulative frame: distributed
+                # segmented prefix (ROWS frame is row-level; the
+                # default and RANGE frames are tie-inclusive)
+                spec = ("ragg", fn, ref, frame == "cume_rows")
         elif not has_order:
             return None  # rank family without ORDER BY: engine error
         elif fn in _NO_ARG:
@@ -505,12 +523,12 @@ def _try_rewrite(
                 _warn_wall(f"{spec[0]} argument is not a child column")
                 return None
             spec = (spec[0], F.col(vc)) + spec[2:]
-        elif spec[0] == "pagg" and spec[2] is not None:
+        elif spec[0] in ("pagg", "ragg") and spec[2] is not None:
             vc = _resolve(spec[2])
             if vc is None:
                 _warn_wall(f"{spec[1]} argument is not a child column")
                 return None
-            spec = ("pagg", spec[1], F.col(vc))
+            spec = (spec[0], spec[1], F.col(vc)) + spec[3:]
         resolved_outputs[out] = spec
 
     lowered = attach_window_columns(
