@@ -415,7 +415,7 @@ def main() -> None:
     line_out = dict(out)
     line_out["n_queries"] = len(timings)
     line_out["failed"] = sorted(k for k, v in timings.items() if v < 0)
-    line_out["detail"] = "BENCH_DETAIL.json"
+    line_out["detail"] = os.path.basename(detail_path)
     # Scale trend from the LATEST committed crossover artifact
     # (min-of-process-runs Spark/DuckDB ratios at sf0.1/1/10 — see the
     # matching CROSSOVER_r*.json for raw numbers and methodology).

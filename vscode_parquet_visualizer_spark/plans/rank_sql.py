@@ -478,6 +478,27 @@ def _try_rewrite(
             outputs[out] = spec
         call_out.append(keyed[key])
 
+    # auto-route policy, measured at sf10 (15 M rows, 3-value key,
+    # local[32]; PERF.md round 12): rank-family 13.5→1.3 s and
+    # whole-partition aggregates 3.8→1.1 s WIN and route automatically;
+    # lag/lead (3.8→10.7 s) and running aggregates (4.1→29 s) lose at
+    # single-node scale — their distributed shapes exist for the
+    # cluster case where one task cannot hold a window partition at
+    # all, so they are OPT-IN (SPARK_GRAFT_RANK=distributed) and the
+    # auto path warns about the wall instead of silently degrading.
+    if mode != "distributed":
+        optin = sorted(
+            {s[0] for s in outputs.values()}
+            & {"lag", "lead", "ragg"}
+        )
+        if optin:
+            _maybe_warn_gated(
+                spark, run_sql, from_text, where_text, stash, kw, mode,
+                f"{'/'.join(optin)} lowering is opt-in "
+                "(SPARK_GRAFT_RANK=distributed) — slower than WindowExec "
+                "below cluster scale",
+            )
+            return None
     part_refs, order_refs = shared
     child_sql = _child_sql(from_text, where_text, stash)
     child_df = None
