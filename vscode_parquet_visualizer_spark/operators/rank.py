@@ -443,7 +443,11 @@ def _attach_running_aggs(
     if pandas_specs:
         aggs = []
         for j, (name, op) in enumerate(meta):
-            agg_fn = F.sum if op == "sum" else (F.min if op == "min" else F.max)
+            agg_fn = (
+                F.sum
+                if op in ("sum", "avg")
+                else (F.min if op == "min" else F.max)
+            )
             aggs.append(agg_fn(name).alias(f"__pv{j}"))
             aggs.append(F.count(name).alias(f"__pc{j}"))
         parts = r2.groupBy("__rpid", "__rwkey").agg(*aggs).collect()
@@ -465,7 +469,7 @@ def _attach_running_aggs(
                 else:
                     comb = (
                         v0 + pv
-                        if op == "sum"
+                        if op in ("sum", "avg")
                         else (min(v0, pv) if op == "min" else max(v0, pv))
                     )
                     nxt.append((c0 + pc, comb))
@@ -480,7 +484,9 @@ def _attach_running_aggs(
             + [
                 T.StructField(
                     f"__rv{j}",
-                    T.LongType() if kinds[j] == "int" else T.DoubleType(),
+                    T.LongType()
+                    if kinds[j] == "int" and ops[j] != "avg"
+                    else T.DoubleType(),
                 )
                 for j in range(n_meta)
             ]
@@ -523,7 +529,7 @@ def _attach_running_aggs(
                         notna.astype("int64").groupby(kv).cumsum()
                     )
                     if kind == "int":
-                        if op == "sum":
+                        if op in ("sum", "avg"):
                             fill = 0
                         elif op == "min":
                             fill = np.iinfo("int64").max
@@ -542,11 +548,11 @@ def _attach_running_aggs(
                     else:
                         fill = (
                             0.0
-                            if op == "sum"
+                            if op in ("sum", "avg")
                             else (np.inf if op == "min" else -np.inf)
                         )
                         vals = m.astype("float64").fillna(fill)
-                    if op == "sum":
+                    if op in ("sum", "avg"):
                         cum = vals.groupby(kv).cumsum()
                     elif op == "min":
                         cum = vals.groupby(kv).cummin()
@@ -566,7 +572,7 @@ def _attach_running_aggs(
                     )
                     ccnt = pd.Series(ccnt_u.take(codes), index=keys.index)
                     cval = pd.Series(cval_u.take(codes), index=keys.index)
-                    if op == "sum":
+                    if op in ("sum", "avg"):
                         outv = cum + cval
                     elif op == "min":
                         outv = np.minimum(cum, cval)
@@ -574,7 +580,13 @@ def _attach_running_aggs(
                         outv = np.maximum(cum, cval)
                     total_cnt = cnt_local + ccnt
                     mask = total_cnt == 0
-                    if kind == "int":
+                    if op == "avg":
+                        av = np.true_divide(
+                            outv.astype("float64"), total_cnt.to_numpy()
+                        )
+                        res = pd.array(av, dtype="Float64")
+                        res[mask.values] = pd.NA
+                    elif kind == "int":
                         res = pd.array(outv, dtype="Int64")
                         res[mask.values] = pd.NA
                     else:
@@ -587,7 +599,7 @@ def _attach_running_aggs(
                     gb = pd.DataFrame(
                         {"k": kv, "v": vals, "c": notna.astype("int64")}
                     ).groupby("k", sort=False)
-                    if op == "sum":
+                    if op in ("sum", "avg"):
                         totals = gb["v"].sum()
                     elif op == "min":
                         totals = gb["v"].min()

@@ -409,12 +409,6 @@ def _try_rewrite(
                     return None
             if not has_order or unbounded:
                 spec = ("pagg", fn, ref)
-            elif fn == "avg":
-                # running avg = running sum / running count — not
-                # composed yet; warn (it still hits the wall), fall back
-                _maybe_warn_gated(spark, run_sql, from_text, where_text,
-                                  stash, kw, mode, "cumulative avg")
-                return None
             else:
                 # ORDER BY + default/cumulative frame: distributed
                 # segmented prefix (ROWS frame is row-level; the
