@@ -227,14 +227,10 @@ def test_running_avg_lowering(spark, monkeypatch):
     assert sorted(tuple(r) for r in df.collect()) == want
 
 
-def test_optin_families_warn_in_auto_mode(spark, monkeypatch):
-    # lag and running aggregates are opt-in below cluster scale: auto
-    # mode must warn about the wall (naming the forcing env) and keep
-    # the window plan. The gate probes require a large child, so force
-    # the warning path through the parse-stage hook by using the
-    # distributed... no — simulate with mode auto and a tiny input: no
-    # warning fires below the size gate (by design), so assert the
-    # window plan is kept and results are correct.
+def test_optin_families_keep_window_plan_in_auto_mode(spark, monkeypatch):
+    # lag and running aggregates are opt-in below cluster scale:
+    # auto mode keeps the window plan (the wall warning only fires
+    # above the size gate, which no test-scale input reaches).
     monkeypatch.delenv("SPARK_GRAFT_RANK", raising=False)
     sql = (
         "SELECT uid, lag(uid) OVER (PARTITION BY g ORDER BY uid) AS pv "
