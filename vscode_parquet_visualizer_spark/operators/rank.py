@@ -321,11 +321,17 @@ def attach_window_columns(
         r = r.join(shifted, cond, "left").drop(f"__lrn{i}", *pcols)
         if spec[3] is not None:
             # the default applies only when the offset row does not
-            # EXIST — an existing row whose value is NULL stays NULL
+            # EXIST — an existing row whose value is NULL stays NULL.
+            # Cast the default to the VALUE type (Spark's lag/lead
+            # coerces it, truncating 2.5 → 2 for a bigint column; the
+            # lowering must match the window plan it substitutes for —
+            # DuckDB would ROUND to 3, a recorded pass-through corner
+            # of the whole window surface, not of this lowering).
+            otype = dict(r.dtypes)[out]
             r = r.withColumn(
                 out,
                 F.when(F.col(f"__lh{i}"), F.col(out)).otherwise(
-                    F.lit(spec[3])
+                    F.lit(spec[3]).cast(otype)
                 ),
             )
         r = r.drop(f"__lh{i}")
@@ -412,12 +418,24 @@ def _attach_running_aggs(
         for i, (_, spec) in enumerate(specs)
         if not (spec[1] == "count" and spec[2] is None)
     ]
-    wkey = F.concat_ws(
-        _SEP,
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
-            for c in partition_cols
-        ],
+    # the KERNEL's group key must be NUL-FREE: pandas (2.x) hashes
+    # object strings as C strings, so factorize/groupby silently MERGE
+    # any two keys that differ only after a \x00 byte — the \x00NULL
+    # sentinel collided every NULL-keyed group with its neighbors
+    # (found by tools/rank_fuzz.py). Use a \x1e-based sentinel and
+    # translate embedded NULs in data values to \x1e (a same-class
+    # collision corner, but an explicit one — not silent mis-grouping
+    # of every NULL key).
+    wkey = F.translate(
+        F.concat_ws(
+            _SEP,
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x1eNULL"))
+                for c in partition_cols
+            ],
+        ),
+        "\x00",
+        "\x1e",
     )
     mcols = {"__rpid": F.spark_partition_id(), "__rwkey": wkey}
     meta = []  # (measure col name, combine op)
