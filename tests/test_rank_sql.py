@@ -165,9 +165,9 @@ def test_default_null_order_parity(spark, monkeypatch):
 
 
 def test_lag_lead_lowering(spark, monkeypatch):
-    # lag/lead via keyed self-join on (partition, rn∓offset); total
-    # order so the window oracle is deterministic; includes an explicit
-    # offset and a default value
+    # lag/lead via the ghost-row blocked window; total order so the
+    # window oracle is deterministic; includes an explicit offset and a
+    # default value
     sql = """
         SELECT uid,
                lag(uid) OVER w AS prev1,
@@ -180,7 +180,12 @@ def test_lag_lead_lowering(spark, monkeypatch):
     want = _rows(spark, sql)
     monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
     df = run_sql(spark, sql)
-    assert "Window" not in df._jdf.queryExecution().executedPlan().toString()
+    # the distributed lag DOES use a Window node — but only over the
+    # blocked high-cardinality (keys, __blk) key, never the raw
+    # low-NDV partition key (that would be the one-task wall)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines and all("__blk" in ln for ln in win_lines), plan
     assert sorted(tuple(r) for r in df.collect()) == want
 
 
@@ -281,3 +286,125 @@ def test_running_aggregates_tie_inclusive(spark, monkeypatch):
     want = _rows(spark, sql)
     monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
     assert _rows(spark, sql) == want
+
+
+# ---- round 13: subquery guard, bounded NDV probe, size-scaled route ----
+
+
+def test_scalar_subquery_over_falls_back(spark, monkeypatch):
+    # r13 ADVICE item 1: an OVER inside a scalar subquery must not be
+    # parsed as a window over the outer child. `other_uid` shares the
+    # column NAME uid with ties but different values — the old parse
+    # computed max(uid) over TIES and spliced the result column into
+    # the subquery (outer-reference resolution → silently 399). The
+    # guard aborts the lowering; the normal path answers 1004.
+    spark.range(5).select((F.col("id") + 1000).alias("uid")) \
+        .createOrReplaceTempView("other_uid")
+    sql = (
+        "SELECT uid, (SELECT max(uid) OVER () FROM other_uid LIMIT 1) "
+        "AS m FROM ties"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    assert want[0][1] == 1004
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    assert _rows(spark, sql) == want
+
+
+def test_ndv_probe_plan_is_limited(spark):
+    # r12 verdict item 4: the routing probe must not scan the full
+    # child — its plan carries a LIMIT that pushes into the scan
+    from vscode_parquet_visualizer_spark.plans.rank_sql import (
+        _NDV_PROBE_ROWS,
+        _ndv_probe_df,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    probe = _ndv_probe_df(df, ["o_orderstatus"])
+    plan = probe._jdf.queryExecution().optimizedPlan().toString()
+    assert f"GlobalLimit {_NDV_PROBE_ROWS}" in plan, plan
+    # key-column pruning reaches the scan too
+    assert "o_comment" not in plan.split("ReadSchema")[-1]
+    assert probe.first()["__ndv"] > 0
+
+
+def test_size_scaled_auto_route_lag(spark, monkeypatch):
+    # r12 verdict item 1a: in AUTO mode, a window partition whose
+    # estimated bytes exceed the single-task budget routes the opt-in
+    # lag family distributed anyway (WindowExec would not finish);
+    # below the budget, auto mode keeps WindowExec and warns.
+    from vscode_parquet_visualizer_spark.plans import rank_sql
+
+    sql = (
+        "SELECT uid, lag(uid) OVER (PARTITION BY g ORDER BY uid) AS p "
+        "FROM ties"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "auto")
+    monkeypatch.setenv("SPARK_GRAFT_RANK_SIZE_GATE", "1")
+    monkeypatch.setenv("SPARK_GRAFT_TASK_BUDGET", "1")
+    rank_sql.note_catalog_change()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        df = run_sql(spark, sql)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines and all("__blk" in ln for ln in win_lines), plan
+    assert sorted(tuple(r) for r in df.collect()) == want
+    # huge budget: auto keeps the plain window plan, warning loudly
+    monkeypatch.setenv("SPARK_GRAFT_TASK_BUDGET", str(1 << 60))
+    rank_sql.note_catalog_change()
+    with pytest.warns(RuntimeWarning, match="opt-in"):
+        df2 = run_sql(spark, sql)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "Window [" in ln and "__blk" not in ln
+        for ln in plan2.splitlines()
+    ), plan2
+    assert sorted(tuple(r) for r in df2.collect()) == want
+
+
+def test_lowering_prunes_child_columns(spark, monkeypatch):
+    # r13: the lowering prunes the child to referenced + window-key
+    # columns (WindowExec gets this from Catalyst for free; the eager
+    # child must do it by hand or every shuffle carries the full row)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    df = run_sql(
+        spark,
+        "SELECT o_orderkey, rank() OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_totalprice) AS r FROM orders",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "o_comment" not in plan, "unreferenced wide column shuffled"
+    assert "o_clerk" not in plan
+
+
+def test_lowered_views_do_not_leak(spark, monkeypatch):
+    # r13 ADVICE item 5a: the lowering's temp view is dropped after the
+    # outer select is analyzed — no per-query catalog growth
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    df = run_sql(
+        spark,
+        "SELECT uid, rank() OVER (PARTITION BY g ORDER BY uid) AS r "
+        "FROM ties",
+    )
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("__rank_lowered")
+    ]
+    assert leaked == []
+    assert df.count() == 400  # result stays usable after the drop
+
+
+def test_gate_caches_invalidate_on_ddl(spark):
+    # r13 ADVICE item 5b: re-registering a relation must not reuse
+    # stale size/NDV gate probes keyed by the same child text
+    from vscode_parquet_visualizer_spark.plans import rank_sql
+
+    rank_sql._SIZE_CACHE["SELECT * FROM r13_stale"] = 1 << 40
+    rank_sql._NDV_CACHE[("SELECT * FROM r13_stale", ("g",))] = 3
+    run_sql(spark, "CREATE OR REPLACE TABLE r13_cachebust AS SELECT 1 AS a")
+    assert rank_sql._SIZE_CACHE == {}
+    assert rank_sql._NDV_CACHE == {}

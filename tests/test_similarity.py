@@ -149,3 +149,82 @@ def test_ivf_prebuilt_index_matches_inline(spark, sf_dir):
     a = sorted(map(tuple, inline.collect()))
     b = sorted(map(tuple, via_index.collect()))
     assert a == b and a
+
+
+# ---- round 13 ADVICE regressions: literal-dot fast-path guards ----
+
+
+def test_fast_path_null_query_vector_falls_through(spark):
+    # a NULL query vector crashed the unrolled scorer (len(None));
+    # now it falls through to the HOF path, whose NULL scores are
+    # filtered — the non-NULL query still gets its neighbors
+    corpus = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(4)],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(0, None), (1, [1.0, 1.0])],
+        "query_id int, embedding array<double>",
+    )
+    out = sim.brute_force_topk(corpus, queries, k=2).collect()
+    assert {r["query_id"] for r in out} == {1}
+    assert len(out) == 2
+
+
+def test_fast_path_null_element_falls_through(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(4)],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, None]), (1, [2.0, 1.0])],
+        "query_id int, embedding array<double>",
+    )
+    out = sim.brute_force_topk(corpus, queries, k=2).collect()
+    assert {r["query_id"] for r in out} == {1}
+
+
+def test_fast_path_mixed_dims_falls_through(spark):
+    # inconsistent query dims previously sized el[] from the first
+    # query, silently truncating the others
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0, 1.0])],
+        "query_id int, embedding array<double>",
+    )
+    out = sim.brute_force_topk(corpus, queries, k=1).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in out}
+    # query 1 (3-dim) must match corpus vec 1 — truncation to 2 dims
+    # would have scored it NULL/wrong
+    assert got[1] == 1
+
+
+def test_fast_path_corpus_dim_mismatch_scores_null(spark):
+    # a corpus vector of a different dimension must score NULL (as the
+    # HOF path does), not a silently truncated dot product
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(7, [1.0, 1.0])], ["query_id", "embedding"]
+    )
+    out = sim.brute_force_topk(corpus, queries, k=5).collect()
+    assert {r["neighbor_id"] for r in out} == {0}
+
+
+def test_fast_path_backslash_and_quote_query_ids(spark):
+    # string ids flow through a selectExpr literal: backslashes and
+    # quotes must round-trip exactly
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    ids = ["a\\b", "it's", "plain"]
+    queries = spark.createDataFrame(
+        [(q, [1.0, 1.0]) for q in ids], ["query_id", "embedding"]
+    )
+    out = sim.brute_force_topk(corpus, queries, k=1).collect()
+    assert sorted(r["query_id"] for r in out) == sorted(ids)

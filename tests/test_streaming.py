@@ -172,3 +172,45 @@ def test_workload_stream_batch_short_circuit(spark, sf_dir, name, monkeypatch):
         tuple(r) for r in workload.QUERIES[name](spark, sf_dir).collect()
     )
     assert batch_rows == stream_rows
+
+
+def test_interval_seconds_compound_and_fallback(spark, batch_events):
+    # r13 ADVICE: compound lookbacks ('1 hour 30 minutes') are valid
+    # INTERVAL syntax for the range condition and must bin correctly;
+    # an unparseable one falls back to the un-binned join (same rows)
+    from vscode_parquet_visualizer_spark.streaming.joins import (
+        _interval_seconds,
+        purchases_with_prior_views,
+    )
+
+    assert _interval_seconds("1 hour 30 minutes") == 5400
+    assert _interval_seconds("2 days 1 second") == 2 * 86400 + 1
+    want = {
+        (r["purchase_id"], r["view_id"])
+        for r in purchases_with_prior_views(
+            batch_events, lookback="30 minutes"
+        ).collect()
+    }
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in purchases_with_prior_views(
+            batch_events, lookback="0 hours 30 minutes"
+        ).collect()
+    }
+    assert got == want
+    # a unit the binning doesn't know ('week') but Spark's INTERVAL
+    # accepts: un-binned fallback, same rows as the equivalent simple
+    # form
+    want_7d = {
+        (r["purchase_id"], r["view_id"])
+        for r in purchases_with_prior_views(
+            batch_events, lookback="7 days"
+        ).collect()
+    }
+    got_wk = {
+        (r["purchase_id"], r["view_id"])
+        for r in purchases_with_prior_views(
+            batch_events, lookback="1 week"
+        ).collect()
+    }
+    assert got_wk == want_7d

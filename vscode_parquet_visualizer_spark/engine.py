@@ -108,6 +108,11 @@ class ResultSet:
         self._sort_dir: str = sort_ops.ASC
         self.query_ms: float | None = None
         self._base.drop(ROW_ID).createOrReplaceTempView(name)
+        from vscode_parquet_visualizer_spark.plans.rank_sql import (
+            note_catalog_change,
+        )
+
+        note_catalog_change()  # view re-bound: stale gate probes out
         # Per-dataset result views (query_result_N) keep two open datasets
         # from clobbering each other, mirroring the data_N scheme; the
         # plain name stays registered as a most-recent convenience alias.

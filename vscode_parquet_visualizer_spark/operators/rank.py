@@ -192,11 +192,13 @@ def attach_window_columns(
       broadcast side is tiny by construction). Default-frame
       semantics: nth_value is NULL until rn≥k; last_value's default
       frame ends at the current row, so it is the row's own value.
-    - ``("lag", col, offset, default|None)`` / ``("lead", …)`` — one
-      keyed self-join per output on (partition keys, rn ∓ offset):
-      both sides are hash-partitioned on a high-cardinality composite
-      key, so the join parallelizes regardless of window-partition
-      cardinality.
+    - ``("lag", col, offset, default|None)`` / ``("lead", …)`` — the
+      ghost-row blocked window (:func:`_attach_lag_leads_blocked`):
+      Spark's own lag/lead over (partition keys, rn-block), with each
+      block's boundary rows duplicated into the neighbor block, so the
+      window key has ≥ rows/65536 groups and parallelizes regardless of
+      window-partition cardinality. Offsets ≥ the block size fall back
+      to a keyed self-join on (partition keys, rn ∓ offset).
     - ``("pagg", fn_name, col|None)`` — a whole-partition aggregate
       (``sum(x) OVER (PARTITION BY p)`` or with an unbounded-both
       frame): one groupBy + broadcast attach; ``col=None`` is
@@ -299,42 +301,19 @@ def attach_window_columns(
         )
         helper_cols.extend(f"__tv{i}" for i in range(len(val_specs)))
 
-    # lag/lead: one keyed self-join per output on (partition, rn∓off) —
-    # high-cardinality composite key, so parallelism is task-bounded
-    for i, (out, spec) in enumerate(
+    # lag/lead: ghost-row blocked window (see _attach_lag_leads_blocked)
+    # — one balanced shuffle, no data-sized self-join; the keyed
+    # self-join remains only for offsets ≥ the block size
+    ll_specs = [
         (o, s) for o, s in outputs.items() if s[0] in ("lag", "lead")
-    ):
-        off = int(spec[2]) if spec[0] == "lag" else -int(spec[2])
-        pcols = [f"__lp{i}_{j}" for j in range(len(partition_cols))]
-        shifted = r.select(
-            *[
-                F.col(c).alias(p)
-                for c, p in zip(partition_cols, pcols)
-            ],
-            (F.col("__rn") + off).alias(f"__lrn{i}"),
-            spec[1].alias(out),
-            F.lit(True).alias(f"__lh{i}"),
-        )
-        cond = r["__rn"] == shifted[f"__lrn{i}"]
-        for c, p in zip(partition_cols, pcols):
-            cond = cond & r[c].eqNullSafe(shifted[p])
-        r = r.join(shifted, cond, "left").drop(f"__lrn{i}", *pcols)
-        if spec[3] is not None:
-            # the default applies only when the offset row does not
-            # EXIST — an existing row whose value is NULL stays NULL.
-            # Cast the default to the VALUE type (Spark's lag/lead
-            # coerces it, truncating 2.5 → 2 for a bigint column; the
-            # lowering must match the window plan it substitutes for —
-            # DuckDB would ROUND to 3, a recorded pass-through corner
-            # of the whole window surface, not of this lowering).
-            otype = dict(r.dtypes)[out]
-            r = r.withColumn(
-                out,
-                F.when(F.col(f"__lh{i}"), F.col(out)).otherwise(
-                    F.lit(spec[3]).cast(otype)
-                ),
-            )
-        r = r.drop(f"__lh{i}")
+    ]
+    if ll_specs:
+        small = [(o, s) for o, s in ll_specs if int(s[2]) < _LAG_BLOCK]
+        big = [(o, s) for o, s in ll_specs if int(s[2]) >= _LAG_BLOCK]
+        if small:
+            r = _attach_lag_leads_blocked(r, partition_cols, small)
+        if big:
+            r = _attach_lag_leads_selfjoin(r, partition_cols, big)
 
     pagg_specs = [
         (out, spec) for out, spec in outputs.items() if spec[0] == "pagg"
@@ -375,6 +354,134 @@ def attach_window_columns(
             raise ValueError(f"unsupported window function: {kind}")
         out_cols[out] = c
     return r.withColumns(out_cols).drop(*helper_cols)
+
+
+# Rows per window block for the blocked lag/lead. Must exceed any lag
+# offset (guarded by the caller); large enough that the per-group sort
+# is trivial and the ghost fraction (max_off / block) is negligible,
+# small enough that every (partition, block) group fits one task at any
+# scale — 64 Ki rows of a wide fact row is a few tens of MB.
+_LAG_BLOCK = 65536
+
+
+def _attach_lag_leads_blocked(
+    r: DataFrame,
+    partition_cols: list[str],
+    specs: list[tuple[str, tuple]],
+) -> DataFrame:
+    """lag/lead without WindowExec's one-task-per-window-partition wall:
+    the GHOST-ROW BLOCKED WINDOW (round-12 verdict item 1b).
+
+    ``__rn`` (global 1-based row number within the window partition,
+    from :func:`with_row_numbers`) makes the window partition's row
+    sequence addressable: block ``m`` is rows ``rn ∈ (mB, (m+1)B]``.
+    ``lag(x, k)`` needs row ``rn − k``, which for any ``k < B`` lives in
+    the row's own block or the previous one. So:
+
+    1. duplicate each block's last ``max_lag`` rows into the NEXT block
+       (and, for leads, each block's first ``max_lead`` rows into the
+       previous) as flagged GHOST rows — the exchanged boundary, a
+       ``max_off / B`` fraction of the data;
+    2. run Spark's own ``lag``/``lead`` OVER (PARTITION BY keys, block
+       ORDER BY __rn) — the key now has ≥ rows/B groups, so WindowExec
+       parallelizes and each task sorts ≤ B + max_off rows regardless
+       of the window partition's size;
+    3. drop the ghosts.
+
+    Ghosts make the offset row present in the blocked window exactly
+    when it exists in the true window (rn∓k ∈ [1, pn]), so Spark's own
+    default-argument semantics (and its default-value coercion — e.g.
+    truncating 2.5 → 2 for a bigint column) carry over unchanged.
+
+    vs the r12 keyed self-join (both sides data-sized, 10.7 s at sf10):
+    one balanced shuffle of (1+ε)·rows — 7.2 s at sf10 (column-pruned,
+    min-of-4 quiet box), bounded task memory, no data-sized build side.
+    Still above local WindowExec's 2.6 s on the same shape — the
+    with_row_numbers range-sort + checkpoint alone costs more than the
+    whole single-node window — so lag/lead remain opt-in at local
+    scale; plans/rank_sql.py auto-routes them anyway when the estimated
+    bytes-per-window-partition exceeds a single-task budget (PERF.md
+    route-policy table).
+    """
+    from pyspark.sql.window import Window
+
+    max_lag = max(
+        [int(s[2]) for _, s in specs if s[0] == "lag"], default=0
+    )
+    max_lead = max(
+        [int(s[2]) for _, s in specs if s[0] == "lead"], default=0
+    )
+    rn = F.col("__rn")
+    blk = F.floor((rn - 1) / _LAG_BLOCK)
+    parts = [
+        r.withColumns({"__blk": blk, "__ghost": F.lit(False)})
+    ]
+    if max_lag:
+        parts.append(
+            r.filter(((rn - 1) % _LAG_BLOCK) >= _LAG_BLOCK - max_lag)
+            .withColumns({"__blk": blk + 1, "__ghost": F.lit(True)})
+        )
+    if max_lead:
+        parts.append(
+            r.filter(((rn - 1) % _LAG_BLOCK) < max_lead)
+            .withColumns({"__blk": blk - 1, "__ghost": F.lit(True)})
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy(*partition_cols, "__blk").orderBy("__rn")
+    out_cols: dict[str, Column] = {}
+    for out, spec in specs:
+        fn = F.lag if spec[0] == "lag" else F.lead
+        out_cols[out] = fn(spec[1], int(spec[2]), spec[3]).over(w)
+    return (
+        u.withColumns(out_cols)
+        .filter(~F.col("__ghost"))
+        .drop("__blk", "__ghost")
+    )
+
+
+def _attach_lag_leads_selfjoin(
+    r: DataFrame,
+    partition_cols: list[str],
+    specs: list[tuple[str, tuple]],
+) -> DataFrame:
+    """Offsets ≥ _LAG_BLOCK (no ghost row can carry that far): one keyed
+    self-join per output on (partition, rn∓off) — high-cardinality
+    composite key, so parallelism is task-bounded either way."""
+    for i, (out, spec) in enumerate(specs):
+        off = int(spec[2]) if spec[0] == "lag" else -int(spec[2])
+        pcols = [f"__lp{i}_{j}" for j in range(len(partition_cols))]
+        shifted = r.select(
+            *[
+                F.col(c).alias(p)
+                for c, p in zip(partition_cols, pcols)
+            ],
+            (F.col("__rn") + off).alias(f"__lrn{i}"),
+            spec[1].alias(out),
+            F.lit(True).alias(f"__lh{i}"),
+        )
+        cond = r["__rn"] == shifted[f"__lrn{i}"]
+        for c, p in zip(partition_cols, pcols):
+            cond = cond & r[c].eqNullSafe(shifted[p])
+        r = r.join(shifted, cond, "left").drop(f"__lrn{i}", *pcols)
+        if spec[3] is not None:
+            # the default applies only when the offset row does not
+            # EXIST — an existing row whose value is NULL stays NULL.
+            # Cast the default to the VALUE type (Spark's lag/lead
+            # coerces it, truncating 2.5 → 2 for a bigint column; the
+            # lowering must match the window plan it substitutes for —
+            # DuckDB would ROUND to 3, a recorded pass-through corner
+            # of the whole window surface, not of this lowering).
+            otype = dict(r.dtypes)[out]
+            r = r.withColumn(
+                out,
+                F.when(F.col(f"__lh{i}"), F.col(out)).otherwise(
+                    F.lit(spec[3]).cast(otype)
+                ),
+            )
+        r = r.drop(f"__lh{i}")
+    return r
 
 
 def _attach_running_aggs(

@@ -172,7 +172,27 @@ def brute_force_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
     ).take(17)
-    if 0 < len(qrows) <= 16:
+
+    def _fast_path_ok() -> bool:
+        # r13 ADVICE guards: the unrolled scorer indexes el[] by the
+        # FIRST query's dimension and embeds ids in a selectExpr — it
+        # must not see NULL vectors (len(None) raises), NULL elements
+        # (math.sqrt raises), inconsistent dims (silent truncation), or
+        # NULL ids (str(None) would round-trip as the string 'None').
+        # Any of those falls through to the HOF cross join, whose NULL
+        # scores _topk_per_query already filters.
+        if not (0 < len(qrows) <= 16):
+            return False
+        dims = set()
+        for r in qrows:
+            if r["query_id"] is None or r["__qvec"] is None:
+                return False
+            if any(x is None for x in r["__qvec"]):
+                return False
+            dims.add(len(r["__qvec"]))
+        return len(dims) == 1
+
+    if _fast_path_ok():
         import math
 
         el = [
@@ -184,6 +204,7 @@ def brute_force_topk(
             n2 = n2 + e * e
         cnorm = F.sqrt(n2)
         score_cols = []
+        qdim = len(qrows[0]["__qvec"])
         for i, r in enumerate(qrows):
             qv = r["__qvec"]
             qn = math.sqrt(sum(x * x for x in qv))
@@ -191,21 +212,31 @@ def brute_force_topk(
             for j in range(1, len(qv)):
                 dot = dot + el[j] * float(qv[j])
             score_cols.append(
-                F.round(dot / (cnorm * F.lit(qn)), 6).alias(f"__s{i}")
+                # corpus vector of a different dimension: NULL score
+                # (the HOF path's zip_with yields NULL there — the
+                # unrolled sum must not silently truncate instead)
+                F.when(
+                    F.size(F.col(vec_col)) == qdim,
+                    F.round(dot / (cnorm * F.lit(qn)), 6),
+                ).alias(f"__s{i}")
             )
         wide = corpus.select(
             F.col(id_col).alias("neighbor_id"), *score_cols
         )
-        stack_args = ", ".join(
-            "'{}', __s{}".format(
-                str(r["query_id"]).replace("'", "''"), i
-            )
-            for i, r in enumerate(qrows)
-        )
+        # the ids ride as TYPED F.lit columns, not SQL string literals —
+        # literal escaping differs between escapedStringLiterals modes
+        # and raw mode cannot embed a quote at all (r13 ADVICE; ids
+        # with backslashes/quotes round-trip exactly, and non-string
+        # ids keep their type instead of str()-round-tripping)
+        stack_args: list = []
+        for i, r in enumerate(qrows):
+            stack_args.extend((F.lit(r["query_id"]), F.col(f"__s{i}")))
         qid_type = dict(queries.dtypes)[query_id_col]
-        scored = wide.selectExpr(
+        scored = wide.select(
             "neighbor_id",
-            f"stack({len(qrows)}, {stack_args}) AS (query_id, score)",
+            F.stack(F.lit(len(qrows)), *stack_args).alias(
+                "query_id", "score"
+            ),
         ).select(
             F.col("query_id").cast(qid_type).alias("query_id"),
             "neighbor_id",

@@ -1198,6 +1198,23 @@ def try_rewrite_ddl(
     """Route a DDL/COPY/SHOW statement; None if ``sql`` is none of them.
     ``run_sql`` is the gateway entry point (passed in to avoid a module
     cycle); ``kw`` carries its view/columns/dataset_path binding."""
+    out = _try_rewrite_ddl(spark, sql, run_sql, **kw)
+    if out is not None:
+        # any routed statement may have (re)registered a relation —
+        # invalidate rank_sql's size/NDV gate-probe caches so a later
+        # window query over the same text re-probes the new data
+        # (over-clearing on SHOW/DESCRIBE is harmless: it is a cache)
+        from vscode_parquet_visualizer_spark.plans.rank_sql import (
+            note_catalog_change,
+        )
+
+        note_catalog_change()
+    return out
+
+
+def _try_rewrite_ddl(
+    spark: SparkSession, sql: str, run_sql, **kw
+) -> DataFrame | None:
     m = _CREATE_MACRO.match(sql)
     if m is not None:
         body = m.group("body").strip()

@@ -13,16 +13,23 @@ in the gateway and lowers it onto the distributed rank operator:
   set ops) whose window functions are all computable from a global row
   number or a per-partition aggregate — rank, dense_rank,
   percent_rank, cume_dist, row_number, ntile, first/last/nth_value
-  with default or unbounded-both frames, lag/lead (keyed self-join on
-  (partition, rn∓offset)), and whole-partition sum/avg/min/max/count
-  (no ORDER BY or unbounded frame; cumulative frames warn + fall
-  back) — and share ONE (PARTITION BY, ORDER BY) over plain column
-  references;
-- gate: the child input must be above ``_SIZE_GATE`` AND the partition
-  key's measured NDV at most ``4 × parallelism`` (a high-NDV key gives
-  WindowExec plenty of parallel tasks — the wall only exists when
-  key cardinality < cores). ``SPARK_GRAFT_RANK=distributed`` forces the
-  route at any size (how the tests pin it); ``=window`` disables it.
+  with default or unbounded-both frames, lag/lead (ghost-row blocked
+  window, operators/rank.py), and whole-partition sum/avg/min/max/
+  count (no ORDER BY or unbounded frame) — and share ONE
+  (PARTITION BY, ORDER BY) over plain column references;
+- gate: the child input must be above ``_size_gate()`` AND the
+  partition key's NDV (measured over a bounded, limit-pushed probe) at
+  most ``4 × parallelism`` (a high-NDV key gives WindowExec plenty of
+  parallel tasks — the wall only exists when key cardinality < cores).
+  Families whose distributed shape measures SLOWER at local scale
+  (lag/lead, running aggregates) additionally require either
+  ``SPARK_GRAFT_RANK=distributed`` or an estimated
+  bytes-per-window-partition above the single-task budget
+  (``SPARK_GRAFT_TASK_BUDGET``, default 8 GiB) — at that size the
+  WindowExec plan would not finish at all, so auto mode routes
+  regardless of the local-scale measurement.
+  ``SPARK_GRAFT_RANK=distributed`` forces the route at any size (how
+  the tests pin it); ``=window`` disables it.
 - otherwise: when the gate would fire but the shape has something the
   lowering doesn't cover, emit a loud RuntimeWarning naming the wall
   instead of silently planning a query that won't finish.
@@ -53,6 +60,13 @@ from vscode_parquet_visualizer_spark.plans.dialect import (
 )
 
 _SIZE_GATE = 64 * 1024 * 1024
+
+
+def _size_gate() -> int:
+    """Child-size floor below which the plain WindowExec plan is kept
+    (small interactive inputs). Env-overridable so routing tests can
+    exercise the scale behavior on small fixtures."""
+    return int(os.environ.get("SPARK_GRAFT_RANK_SIZE_GATE", _SIZE_GATE))
 
 _RANK_FNS = {
     "rank",
@@ -101,10 +115,21 @@ _view_ids = itertools.count()
 
 # Gate-probe caches, keyed by the child SQL text: the size probe costs
 # one plan analysis (~tens of ms) and the NDV probe one pruned-scan job
-# — paid once per distinct query text, not per repetition.
+# — paid once per distinct query text, not per repetition. Any catalog
+# change (DDL, dataset open) clears them via note_catalog_change() —
+# the same child text can resolve to different data after a view is
+# re-registered, and a stale probe would mis-ROUTE it (round-13 ADVICE
+# item 5; routing only — results were never affected).
 _SIZE_CACHE: dict[str, int] = {}
-_NDV_CACHE: dict[tuple[str, tuple], bool] = {}
+_NDV_CACHE: dict[tuple[str, tuple], int] = {}
 _CACHE_MAX = 256
+
+
+def note_catalog_change() -> None:
+    """Invalidate the gate-probe caches; called by the DDL router and
+    the engine whenever a relation is (re)registered."""
+    _SIZE_CACHE.clear()
+    _NDV_CACHE.clear()
 
 
 def _mode() -> str:
@@ -137,12 +162,38 @@ def _top_level_clauses(s: str) -> list[tuple[str, int]]:
     return out
 
 
+def _subquery_spans(s: str) -> list[tuple[int, int]]:
+    """Spans of every parenthesized subquery ``( SELECT … )`` in ``s``
+    (literals are already stashed by the caller, so a ``(SELECT`` here
+    is always real SQL). Used to refuse OVER occurrences that belong to
+    a scalar subquery in the select list — lowering those would compute
+    the window over the OUTER child and splice the result column into
+    the subquery, silently wrong (round-13 ADVICE item 1)."""
+    spans = []
+    for m in re.finditer(r"\(\s*SELECT\b", s, re.IGNORECASE):
+        depth, k = 1, m.end()
+        while k < len(s) and depth:
+            if s[k] == "(":
+                depth += 1
+            elif s[k] == ")":
+                depth -= 1
+            k += 1
+        spans.append((m.start(), k))
+    return spans
+
+
 def _window_calls(sel: str):
     """Parse ``fn(args) OVER (spec | name)`` occurrences in a select
     list. Returns a list of dicts or None when anything fails to parse
-    (the caller falls back to the normal path)."""
+    (the caller falls back to the normal path). Any OVER inside a
+    parenthesized subquery aborts the whole parse: the call's window
+    runs over the SUBQUERY's input, not the outer child, so the
+    lowering does not apply (normal WindowExec path instead)."""
+    sub_spans = _subquery_spans(sel)
     calls = []
     for m in re.finditer(r"\bOVER\b", sel, re.IGNORECASE):
+        if any(lo < m.start() < hi for lo, hi in sub_spans):
+            return None
         # forward: the window spec (inline parens or a named window)
         j = m.end()
         while j < len(sel) and sel[j].isspace():
@@ -472,27 +523,6 @@ def _try_rewrite(
             outputs[out] = spec
         call_out.append(keyed[key])
 
-    # auto-route policy, measured at sf10 (15 M rows, 3-value key,
-    # local[32]; PERF.md round 12): rank-family 13.5→1.3 s and
-    # whole-partition aggregates 3.8→1.1 s WIN and route automatically;
-    # lag/lead (3.8→10.7 s) and running aggregates (4.1→29 s) lose at
-    # single-node scale — their distributed shapes exist for the
-    # cluster case where one task cannot hold a window partition at
-    # all, so they are OPT-IN (SPARK_GRAFT_RANK=distributed) and the
-    # auto path warns about the wall instead of silently degrading.
-    if mode != "distributed":
-        optin = sorted(
-            {s[0] for s in outputs.values()}
-            & {"lag", "lead", "ragg"}
-        )
-        if optin:
-            _maybe_warn_gated(
-                spark, run_sql, from_text, where_text, stash, kw, mode,
-                f"{'/'.join(optin)} lowering is opt-in "
-                "(SPARK_GRAFT_RANK=distributed) — slower than WindowExec "
-                "below cluster scale",
-            )
-            return None
     part_refs, order_refs = shared
     child_sql = _child_sql(from_text, where_text, stash)
     child_df = None
@@ -503,23 +533,95 @@ def _try_rewrite(
             size = _plan_bytes(child_df)
             if len(_SIZE_CACHE) < _CACHE_MAX:
                 _SIZE_CACHE[child_sql] = size
-        if size < _SIZE_GATE:
+        if size < _size_gate():
             return None
-        low = _NDV_CACHE.get((child_sql, part_refs))
-        if low is None:
+        ndv = _NDV_CACHE.get((child_sql, part_refs))
+        if ndv is None:
             if child_df is None:
                 child_df = _run_child(spark, run_sql, child_sql, kw)
-            low = _low_ndv(child_df, part_refs)
-            if len(_NDV_CACHE) < _CACHE_MAX:
-                _NDV_CACHE[(child_sql, part_refs)] = low
-        if not low:
+            ndv = _measure_ndv(child_df, part_refs)
+            if ndv is not None and len(_NDV_CACHE) < _CACHE_MAX:
+                _NDV_CACHE[(child_sql, part_refs)] = ndv
+        if ndv is None or ndv > max(
+            64, 4 * spark.sparkContext.defaultParallelism
+        ):
+            # a high-NDV key gives WindowExec plenty of parallel tasks —
+            # the wall only exists when key cardinality < cores
             return None
+        # auto-route policy, measured at sf10 (15 M rows, 3-value key,
+        # local[32]; PERF.md): rank-family 13.5→1.3 s and
+        # whole-partition aggregates 3.8→1.1 s WIN and route
+        # automatically; lag/lead (2.6 s WindowExec vs 7.2 s ghost-row
+        # blocked window — down from the r12 self-join's 10.7 s) and
+        # running aggregates (4.1→24 s) still lose at single-node
+        # scale, because with_row_numbers' range-sort + checkpoint
+        # alone costs more than the whole local WindowExec — so they
+        # are OPT-IN (SPARK_GRAFT_RANK=distributed) — UNLESS the
+        # estimated bytes-per-window-partition exceeds what one task
+        # can hold at all (size ÷ NDV > SPARK_GRAFT_TASK_BUDGET, default
+        # 8 GiB): then WindowExec does not finish regardless of the
+        # local-scale measurement, and auto mode routes anyway
+        # (round-12 verdict item 1a).
+        optin = sorted(
+            {s[0] for s in outputs.values()} & {"lag", "lead", "ragg"}
+        )
+        if optin:
+            bpp = size / max(ndv, 1)
+            if bpp <= _task_budget():
+                _warn_wall(
+                    f"{'/'.join(optin)} lowering is opt-in "
+                    "(SPARK_GRAFT_RANK=distributed) — slower than "
+                    "WindowExec below cluster scale, and the estimated "
+                    f"{bpp / 1e6:.0f} MB per window partition still fits "
+                    "one task"
+                )
+                return None
+            warnings.warn(
+                "auto-routing the distributed "
+                f"{'/'.join(optin)} lowering: estimated "
+                f"{bpp / 1e9:.1f} GB per window partition exceeds the "
+                f"single-task budget ({_task_budget() / 1e9:.1f} GB) — "
+                "the WindowExec plan would not finish",
+                RuntimeWarning,
+                stacklevel=4,
+            )
     if child_df is None:
         child_df = _run_child(spark, run_sql, child_sql, kw)
 
     # resolve refs (case-insensitive, strip any qualifier) against the
     # child's actual column names
     by_lower = {c.lower(): c for c in child_df.columns}
+
+    # COLUMN PRUNING through the lowering (r13): WindowExec's plan gets
+    # Catalyst pruning for free — only the selected + window-key
+    # columns cross its exchange. The lowering materializes the child
+    # eagerly, so it must prune by hand or every shuffle in the rank
+    # operator carries the full row (measured 2× on a 9-column fact
+    # table whose query selects 3). Keep a child column iff its
+    # (lowercased, unqualified) name appears as an identifier in the
+    # rewritten select list / tail, or it is a window key/argument; a
+    # ``*`` anywhere keeps everything.
+    outer_text = re.sub(
+        r"count\s*\(\s*\*\s*\)", "count_star_", sel_text + " " + tail,
+        flags=re.IGNORECASE,
+    )  # count(*)'s star is not a projection star
+    if "*" not in outer_text:
+        idents = {
+            m.group(0).split(".")[-1].lower()
+            for m in re.finditer(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?",
+                                 outer_text)
+        }
+        for c in calls:  # window args resolve below; keep them too
+            idents.update(
+                m.group(0).split(".")[-1].lower()
+                for m in re.finditer(r"[A-Za-z_]\w*", c["args"])
+            )
+        idents.update(r.split(".")[-1] for r in part_refs)
+        idents.update(r.split(".")[-1] for r, _, _ in order_refs)
+        keep = [c for c in child_df.columns if c.lower() in idents]
+        if keep and len(keep) < len(child_df.columns):
+            child_df = child_df.select(*keep)
+            by_lower = {c.lower(): c for c in child_df.columns}
 
     def _resolve(ref: str) -> str | None:
         return by_lower.get(ref) or by_lower.get(ref.split(".")[-1])
@@ -564,7 +666,15 @@ def _try_rewrite(
     new_sql = f"SELECT {new_sel.strip()} FROM {view}"
     if tail:
         new_sql += " " + tail
-    return run_sql(spark, _restore_literals(new_sql, stash, form="duck"), **kw)
+    try:
+        return run_sql(
+            spark, _restore_literals(new_sql, stash, form="duck"), **kw
+        )
+    finally:
+        # spark.sql analyzes eagerly, so the returned DataFrame no
+        # longer needs the catalog entry — drop it instead of leaking
+        # one view per lowering for the session lifetime.
+        spark.catalog.dropTempView(view)
 
 
 def _literal_value(text: str, stash: list[str]):
@@ -601,20 +711,49 @@ def _plan_bytes(df: DataFrame) -> int:
                    .sizeInBytes()))
 
 
-def _low_ndv(df: DataFrame, part_refs) -> bool:
-    """The WindowExec wall needs LOW key cardinality: with NDV well
-    above the parallelism, the one-task-per-partition plan already
-    spreads across the cluster and the lowering buys nothing. One
-    pruned-scan approx-distinct job, paid only above the size gate —
-    where the alternative is a plan that may not finish at all."""
+def _task_budget() -> int:
+    """Bytes one task is assumed able to hold for a WindowExec window
+    partition (sort buffer + spill churn). Above this, the opt-in
+    families route distributed regardless of local-scale measurement."""
+    return int(
+        os.environ.get("SPARK_GRAFT_TASK_BUDGET", 8 * 1024**3)
+    )
+
+
+# the NDV probe reads at most this many child rows — the gate needs one
+# bit (NDV ≲ 4×parallelism), not a precise count, and a full-child scan
+# per new query text would itself cost a 100 TB pass (round-12 verdict
+# item 4). A limit-pushed prefix CAN under-count a clustered key (e.g.
+# sorted input whose first rows share one value) — that errs toward
+# routing DISTRIBUTED, whose per-task work is bounded either way; the
+# reverse error (missing the wall) needs > _NDV_PROBE_ROWS rows to
+# contain ≤ 4×parallelism distinct keys while the full data is high-NDV,
+# which a 1M-row prefix makes implausible.
+_NDV_PROBE_ROWS = 1_000_000
+
+
+def _ndv_probe_df(df: DataFrame, cols: list[str]) -> DataFrame:
+    """The bounded probe plan: key columns only, LIMIT-pushed, one
+    approx-distinct — split out so tests can pin the plan shape."""
+    return (
+        df.select(*cols)
+        .limit(_NDV_PROBE_ROWS)
+        .agg(F.approx_count_distinct(F.xxhash64(*cols)).alias("__ndv"))
+    )
+
+
+def _measure_ndv(df: DataFrame, part_refs) -> int | None:
+    """Approximate NDV of the window-partition key over a BOUNDED probe
+    (``LIMIT _NDV_PROBE_ROWS`` — limit-pushed into the scan, so the job
+    reads ~one task's worth of input, not the full child). None when the
+    refs are not child columns (caller falls back to WindowExec)."""
     by_lower = {c.lower(): c for c in df.columns}
     cols = [by_lower.get(r) or by_lower.get(r.split(".")[-1]) for r in part_refs]
     if None in cols:
-        return False
+        return None
     if not cols:
-        return True  # empty PARTITION BY: one global partition
-    ndv = df.agg(F.approx_count_distinct(F.xxhash64(*cols))).first()[0]
-    return ndv <= max(64, 4 * df.sparkSession.sparkContext.defaultParallelism)
+        return 1  # empty PARTITION BY: one global partition
+    return _ndv_probe_df(df, cols).first()[0]
 
 
 def _maybe_warn_gated(
@@ -633,7 +772,7 @@ def _maybe_warn_gated(
             size = _plan_bytes(_run_child(spark, run_sql, child_sql, kw))
             if len(_SIZE_CACHE) < _CACHE_MAX:
                 _SIZE_CACHE[child_sql] = size
-        if size >= _SIZE_GATE:
+        if size >= _size_gate():
             _warn_wall(reason)
     except Exception:
         pass

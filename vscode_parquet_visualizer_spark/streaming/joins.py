@@ -24,9 +24,17 @@ _UNIT_S = {
 
 
 def _interval_seconds(interval: str) -> int:
-    """'30 minutes' → 1800 (the bucket width for the binned batch join)."""
-    n, unit = interval.strip().split()
-    return int(n) * _UNIT_S[unit.lower()]
+    """'30 minutes' → 1800; compound forms like '1 hour 30 minutes'
+    (valid INTERVAL syntax for the range condition) sum their parts
+    (r13 ADVICE: the binned batch join must accept every lookback the
+    plain interval join accepts)."""
+    toks = interval.strip().split()
+    if len(toks) < 2 or len(toks) % 2:
+        raise ValueError(f"unsupported interval: {interval!r}")
+    total = 0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        total += int(n) * _UNIT_S[unit.lower()]
+    return total
 
 
 def purchases_with_prior_views(
@@ -75,7 +83,21 @@ def purchases_with_prior_views(
         # the watermark, and the extra equality key would only shrink
         # state, not correctness (left as-is to keep the pinned
         # stream/batch plans comparable).
-        width_s = _interval_seconds(lookback)
+        try:
+            width_s = _interval_seconds(lookback)
+        except (ValueError, KeyError):
+            # a lookback the binning can't parse (e.g. fractional
+            # units) still works un-binned — same rows, just the
+            # full per-user fanout the binning exists to avoid
+            cond = (F.col("p_user") == F.col("v_user")) & range_cond
+            return purchases.join(views, cond, "inner").select(
+                F.col("p_user").alias("user_id"),
+                "purchase_id",
+                "view_id",
+                "p_ts",
+                "v_ts",
+                "purchase_value",
+            )
         purchases = purchases.withColumn(
             "__pb", F.floor(F.unix_timestamp("p_ts") / width_s)
         ).withColumn(
