@@ -1616,3 +1616,65 @@ class TestRound12EnumResiduals:
         assert [t[0] for t in r] == ["ok", "happy"]
         with pytest.raises(Exception, match="Could not convert"):
             run_sql(spark, "SELECT unnest(['zebra'])::r12_mood").collect()
+
+
+class TestRound13EnumSetopOrder:
+    """r12 verdict item 3: the last silent enum corner — a set-op ORDER
+    BY item that is neither an ordinal nor a first-branch alias. DuckDB
+    resolves the DERIVED quoted name "CAST(x AS enum)" (member order)
+    and raises a Binder Error on the bare operand name; both behaviors
+    pinned against duckdb 2026-08 this round."""
+
+    @pytest.fixture(scope="class", autouse=True)
+    def mood(self, spark):
+        run_sql(
+            spark, "CREATE TYPE r13_mood AS ENUM ('sad','ok','happy')"
+        ).collect()
+        run_sql(
+            spark,
+            "CREATE OR REPLACE TABLE r13_et AS "
+            "SELECT unnest(['ok','sad']) AS m",
+        ).collect()
+        yield
+        run_sql(spark, "DROP TABLE r13_et").collect()
+        run_sql(spark, "DROP TYPE r13_mood").collect()
+
+    def test_derived_quoted_name_sorts_by_member_index(self, spark):
+        r = run_sql(
+            spark,
+            "SELECT m::r13_mood FROM r13_et UNION "
+            "SELECT 'happy'::r13_mood "
+            'ORDER BY "CAST(m AS r13_mood)" DESC',
+        ).collect()
+        assert [t[0] for t in r] == ["happy", "ok", "sad"]
+
+    def test_derived_name_of_literal_cast(self, spark):
+        r = run_sql(
+            spark,
+            "SELECT 'ok'::r13_mood UNION SELECT 'sad'::r13_mood "
+            "ORDER BY \"CAST('ok' AS r13_mood)\"",
+        ).collect()
+        assert [t[0] for t in r] == ["sad", "ok"]
+
+    def test_bare_operand_name_raises_loudly(self, spark):
+        # DuckDB: Binder Error 'Could not ORDER BY column "t.m"' —
+        # sorting the merged column lexicographically instead would be
+        # the silent divergence this closes
+        with pytest.raises(Exception, match="Could not ORDER BY"):
+            run_sql(
+                spark,
+                "SELECT m::r13_mood FROM r13_et UNION "
+                "SELECT 'happy'::r13_mood ORDER BY m",
+            ).collect()
+
+    def test_name_provided_by_other_item_still_resolves(self, spark):
+        # when ANOTHER first-branch item genuinely provides the name,
+        # DuckDB resolves it there (plain lexicographic sort)
+        r = run_sql(
+            spark,
+            "SELECT m::r13_mood, m FROM r13_et UNION "
+            "SELECT 'happy'::r13_mood, 'zzz' ORDER BY m",
+        ).collect()
+        assert [tuple(t) for t in r] == [
+            ("ok", "ok"), ("sad", "sad"), ("happy", "zzz"),
+        ]

@@ -806,9 +806,47 @@ def try_rewrite_enum_setop_order(
         ]
         if a
     }
+    # DuckDB's DERIVED output name for an aliasless enum cast is the
+    # quoted identifier ``"CAST(<operand> AS <type>)"`` — the only
+    # handle (besides an ordinal) the merged set-op column has. Map
+    # those names to (position, member list) so ``ORDER BY "CAST(m AS
+    # mood)"`` sorts by member index, and record the bare operand
+    # names: DuckDB REFUSES ``ORDER BY m`` through a set-op (Binder
+    # Error), so the engine must raise the same way rather than let
+    # the textual path sort the enum cells lexicographically (r12
+    # verdict item 3 — the last silent enum divergence).
+    derived_map: dict[str, tuple[int, list[str]]] = {}
+    bare_operands: set[str] = set()
+    plain_names: set[str] = set()  # names another item DOES provide
+    for idx, fit in enumerate(first_items):
+        t = fit.strip()
+        if re.search(r"\s+AS\s+[A-Za-z_]\w*\s*$", t, re.IGNORECASE):
+            continue  # aliased: handled via alias_map
+        if re.fullmatch(r"[A-Za-z_][\w.]*", t):
+            plain_names.add(t.split(".")[-1].lower())
+            continue
+        for name, vals in enums.items():
+            cm = re.fullmatch(
+                rf"\s*(?P<o>{_ENUM_OPND})\s*::\s*{name}\s*"
+                rf"|\s*CAST\s*\(\s*(?P<o2>{_ENUM_OPND})\s+AS\s+{name}"
+                rf"\s*\)\s*",
+                t,
+                re.IGNORECASE,
+            )
+            if cm is None:
+                continue
+            opnd = (cm.group("o") or cm.group("o2")).strip()
+            opnd_txt = _restore_literals(opnd, stash, form="duck")
+            derived_map[f"cast({opnd_txt.lower()} as {name.lower()})"] = (
+                idx,
+                vals,
+            )
+            if re.fullmatch(r"[A-Za-z_]\w*", opnd_txt):
+                bare_operands.add(opnd_txt.lower())
+            break
     for it in _split_top_level(items_text):
         im = re.fullmatch(
-            r"\s*(?P<b>\d+|[A-Za-z_]\w*)"
+            r"\s*(?P<b>\d+|[A-Za-z_]\w*|\x00IDQ\d+\x00)"
             r"(?P<sfx>(?:\s+(?:ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST))*)\s*,?\s*",
             it,
             re.IGNORECASE,
@@ -825,7 +863,34 @@ def try_rewrite_enum_setop_order(
                 return None
             src = ("pos", ordn - 1)
             em = _enum_of(first_items[ordn - 1])
+        elif body.startswith("\x00"):
+            raw = stash[int(body[4:-1])]
+            qname = raw[1:-1].replace('""', '"')
+            key = re.sub(r"\s+", " ", qname.strip().lower())
+            if key in alias_map:
+                src = ("name", qname)
+                em = _enum_of(alias_map[key])
+            elif key in derived_map:
+                idx2, vals = derived_map[key]
+                src = ("pos", idx2)
+                em = (vals, None)
+            else:
+                return None  # unknown quoted handle: normal path
         else:
+            if (
+                body.lower() in bare_operands
+                and body.lower() not in alias_map
+                and body.lower() not in plain_names
+            ):
+                raise ValueError(
+                    f'Could not ORDER BY column "{body}": it is the '
+                    "operand of an aliasless enum cast inside a set "
+                    "operation, which has no output name. Reference it "
+                    "by ordinal, alias the cast, or use the derived "
+                    'name "CAST(… AS …)" (DuckDB raises a Binder Error '
+                    "here; sorting the merged column by name would "
+                    "lose the enum member order)"
+                )
             src = ("name", body)
             em = (
                 _enum_of(alias_map[body.lower()])
