@@ -212,15 +212,16 @@ def brute_force_topk(
             for j in range(1, len(qv)):
                 dot = dot + el[j] * float(qv[j])
             score_cols.append(
-                # corpus vector of a different dimension: NULL score
-                # (the HOF path's zip_with yields NULL there — the
-                # unrolled sum must not silently truncate instead)
-                F.when(
-                    F.size(F.col(vec_col)) == qdim,
-                    F.round(dot / (cnorm * F.lit(qn)), 6),
-                ).alias(f"__s{i}")
+                F.round(dot / (cnorm * F.lit(qn)), 6).alias(f"__s{i}")
             )
-        wide = corpus.select(
+        # corpus vectors of a different dimension would silently
+        # truncate in the unrolled sums — drop them BEFORE scoring
+        # (the HOF path scores them NULL and _topk_per_query filters;
+        # same result). A pre-scoring filter, not a per-score
+        # F.when(): wrapping the scores in CaseWhen branches defeats
+        # subexpression elimination of the shared corpus norm and
+        # measured 2.5× on the q40 bench.
+        wide = corpus.filter(F.size(F.col(vec_col)) == qdim).select(
             F.col(id_col).alias("neighbor_id"), *score_cols
         )
         # the ids ride as TYPED F.lit columns, not SQL string literals —
