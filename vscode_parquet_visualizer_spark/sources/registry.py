@@ -192,6 +192,10 @@ def read(spark: SparkSession, path: str, fmt: str | None = None, **options) -> D
         # grading driver's own SparkSession) still need ns-timestamp
         # columns readable. Runtime-settable SQL conf.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Same defensive pattern for TIME columns: Spark 4.1's TimeType
+        # is flag-gated, and a foreign session without it cannot even
+        # scan a parquet file containing a TIME column.
+        spark.conf.set("spark.sql.timeType.enabled", "true")
         # Exotic codecs (BROTLI/LZO) fail inside the JVM reader with an
         # opaque executor error — route through the pyarrow-decoded scan
         # (the reference's parquet-wasm second backend, Spark-first).
