@@ -154,7 +154,10 @@ def test_ivf_prebuilt_index_matches_inline(spark, sf_dir):
 # ---- round 13 ADVICE regressions: literal-dot fast-path guards ----
 
 
-def test_fast_path_null_query_vector_falls_through(spark):
+def test_fast_path_null_query_vector_falls_through(spark, monkeypatch):
+    # r13 size gate routes tiny corpora to HOF; force the
+    # unrolled attempt so this test keeps exercising its guard
+    monkeypatch.setenv("SPARK_GRAFT_TOPK", "unrolled")
     # a NULL query vector crashed the unrolled scorer (len(None));
     # now it falls through to the HOF path, whose NULL scores are
     # filtered — the non-NULL query still gets its neighbors
@@ -171,7 +174,10 @@ def test_fast_path_null_query_vector_falls_through(spark):
     assert len(out) == 2
 
 
-def test_fast_path_null_element_falls_through(spark):
+def test_fast_path_null_element_falls_through(spark, monkeypatch):
+    # r13 size gate routes tiny corpora to HOF; force the
+    # unrolled attempt so this test keeps exercising its guard
+    monkeypatch.setenv("SPARK_GRAFT_TOPK", "unrolled")
     corpus = spark.createDataFrame(
         [(i, [float(i + 1), 1.0]) for i in range(4)],
         ["vec_id", "embedding"],
@@ -184,7 +190,10 @@ def test_fast_path_null_element_falls_through(spark):
     assert {r["query_id"] for r in out} == {1}
 
 
-def test_fast_path_mixed_dims_falls_through(spark):
+def test_fast_path_mixed_dims_falls_through(spark, monkeypatch):
+    # r13 size gate routes tiny corpora to HOF; force the
+    # unrolled attempt so this test keeps exercising its guard
+    monkeypatch.setenv("SPARK_GRAFT_TOPK", "unrolled")
     # inconsistent query dims previously sized el[] from the first
     # query, silently truncating the others
     corpus = spark.createDataFrame(
@@ -202,7 +211,10 @@ def test_fast_path_mixed_dims_falls_through(spark):
     assert got[1] == 1
 
 
-def test_fast_path_corpus_dim_mismatch_scores_null(spark):
+def test_fast_path_corpus_dim_mismatch_scores_null(spark, monkeypatch):
+    # r13 size gate routes tiny corpora to HOF; force the
+    # unrolled attempt so this test keeps exercising its guard
+    monkeypatch.setenv("SPARK_GRAFT_TOPK", "unrolled")
     # a corpus vector of a different dimension must score NULL (as the
     # HOF path does), not a silently truncated dot product
     corpus = spark.createDataFrame(
@@ -216,7 +228,10 @@ def test_fast_path_corpus_dim_mismatch_scores_null(spark):
     assert {r["neighbor_id"] for r in out} == {0}
 
 
-def test_fast_path_backslash_and_quote_query_ids(spark):
+def test_fast_path_backslash_and_quote_query_ids(spark, monkeypatch):
+    # r13 size gate routes tiny corpora to HOF; force the
+    # unrolled attempt so this test keeps exercising its guard
+    monkeypatch.setenv("SPARK_GRAFT_TOPK", "unrolled")
     # string ids flow through a selectExpr literal: backslashes and
     # quotes must round-trip exactly
     corpus = spark.createDataFrame(
@@ -228,3 +243,51 @@ def test_fast_path_backslash_and_quote_query_ids(spark):
     )
     out = sim.brute_force_topk(corpus, queries, k=1).collect()
     assert sorted(r["query_id"] for r in out) == sorted(ids)
+
+
+def test_size_gate_routes_small_corpus_to_hof(spark, monkeypatch, tmp_path):
+    """r12 verdict item 6: the unrolled scorer pays an unconditional
+    take() driver job; below the corpus-size gate the single-stage HOF
+    cross join wins, above it the codegen'd unrolled projection does.
+    Both branches must stay row-equal. The corpus must be parquet-backed:
+    Catalyst reports real scan sizes only for file sources (a LogicalRDD
+    from createDataFrame stats as Long.Max → unrolled, the scale-safe
+    unknown-size default)."""
+    monkeypatch.delenv("SPARK_GRAFT_TOPK", raising=False)
+    p = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.5]) for i in range(20)],
+        ["vec_id", "embedding"],
+    ).write.mode("overwrite").parquet(p)
+    corpus = spark.read.parquet(p)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.5, 0.25]), (1, [0.2, 1.0, 0.8])],
+        ["query_id", "embedding"],
+    )
+    auto = sim.brute_force_topk(corpus, queries, k=3)
+    # tiny corpus: auto mode must plan the HOF join, not the unrolled
+    # stack projection (which would add a take() job first)
+    assert "stack(" not in auto._jdf.queryExecution().toString()
+    monkeypatch.setenv("SPARK_GRAFT_TOPK", "unrolled")
+    forced = sim.brute_force_topk(corpus, queries, k=3)
+    assert "stack(" in forced._jdf.queryExecution().toString()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, forced.collect())
+    )
+
+
+def test_size_gate_threshold_env(spark, monkeypatch):
+    # dropping the byte threshold to 1 makes any corpus "large":
+    # auto mode engages the unrolled scorer
+    monkeypatch.delenv("SPARK_GRAFT_TOPK", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_TOPK_UNROLL_MIN_BYTES", "1")
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(9, [1.0, 0.0])], ["query_id", "embedding"]
+    )
+    out = sim.brute_force_topk(corpus, queries, k=1)
+    assert "stack(" in out._jdf.queryExecution().toString()
+    assert [r["neighbor_id"] for r in out.collect()] == [0]

@@ -18,6 +18,7 @@
 from __future__ import annotations
 
 import json
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -168,10 +169,41 @@ def brute_force_topk(
     # 0.46 s for the same scoring. Falls back to the HOF cross join
     # above ~16 queries, where the unrolled projection would outgrow
     # the codegen method limit.
-    qrows = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qvec"),
-    ).take(17)
+    # Size-scaled route (r12 verdict item 6): the fast path pays an
+    # unconditional take() driver job before the scan — a whole extra
+    # stage that at interactive scale (sf0.1 corpus ≈ 0.5 MiB) costs
+    # more than the interpreted HOF scoring it avoids (bench A/B in
+    # PERF.md). Route on Catalyst's driver-side plan-size estimate (no
+    # job): small corpora take the single-stage HOF cross join, large
+    # ones (where interpreted scoring dominates — sf10 52 MiB measured
+    # 2× slower) take the unrolled codegen scorer. Probe failure
+    # assumes large: the unrolled path is the scale-correct default.
+    # SPARK_GRAFT_TOPK=unrolled|hof forces either branch (tests).
+    force = os.environ.get("SPARK_GRAFT_TOPK", "").lower()
+    try:
+        corpus_bytes = int(
+            corpus._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes()
+        )
+    except Exception:
+        corpus_bytes = 1 << 60
+    unroll_min = int(
+        os.environ.get(
+            "SPARK_GRAFT_TOPK_UNROLL_MIN_BYTES", 32 * 1024 * 1024
+        )
+    )
+    want_unrolled = (
+        force == "unrolled"
+        or (force != "hof" and corpus_bytes >= unroll_min)
+    )
+    qrows = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qvec"),
+        ).take(17)
+        if want_unrolled
+        else []
+    )
 
     def _fast_path_ok() -> bool:
         # r13 ADVICE guards: the unrolled scorer indexes el[] by the
