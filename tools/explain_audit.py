@@ -93,11 +93,25 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     # two-phase top-k: the exchange must carry only k-bounded survivors
-    # (MapInPandas partial + WindowGroupLimit before the shuffle), never
-    # the full |queries|x|corpus| scored set
-    cases["similarity top-k (two-phase, no full-set shuffle)"] = (
+    # (WindowGroupLimit before the shuffle), never the full
+    # |queries|x|corpus| scored set. Both scorer routes audited: the
+    # sf0.1 corpus (~0.5 MiB) auto-routes to the single-stage HOF cross
+    # join (its BNLJ broadcasts the 3-row query side — bounded by
+    # construction); forcing SPARK_GRAFT_TOPK=unrolled shows the
+    # >=32 MiB route, where the codegen'd literal-dot projection
+    # removes the BNLJ and the take()-fed stack scans the corpus once.
+    cases["similarity top-k, small-corpus route (HOF, 3-row BNLJ build side)"] = (
         brute_force_topk(emb, queries, k=10)
     )
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_TOPK"] = "unrolled"
+    try:
+        cases["similarity top-k, large-corpus route (unrolled codegen, no BNLJ)"] = (
+            brute_force_topk(emb, queries, k=10)
+        )
+    finally:
+        _os.environ.pop("SPARK_GRAFT_TOPK", None)
 
     from vscode_parquet_visualizer_spark.operators.positional import (
         positional_join,
@@ -150,7 +164,7 @@ def main() -> None:
     # distributed LM: token-keyed count aggs + equi-joins, the only
     # broadcast is the one-row vocab aggregate — no Python, no driver
     # loops, no all-pairs
-    cases["LM perplexity (token-keyed joins; the only BNLJ is the one-row vocab cross join)"] = (
+    cases["LM perplexity (token-keyed joins; BNLJ is the one-row vocab cross join)"] = (
         cu.lm_perplexity(docs)
     )
 
