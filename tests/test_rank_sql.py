@@ -408,3 +408,68 @@ def test_gate_caches_invalidate_on_ddl(spark):
     run_sql(spark, "CREATE OR REPLACE TABLE r13_cachebust AS SELECT 1 AS a")
     assert rank_sql._SIZE_CACHE == {}
     assert rank_sql._NDV_CACHE == {}
+
+
+def test_quoted_identifier_survives_pruning(spark, monkeypatch):
+    # r14 ADVICE item 2: the r13 column pruning scanned the outer text
+    # with a bare-identifier regex, but quoted identifiers travel as
+    # \x00IDQn\x00 placeholders at that stage — a child column
+    # referenced only as "My Col" was pruned and the rewritten outer
+    # SELECT failed with an unresolved-column AnalysisException.
+    from pyspark.sql import functions as F
+
+    spark.range(100).select(
+        (F.col("id") % 4).alias("g"),
+        F.col("id").alias("uid"),
+        (F.col("id") * 2).alias("My Col"),
+    ).createOrReplaceTempView("r14_quoted")
+    sql = (
+        'SELECT "My Col", rank() OVER (PARTITION BY g ORDER BY uid) AS r '
+        "FROM r14_quoted"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    df = run_sql(spark, sql)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window [" not in plan, "distributed force must lower"
+    assert sorted(tuple(r) for r in df.collect()) == want
+
+
+def test_unquoted_columns_still_pruned_alongside_quoted(spark, monkeypatch):
+    # the quoted-identifier fix must not disable pruning for the rest
+    # of the row: an unreferenced wide column still stays out of the
+    # lowered plan even when a quoted identifier appears in the SELECT
+    from pyspark.sql import functions as F
+
+    spark.range(100).select(
+        (F.col("id") % 4).alias("g"),
+        F.col("id").alias("uid"),
+        (F.col("id") * 2).alias("My Col"),
+        F.lit("x" * 50).alias("wide_unused"),
+    ).createOrReplaceTempView("r14_quoted_wide")
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    df = run_sql(
+        spark,
+        'SELECT "My Col", rank() OVER (PARTITION BY g ORDER BY uid) AS r '
+        "FROM r14_quoted_wide",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "wide_unused" not in plan, "unreferenced column shuffled"
+    assert df.count() == 100
+
+
+def test_dataset_open_invalidates_gate_caches(spark, tmp_path):
+    # r14 ADVICE item 1: Dataset.__init__ re-binds the ``data`` temp
+    # view — reusing a stale size/NDV probe keyed on the same child
+    # text (``... FROM data``) can mis-route the next window query
+    from vscode_parquet_visualizer_spark.engine import Engine
+    from vscode_parquet_visualizer_spark.plans import rank_sql
+
+    p = str(tmp_path / "cachebust.parquet")
+    spark.range(10).write.parquet(p)
+    rank_sql._SIZE_CACHE["SELECT * FROM data"] = 1 << 40
+    rank_sql._NDV_CACHE[("SELECT * FROM data", ("g",))] = 3
+    Engine(spark=spark).open(p)
+    assert rank_sql._SIZE_CACHE == {}
+    assert rank_sql._NDV_CACHE == {}

@@ -105,13 +105,17 @@ def main() -> None:
     )
     import os as _os
 
+    _prev_topk = _os.environ.get("SPARK_GRAFT_TOPK")
     _os.environ["SPARK_GRAFT_TOPK"] = "unrolled"
     try:
         cases["similarity top-k, large-corpus route (unrolled codegen, no BNLJ)"] = (
             brute_force_topk(emb, queries, k=10)
         )
     finally:
-        _os.environ.pop("SPARK_GRAFT_TOPK", None)
+        if _prev_topk is None:
+            _os.environ.pop("SPARK_GRAFT_TOPK", None)
+        else:
+            _os.environ["SPARK_GRAFT_TOPK"] = _prev_topk
 
     from vscode_parquet_visualizer_spark.operators.positional import (
         positional_join,

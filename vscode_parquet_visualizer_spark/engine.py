@@ -210,6 +210,11 @@ class Dataset:
         self.df = registry.read(engine.spark, self.path, self.format, **options)
         self.df.createOrReplaceTempView(self.view)
         self.df.createOrReplaceTempView("data")
+        from vscode_parquet_visualizer_spark.plans.rank_sql import (
+            note_catalog_change,
+        )
+
+        note_catalog_change()  # ``data`` re-bound: stale gate probes out
         self._result: ResultSet | None = None
         self._row_count: int | None = None
 

@@ -207,10 +207,11 @@ def brute_force_topk(
 
     def _fast_path_ok() -> bool:
         # r13 ADVICE guards: the unrolled scorer indexes el[] by the
-        # FIRST query's dimension and embeds ids in a selectExpr — it
-        # must not see NULL vectors (len(None) raises), NULL elements
-        # (math.sqrt raises), inconsistent dims (silent truncation), or
-        # NULL ids (str(None) would round-trip as the string 'None').
+        # FIRST query's dimension and ships ids as typed F.lit columns
+        # through F.stack — it must not see NULL vectors (len(None)
+        # raises), NULL elements (math.sqrt raises), inconsistent dims
+        # (silent truncation), or NULL ids (a NULL id would become a
+        # typed NULL literal slot, indistinguishable from no match).
         # Any of those falls through to the HOF cross join, whose NULL
         # scores _topk_per_query already filters.
         if not (0 < len(qrows) <= 16):

@@ -611,6 +611,19 @@ def _try_rewrite(
             for m in re.finditer(r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?",
                                  outer_text)
         }
+        # Quoted identifiers travel as \x00IDQn\x00 / \x00BTKn\x00
+        # placeholders at this stage (r14 ADVICE): a child column
+        # referenced only as "My Col" would otherwise be pruned and the
+        # rewritten outer SELECT would fail unresolved. Restore each
+        # placeholder's inner name into the keep-set.
+        for m in re.finditer(r"\x00(IDQ|BTK)(\d+)\x00", outer_text):
+            lit = stash[int(m.group(2))]
+            inner = (
+                lit[1:-1].replace('""', '"')
+                if m.group(1) == "IDQ"
+                else lit[1:-1].replace("``", "`")
+            )
+            idents.add(inner.split(".")[-1].lower())
         for c in calls:  # window args resolve below; keep them too
             idents.update(
                 m.group(0).split(".")[-1].lower()
