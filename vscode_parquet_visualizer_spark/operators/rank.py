@@ -197,8 +197,8 @@ def attach_window_columns(
       Spark's own lag/lead over (partition keys, rn-block), with each
       block's boundary rows duplicated into the neighbor block, so the
       window key has ≥ rows/65536 groups and parallelizes regardless of
-      window-partition cardinality. Offsets ≥ the block size fall back
-      to a keyed self-join on (partition keys, rn ∓ offset).
+      window-partition cardinality. The block size scales with the
+      max offset (``max(64 Ki, 2 × max offset)``) — no fallback path.
     - ``("pagg", fn_name, col|None)`` — a whole-partition aggregate
       (``sum(x) OVER (PARTITION BY p)`` or with an unbounded-both
       frame): one groupBy + broadcast attach; ``col=None`` is
@@ -221,19 +221,42 @@ def attach_window_columns(
         raise ValueError(
             "order_cols required for non-aggregate window functions"
         )
+    ragg_specs = [
+        (out, spec) for out, spec in outputs.items() if spec[0] == "ragg"
+    ]
+    if ragg_specs and not (fns - {"ragg", "pagg"}):
+        # running aggregates (± whole-partition aggs) ONLY: skip the
+        # with_row_numbers substrate entirely (r14 verdict item 1) — a
+        # running agg needs segment carry-ins, not a global row number,
+        # and the dedicated path below sorts once with no checkpoint
+        # and no driver-side stats collect
+        r = _attach_running_aggs(
+            df,
+            partition_cols,
+            order_cols,
+            ragg_specs,
+            sort_cols=sort_cols,
+            num_partitions=num_partitions,
+        )
+        pagg_specs = [
+            (out, spec) for out, spec in outputs.items()
+            if spec[0] == "pagg"
+        ]
+        if pagg_specs:
+            r = _attach_partition_aggs(r, partition_cols, dict(pagg_specs))
+        return r
     r = with_row_numbers(df, partition_cols, sort_cols, num_partitions)
     rn, n = F.col("__rn"), F.col("__pn")
     helper_cols: list[str] = ["__rn", "__pn"]
 
     # running aggregates FIRST: the segmented-prefix pass relies on r
-    # still being the direct (range-partitioned, sorted, narrow-lineage)
-    # output of with_row_numbers — the keyed joins below would destroy
-    # that
-    ragg_specs = [
-        (out, spec) for out, spec in outputs.items() if spec[0] == "ragg"
-    ]
+    # still being the direct (range-partitioned, sorted, narrow-lineage,
+    # checkpointed) output of with_row_numbers — the keyed joins below
+    # would destroy that
     if ragg_specs:
-        r = _attach_running_aggs(r, partition_cols, order_cols, ragg_specs)
+        r = _attach_running_aggs(
+            r, partition_cols, order_cols, ragg_specs, presorted=True
+        )
 
     if fns & {"rank", "dense_rank", "percent_rank", "cume_dist"}:
         gcols = list(partition_cols) + list(order_cols)
@@ -302,18 +325,14 @@ def attach_window_columns(
         helper_cols.extend(f"__tv{i}" for i in range(len(val_specs)))
 
     # lag/lead: ghost-row blocked window (see _attach_lag_leads_blocked)
-    # — one balanced shuffle, no data-sized self-join; the keyed
-    # self-join remains only for offsets ≥ the block size
+    # — one balanced shuffle, no data-sized self-join at ANY offset
+    # (r14 verdict item 5: the block size scales with the max offset,
+    # so the former keyed-self-join fallback is gone)
     ll_specs = [
         (o, s) for o, s in outputs.items() if s[0] in ("lag", "lead")
     ]
     if ll_specs:
-        small = [(o, s) for o, s in ll_specs if int(s[2]) < _LAG_BLOCK]
-        big = [(o, s) for o, s in ll_specs if int(s[2]) >= _LAG_BLOCK]
-        if small:
-            r = _attach_lag_leads_blocked(r, partition_cols, small)
-        if big:
-            r = _attach_lag_leads_selfjoin(r, partition_cols, big)
+        r = _attach_lag_leads_blocked(r, partition_cols, ll_specs)
 
     pagg_specs = [
         (out, spec) for out, spec in outputs.items() if spec[0] == "pagg"
@@ -356,11 +375,13 @@ def attach_window_columns(
     return r.withColumns(out_cols).drop(*helper_cols)
 
 
-# Rows per window block for the blocked lag/lead. Must exceed any lag
-# offset (guarded by the caller); large enough that the per-group sort
-# is trivial and the ghost fraction (max_off / block) is negligible,
-# small enough that every (partition, block) group fits one task at any
-# scale — 64 Ki rows of a wide fact row is a few tens of MB.
+# MINIMUM rows per window block for the blocked lag/lead. The actual
+# block size is ``max(_LAG_BLOCK, 2 × max offset)`` (r14 verdict
+# item 5) so any offset fits in the neighbor block and the ghost
+# fraction stays ≤ 1/2 — large enough that the per-group sort is
+# trivial and the ghost fraction is negligible at common offsets,
+# small enough that every (partition, block) group fits one task at
+# any scale — 64 Ki rows of a wide fact row is a few tens of MB.
 _LAG_BLOCK = 65536
 
 
@@ -374,9 +395,10 @@ def _attach_lag_leads_blocked(
 
     ``__rn`` (global 1-based row number within the window partition,
     from :func:`with_row_numbers`) makes the window partition's row
-    sequence addressable: block ``m`` is rows ``rn ∈ (mB, (m+1)B]``.
-    ``lag(x, k)`` needs row ``rn − k``, which for any ``k < B`` lives in
-    the row's own block or the previous one. So:
+    sequence addressable: block ``m`` is rows ``rn ∈ (mB, (m+1)B]``
+    with ``B = max(64 Ki, 2 × max offset)`` — any offset fits, no
+    fallback path. ``lag(x, k)`` needs row ``rn − k``, which for any
+    ``k < B`` lives in the row's own block or the previous one. So:
 
     1. duplicate each block's last ``max_lag`` rows into the NEXT block
        (and, for leads, each block's first ``max_lead`` rows into the
@@ -411,19 +433,20 @@ def _attach_lag_leads_blocked(
     max_lead = max(
         [int(s[2]) for _, s in specs if s[0] == "lead"], default=0
     )
+    block = max(_LAG_BLOCK, 2 * max_lag, 2 * max_lead)
     rn = F.col("__rn")
-    blk = F.floor((rn - 1) / _LAG_BLOCK)
+    blk = F.floor((rn - 1) / block)
     parts = [
         r.withColumns({"__blk": blk, "__ghost": F.lit(False)})
     ]
     if max_lag:
         parts.append(
-            r.filter(((rn - 1) % _LAG_BLOCK) >= _LAG_BLOCK - max_lag)
+            r.filter(((rn - 1) % block) >= block - max_lag)
             .withColumns({"__blk": blk + 1, "__ghost": F.lit(True)})
         )
     if max_lead:
         parts.append(
-            r.filter(((rn - 1) % _LAG_BLOCK) < max_lead)
+            r.filter(((rn - 1) % block) < max_lead)
             .withColumns({"__blk": blk - 1, "__ghost": F.lit(True)})
         )
     u = parts[0]
@@ -441,90 +464,68 @@ def _attach_lag_leads_blocked(
     )
 
 
-def _attach_lag_leads_selfjoin(
-    r: DataFrame,
-    partition_cols: list[str],
-    specs: list[tuple[str, tuple]],
-) -> DataFrame:
-    """Offsets ≥ _LAG_BLOCK (no ghost row can carry that far): one keyed
-    self-join per output on (partition, rn∓off) — high-cardinality
-    composite key, so parallelism is task-bounded either way."""
-    for i, (out, spec) in enumerate(specs):
-        off = int(spec[2]) if spec[0] == "lag" else -int(spec[2])
-        pcols = [f"__lp{i}_{j}" for j in range(len(partition_cols))]
-        shifted = r.select(
-            *[
-                F.col(c).alias(p)
-                for c, p in zip(partition_cols, pcols)
-            ],
-            (F.col("__rn") + off).alias(f"__lrn{i}"),
-            spec[1].alias(out),
-            F.lit(True).alias(f"__lh{i}"),
-        )
-        cond = r["__rn"] == shifted[f"__lrn{i}"]
-        for c, p in zip(partition_cols, pcols):
-            cond = cond & r[c].eqNullSafe(shifted[p])
-        r = r.join(shifted, cond, "left").drop(f"__lrn{i}", *pcols)
-        if spec[3] is not None:
-            # the default applies only when the offset row does not
-            # EXIST — an existing row whose value is NULL stays NULL.
-            # Cast the default to the VALUE type (Spark's lag/lead
-            # coerces it, truncating 2.5 → 2 for a bigint column; the
-            # lowering must match the window plan it substitutes for —
-            # DuckDB would ROUND to 3, a recorded pass-through corner
-            # of the whole window surface, not of this lowering).
-            otype = dict(r.dtypes)[out]
-            r = r.withColumn(
-                out,
-                F.when(F.col(f"__lh{i}"), F.col(out)).otherwise(
-                    F.lit(spec[3]).cast(otype)
-                ),
-            )
-        r = r.drop(f"__lh{i}")
-    return r
-
-
 def _attach_running_aggs(
     r: DataFrame,
     partition_cols: list[str],
     order_cols: list[str],
     specs: list[tuple[str, tuple]],
+    sort_cols: list[Column] | None = None,
+    num_partitions: int | None = None,
+    presorted: bool = False,
 ) -> DataFrame:
-    """Running (cumulative) sum/min/max/count without WindowExec — the
-    distributed SEGMENTED PREFIX over with_row_numbers' output:
+    """Running (cumulative) sum/min/max/count/avg without WindowExec —
+    the distributed SEGMENTED PREFIX, one job, no driver stats
+    (r14 verdict item 1 rebuild; the r13 shape paid with_row_numbers'
+    range-sort + localCheckpoint + two driver collects before doing any
+    real work — 24-29 s vs WindowExec's 4.1 s at sf10):
 
-    1. ``r`` is still range-partitioned and sorted by (partition keys,
-       order keys) with ``__rn`` attached — the prefix segments are the
-       (spark partition × window partition) runs.
-    2. One tiny stats job aggregates each segment's measure total +
-       non-null count; the driver combines them in pid order into a
-       per-segment CARRY-IN (like with_row_numbers' offset map).
-    3. One Arrow-batched ``mapInPandas`` pass computes vectorized
-       group-wise cumulatives within each sorted partition and adds the
-       carry-in — integral measures accumulate in exact int64, floats
+    1. One range-shuffle sort on (partition keys, order keys) — the
+       only data-sized movement (``presorted=True`` skips it: the input
+       is with_row_numbers' checkpointed output in the mixed-family
+       case).
+    2. Per-(spark partition × window partition) segment partials —
+       measure total + non-null count — computed IN THE SAME PLAN
+       (``groupBy(__rpid, __rwkey)``): Catalyst's ReuseExchange runs
+       the range shuffle once for both subtrees, so no checkpoint and
+       no cross-job pid-stability concern.
+    3. Carry-ins: a prefix window over the TINY partials relation
+       (``rows ≤ #tasks × key NDV``; the routing gate only sends
+       low-NDV partitions here) — ``agg(__pv) OVER (PARTITION BY
+       __rwkey ORDER BY __rpid ROWS UNBOUNDED PRECEDING..1 PRECEDING)``
+       — broadcast-joined back on (__rpid, __rwkey). Carries travel as
+       COLUMNS, not a driver dict: zero ``collect()``.
+    4. One Arrow-batched ``mapInPandas`` pass computes vectorized
+       group-wise cumulatives within each sorted partition and adds
+       the carry — integral measures accumulate in exact int64, floats
        in float64 (the addition tree differs from a sequential window
        by partial-sum grouping — same class of reordering every
-       distributed sum performs). SQL NULL semantics: a NULL measure
-       contributes nothing and the running value is NULL until the
-       segment has seen a value.
-    4. A spec with ``rows_frame=False`` (the SQL DEFAULT frame, RANGE
+       distributed sum performs). Carry values ship NON-NULL (coalesced
+       to the op's fill, valid iff carry count > 0) so Arrow keeps the
+       int64 domain exact — a nullable long would round-trip through
+       float64 and lose precision past 2^53. SQL NULL semantics: a
+       NULL measure contributes nothing and the running value is NULL
+       until the segment has seen a value.
+    5. A spec with ``rows_frame=False`` (the SQL DEFAULT frame, RANGE
        UNBOUNDED PRECEDING..CURRENT ROW) is tie-inclusive: the row's
        value is the ROW-level value of its key group's LAST row —
-       attached as ``max_by(value, rn)`` per (partition, order-key)
-       group, one keyed groupBy + null-safe join.
+       ``max_by(value, __rmid) OVER (PARTITION BY partition+order
+       keys)``, a HIGH-cardinality window key (≈ distinct sort keys),
+       so WindowExec parallelizes it with one hash shuffle and no
+       per-window-partition wall.
 
-    ``count(*)`` needs no pandas pass at all: rows-frame is ``__rn``
-    itself, and the range form rides the same tie fixup.
+    ``count(*)`` rides the same kernel as a constant-1 measure.
     Decimal measures raise (caught by the gateway → loud fallback).
     """
     from pyspark.sql import types as T
+    from pyspark.sql.window import Window
 
     spark = r.sparkSession
-    pandas_specs = [
-        (i, spec[1], spec[2])
-        for i, (_, spec) in enumerate(specs)
-        if not (spec[1] == "count" and spec[2] is None)
-    ]
+    measure_specs = []  # (spec index, fn, measure Column)
+    for i, (_, spec) in enumerate(specs):
+        fn, col = spec[1], spec[2]
+        if fn == "count" and col is None:
+            col = F.lit(1)  # count(*): constant-1 measure
+        measure_specs.append((i, fn, col))
     # the KERNEL's group key must be NUL-FREE: pandas (2.x) hashes
     # object strings as C strings, so factorize/groupby silently MERGE
     # any two keys that differ only after a \x00 byte — the \x00NULL
@@ -546,15 +547,29 @@ def _attach_running_aggs(
     )
     mcols = {"__rpid": F.spark_partition_id(), "__rwkey": wkey}
     meta = []  # (measure col name, combine op)
-    for j, (i, fn, col) in enumerate(pandas_specs):
+    for j, (i, fn, col) in enumerate(measure_specs):
         if fn == "count":
             mcols[f"__rm{j}"] = col.isNotNull().cast("long")
             meta.append((f"__rm{j}", "sum"))
         else:
             mcols[f"__rm{j}"] = col
             meta.append((f"__rm{j}", fn))
-    r2 = r.withColumns(mcols)
-    dtypes = dict(r2.dtypes)
+    range_outs = [(out, spec) for out, spec in specs if not spec[3]]
+    if range_outs:
+        # tie-break position for the max_by fixup: monotone with the
+        # sort order (range partition ids increase with the range, the
+        # local counter with the local sort) — single-plan-consistent
+        mcols["__rmid"] = F.monotonically_increasing_id()
+    if presorted:
+        s = r.withColumns(mcols)
+    else:
+        parts = num_partitions or spark.sparkContext.defaultParallelism
+        s = (
+            r.repartitionByRange(parts, *sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .withColumns(mcols)
+        )
+    dtypes = dict(s.dtypes)
     kinds = []
     for j in range(len(meta)):
         t = dtypes[f"__rm{j}"]
@@ -564,225 +579,220 @@ def _attach_running_aggs(
             kinds.append("float")
         else:
             raise ValueError(f"running aggregate over unsupported type {t}")
+    ops = [op for _, op in meta]
+    n_meta = len(meta)
 
-    if pandas_specs:
-        aggs = []
-        for j, (name, op) in enumerate(meta):
-            agg_fn = (
-                F.sum
-                if op in ("sum", "avg")
-                else (F.min if op == "min" else F.max)
+    def _agg_fn(op):
+        return (
+            F.sum if op in ("sum", "avg") else (F.min if op == "min" else F.max)
+        )
+
+    import numpy as _np
+
+    def _fill(op, kind):
+        if op in ("sum", "avg"):
+            return 0 if kind == "int" else 0.0
+        if kind == "int":
+            return (
+                int(_np.iinfo("int64").max)
+                if op == "min"
+                else int(_np.iinfo("int64").min)
             )
-            aggs.append(agg_fn(name).alias(f"__pv{j}"))
-            aggs.append(F.count(name).alias(f"__pc{j}"))
-        parts = r2.groupBy("__rpid", "__rwkey").agg(*aggs).collect()
-        offsets: dict[tuple, list] = {}
-        state: dict[str, list] = {}
-        ops = [op for _, op in meta]
-        for row in sorted(parts, key=lambda x: (x["__rwkey"], x["__rpid"])):
-            k = row["__rwkey"]
-            cur = state.get(k, [(0, None)] * len(meta))
-            offsets[(row["__rpid"], k)] = cur
-            nxt = []
-            for j, op in enumerate(ops):
-                c0, v0 = cur[j]
-                pv, pc = row[f"__pv{j}"], row[f"__pc{j}"]
-                if pv is None:
-                    nxt.append((c0, v0))
-                elif v0 is None:
-                    nxt.append((c0 + pc, pv))
-                else:
-                    comb = (
-                        v0 + pv
-                        if op in ("sum", "avg")
-                        else (min(v0, pv) if op == "min" else max(v0, pv))
-                    )
-                    nxt.append((c0 + pc, comb))
-            state[k] = nxt
-        n_meta = len(meta)
-        meta2 = [
-            (f"__rm{j}", ops[j], kinds[j], f"__rv{j}")
+        return float("inf") if op == "min" else float("-inf")
+
+    aggs = []
+    for j, (name, op) in enumerate(meta):
+        aggs.append(_agg_fn(op)(name).alias(f"__pv{j}"))
+        aggs.append(F.count(name).alias(f"__pc{j}"))
+    partials = s.groupBy("__rpid", "__rwkey").agg(*aggs)
+    wprev = (
+        Window.partitionBy("__rwkey")
+        .orderBy("__rpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_cols = []
+    for j, (name, op) in enumerate(meta):
+        mtype = "bigint" if kinds[j] == "int" else "double"
+        carry_cols.append(
+            F.coalesce(
+                _agg_fn(op)(F.col(f"__pv{j}")).over(wprev).cast(mtype),
+                F.lit(_fill(op, kinds[j])).cast(mtype),
+            ).alias(f"__cv{j}")
+        )
+        carry_cols.append(
+            F.coalesce(F.sum(f"__pc{j}").over(wprev), F.lit(0))
+            .cast("long")
+            .alias(f"__cc{j}")
+        )
+    carries = partials.select("__rpid", "__rwkey", *carry_cols)
+    s2 = s.join(F.broadcast(carries), ["__rpid", "__rwkey"], "left")
+
+    meta2 = [
+        (f"__rm{j}", ops[j], kinds[j], f"__rv{j}") for j in range(n_meta)
+    ]
+    out_struct = T.StructType(
+        s2.schema.fields
+        + [
+            T.StructField(
+                f"__rv{j}",
+                T.LongType()
+                if kinds[j] == "int" and ops[j] != "avg"
+                else T.DoubleType(),
+            )
             for j in range(n_meta)
         ]
-        out_struct = T.StructType(
-            r2.schema.fields
-            + [
-                T.StructField(
-                    f"__rv{j}",
-                    T.LongType()
-                    if kinds[j] == "int" and ops[j] != "avg"
-                    else T.DoubleType(),
-                )
-                for j in range(n_meta)
-            ]
-        )
-        names = [f.name for f in out_struct.fields]
+    )
+    names = [f.name for f in out_struct.fields]
 
-        def gen(batches):
-            import numpy as np
-            import pandas as pd
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
 
-            carry: dict[str, list] = {}
-            pid = None
-            for pdf in batches:
-                if len(pdf) == 0:
-                    for j in range(n_meta):
-                        pdf[f"__rv{j}"] = pd.Series(dtype="float64")
-                    yield pdf.reindex(columns=names)
-                    continue
-                if pid is None:
-                    pid = int(pdf["__rpid"].iloc[0])
-                keys = pdf["__rwkey"]
-                kv = keys.values
-                # one factorize per batch: carry lookups become C-speed
-                # array takes instead of per-row Python dict maps (the
-                # naive .map(lambda) cost ~20 s over 15 M rows)
-                codes, uniques = pd.factorize(kv)
-                for k in uniques:
-                    if k not in carry:
-                        carry[k] = [
-                            tuple(x)
-                            for x in offsets.get(
-                                (pid, k), [(0, None)] * n_meta
-                            )
-                        ]
-                for mname, op, kind, oname in meta2:
-                    j = int(oname[4:])
-                    m = pdf[mname]
-                    notna = m.notna()
-                    cnt_local = (
-                        notna.astype("int64").groupby(kv).cumsum()
-                    )
-                    if kind == "int":
-                        if op in ("sum", "avg"):
-                            fill = 0
-                        elif op == "min":
-                            fill = np.iinfo("int64").max
-                        else:
-                            fill = np.iinfo("int64").min
-                        # nullable ints arrive as float64; fill in the
-                        # NULLABLE INT domain — ±(2^63-1) is not float64-
-                        # representable and a float round-trip wraps the
-                        # sentinel to the opposite extreme
-                        mi = (
-                            m
-                            if str(m.dtype) in ("int64", "Int64")
-                            else m.astype("Int64")
-                        )
-                        vals = mi.fillna(fill).astype("int64")
-                    else:
-                        fill = (
-                            0.0
-                            if op in ("sum", "avg")
-                            else (np.inf if op == "min" else -np.inf)
-                        )
-                        vals = m.astype("float64").fillna(fill)
-                    if op in ("sum", "avg"):
-                        cum = vals.groupby(kv).cumsum()
-                    elif op == "min":
-                        cum = vals.groupby(kv).cummin()
-                    else:
-                        cum = vals.groupby(kv).cummax()
-                    ccnt_u = np.array(
-                        [carry[k][j][0] for k in uniques], dtype="int64"
-                    )
-                    cval_u = np.array(
-                        [
-                            carry[k][j][1]
-                            if carry[k][j][1] is not None
-                            else fill
-                            for k in uniques
-                        ],
-                        dtype="int64" if kind == "int" else "float64",
-                    )
-                    ccnt = pd.Series(ccnt_u.take(codes), index=keys.index)
-                    cval = pd.Series(cval_u.take(codes), index=keys.index)
-                    if op in ("sum", "avg"):
-                        outv = cum + cval
-                    elif op == "min":
-                        outv = np.minimum(cum, cval)
-                    else:
-                        outv = np.maximum(cum, cval)
-                    total_cnt = cnt_local + ccnt
-                    mask = total_cnt == 0
-                    if op == "avg":
-                        av = np.true_divide(
-                            outv.astype("float64"), total_cnt.to_numpy()
-                        )
-                        res = pd.array(av, dtype="Float64")
-                        res[mask.values] = pd.NA
-                    elif kind == "int":
-                        res = pd.array(outv, dtype="Int64")
-                        res[mask.values] = pd.NA
-                    else:
-                        res = pd.array(
-                            outv.astype("float64"), dtype="Float64"
-                        )
-                        res[mask.values] = pd.NA
-                    pdf[oname] = res
-                    # fold the batch's per-key totals into the carry
-                    gb = pd.DataFrame(
-                        {"k": kv, "v": vals, "c": notna.astype("int64")}
-                    ).groupby("k", sort=False)
-                    if op in ("sum", "avg"):
-                        totals = gb["v"].sum()
-                    elif op == "min":
-                        totals = gb["v"].min()
-                    else:
-                        totals = gb["v"].max()
-                    counts = gb["c"].sum()
-                    for k, cnt in counts.items():
-                        c0, v0 = carry[k][j]
-                        if cnt == 0:
-                            continue
-                        tv = totals[k]
-                        if v0 is None:
-                            nv = tv
-                        elif op == "sum":
-                            nv = v0 + tv
-                        elif op == "min":
-                            nv = min(v0, tv)
-                        else:
-                            nv = max(v0, tv)
-                        carry[k][j] = (c0 + int(cnt), nv)
+        # per-key (count, value|None) accumulated over PRIOR batches of
+        # this spark partition; initialized at first sight from the
+        # broadcast carry COLUMNS (the inter-partition prefix)
+        carry: dict[str, list] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                for j in range(n_meta):
+                    pdf[f"__rv{j}"] = pd.Series(dtype="float64")
                 yield pdf.reindex(columns=names)
+                continue
+            keys = pdf["__rwkey"]
+            kv = keys.values
+            # one factorize per batch: carry lookups become C-speed
+            # array takes instead of per-row Python dict maps (the
+            # naive .map(lambda) cost ~20 s over 15 M rows)
+            codes, uniques = pd.factorize(kv)
+            first_idx = np.unique(codes, return_index=True)[1]
+            for u, k in enumerate(uniques):
+                if k in carry:
+                    continue
+                row = int(first_idx[u])
+                entry = []
+                for j in range(n_meta):
+                    cc = int(pdf[f"__cc{j}"].iloc[row])
+                    if cc > 0:
+                        raw = pdf[f"__cv{j}"].iloc[row]
+                        cv = int(raw) if kinds[j] == "int" else float(raw)
+                    else:
+                        cv = None
+                    entry.append((cc, cv))
+                carry[k] = entry
+            for mname, op, kind, oname in meta2:
+                j = int(oname[4:])
+                m = pdf[mname]
+                notna = m.notna()
+                cnt_local = notna.astype("int64").groupby(kv).cumsum()
+                if kind == "int":
+                    fill = _fill(op, kind)
+                    # nullable ints arrive as float64; fill in the
+                    # NULLABLE INT domain — ±(2^63-1) is not float64-
+                    # representable and a float round-trip wraps the
+                    # sentinel to the opposite extreme
+                    mi = (
+                        m
+                        if str(m.dtype) in ("int64", "Int64")
+                        else m.astype("Int64")
+                    )
+                    vals = mi.fillna(fill).astype("int64")
+                else:
+                    fill = _fill(op, kind)
+                    vals = m.astype("float64").fillna(fill)
+                if op in ("sum", "avg"):
+                    cum = vals.groupby(kv).cumsum()
+                elif op == "min":
+                    cum = vals.groupby(kv).cummin()
+                else:
+                    cum = vals.groupby(kv).cummax()
+                ccnt_u = np.array(
+                    [carry[k][j][0] for k in uniques], dtype="int64"
+                )
+                cval_u = np.array(
+                    [
+                        carry[k][j][1]
+                        if carry[k][j][1] is not None
+                        else fill
+                        for k in uniques
+                    ],
+                    dtype="int64" if kind == "int" else "float64",
+                )
+                ccnt = pd.Series(ccnt_u.take(codes), index=keys.index)
+                cval = pd.Series(cval_u.take(codes), index=keys.index)
+                if op in ("sum", "avg"):
+                    outv = cum + cval
+                elif op == "min":
+                    outv = np.minimum(cum, cval)
+                else:
+                    outv = np.maximum(cum, cval)
+                total_cnt = cnt_local + ccnt
+                mask = total_cnt == 0
+                if op == "avg":
+                    av = np.true_divide(
+                        outv.astype("float64"), total_cnt.to_numpy()
+                    )
+                    res = pd.array(av, dtype="Float64")
+                    res[mask.values] = pd.NA
+                elif kind == "int":
+                    res = pd.array(outv, dtype="Int64")
+                    res[mask.values] = pd.NA
+                else:
+                    res = pd.array(outv.astype("float64"), dtype="Float64")
+                    res[mask.values] = pd.NA
+                pdf[oname] = res
+                # fold the batch's per-key totals into the carry
+                gb = pd.DataFrame(
+                    {"k": kv, "v": vals, "c": notna.astype("int64")}
+                ).groupby("k", sort=False)
+                if op in ("sum", "avg"):
+                    totals = gb["v"].sum()
+                elif op == "min":
+                    totals = gb["v"].min()
+                else:
+                    totals = gb["v"].max()
+                counts = gb["c"].sum()
+                for k, cnt in counts.items():
+                    c0, v0 = carry[k][j]
+                    if cnt == 0:
+                        continue
+                    tv = totals[k]
+                    if v0 is None:
+                        nv = tv
+                    elif op == "sum":
+                        nv = v0 + tv
+                    elif op == "min":
+                        nv = min(v0, tv)
+                    else:
+                        nv = max(v0, tv)
+                    carry[k][j] = (c0 + int(cnt), nv)
+            yield pdf.reindex(columns=names)
 
-        r2 = r2.mapInPandas(gen, schema=out_struct)
+    r2 = s2.mapInPandas(gen, schema=out_struct)
 
-    # route row-level values (and the pandas-free count(*)) to outputs
+    # route row-level values to outputs
     rowvals: dict[str, Column] = {}
-    for j, (i, fn, col) in enumerate(pandas_specs):
+    for j, (i, fn, col) in enumerate(measure_specs):
         rowvals[specs[i][0]] = F.col(f"__rv{j}")
-    for out, spec in specs:
-        if spec[1] == "count" and spec[2] is None:
-            rowvals[out] = F.col("__rn").cast("long")
     rows_outs = [(out, spec) for out, spec in specs if spec[3]]
-    range_outs = [(out, spec) for out, spec in specs if not spec[3]]
     for out, _ in rows_outs:
         r2 = r2.withColumn(out, rowvals[out])
     if range_outs:
         # tie-inclusive (default/RANGE frame): the key group's LAST
-        # row-level value, attached per (partition, order keys)
-        gcols = list(partition_cols) + list(order_cols)
-        ag = r2.groupBy(
-            *[F.col(c).alias(f"__rq{i}") for i, c in enumerate(gcols)]
-        ).agg(
-            *[
-                F.max_by(rowvals[out], F.col("__rn")).alias(f"__rr{i}")
-                for i, (out, _) in enumerate(range_outs)
-            ]
-        )
-        cond = None
-        for i, c in enumerate(gcols):
-            piece = r2[c].eqNullSafe(ag[f"__rq{i}"])
-            cond = piece if cond is None else cond & piece
-        r2 = r2.join(ag, cond, "left").drop(
-            *[f"__rq{i}" for i in range(len(gcols))]
-        )
-        for i, (out, _) in enumerate(range_outs):
-            r2 = r2.withColumn(out, F.col(f"__rr{i}")).drop(f"__rr{i}")
-    drop = ["__rpid", "__rwkey"] + [f"__rm{j}" for j in range(len(meta))]
-    drop += [f"__rv{j}" for j in range(len(pandas_specs))]
+        # row-level value — max_by over the HIGH-cardinality
+        # (partition, order keys) window (tie groups are small by
+        # construction, so WindowExec parallelizes; one hash shuffle
+        # replaces the r13 groupBy + null-safe join pair)
+        wtie = Window.partitionBy(*partition_cols, *order_cols)
+        for out, _ in range_outs:
+            r2 = r2.withColumn(
+                out, F.max_by(rowvals[out], F.col("__rmid")).over(wtie)
+            )
+    drop = ["__rpid", "__rwkey"] + [f"__rm{j}" for j in range(n_meta)]
+    drop += [f"__rv{j}" for j in range(n_meta)]
+    drop += [f"__cv{j}" for j in range(n_meta)]
+    drop += [f"__cc{j}" for j in range(n_meta)]
+    if range_outs:
+        drop.append("__rmid")
     return r2.drop(*drop)
 
 
