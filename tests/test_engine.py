@@ -377,8 +377,8 @@ def test_date_column_interval_returns_timestamp(tmp_path):
         rows = ds.query(
             "SELECT d + INTERVAL 1 DAY AS t, x FROM data ORDER BY x"
         ).page(1, 2)
-        assert rows[0]["t"] == "2024-01-02 00:00:00"
-        assert rows[1]["t"] == "2024-03-01 00:00:00"  # leap-day rollover
+        assert rows[0]["t"] == "2024-01-02T00:00:00.000Z"  # toISOString render (r14)
+        assert rows[1]["t"] == "2024-03-01T00:00:00.000Z"  # leap-day rollover
     finally:
         pass  # session shared across tests; do not stop
 

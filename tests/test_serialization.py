@@ -34,7 +34,7 @@ def test_dates():
     assert serialize_value(dt.date(2024, 1, 2)) == "2024-01-02"
     assert (
         serialize_value(dt.datetime(2024, 1, 2, 3, 4, 5))
-        == "2024-01-02 03:04:05"
+        == "2024-01-02T03:04:05.000Z"  # reference toISOString render (r14)
     )
 
 
@@ -74,10 +74,13 @@ def test_datetime_format_settings():
     )
 
     v = dt.datetime(2024, 3, 5, 14, 30, 45)
-    assert format_datetime(v) == "2024-03-05 14:30:45"
+    # r14: exact reference modes (src/backend.ts:144-155) — ISO8601 is
+    # Date.toISOString() (T separator, 3 fraction digits, Z), RFC2822
+    # is Date.toUTCString() (GMT suffix)
+    assert format_datetime(v) == "2024-03-05T14:30:45.000Z"
     assert (
         format_datetime(v, Settings(datetime_format=RFC2822))
-        == "Tue, 05 Mar 2024 14:30:45 +0000"
+        == "Tue, 05 Mar 2024 14:30:45 GMT"
     )
     assert (
         format_datetime(v, Settings(datetime_format="YYYY/MM/DD HH:mm"))
@@ -101,3 +104,96 @@ def test_settings_flow_through_page(spark):
     d = eng.open(p)
     rows = d.query("SELECT * FROM data").page(1, 1)
     assert rows[0]["ts"] == "05.03.2024 14:30:45"
+
+
+class TestRound14TimestamptzRender:
+    """r14 verdict item 4: TIMESTAMPTZ render parity. The reference
+    receives tz-aware timestamps as JS Date instants and renders them
+    through the same three modes as naive timestamps
+    (src/backend.ts:131-156); Spark has no tz-aware CELL type (its
+    TIMESTAMP is an instant, collected session-naive with the session
+    pinned to UTC), so parity = the serializer renders a tz-aware value
+    and its session-naive Spark equivalent to the SAME string."""
+
+    def test_aware_and_naive_render_identically(self):
+        import datetime as dt
+
+        from vscode_parquet_visualizer_spark.functions.settings import (
+            RFC2822,
+            Settings,
+            format_datetime,
+        )
+
+        aware = dt.datetime(
+            2021, 6, 14, 7, 0, 0,
+            tzinfo=dt.timezone(dt.timedelta(hours=2)),
+        )
+        naive_utc = dt.datetime(2021, 6, 14, 5, 0, 0)  # same instant
+        for s in (
+            None,
+            Settings(datetime_format=RFC2822),
+            Settings(datetime_format="YYYY-MM-DD HH:mm:ss"),
+        ):
+            assert format_datetime(aware, s) == format_datetime(
+                naive_utc, s
+            )
+
+    def test_duckdb_timestamptz_matches_spark_render(self, spark):
+        # DuckDB returns a tz-aware value for TIMESTAMPTZ; Spark
+        # returns the session-naive instant for the same SQL — both
+        # must serialize to the reference's ISO8601 render
+        import duckdb
+
+        from vscode_parquet_visualizer_spark.functions.serialization import (
+            serialize_value,
+        )
+        from vscode_parquet_visualizer_spark.plans.sql_gateway import (
+            run_sql,
+        )
+
+        sql = "SELECT TIMESTAMPTZ '2021-06-14 07:00:00+02' AS t"
+        duck_v = duckdb.connect().execute(sql).fetchone()[0]
+        spark_v = run_sql(spark, sql).collect()[0][0]
+        assert duck_v.tzinfo is not None and spark_v.tzinfo is None
+        assert (
+            serialize_value(duck_v)
+            == serialize_value(spark_v)
+            == "2021-06-14T05:00:00.000Z"
+        )
+
+    def test_iso8601_mode_ignores_utc_flag(self):
+        # reference: the ISO8601 branch calls toISOString() regardless
+        # of the UTC/local setting
+        import datetime as dt
+
+        from vscode_parquet_visualizer_spark.functions.settings import (
+            Settings,
+            format_datetime,
+        )
+
+        v = dt.datetime(2024, 3, 5, 14, 30, 45, 123456)
+        assert (
+            format_datetime(v, Settings(utc=False))
+            == "2024-03-05T14:30:45.123Z"
+        )
+
+    def test_date_render_modes(self):
+        import datetime as dt
+
+        from vscode_parquet_visualizer_spark.functions.settings import (
+            RFC2822,
+            Settings,
+            format_date,
+        )
+
+        d = dt.date(2024, 3, 5)
+        assert format_date(d) == "2024-03-05"
+        assert (
+            format_date(d, Settings(datetime_format=RFC2822))
+            == "Tue, 05 Mar 2024"
+        )
+        # custom pattern: reference falls back to JS toDateString()
+        assert (
+            format_date(d, Settings(datetime_format="YYYY/MM/DD"))
+            == "Tue Mar 05 2024"
+        )

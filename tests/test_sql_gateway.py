@@ -1760,3 +1760,110 @@ class TestRound13TimeType:
                 spark,
                 "SELECT CAST(TIMESTAMP '2024-01-01 10:20:30' AS TIME) AS t",
             ).collect()
+
+
+class TestRound14FractionalLagDefault:
+    """r14 verdict item 3: a fractional lag/lead DEFAULT for an
+    INTEGRAL value column truncated in Spark (2.5 → 2) where DuckDB
+    rounds its DECIMAL literal half away from zero (2.5 → 3) — silent
+    in both engines, hit by verbatim pass-through SQL
+    (src/worker.ts:516-541). The gateway rounds the literal before the
+    implicit cast, for the WindowExec AND lowered paths alike;
+    fractional-typed value columns keep the fractional default."""
+
+    @pytest.fixture(autouse=True)
+    def _views(self, spark):
+        import duckdb
+
+        spark.createDataFrame(
+            [(1, 10, 1.5), (1, 20, 2.5), (2, 30, 3.5)],
+            "g int, big bigint, dbl double",
+        ).createOrReplaceTempView("ll_frac")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE ll_frac (g int, big bigint, dbl double);"
+            "INSERT INTO ll_frac VALUES (1,10,1.5),(1,20,2.5),(2,30,3.5)"
+        )
+        self.duck = con
+
+    def _both(self, sql):
+        got = sorted(
+            tuple(r)
+            for r in run_sql(self.spark_session, sql).collect()
+        )
+        want = sorted(tuple(r) for r in self.duck.execute(sql).fetchall())
+        return got, want
+
+    @pytest.fixture(autouse=True)
+    def _spark(self, spark):
+        self.spark_session = spark
+
+    def test_integral_column_rounds_window_path(self):
+        for lit, cases in {
+            "2.5": None, "-2.5": None, "2.4": None, "0.5": None,
+        }.items():
+            sql = (
+                f"SELECT big, lag(big, 1, {lit}) OVER "
+                "(PARTITION BY g ORDER BY big) AS d FROM ll_frac"
+            )
+            got, want = self._both(sql)
+            assert got == want, (lit, got, want)
+
+    def test_lead_integral_rounds(self):
+        sql = (
+            "SELECT big, lead(big, 1, 7.5) OVER "
+            "(PARTITION BY g ORDER BY big) AS d FROM ll_frac"
+        )
+        got, want = self._both(sql)
+        assert got == want
+
+    def test_double_column_keeps_fractional_default(self):
+        sql = (
+            "SELECT dbl, lag(dbl, 1, 2.5) OVER "
+            "(PARTITION BY g ORDER BY dbl) AS d FROM ll_frac"
+        )
+        got, want = self._both(sql)
+        assert got == want
+        assert any(r[1] == 2.5 for r in got)  # default NOT rounded
+
+    def test_lowered_path_rounds_too(self, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+        sql = (
+            "SELECT big, lag(big, 1, 2.5) OVER "
+            "(PARTITION BY g ORDER BY big) AS d FROM ll_frac"
+        )
+        got, want = self._both(sql)
+        assert got == want
+        assert any(r[1] == 3 for r in got)
+
+    def test_existing_null_value_not_replaced(self):
+        # the default applies only when the offset row does not EXIST;
+        # an existing NULL value must stay NULL after the rewrite
+        import duckdb
+
+        self.spark_session.createDataFrame(
+            [(1, None), (2, 5)], "k int, v bigint"
+        ).createOrReplaceTempView("ll_nullv")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE ll_nullv (k int, v bigint);"
+            "INSERT INTO ll_nullv VALUES (1, NULL), (2, 5)"
+        )
+        sql = (
+            "SELECT k, lag(v, 1, 9.5) OVER (ORDER BY k) AS d "
+            "FROM ll_nullv"
+        )
+        got = sorted(
+            tuple(r) for r in run_sql(self.spark_session, sql).collect()
+        )
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want  # row k=1 → 10 (default), k=2 → NULL (exists)
+
+    def test_string_literal_lag_untouched(self):
+        # '2.5' inside a string literal must not be rewritten
+        sql = (
+            "SELECT big, lag(CAST('2.5' AS VARCHAR), 1, '2.5') OVER "
+            "(PARTITION BY g ORDER BY big) AS d FROM ll_frac"
+        )
+        got, want = self._both(sql)
+        assert got == want

@@ -86,10 +86,16 @@ def gen_script(rng: random.Random, k: int):
     sel_items = [f"{qid(id1)} AS n", f"length({qid(id2)}) AS ln",
                  f"{qid(id2)} AS s", "rid"]
     if rng.random() < 0.35:
+        frac = rng.choice(["2.5", "-2.5", "0.5", "3.7"])
         wfn = rng.choice(
             [f"sum({qid(id1)}) OVER (ORDER BY rid)",
              "row_number() OVER (ORDER BY rid)",
              f"lag({qid(id2)}, 1) OVER (ORDER BY rid)",
+             # fractional default over an INTEGRAL column: DuckDB
+             # rounds the decimal literal half away from zero, Spark
+             # would truncate — the r14 gateway rewrite closes it
+             f"lag({qid(id1)}, 1, {frac}) OVER (ORDER BY rid)",
+             f"lead(rid, 2, {frac}) OVER (ORDER BY rid)",
              f"count(*) OVER (PARTITION BY rid % 2 ORDER BY rid)"]
         )
         sel_items.append(f"{wfn} AS w")

@@ -79,7 +79,11 @@ def gen_query(rng: random.Random) -> str:
             if rng.random() < 0.6:
                 args.append(str(rng.randrange(1, 4)))
                 if rng.random() < 0.5:
-                    args.append(rng.choice(["-1", "0", "NULL", "2.5"]))
+                    # fractional defaults exercise the r14 round-half-
+                    # away rewrite (integral cols round, doubles keep)
+                    args.append(rng.choice(
+                        ["-1", "0", "NULL", "2.5", "-2.5", "0.5", "3.7"]
+                    ))
             e = f"{kind}({', '.join(args)}) OVER w"
         else:  # aggregate
             fn = rng.choice(["sum", "avg", "min", "max", "count"])

@@ -46,7 +46,7 @@ def _format_temporal(v: dt.date | dt.datetime, settings=None) -> str:
 
     if isinstance(v, dt.datetime):
         return format_datetime(v, settings)
-    return format_date(v)
+    return format_date(v, settings)
 
 
 def serialize_value(v: Any, nested: bool = False, settings=None) -> Any:

@@ -317,6 +317,145 @@ def _parse_spec(spec: str):
     return tuple(parts), tuple(orders), frame
 
 
+_FRAC_LL_QUICK = re.compile(r"\b(?:lag|lead)\s*\(", re.IGNORECASE)
+_FRAC_NUM = re.compile(r"[+-]?(?:\d+\.\d+|\.\d+|\d+\.)")
+
+
+def rewrite_fractional_lag_defaults(spark, sql: str, analyze) -> str:
+    """Close the fractional lag/lead DEFAULT coercion divergence
+    (recorded since r12; r14 verdict item 3). For an INTEGRAL value
+    column, Spark coerces the default by TRUNCATING the literal
+    (``lag(big, 1, 2.5)`` → default 2) where DuckDB casts its DECIMAL
+    literal rounding half away from zero (2.5 → 3, −2.5 → −3) — the
+    reference passes this SQL verbatim (src/worker.ts:516-541) and
+    neither engine warns. Rewrite the literal to the rounded integer
+    BEFORE Spark's implicit cast, for the WindowExec and lowered paths
+    alike (this runs in the gateway ahead of both).
+
+    The value type comes from a schema-only probe: the first argument
+    is appended to the governing SELECT's item list under a marker
+    alias and ``analyze`` (transpile + ``spark.sql``, no job) reports
+    its type. Fractional-valued columns keep the fractional default
+    (DuckDB keeps 2.5 for a DOUBLE column — verified differentially).
+    Any probe failure (nested scopes where the marker does not surface,
+    analysis errors) leaves the text unchanged — fail-open to today's
+    recorded behavior, never a new wrong answer."""
+    if not _FRAC_LL_QUICK.search(sql):
+        return sql
+    from decimal import ROUND_HALF_UP, Decimal
+
+    prot, stash = _protect_literals(sql)
+
+    def _depths(text: str) -> list[int]:
+        out, d = [], 0
+        for ch in text:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d = max(0, d - 1)
+            out.append(d)
+        return out
+
+    depth = _depths(prot)
+    calls = []  # (arg3 abs start, arg3 abs end, arg1 text, literal text)
+    for m in re.finditer(r"\b(lag|lead)\s*\(", prot, re.IGNORECASE):
+        i, d = m.end(), 1
+        while i < len(prot) and d:
+            if prot[i] == "(":
+                d += 1
+            elif prot[i] == ")":
+                d -= 1
+            i += 1
+        if d:
+            return sql  # unbalanced: bail out untouched
+        args = prot[m.end() : i - 1]
+        items = _split_top_level(args)
+        if len(items) != 3:
+            continue
+        a3 = items[2].strip()
+        if not _FRAC_NUM.fullmatch(a3):
+            continue
+        dec = Decimal(a3)
+        if dec == dec.to_integral_value():
+            continue  # x.0: truncation and rounding agree
+        # absolute span of the third argument within ``prot``
+        base, d2, commas = m.end(), 0, []
+        for j, ch in enumerate(args):
+            if ch == "(":
+                d2 += 1
+            elif ch == ")":
+                d2 -= 1
+            elif ch == "," and d2 == 0:
+                commas.append(j)
+        a3_start = base + commas[1] + 1
+        calls.append((a3_start, base + len(args), items[0].strip(), a3, m.start()))
+    if not calls:
+        return sql
+    from pyspark.sql import types as T
+
+    # any top-level WITH prefix must travel with each branch probe so
+    # CTE references keep resolving
+    prefix = ""
+    if re.match(r"\s*WITH\b", prot, re.IGNORECASE):
+        for sm in re.finditer(r"\bSELECT\b", prot, re.IGNORECASE):
+            if depth[sm.start()] == 0:
+                prefix = prot[: sm.start()]
+                break
+    setop = re.compile(r"\b(?:UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE)
+    # probe each call SEPARATELY against its own set-op branch: a
+    # single combined probe would merge branch probes positionally
+    # under branch 1's alias (caught by composite_fuzz seed 1441)
+    integral: list[bool] = []
+    for k, (_, _, arg1, _, call_pos) in enumerate(calls):
+        d = depth[call_pos]
+        sel = None
+        for sm in re.finditer(r"\bSELECT\b", prot, re.IGNORECASE):
+            if sm.start() < call_pos and depth[sm.start()] == d:
+                sel = sm
+        if sel is None:
+            integral.append(False)
+            continue
+        ins = len(prot)
+        for cm in _CLAUSE_RE.finditer(prot, sel.end()):
+            if depth[cm.start()] == d and cm.start() > call_pos:
+                ins = cm.start()
+                break
+        end = len(prot)
+        for om in setop.finditer(prot, ins):
+            if depth[om.start()] == d:
+                end = om.start()
+                break
+        probe = (
+            prefix
+            + prot[sel.start() : ins]
+            + f", ({arg1}) AS __llprobe{k} "
+            + prot[ins:end]
+        )
+        try:
+            schema = analyze(
+                _restore_literals(probe, stash, form="duck")
+            ).schema
+            integral.append(
+                f"__llprobe{k}" in schema.names
+                and isinstance(
+                    schema[f"__llprobe{k}"].dataType, T.IntegralType
+                )
+            )
+        except Exception:
+            integral.append(False)  # fail-open: leave this call as-is
+    out = prot
+    for k, (a3s, a3e, _, a3, _) in sorted(
+        enumerate(calls), key=lambda p: -p[1][0]
+    ):
+        if not integral[k]:
+            continue
+        rounded = str(
+            Decimal(a3).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+        out = out[:a3s] + " " + rounded + out[a3e:]
+    return _restore_literals(out, stash, form="duck")
+
+
 def try_rewrite_rank(
     spark: SparkSession, sql: str, run_sql, **kw
 ) -> DataFrame | None:

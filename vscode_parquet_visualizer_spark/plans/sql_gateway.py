@@ -728,9 +728,28 @@ def run_sql(
         # rank_sql.py; reference passes this SQL verbatim to its engine,
         # src/worker.ts:516-541)
         from vscode_parquet_visualizer_spark.plans.rank_sql import (
+            rewrite_fractional_lag_defaults,
             try_rewrite_rank,
         )
 
+        # fractional lag/lead defaults: round before Spark's implicit
+        # integral cast (DuckDB parity; r14 verdict item 3) — rewritten
+        # here so the WindowExec AND lowered paths both see it
+        bound = rewrite_fractional_lag_defaults(
+            spark,
+            bound,
+            lambda s: spark.sql(
+                dialect.transpile(
+                    s,
+                    view=view,
+                    columns=columns,
+                    dataset_path=dataset_path,
+                    array_columns=array_columns,
+                    date_columns=date_columns,
+                    integral_columns=integral_columns,
+                )
+            ),
+        )
         ranked = try_rewrite_rank(
             spark,
             bound,
