@@ -105,6 +105,16 @@ def gen_script(rng: random.Random, k: int):
         )
     if rng.random() < 0.5:
         sel_items.append(f"{tp._gen_expr(rng, 2)} AS e")
+    if rng.random() < 0.35:
+        # r14: TIME-typed expressions (Spark 4.1 TimeType surface) —
+        # literals, make_time, ::TIME casts, extract, + INTERVAL
+        sel_items.append(rng.choice([
+            "make_time((rid % 24)::INT, (rid % 60)::INT, 1.5)",
+            "TIME '08:30:15'",
+            f"TIME '01:02:03' + INTERVAL ({rng.randrange(1, 50)} * rid % 120) MINUTE",
+            "'12:34:56.789'::TIME",
+            "extract(minute FROM make_time(3, (rid % 60)::INT, 0.5))",
+        ]) + " AS tc")
     if use_macro:
         sel_items.append(f"fzm{k}(rid) AS mm")
     if use_seq:

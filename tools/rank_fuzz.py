@@ -27,15 +27,16 @@ from vscode_parquet_visualizer_spark.session import get_spark  # noqa: E402
 UNB = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
 CUME = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 
-VALS = ["uid", "k", "v"]
-INTS = ["uid", "k"]
+VALS = ["uid", "k", "v", "tm"]  # tm: TIME(6) — r14 fuzz coverage for
+INTS = ["uid", "k"]             # Spark 4.1's TimeType surface
 
 
 def gen_query(rng: random.Random) -> str:
     parts = rng.choice([[], ["g"], ["g", "h"]])
     okeys = rng.choice([["uid"], ["k", "uid"], ["k DESC", "uid"],
                         ["k DESC NULLS FIRST", "uid"],
-                        ["v", "uid"], ["v DESC", "uid DESC"]])
+                        ["v", "uid"], ["v DESC", "uid DESC"],
+                        ["tm", "uid"], ["tm DESC NULLS FIRST", "uid"]])
     spec = ""
     if parts:
         spec += "PARTITION BY " + ", ".join(parts)
@@ -80,9 +81,13 @@ def gen_query(rng: random.Random) -> str:
                 args.append(str(rng.randrange(1, 4)))
                 if rng.random() < 0.5:
                     # fractional defaults exercise the r14 round-half-
-                    # away rewrite (integral cols round, doubles keep)
+                    # away rewrite (integral cols round, doubles keep);
+                    # TIME columns take TIME-typed defaults
                     args.append(rng.choice(
-                        ["-1", "0", "NULL", "2.5", "-2.5", "0.5", "3.7"]
+                        ["NULL", "TIME '06:07:08'"]
+                        if c == "tm"
+                        else ["-1", "0", "NULL", "2.5", "-2.5", "0.5",
+                              "3.7"]
                     ))
             e = f"{kind}({', '.join(args)}) OVER w"
         else:  # aggregate
@@ -135,6 +140,12 @@ def main():
         F.when(F.col("id") % 13 == 0, None).otherwise(
             (F.col("id") % 9).cast("double") / 2
         ).alias("v"),
+        F.when(F.col("id") % 17 == 0, None).otherwise(
+            F.expr(
+                "make_time(CAST(id % 24 AS INT), CAST(id % 60 AS INT), "
+                "CAST(id % 7 AS DOUBLE) / 2)"
+            )
+        ).alias("tm"),
         F.col("id").alias("uid"),
     ).createOrReplaceTempView("fz")
     bad = skipped = 0
