@@ -233,16 +233,14 @@ def test_running_avg_lowering(spark, monkeypatch):
 
 
 def _assert_no_wall_windows(df):
-    # r14: the dedicated running-agg path keeps two WALL-SAFE
-    # WindowExecs — the carry prefix over the tiny per-(pid, wkey)
-    # partials relation (orders by __rpid) and the tie fixup over the
-    # HIGH-cardinality (partition, order keys) composite (max_by on
-    # __rmid). Neither partitions the data by the low-NDV window key
-    # alone, which is the wall this route exists to avoid.
+    # r14 optimization round: the dedicated running-agg path has NO
+    # WindowExec at all — carries and spanning-tie-group overrides are
+    # folded driver-side from the bounded stats pass (#tasks × NDV
+    # rows) and shipped via one broadcast; the kernel resolves both
+    # ROWS- and RANGE-frame semantics locally.
     plan = df._jdf.queryExecution().executedPlan().toString()
     for ln in plan.splitlines():
-        if "Window [" in ln:
-            assert "__rpid" in ln or "__rmid" in ln, ln
+        assert "Window [" not in ln, ln
 
 
 def test_optin_families_keep_window_plan_in_auto_mode(spark, monkeypatch):

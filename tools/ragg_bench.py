@@ -10,6 +10,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.bench/sf10"
 reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 

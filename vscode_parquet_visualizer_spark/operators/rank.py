@@ -227,9 +227,10 @@ def attach_window_columns(
     if ragg_specs and not (fns - {"ragg", "pagg"}):
         # running aggregates (± whole-partition aggs) ONLY: skip the
         # with_row_numbers substrate entirely (r14 verdict item 1) — a
-        # running agg needs segment carry-ins, not a global row number,
-        # and the dedicated path below sorts once with no checkpoint
-        # and no driver-side stats collect
+        # running agg needs segment carry-ins, not a global row number;
+        # the dedicated path sorts once (checkpointed, shared by its
+        # bounded stats pass and the kernel) with no data-sized
+        # movement after the sort
         r = _attach_running_aggs(
             df,
             partition_cols,
@@ -474,50 +475,59 @@ def _attach_running_aggs(
     presorted: bool = False,
 ) -> DataFrame:
     """Running (cumulative) sum/min/max/count/avg without WindowExec —
-    the distributed SEGMENTED PREFIX, one job, no driver stats
-    (r14 verdict item 1 rebuild; the r13 shape paid with_row_numbers'
-    range-sort + localCheckpoint + two driver collects before doing any
-    real work — 24-29 s vs WindowExec's 4.1 s at sf10):
+    the distributed SEGMENTED PREFIX over ONE materialized sort
+    (r14 optimization-round rebuild; measured structure at sf10 in
+    OPTIMIZATION_r14.md):
 
-    1. One range-shuffle sort on (partition keys, order keys) — the
-       only data-sized movement (``presorted=True`` skips it: the input
-       is with_row_numbers' checkpointed output in the mixed-family
-       case).
-    2. Per-(spark partition × window partition) segment partials —
-       measure total + non-null count — computed IN THE SAME PLAN
-       (``groupBy(__rpid, __rwkey)``): Catalyst's ReuseExchange runs
-       the range shuffle once for both subtrees, so no checkpoint and
-       no cross-job pid-stability concern.
-    3. Carry-ins: a prefix window over the TINY partials relation
-       (``rows ≤ #tasks × key NDV``; the routing gate only sends
-       low-NDV partitions here) — ``agg(__pv) OVER (PARTITION BY
-       __rwkey ORDER BY __rpid ROWS UNBOUNDED PRECEDING..1 PRECEDING)``
-       — broadcast-joined back on (__rpid, __rwkey). Carries travel as
-       COLUMNS, not a driver dict: zero ``collect()``.
-    4. One Arrow-batched ``mapInPandas`` pass computes vectorized
+    1. One range-shuffle sort on (partition keys, order keys),
+       ``localCheckpoint(eager=False)`` — the only data-sized movement,
+       materialized ONCE and shared by every later pass
+       (``presorted=True`` skips it: the input is with_row_numbers'
+       checkpointed output in the mixed-family case). The r14-build
+       predecessor computed the stats pass as a second subtree of a
+       single plan counting on ReuseExchange — which never fires
+       (per-branch column pruning makes the exchange subtrees differ),
+       so the scan + range shuffle + its sampling job all ran TWICE
+       (measured: 2 sampling jobs + 251 MB + 191 MB exchange writes at
+       sf10; plans/r14/ragg evidence).
+    2. One BOUNDED stats pass over the checkpoint —
+       ``groupBy(__rpid, __rwkey)`` → per-measure partials, collected
+       to the driver: ``#tasks × key NDV`` rows, constant in data size
+       (the routing gate only sends low-NDV partitions here; same
+       driver-state class as with_row_numbers' stats). Carry-ins are
+       folded driver-side and shipped to the kernel via one tiny
+       ``sparkContext.broadcast`` — no per-row join columns.
+    3. One Arrow-batched ``mapInPandas`` pass computes vectorized
        group-wise cumulatives within each sorted partition and adds
        the carry — integral measures accumulate in exact int64, floats
        in float64 (the addition tree differs from a sequential window
        by partial-sum grouping — same class of reordering every
-       distributed sum performs). Carry values ship NON-NULL (coalesced
-       to the op's fill, valid iff carry count > 0) so Arrow keeps the
-       int64 domain exact — a nullable long would round-trip through
-       float64 and lose precision past 2^53. SQL NULL semantics: a
-       NULL measure contributes nothing and the running value is NULL
-       until the segment has seen a value.
-    5. A spec with ``rows_frame=False`` (the SQL DEFAULT frame, RANGE
-       UNBOUNDED PRECEDING..CURRENT ROW) is tie-inclusive: the row's
-       value is the ROW-level value of its key group's LAST row —
-       ``max_by(value, __rmid) OVER (PARTITION BY partition+order
-       keys)``, a HIGH-cardinality window key (≈ distinct sort keys),
-       so WindowExec parallelizes it with one hash shuffle and no
-       per-window-partition wall.
+       distributed sum performs). SQL NULL semantics: a NULL measure
+       contributes nothing and the running value is NULL until the
+       frame has seen a value.
+    4. A spec with ``rows_frame=False`` (the SQL DEFAULT frame, RANGE
+       UNBOUNDED PRECEDING..CURRENT ROW) is tie-inclusive: every peer
+       row (same partition + order keys) shares the value of its tie
+       group's LAST row. The kernel resolves this LOCALLY by holding
+       back each batch's trailing (possibly incomplete) tie group
+       until the group is complete (memory bound: the largest single
+       tie group — the same peers-buffer bound WindowExec pays), and
+       propagating each group's last value backward vectorized. Tie
+       groups that span task boundaries — there are at most #tasks of
+       them, one per boundary — get their group-end value computed
+       driver-side from the stats pass plus (only when a group ends
+       MID-task) one filtered leading-run aggregate over the
+       checkpoint, and applied as per-task OVERRIDES through the same
+       broadcast. This replaces the r14-build ``max_by … OVER
+       (PARTITION BY partition+order keys)`` fixup, which re-shuffled
+       and re-sorted the ENTIRE dataset after the kernel (measured:
+       271 MB exchange + final window stage at sf10 — the whole gap
+       between the range-frame and rows-frame routes).
 
     ``count(*)`` rides the same kernel as a constant-1 measure.
     Decimal measures raise (caught by the gateway → loud fallback).
     """
     from pyspark.sql import types as T
-    from pyspark.sql.window import Window
 
     spark = r.sparkSession
     measure_specs = []  # (spec index, fn, measure Column)
@@ -534,17 +544,19 @@ def _attach_running_aggs(
     # translate embedded NULs in data values to \x1e (a same-class
     # collision corner, but an explicit one — not silent mis-grouping
     # of every NULL key).
-    wkey = F.translate(
-        F.concat_ws(
-            _SEP,
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x1eNULL"))
-                for c in partition_cols
-            ],
-        ),
-        "\x00",
-        "\x1e",
-    )
+    def _render_keys(cols: list[str]) -> Column:
+        pieces = []
+        for c in cols:
+            col = F.col(c)
+            # float/double: normalize -0.0 → 0.0 before rendering, so
+            # peer grouping matches Spark/DuckDB semantics (WindowExec
+            # normalizes floating keys; "-0.0" ≠ "0.0" as strings)
+            if isinstance(r.schema[c].dataType, (T.FloatType, T.DoubleType)):
+                col = F.when(col == 0.0, F.lit(0.0).cast(r.schema[c].dataType)).otherwise(col)
+            pieces.append(F.coalesce(col.cast("string"), F.lit("\x1eNULL")))
+        return F.translate(F.concat_ws(_SEP, *pieces), "\x00", "\x1e")
+
+    wkey = _render_keys(partition_cols)
     mcols = {"__rpid": F.spark_partition_id(), "__rwkey": wkey}
     meta = []  # (measure col name, combine op)
     for j, (i, fn, col) in enumerate(measure_specs):
@@ -555,10 +567,15 @@ def _attach_running_aggs(
             mcols[f"__rm{j}"] = col
             meta.append((f"__rm{j}", fn))
     range_outs = [(out, spec) for out, spec in specs if not spec[3]]
-    if range_outs:
-        # tie-break position for the max_by fixup: monotone with the
-        # sort order (range partition ids increase with the range, the
-        # local counter with the local sort) — single-plan-consistent
+    need_tie = bool(range_outs)
+    if need_tie:
+        # tie (peer) identity = the rendered ORDER keys; __rmid orders
+        # rows globally (range partition ids increase with the range,
+        # the local counter with the local sort) for the stats pass's
+        # first/last-row-of-task identification — consistent across
+        # the stats and kernel passes because both read the SAME
+        # checkpointed blocks
+        mcols["__rtkey"] = _render_keys(order_cols)
         mcols["__rmid"] = F.monotonically_increasing_id()
     if presorted:
         s = r.withColumns(mcols)
@@ -568,6 +585,7 @@ def _attach_running_aggs(
             r.repartitionByRange(parts, *sort_cols)
             .sortWithinPartitions(*sort_cols)
             .withColumns(mcols)
+            .localCheckpoint(eager=False)
         )
     dtypes = dict(s.dtypes)
     kinds = []
@@ -600,38 +618,142 @@ def _attach_running_aggs(
             )
         return float("inf") if op == "min" else float("-inf")
 
-    aggs = []
+    def _combine(op, a, b):
+        """Fold partial ``b`` into accumulated ``a`` (None = no values
+        yet). Driver-side, exact: Python ints never overflow."""
+        if b is None:
+            return a
+        if a is None:
+            return b
+        if op in ("sum", "avg"):
+            return a + b
+        return min(a, b) if op == "min" else max(a, b)
+
+    # ---- bounded stats pass (#tasks × key NDV rows, constant in data)
+    aggs = [F.count(F.lit(1)).alias("__an")]
     for j, (name, op) in enumerate(meta):
-        aggs.append(_agg_fn(op)(name).alias(f"__pv{j}"))
-        aggs.append(F.count(name).alias(f"__pc{j}"))
-    partials = s.groupBy("__rpid", "__rwkey").agg(*aggs)
-    wprev = (
-        Window.partitionBy("__rwkey")
-        .orderBy("__rpid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carry_cols = []
-    for j, (name, op) in enumerate(meta):
-        mtype = "bigint" if kinds[j] == "int" else "double"
-        carry_cols.append(
-            F.coalesce(
-                _agg_fn(op)(F.col(f"__pv{j}")).over(wprev).cast(mtype),
-                F.lit(_fill(op, kinds[j])).cast(mtype),
-            ).alias(f"__cv{j}")
-        )
-        carry_cols.append(
-            F.coalesce(F.sum(f"__pc{j}").over(wprev), F.lit(0))
-            .cast("long")
-            .alias(f"__cc{j}")
-        )
-    carries = partials.select("__rpid", "__rwkey", *carry_cols)
-    s2 = s.join(F.broadcast(carries), ["__rpid", "__rwkey"], "left")
+        aggs.append(_agg_fn(op)(name).alias(f"__av{j}"))
+        aggs.append(F.count(name).alias(f"__ac{j}"))
+    if need_tie:
+        aggs += [
+            F.min("__rmid").alias("__amn"),
+            F.max("__rmid").alias("__amx"),
+            F.min_by("__rtkey", "__rmid").alias("__aft"),
+            F.max_by("__rtkey", "__rmid").alias("__alt"),
+        ]
+    stats = s.groupBy("__rpid", "__rwkey").agg(*aggs).collect()
+
+    # carries per (pid, wkey): the measure state accumulated over all
+    # EARLIER tasks of the same window partition — (count, value|None)
+    # per measure, values exact Python numbers
+    carries: dict[tuple[int, str], list[tuple[int, object]]] = {}
+    state: dict[tuple[str, int], tuple[int, object]] = {}
+    stat_by_key = {}
+    for row in sorted(stats, key=lambda x: (x["__rwkey"], x["__rpid"])):
+        k = (row["__rpid"], row["__rwkey"])
+        stat_by_key[k] = row
+        entry = []
+        for j in range(n_meta):
+            c0, v0 = state.get((row["__rwkey"], j), (0, None))
+            entry.append((c0, v0))
+            pc = row[f"__ac{j}"]
+            if pc:
+                state[(row["__rwkey"], j)] = (
+                    c0 + pc,
+                    _combine(ops[j], v0, row[f"__av{j}"]),
+                )
+        carries[k] = entry
+
+    # ---- tie groups spanning a task boundary (range frames only): a
+    # peer group split across tasks needs its group-END value pushed
+    # back to every earlier row. The range partitioner colocates equal
+    # sort keys, and peers ARE equal on every sort key (order-only sort:
+    # peers share the order keys; presorted mixed path: partition+order)
+    # — so spans cannot arise from partitioning and this block is a
+    # GUARD for the rendered-key collision corners (\x1e classes). Cost
+    # when no boundary tkeys match — always, in practice: a few driver
+    # comparisons over the ≤ #tasks-row first/last table, no extra job.
+    overrides_by_pid: dict[int, list[tuple[str, str, list]]] = {}
+    if need_tie and stats:
+        first: dict[int, tuple] = {}  # pid -> (mid, tkey)
+        last: dict[int, tuple] = {}
+        for row in stats:
+            p = row["__rpid"]
+            if p not in first or row["__amn"] < first[p][0]:
+                first[p] = (row["__amn"], row["__aft"])
+            if p not in last or row["__amx"] > last[p][0]:
+                last[p] = (row["__amx"], row["__alt"])
+        pids = sorted(first)
+        # boundary tkey values whose run crosses a task boundary, with
+        # the contiguous pid chain each touches (tkey runs are globally
+        # contiguous under either sort — order keys are a sort prefix
+        # of neither... of both orders' TAIL — equal tkey ⇒ equal order
+        # keys ⇒ adjacent in the global sort)
+        chains: dict[str, set[int]] = {}
+        for a, b in zip(pids, pids[1:]):
+            t = last[a][1]
+            if t != first[b][1]:
+                continue
+            ch = chains.setdefault(t, set())
+            for p in (a, b):
+                if first[p][1] == t or last[p][1] == t:
+                    ch.add(p)
+        if chains:
+            # per-(pid, wkey, tkey) partials of the boundary runs: one
+            # filtered aggregate over the checkpoint, output bounded by
+            # chain-pids × key NDV
+            keyset = [
+                f"{p}{_SEP}{t}" for t, ch in chains.items() for p in ch
+            ]
+            aggs_b = []
+            for j, (name, op) in enumerate(meta):
+                aggs_b.append(_agg_fn(op)(name).alias(f"__bv{j}"))
+                aggs_b.append(F.count(name).alias(f"__bc{j}"))
+            bkey = F.concat_ws(
+                _SEP, F.col("__rpid").cast("string"), F.col("__rtkey")
+            )
+            brows = (
+                s.filter(bkey.isin(keyset))
+                .groupBy("__rpid", "__rwkey", "__rtkey")
+                .agg(*aggs_b)
+                .collect()
+            )
+            groups: dict[tuple[str, str], dict[int, object]] = {}
+            for row in brows:
+                groups.setdefault(
+                    (row["__rwkey"], row["__rtkey"]), {}
+                )[row["__rpid"]] = row
+            for (w, t), per_pid in groups.items():
+                if len(per_pid) < 2:
+                    continue  # whole group inside one task: kernel-local
+                q = max(per_pid)
+                # group-end value = running prefix of wkey w up to the
+                # end of q's t-run: carries(q, w) covers every earlier
+                # task's w-rows (all order keys ≤ t there), q's own
+                # t-run partial completes it
+                carr = carries[(q, w)]
+                brow = per_pid[q]
+                entry = []
+                for j in range(n_meta):
+                    c0, v0 = carr[j]
+                    pc, pv = brow[f"__bc{j}"], brow[f"__bv{j}"]
+                    cnt = c0 + (pc or 0)
+                    val = _combine(ops[j], v0, pv) if pc else v0
+                    entry.append((cnt, val))
+                for p in per_pid:
+                    overrides_by_pid.setdefault(p, []).append(
+                        (w, t, entry)
+                    )
+
+    bc = spark.sparkContext.broadcast((carries, overrides_by_pid))
 
     meta2 = [
         (f"__rm{j}", ops[j], kinds[j], f"__rv{j}") for j in range(n_meta)
     ]
+    # per-SPEC output column; spec j's frame decides row- vs tie-level
+    rows_frame_flags = [bool(spec[3]) for _, spec in specs]
     out_struct = T.StructType(
-        s2.schema.fields
+        s.schema.fields
         + [
             T.StructField(
                 f"__rv{j}",
@@ -648,44 +770,44 @@ def _attach_running_aggs(
         import numpy as np
         import pandas as pd
 
-        # per-key (count, value|None) accumulated over PRIOR batches of
+        carries_d, ov_by_pid = bc.value
+        # per-key [count, value|None] accumulated over PRIOR batches of
         # this spark partition; initialized at first sight from the
-        # broadcast carry COLUMNS (the inter-partition prefix)
+        # broadcast carries (the inter-task prefix)
         carry: dict[str, list] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                for j in range(n_meta):
-                    pdf[f"__rv{j}"] = pd.Series(dtype="float64")
-                yield pdf.reindex(columns=names)
-                continue
-            keys = pdf["__rwkey"]
-            kv = keys.values
+        pid: int | None = None
+        ov: list = []
+
+        def process(pdf):
+            kv = pdf["__rwkey"].values
             # one factorize per batch: carry lookups become C-speed
             # array takes instead of per-row Python dict maps (the
             # naive .map(lambda) cost ~20 s over 15 M rows)
             codes, uniques = pd.factorize(kv)
-            first_idx = np.unique(codes, return_index=True)[1]
-            for u, k in enumerate(uniques):
-                if k in carry:
-                    continue
-                row = int(first_idx[u])
-                entry = []
-                for j in range(n_meta):
-                    cc = int(pdf[f"__cc{j}"].iloc[row])
-                    if cc > 0:
-                        raw = pdf[f"__cv{j}"].iloc[row]
-                        cv = int(raw) if kinds[j] == "int" else float(raw)
-                    else:
-                        cv = None
-                    entry.append((cc, cv))
-                carry[k] = entry
+            for k in uniques:
+                if k not in carry:
+                    e = carries_d.get((pid, k))
+                    carry[k] = (
+                        [list(x) for x in e]
+                        if e
+                        else [[0, None] for _ in range(n_meta)]
+                    )
+            if need_tie:
+                # tie (peer) group = equal (wkey, tkey) PAIR; under the
+                # order-only sort a wkey's rows interleave with other
+                # wkeys inside one tkey run, so groups are NOT
+                # contiguous — group by the pair code, positional
+                # 'last' still is the group's last row in running order
+                tk = pdf["__rtkey"].values
+                tkcodes, tkuniq = pd.factorize(tk)
+                gid = codes.astype("int64") * len(tkuniq) + tkcodes
             for mname, op, kind, oname in meta2:
                 j = int(oname[4:])
                 m = pdf[mname]
                 notna = m.notna()
                 cnt_local = notna.astype("int64").groupby(kv).cumsum()
+                fill = _fill(op, kind)
                 if kind == "int":
-                    fill = _fill(op, kind)
                     # nullable ints arrive as float64; fill in the
                     # NULLABLE INT domain — ±(2^63-1) is not float64-
                     # representable and a float round-trip wraps the
@@ -697,7 +819,6 @@ def _attach_running_aggs(
                     )
                     vals = mi.fillna(fill).astype("int64")
                 else:
-                    fill = _fill(op, kind)
                     vals = m.astype("float64").fillna(fill)
                 if op in ("sum", "avg"):
                     cum = vals.groupby(kv).cumsum()
@@ -717,8 +838,8 @@ def _attach_running_aggs(
                     ],
                     dtype="int64" if kind == "int" else "float64",
                 )
-                ccnt = pd.Series(ccnt_u.take(codes), index=keys.index)
-                cval = pd.Series(cval_u.take(codes), index=keys.index)
+                ccnt = pd.Series(ccnt_u.take(codes), index=pdf.index)
+                cval = pd.Series(cval_u.take(codes), index=pdf.index)
                 if op in ("sum", "avg"):
                     outv = cum + cval
                 elif op == "min":
@@ -726,6 +847,20 @@ def _attach_running_aggs(
                 else:
                     outv = np.maximum(cum, cval)
                 total_cnt = cnt_local + ccnt
+                if not rows_frame_flags[j]:
+                    # RANGE frame: every peer row shares the tie
+                    # group's LAST value (groups are contiguous in the
+                    # sorted batch, whole by holdback); task-spanning
+                    # groups take the driver-computed override
+                    outv = outv.groupby(gid).transform("last")
+                    total_cnt = total_cnt.groupby(gid).transform("last")
+                    for w, t, entry in ov:
+                        omask = (kv == w) & (tk == t)
+                        if omask.any():
+                            cnt_o, val_o = entry[j]
+                            total_cnt = total_cnt.where(~omask, cnt_o)
+                            if val_o is not None:
+                                outv = outv.where(~omask, val_o)
                 mask = total_cnt == 0
                 if op == "avg":
                     av = np.true_divide(
@@ -758,41 +893,61 @@ def _attach_running_aggs(
                     tv = totals[k]
                     if v0 is None:
                         nv = tv
-                    elif op == "sum":
+                    elif op in ("sum", "avg"):
                         nv = v0 + tv
                     elif op == "min":
                         nv = min(v0, tv)
                     else:
                         nv = max(v0, tv)
-                    carry[k][j] = (c0 + int(cnt), nv)
-            yield pdf.reindex(columns=names)
+                    carry[k][j] = [c0 + int(cnt), nv]
+            return pdf.reindex(columns=names)
 
-    r2 = s2.mapInPandas(gen, schema=out_struct)
+        hold = None
+        for pdf in batches:
+            if pid is None and len(pdf):
+                pid = int(pdf["__rpid"].iloc[0])
+                ov = ov_by_pid.get(pid, [])
+            if hold is not None:
+                pdf = pd.concat([hold, pdf], ignore_index=True)
+                hold = None
+            if len(pdf) == 0:
+                for j in range(n_meta):
+                    pdf[f"__rv{j}"] = pd.Series(dtype="float64")
+                yield pdf.reindex(columns=names)
+                continue
+            if need_tie:
+                # hold back the trailing rows whose peer group may
+                # continue in later batches. Order-only sort: the whole
+                # trailing tkey RUN (wkeys interleave inside a run);
+                # presorted (partition+order) sort: the last (wkey,
+                # tkey) group. Both masks are contiguous tails under
+                # their sort, bounded by the largest order-key run —
+                # the same buffer bound WindowExec pays per peer set.
+                tk_ = pdf["__rtkey"].values
+                tail = tk_ == tk_[-1]
+                if presorted:
+                    kv_ = pdf["__rwkey"].values
+                    tail = tail & (kv_ == kv_[-1])
+                if tail.all():
+                    hold = pdf
+                    continue
+                split = len(pdf) - int(tail.sum())
+                hold = pdf.iloc[split:].copy()
+                pdf = pdf.iloc[:split].copy()
+            yield process(pdf)
+        if hold is not None and len(hold):
+            yield process(hold)
 
-    # route row-level values to outputs
-    rowvals: dict[str, Column] = {}
+    r2 = s.mapInPandas(gen, schema=out_struct)
+
+    # route per-spec kernel outputs (the kernel already resolved ROWS
+    # vs RANGE/tie semantics — no post-pass, no second data shuffle)
     for j, (i, fn, col) in enumerate(measure_specs):
-        rowvals[specs[i][0]] = F.col(f"__rv{j}")
-    rows_outs = [(out, spec) for out, spec in specs if spec[3]]
-    for out, _ in rows_outs:
-        r2 = r2.withColumn(out, rowvals[out])
-    if range_outs:
-        # tie-inclusive (default/RANGE frame): the key group's LAST
-        # row-level value — max_by over the HIGH-cardinality
-        # (partition, order keys) window (tie groups are small by
-        # construction, so WindowExec parallelizes; one hash shuffle
-        # replaces the r13 groupBy + null-safe join pair)
-        wtie = Window.partitionBy(*partition_cols, *order_cols)
-        for out, _ in range_outs:
-            r2 = r2.withColumn(
-                out, F.max_by(rowvals[out], F.col("__rmid")).over(wtie)
-            )
+        r2 = r2.withColumn(specs[i][0], F.col(f"__rv{j}"))
     drop = ["__rpid", "__rwkey"] + [f"__rm{j}" for j in range(n_meta)]
     drop += [f"__rv{j}" for j in range(n_meta)]
-    drop += [f"__cv{j}" for j in range(n_meta)]
-    drop += [f"__cc{j}" for j in range(n_meta)]
-    if range_outs:
-        drop.append("__rmid")
+    if need_tie:
+        drop += ["__rtkey", "__rmid"]
     return r2.drop(*drop)
 
 

@@ -102,14 +102,36 @@ def lang_id(text: Column) -> Column:
     """Marker-word language heuristic: score each language by the number of
     its top function words present (word-boundary match on the lowercased
     text); highest score wins, ties broken by language code order, 'und'
-    (undetermined) when nothing matches."""
+    (undetermined) when nothing matches.
+
+    One regex pass (r14 optimization): the 20 per-marker ``rlike`` scans
+    — 20 full traversals of every document — collapse into a single
+    ``regexp_extract_all`` over the 20-way marker alternation (markers
+    are unique across languages by construction), and each language's
+    score is the size of its intersection with the distinct markers
+    found. Scores are identical: a marker contributes exactly 1 iff
+    present, same as the presence-indicator sum. NULL text scores 0
+    everywhere → 'und', as before (the coalesce keeps size() off its
+    NULL→-1 path)."""
     lowered = F.lower(text)
+    all_words = [
+        w for _, ws in sorted(_LANG_MARKERS.items()) for w in ws
+    ]
+    present = F.coalesce(
+        F.array_distinct(
+            F.regexp_extract_all(
+                lowered, F.lit(rf"\b({'|'.join(all_words)})\b"), 1
+            )
+        ),
+        F.array().cast("array<string>"),
+    )
     scores = []
     for lang, words in sorted(_LANG_MARKERS.items()):
-        s = None
-        for w in words:
-            hit = F.when(lowered.rlike(rf"\b{w}\b"), 1).otherwise(0)
-            s = hit if s is None else (s + hit)
+        s = F.size(
+            F.array_intersect(
+                present, F.array(*[F.lit(w) for w in words])
+            )
+        )
         scores.append((lang, s))
     best_score = None
     best_lang = F.lit("und")

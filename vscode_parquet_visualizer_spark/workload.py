@@ -2320,16 +2320,25 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the single-pass builtin wins (same exact interpolation formula);
     # above, the bounded-memory refinement is the only safe plan.
     if _table_bytes(path) <= 256 << 20:
+        # ONE percentile aggregate with an array of percentages — one
+        # shared value buffer per group instead of three independent
+        # ones (r14 optimization: 3× the ObjectHashAggregate buffer
+        # insert/merge/sort work for bit-identical results; isolated
+        # A/B at sf0.1: 0.33 s → 0.22 s)
         return (
             t["orders"]
             .groupBy("o_orderstatus")
             .agg(
+                F.expr(
+                    "percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))"
+                ).alias("__pcts")
+            )
+            .select(
+                "o_orderstatus",
                 *[
-                    F.round(
-                        F.expr(f"percentile(o_totalprice, {q_})"), 4
-                    ).alias(a)
-                    for q_, a in [(0.5, "med"), (0.9, "p90"), (0.99, "p99")]
-                ]
+                    F.round(F.col("__pcts")[i], 4).alias(a)
+                    for i, a in enumerate(("med", "p90", "p99"))
+                ],
             )
         )
     bounds = metadata.parquet_column_bounds(path, "o_totalprice")
