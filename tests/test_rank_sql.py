@@ -233,14 +233,17 @@ def test_running_avg_lowering(spark, monkeypatch):
 
 
 def _assert_no_wall_windows(df):
-    # r14 optimization round: the dedicated running-agg path has NO
-    # WindowExec at all — carries and spanning-tie-group overrides are
-    # folded driver-side from the bounded stats pass (#tasks × NDV
-    # rows) and shipped via one broadcast; the kernel resolves both
-    # ROWS- and RANGE-frame semantics locally.
+    # r14 optimization round: the distributed running-agg routes never
+    # plan WindowExec over the DATA. The all-RANGE group-broadcast
+    # route DOES run one Window over the bounded GROUP TABLE (its
+    # input is the per-group partial aggregate — recognizable by our
+    # __gv/__gc partial columns, and capped by the broadcast budget),
+    # which is exactly the design; any other WindowExec is the
+    # one-task-per-window-partition wall and fails here.
     plan = df._jdf.queryExecution().executedPlan().toString()
     for ln in plan.splitlines():
-        assert "Window [" not in ln, ln
+        if "Window [" in ln:
+            assert "__gv" in ln or "__gc" in ln, ln
 
 
 def test_optin_families_keep_window_plan_in_auto_mode(spark, monkeypatch):
@@ -297,6 +300,54 @@ def test_running_aggregates_tie_inclusive(spark, monkeypatch):
     want = _rows(spark, sql)
     monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
     assert _rows(spark, sql) == want
+
+
+# ---- round 14 optimization: group-broadcast RANGE running aggregates ----
+
+
+def test_range_running_aggs_use_group_broadcast(spark, monkeypatch):
+    # all-RANGE running aggregates route as per-group partials + a
+    # Window over the bounded GROUP TABLE + a broadcast join back —
+    # no sort substrate, no Python kernel (rank.py
+    # _attach_running_aggs_grouped; guide §8 "decide with small rows").
+    sql = """
+        SELECT uid,
+               sum(uid) OVER w AS rs,
+               avg(uid) OVER w AS ra,
+               count(*) OVER w AS rc
+        FROM ties
+        WINDOW w AS (PARTITION BY g ORDER BY k)
+    """
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    df = run_sql(spark, sql)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "MapInArrow" not in plan, "all-RANGE specs must skip the kernel"
+    assert sorted(tuple(r) for r in df.collect()) == want
+
+
+def test_range_running_aggs_group_budget_falls_back_to_kernel(
+    spark, monkeypatch
+):
+    # a group table over SPARK_GRAFT_RAGG_BCAST_MAX rows cannot be
+    # broadcast: the route must fall back to the positional kernel
+    # (MapInArrow), which is correct at any order-key NDV.
+    from vscode_parquet_visualizer_spark.operators import rank
+
+    monkeypatch.setattr(rank, "_RAGG_BCAST_MAX", 1)  # auto-restored
+    sql = """
+        SELECT uid, sum(uid) OVER (PARTITION BY g ORDER BY k) AS rs
+        FROM ties
+    """
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    df = run_sql(spark, sql)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan, "over-budget group table must use kernel"
+    assert sorted(tuple(r) for r in df.collect()) == want
 
 
 # ---- round 13: subquery guard, bounded NDV probe, size-scaled route ----

@@ -45,6 +45,8 @@ distinct-key pass this operator deliberately does not hide).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -57,6 +59,53 @@ _SEP = "\x1f"
 # A broadcast join on the tiny stats DataFrame costs one extra plan
 # node but is O(1) in expression size — the 100×-safe spelling.
 _MAP_LITERAL_MAX = 1000
+
+
+_SUBSTRATES: list = []  # most-recent-first persisted sort substrates
+_SUBSTRATE_KEEP = 4  # a single query can hold a few live substrates
+_SUBSTRATE_EPOCH = iter(range(1 << 62))  # unique per-build plan salt
+
+
+def _persist_substrate(df: DataFrame) -> DataFrame:
+    """Persist a sorted window substrate in Spark's COLUMNAR cache and
+    retire superseded ones (r14 optimization round).
+
+    The r14-build shape used ``localCheckpoint(eager=False)`` here; at
+    sf10 that materializes ~15 M deserialized row OBJECTS (~3 GB of
+    JVM garbage per build) and every fresh build leaked another copy —
+    measured: stats-pass stages at 250-750 s of GC time once two
+    checkpoints coexisted, and the route degrading 9 s → 33-57 s
+    across a min-of-4 session (plans/r14 ragg evidence). The columnar
+    cache stores compressed batches (~10× fewer objects), serves both
+    the stats pass and the kernel pass from ONE sort, and superseded
+    substrates are unpersisted here instead of leaking.
+
+    The ``__sepoch`` literal salts every build's plan uniquely:
+    Spark's CacheManager substitutes cached data into ANY semantically
+    matching plan, so without the salt a REPEATED query (bench warm
+    reps, min-of-N measurement loops) would silently serve its sort
+    from the previous rep's still-live cache — a cross-run result
+    cache, not an optimization. The salt is dropped right here; the
+    Project sits above the cached plan, so both in-query passes still
+    share the one materialization while distinct builds never match.
+    An RLE'd constant int column costs nothing in the columnar cache.
+
+    Consistency of ``spark_partition_id``/``monotonically_increasing_id``
+    across the two passes still holds: the cached RDD's partitioning is
+    fixed by its shuffle dependency, and an evicted partition re-reads
+    the SAME shuffle files (local mode keeps them), re-deriving
+    identical ids from an identical sorted partition."""
+    p = df.withColumn(
+        "__sepoch", F.lit(next(_SUBSTRATE_EPOCH))
+    ).persist()
+    _SUBSTRATES.insert(0, p)
+    while len(_SUBSTRATES) > _SUBSTRATE_KEEP:
+        old = _SUBSTRATES.pop()
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session torn down — nothing to release
+    return p.drop("__sepoch")
 
 
 def with_row_numbers(
@@ -95,8 +144,8 @@ def with_row_numbers(
                 "__wkey": wkey,
             }
         )
-        .localCheckpoint(eager=False)  # both passes see identical ids
     )
+    sorted_df = _persist_substrate(sorted_df)  # both passes, one sort
     stats = (
         sorted_df.groupBy("__pid", "__wkey")
         .agg(F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__m0"))
@@ -256,7 +305,12 @@ def attach_window_columns(
     # would destroy that
     if ragg_specs:
         r = _attach_running_aggs(
-            r, partition_cols, order_cols, ragg_specs, presorted=True
+            r,
+            partition_cols,
+            order_cols,
+            ragg_specs,
+            sort_cols=sort_cols,
+            presorted=True,
         )
 
     if fns & {"rank", "dense_rank", "percent_rank", "cume_dist"}:
@@ -465,6 +519,126 @@ def _attach_lag_leads_blocked(
     )
 
 
+# Max group-table rows the RANGE-frame running-agg route will broadcast
+# (≈ 64 B/row of keys+partials → a few hundred MB of built hash relation
+# at the cap, far under Spark's 8 GiB broadcast limit). Above it the
+# kernel route takes over — the cost of finding out is one map-side-
+# aggregated shuffle of partials, paid once.
+_RAGG_BCAST_MAX = int(os.environ.get("SPARK_GRAFT_RAGG_BCAST_MAX", 4_000_000))
+
+
+def _attach_running_aggs_grouped(
+    r: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    specs: list[tuple[str, tuple]],
+    measure_specs: list[tuple],
+    sort_cols: list[Column],
+) -> DataFrame | None:
+    """RANGE-frame running aggregates as per-group partials + a
+    cumulative over the GROUP TABLE + a broadcast join back (r14
+    optimization round — the guide §8 shape: every decision depends
+    only on ~NDV(partition × order keys) light rows, so never sort or
+    ship the data itself).
+
+    1. ``groupBy(partition keys, order keys)`` → per-measure partials
+       (sum/count/min/max in the output's exact int64/float64 domain).
+       Spark's partial (map-side) aggregation means the shuffle moves
+       group partials, not rows.
+    2. If the group count exceeds ``_RAGG_BCAST_MAX`` return None (the
+       caller runs the positional kernel instead — correct at any NDV).
+    3. One WindowExec pass over the bounded group table computes each
+       group's running value (per-partition task size is capped by the
+       broadcast budget, so the one-task-per-window-partition wall
+       cannot bite).
+    4. Broadcast hash join on null-safe key equality attaches each
+       row's group value — streamed side untouched: no exchange, no
+       sort, row order and partitioning preserved.
+
+    Semantics notes: tie-inclusiveness is BY CONSTRUCTION (every peer
+    row shares its group's value); NULL measures contribute nothing and
+    the running value is NULL until the first value (sum/min/max of
+    NULL groups skip, avg guards on running count > 0); count(*) rides
+    as count(lit(1)); -0.0/NaN keys group and join under Spark's
+    normalized equality, matching WindowExec peer semantics. Integral
+    measures accumulate exactly in int64; float measures sum under a
+    different addition tree than a sequential window — the same
+    documented class as every distributed sum (and as the kernel).
+    """
+    from pyspark.sql.window import Window
+
+    keys: list[str] = []
+    for c in list(partition_cols) + list(order_cols):
+        if c not in keys:
+            keys.append(c)
+    aggs = []
+    kinds = []
+    for j, (_i, fn, col) in enumerate(measure_specs):
+        if fn == "count":
+            kinds.append("int")
+            aggs.append(F.count(col).alias(f"__gc{j}"))
+            continue
+        t = r.select(col.alias("__kp")).schema[0].dataType.simpleString()
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            kinds.append("int")
+            cast = col.cast("long")
+        elif t in ("float", "double"):
+            kinds.append("float")
+            cast = col.cast("double")
+        else:
+            raise ValueError(f"running aggregate over unsupported type {t}")
+        if fn in ("sum", "avg"):
+            aggs.append(F.sum(cast).alias(f"__gv{j}"))
+            aggs.append(F.count(cast).alias(f"__gc{j}"))
+        elif fn == "min":
+            aggs.append(F.min(cast).alias(f"__gv{j}"))
+        else:
+            aggs.append(F.max(cast).alias(f"__gv{j}"))
+    gt = _persist_substrate(
+        r.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    )
+    if gt.count() > _RAGG_BCAST_MAX:
+        return None  # kernel route: correct at any order-key NDV
+    w = (
+        Window.partitionBy(*[F.col(c) for c in partition_cols])
+        .orderBy(*sort_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run_cols: dict[str, Column] = {}
+    for j, (_i, fn, _col) in enumerate(measure_specs):
+        if fn == "count":
+            run_cols[f"__gr{j}"] = F.sum(F.col(f"__gc{j}")).over(w)
+        elif fn == "avg":
+            rs = F.sum(F.col(f"__gv{j}")).over(w)
+            rc = F.sum(F.col(f"__gc{j}")).over(w)
+            run_cols[f"__gr{j}"] = F.when(rc > 0, rs / rc)
+        elif fn == "sum":
+            run_cols[f"__gr{j}"] = F.sum(F.col(f"__gv{j}")).over(w)
+        elif fn == "min":
+            run_cols[f"__gr{j}"] = F.min(F.col(f"__gv{j}")).over(w)
+        else:
+            run_cols[f"__gr{j}"] = F.max(F.col(f"__gv{j}")).over(w)
+    n_meta = len(measure_specs)
+    gt2 = gt.withColumns(run_cols).select(
+        *[F.col(k).alias(f"__gk{i}") for i, k in enumerate(keys)],
+        *[F.col(f"__gr{j}") for j in range(n_meta)],
+    )
+    cond = None
+    for i, k in enumerate(keys):
+        piece = r[k].eqNullSafe(gt2[f"__gk{i}"])
+        cond = piece if cond is None else cond & piece
+    joined = r.join(F.broadcast(gt2), cond, "left").drop(
+        *[f"__gk{i}" for i in range(len(keys))]
+    )
+    out_cols = {
+        specs[i][0]: F.col(f"__gr{j}")
+        for j, (i, _fn, _col) in enumerate(measure_specs)
+    }
+    return joined.withColumns(out_cols).drop(
+        *[f"__gr{j}" for j in range(n_meta)]
+    )
+
+
 def _attach_running_aggs(
     r: DataFrame,
     partition_cols: list[str],
@@ -480,8 +654,12 @@ def _attach_running_aggs(
     OPTIMIZATION_r14.md):
 
     1. One range-shuffle sort on (partition keys, order keys),
-       ``localCheckpoint(eager=False)`` — the only data-sized movement,
-       materialized ONCE and shared by every later pass
+       persisted in the COLUMNAR cache (``_persist_substrate`` — the
+       r14 optimization round replaced ``localCheckpoint``'s ~3 GB of
+       deserialized row objects and its per-build leak with compressed
+       cached batches plus retirement of superseded substrates) — the
+       only data-sized movement, materialized ONCE and shared by every
+       later pass
        (``presorted=True`` skips it: the input is with_row_numbers'
        checkpointed output in the mixed-family case). The r14-build
        predecessor computed the stats pass as a second subtree of a
@@ -536,6 +714,23 @@ def _attach_running_aggs(
         if fn == "count" and col is None:
             col = F.lit(1)  # count(*): constant-1 measure
         measure_specs.append((i, fn, col))
+
+    # ---- GROUP-BROADCAST route for all-RANGE specs (r14 optimization
+    # round, guide §8 "decide with small rows"): a tie-inclusive RANGE
+    # frame depends only on the row's (partition keys, order keys)
+    # GROUP, never on its position — so aggregate per group (map-side
+    # partials, tiny shuffle), run the cumulative over the bounded
+    # group table, and broadcast-join the values back. No range sort,
+    # no cache, no row ids, no Python kernel, no boundary-chain
+    # machinery. Falls back to the kernel when any spec is ROWS-frame
+    # (needs true positions) or the group table outgrows the broadcast
+    # budget (high-NDV order keys at scale).
+    if sort_cols is not None and all(not spec[3] for _, spec in specs):
+        out = _attach_running_aggs_grouped(
+            r, partition_cols, order_cols, specs, measure_specs, sort_cols
+        )
+        if out is not None:
+            return out
     # the KERNEL's group key must be NUL-FREE: pandas (2.x) hashes
     # object strings as C strings, so factorize/groupby silently MERGE
     # any two keys that differ only after a \x00 byte — the \x00NULL
@@ -581,11 +776,10 @@ def _attach_running_aggs(
         s = r.withColumns(mcols)
     else:
         parts = num_partitions or spark.sparkContext.defaultParallelism
-        s = (
+        s = _persist_substrate(
             r.repartitionByRange(parts, *sort_cols)
             .sortWithinPartitions(*sort_cols)
             .withColumns(mcols)
-            .localCheckpoint(eager=False)
         )
     dtypes = dict(s.dtypes)
     kinds = []
@@ -766,9 +960,27 @@ def _attach_running_aggs(
     )
     names = [f.name for f in out_struct.fields]
 
+    col_idx = {f.name: i for i, f in enumerate(s.schema.fields)}
+    i_pid, i_wk = col_idx["__rpid"], col_idx["__rwkey"]
+    i_tk = col_idx.get("__rtkey")
+    m_idx = [col_idx[f"__rm{j}"] for j in range(n_meta)]
+
     def gen(batches):
+        """Arrow-native kernel (r14 optimization round: mapInPandas →
+        mapInArrow, guide §4.2). The pandas kernel boxed EVERY cell of
+        EVERY column into Python objects per batch — at sf10 that is
+        ~60 M string objects for the passthrough + key columns alone,
+        and the measured kernel stage spent ~19 s wall with only ~165 s
+        of JVM CPU (all the rest Python-side conversion). Here the
+        passthrough columns never leave Arrow (zero-copy re-emit), the
+        group keys are dictionary-encoded to int codes in C, and all
+        numeric work runs on unboxed int64/float64 numpy arrays
+        (int64 paths stay in the int64 domain end to end — Arrow gives
+        the nullable ints natively, no pandas float64 detour)."""
         import numpy as np
         import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
         carries_d, ov_by_pid = bc.value
         # per-key [count, value|None] accumulated over PRIOR batches of
@@ -777,13 +989,25 @@ def _attach_running_aggs(
         carry: dict[str, list] = {}
         pid: int | None = None
         ov: list = []
+        out_types = [
+            pa.int64()
+            if kinds[j] == "int" and ops[j] != "avg"
+            else pa.float64()
+            for j in range(n_meta)
+        ]
 
-        def process(pdf):
-            kv = pdf["__rwkey"].values
-            # one factorize per batch: carry lookups become C-speed
-            # array takes instead of per-row Python dict maps (the
-            # naive .map(lambda) cost ~20 s over 15 M rows)
-            codes, uniques = pd.factorize(kv)
+        def empty_out(b):
+            return pa.RecordBatch.from_arrays(
+                list(b.columns)
+                + [pa.array([], type=t) for t in out_types],
+                names=names,
+            )
+
+        def process(b):
+            n = b.num_rows
+            enc = pc.dictionary_encode(b.column(i_wk))
+            codes = enc.indices.to_numpy()
+            uniques = enc.dictionary.to_pylist()
             for k in uniques:
                 if k not in carry:
                     e = carries_d.get((pid, k))
@@ -798,34 +1022,36 @@ def _attach_running_aggs(
                 # wkeys inside one tkey run, so groups are NOT
                 # contiguous — group by the pair code, positional
                 # 'last' still is the group's last row in running order
-                tk = pdf["__rtkey"].values
-                tkcodes, tkuniq = pd.factorize(tk)
+                enc_t = pc.dictionary_encode(b.column(i_tk))
+                tkcodes = enc_t.indices.to_numpy()
+                tkuniq = enc_t.dictionary.to_pylist()
                 gid = codes.astype("int64") * len(tkuniq) + tkcodes
+            out_arrays = []
             for mname, op, kind, oname in meta2:
                 j = int(oname[4:])
-                m = pdf[mname]
-                notna = m.notna()
-                cnt_local = notna.astype("int64").groupby(kv).cumsum()
-                fill = _fill(op, kind)
+                arr = b.column(m_idx[j])
                 if kind == "int":
-                    # nullable ints arrive as float64; fill in the
-                    # NULLABLE INT domain — ±(2^63-1) is not float64-
-                    # representable and a float round-trip wraps the
-                    # sentinel to the opposite extreme
-                    mi = (
-                        m
-                        if str(m.dtype) in ("int64", "Int64")
-                        else m.astype("Int64")
-                    )
-                    vals = mi.fillna(fill).astype("int64")
+                    arr = pc.cast(arr, pa.int64())
                 else:
-                    vals = m.astype("float64").fillna(fill)
+                    arr = pc.cast(arr, pa.float64())
+                valid = np.asarray(pc.is_valid(arr))
+                fill = _fill(op, kind)
+                # fill in the INT64 domain — ±(2^63-1) sentinels are
+                # not float64-representable; Arrow keeps them exact
+                vals = pc.fill_null(arr, fill).to_numpy()
+                cnt_local = (
+                    pd.Series(valid.astype("int64"))
+                    .groupby(codes)
+                    .cumsum()
+                    .to_numpy()
+                )
+                sv = pd.Series(vals).groupby(codes)
                 if op in ("sum", "avg"):
-                    cum = vals.groupby(kv).cumsum()
+                    cum = sv.cumsum().to_numpy()
                 elif op == "min":
-                    cum = vals.groupby(kv).cummin()
+                    cum = sv.cummin().to_numpy()
                 else:
-                    cum = vals.groupby(kv).cummax()
+                    cum = sv.cummax().to_numpy()
                 ccnt_u = np.array(
                     [carry[k][j][0] for k in uniques], dtype="int64"
                 )
@@ -838,8 +1064,8 @@ def _attach_running_aggs(
                     ],
                     dtype="int64" if kind == "int" else "float64",
                 )
-                ccnt = pd.Series(ccnt_u.take(codes), index=pdf.index)
-                cval = pd.Series(cval_u.take(codes), index=pdf.index)
+                ccnt = ccnt_u.take(codes)
+                cval = cval_u.take(codes)
                 if op in ("sum", "avg"):
                     outv = cum + cval
                 elif op == "min":
@@ -852,45 +1078,72 @@ def _attach_running_aggs(
                     # group's LAST value (groups are contiguous in the
                     # sorted batch, whole by holdback); task-spanning
                     # groups take the driver-computed override
-                    outv = outv.groupby(gid).transform("last")
-                    total_cnt = total_cnt.groupby(gid).transform("last")
+                    gb_g = pd.Series(outv).groupby(gid)
+                    outv = gb_g.transform("last").to_numpy()
+                    total_cnt = (
+                        pd.Series(total_cnt)
+                        .groupby(gid)
+                        .transform("last")
+                        .to_numpy()
+                    )
                     for w, t, entry in ov:
-                        omask = (kv == w) & (tk == t)
+                        if w not in carry or t not in tkuniq:
+                            continue
+                        try:
+                            uw = uniques.index(w)
+                        except ValueError:
+                            continue
+                        omask = (codes == uw) & (
+                            tkcodes == tkuniq.index(t)
+                        )
                         if omask.any():
                             cnt_o, val_o = entry[j]
-                            total_cnt = total_cnt.where(~omask, cnt_o)
+                            total_cnt = np.where(
+                                omask, cnt_o, total_cnt
+                            )
                             if val_o is not None:
-                                outv = outv.where(~omask, val_o)
-                mask = total_cnt == 0
+                                outv = np.where(omask, val_o, outv)
+                null_mask = total_cnt == 0
                 if op == "avg":
-                    av = np.true_divide(
-                        outv.astype("float64"), total_cnt.to_numpy()
-                    )
-                    res = pd.array(av, dtype="Float64")
-                    res[mask.values] = pd.NA
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        res_np = np.true_divide(
+                            outv.astype("float64"), total_cnt
+                        )
                 elif kind == "int":
-                    res = pd.array(outv, dtype="Int64")
-                    res[mask.values] = pd.NA
+                    res_np = np.asarray(outv, dtype="int64")
                 else:
-                    res = pd.array(outv.astype("float64"), dtype="Float64")
-                    res[mask.values] = pd.NA
-                pdf[oname] = res
-                # fold the batch's per-key totals into the carry
-                gb = pd.DataFrame(
-                    {"k": kv, "v": vals, "c": notna.astype("int64")}
-                ).groupby("k", sort=False)
+                    res_np = np.asarray(outv, dtype="float64")
+                out_arrays.append(
+                    pa.array(
+                        res_np, type=out_types[j], mask=null_mask
+                    )
+                )
+                # fold the batch's per-key totals into the carry —
+                # per-group partials on int codes, C-speed, exact
+                # (np.add.at accumulates int64 in int64)
+                g = len(uniques)
+                counts_u = np.bincount(
+                    codes[valid], minlength=g
+                ).astype("int64")
+                dt = "int64" if kind == "int" else "float64"
                 if op in ("sum", "avg"):
-                    totals = gb["v"].sum()
+                    tot_u = np.zeros(g, dtype=dt)
+                    np.add.at(
+                        tot_u, codes[valid], vals[valid]
+                    )
                 elif op == "min":
-                    totals = gb["v"].min()
+                    tot_u = np.full(g, _fill("min", kind), dtype=dt)
+                    np.minimum.at(tot_u, codes[valid], vals[valid])
                 else:
-                    totals = gb["v"].max()
-                counts = gb["c"].sum()
-                for k, cnt in counts.items():
-                    c0, v0 = carry[k][j]
+                    tot_u = np.full(g, _fill("max", kind), dtype=dt)
+                    np.maximum.at(tot_u, codes[valid], vals[valid])
+                for u, k in enumerate(uniques):
+                    cnt = int(counts_u[u])
                     if cnt == 0:
                         continue
-                    tv = totals[k]
+                    c0, v0 = carry[k][j]
+                    tv = tot_u[u]
+                    tv = int(tv) if kind == "int" else float(tv)
                     if v0 is None:
                         nv = tv
                     elif op in ("sum", "avg"):
@@ -899,21 +1152,28 @@ def _attach_running_aggs(
                         nv = min(v0, tv)
                     else:
                         nv = max(v0, tv)
-                    carry[k][j] = [c0 + int(cnt), nv]
-            return pdf.reindex(columns=names)
+                    carry[k][j] = [c0 + cnt, nv]
+            return pa.RecordBatch.from_arrays(
+                list(b.columns) + out_arrays, names=names
+            )
+
+        def concat(a, c):
+            return (
+                pa.Table.from_batches([a, c])
+                .combine_chunks()
+                .to_batches()[0]
+            )
 
         hold = None
-        for pdf in batches:
-            if pid is None and len(pdf):
-                pid = int(pdf["__rpid"].iloc[0])
+        for b in batches:
+            if pid is None and b.num_rows:
+                pid = b.column(i_pid)[0].as_py()
                 ov = ov_by_pid.get(pid, [])
             if hold is not None:
-                pdf = pd.concat([hold, pdf], ignore_index=True)
+                b = concat(hold, b)
                 hold = None
-            if len(pdf) == 0:
-                for j in range(n_meta):
-                    pdf[f"__rv{j}"] = pd.Series(dtype="float64")
-                yield pdf.reindex(columns=names)
+            if b.num_rows == 0:
+                yield empty_out(b)
                 continue
             if need_tie:
                 # hold back the trailing rows whose peer group may
@@ -923,22 +1183,25 @@ def _attach_running_aggs(
                 # tkey) group. Both masks are contiguous tails under
                 # their sort, bounded by the largest order-key run —
                 # the same buffer bound WindowExec pays per peer set.
-                tk_ = pdf["__rtkey"].values
-                tail = tk_ == tk_[-1]
+                tk_col = b.column(i_tk)
+                tail = pc.equal(tk_col, tk_col[b.num_rows - 1])
                 if presorted:
-                    kv_ = pdf["__rwkey"].values
-                    tail = tail & (kv_ == kv_[-1])
-                if tail.all():
-                    hold = pdf
+                    wk_col = b.column(i_wk)
+                    tail = pc.and_(
+                        tail, pc.equal(wk_col, wk_col[b.num_rows - 1])
+                    )
+                ntail = pc.sum(pc.cast(tail, pa.int64())).as_py() or 0
+                if ntail >= b.num_rows:
+                    hold = b
                     continue
-                split = len(pdf) - int(tail.sum())
-                hold = pdf.iloc[split:].copy()
-                pdf = pdf.iloc[:split].copy()
-            yield process(pdf)
-        if hold is not None and len(hold):
+                split = b.num_rows - ntail
+                hold = b.slice(split)
+                b = b.slice(0, split)
+            yield process(b)
+        if hold is not None and hold.num_rows:
             yield process(hold)
 
-    r2 = s.mapInPandas(gen, schema=out_struct)
+    r2 = s.mapInArrow(gen, schema=out_struct)
 
     # route per-spec kernel outputs (the kernel already resolved ROWS
     # vs RANGE/tie semantics — no post-pass, no second data shuffle)
