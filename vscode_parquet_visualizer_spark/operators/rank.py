@@ -61,14 +61,16 @@ _SEP = "\x1f"
 _MAP_LITERAL_MAX = 1000
 
 
-_SUBSTRATES: list = []  # most-recent-first persisted sort substrates
-_SUBSTRATE_KEEP = 4  # a single query can hold a few live substrates
-_SUBSTRATE_EPOCH = iter(range(1 << 62))  # unique per-build plan salt
+from vscode_parquet_visualizer_spark.operators.persist import (  # noqa: E402
+    persist_salted,
+)
 
 
 def _persist_substrate(df: DataFrame) -> DataFrame:
-    """Persist a sorted window substrate in Spark's COLUMNAR cache and
-    retire superseded ones (r14 optimization round).
+    """Persist a sorted window substrate in Spark's COLUMNAR cache
+    (persist.persist_salted: unique per-build plan salt so repeated
+    queries can never serve their sort from a previous rep's cache,
+    plus retirement of superseded builds).
 
     The r14-build shape used ``localCheckpoint(eager=False)`` here; at
     sf10 that materializes ~15 M deserialized row OBJECTS (~3 GB of
@@ -76,36 +78,15 @@ def _persist_substrate(df: DataFrame) -> DataFrame:
     measured: stats-pass stages at 250-750 s of GC time once two
     checkpoints coexisted, and the route degrading 9 s → 33-57 s
     across a min-of-4 session (plans/r14 ragg evidence). The columnar
-    cache stores compressed batches (~10× fewer objects), serves both
-    the stats pass and the kernel pass from ONE sort, and superseded
-    substrates are unpersisted here instead of leaking.
-
-    The ``__sepoch`` literal salts every build's plan uniquely:
-    Spark's CacheManager substitutes cached data into ANY semantically
-    matching plan, so without the salt a REPEATED query (bench warm
-    reps, min-of-N measurement loops) would silently serve its sort
-    from the previous rep's still-live cache — a cross-run result
-    cache, not an optimization. The salt is dropped right here; the
-    Project sits above the cached plan, so both in-query passes still
-    share the one materialization while distinct builds never match.
-    An RLE'd constant int column costs nothing in the columnar cache.
+    cache stores compressed batches (~10× fewer objects) and serves
+    both the stats pass and the kernel pass from ONE sort.
 
     Consistency of ``spark_partition_id``/``monotonically_increasing_id``
     across the two passes still holds: the cached RDD's partitioning is
     fixed by its shuffle dependency, and an evicted partition re-reads
     the SAME shuffle files (local mode keeps them), re-deriving
     identical ids from an identical sorted partition."""
-    p = df.withColumn(
-        "__sepoch", F.lit(next(_SUBSTRATE_EPOCH))
-    ).persist()
-    _SUBSTRATES.insert(0, p)
-    while len(_SUBSTRATES) > _SUBSTRATE_KEEP:
-        old = _SUBSTRATES.pop()
-        try:
-            old.unpersist(blocking=False)
-        except Exception:
-            pass  # session torn down — nothing to release
-    return p.drop("__sepoch")
+    return persist_salted(df)
 
 
 def with_row_numbers(

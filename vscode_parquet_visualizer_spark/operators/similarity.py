@@ -771,24 +771,49 @@ def embedding_near_dup_pairs(
     b = b.withColumn(
         "__nrm", norm(F.col(vec_col).cast("array<double>"))
     )
-    a, c = b.alias("a"), b.alias("b")
+    # Pair generation WITHOUT a self-join (r14 optimization round,
+    # guide §2.4 "remove shuffles outright" / §8 "move big rows once"):
+    # the former a⋈b bucket self-join evaluated the whole Arrow
+    # bucketization subtree once PER SIDE (measured: the two dominant
+    # jobs of an isolated q42 run are the identical 9-task Python
+    # passes for side a and side b — AQE's exchange reuse does not
+    # canonicalize ArrowEvalPython subtrees as equal) and shuffled the
+    # corpus twice. Grouping the bucketized rows by (table, bucket)
+    # and emitting positional i<j pairs from the id-sorted per-bucket
+    # array computes the bucketization ONCE and moves each (id, vec,
+    # nrm) row through exactly ONE exchange. Per-task memory holds one
+    # bucket's rows — the same bound the join's per-bucket hash/cross
+    # product already implied; bucket width stays governed by ``bits``.
+    # Pair semantics are identical: ids are sorted ascending, so
+    # positional i<j equals id_a < id_b (the explicit filter restores
+    # strictness if the corpus carries duplicate ids).
+    row = F.struct(
+        F.col("id").alias("i"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col("__nrm").alias("m"),
+    )
+    grouped = (
+        b.groupBy("table", "bucket")
+        .agg(F.sort_array(F.collect_list(row)).alias("rs"))
+        .filter(F.size("rs") > 1)
+    )
+    lhs = grouped.select(
+        F.col("rs"), F.posexplode("rs").alias("p", "ra")
+    )
     pairs = (
-        a.join(
-            c,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        lhs.select(
+            F.col("ra"),
+            F.explode(
+                F.slice("rs", F.col("p") + F.lit(2), F.size("rs"))
+            ).alias("rb"),
         )
+        .filter(F.col("ra.i") < F.col("rb.i"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col("ra.i").alias("id_a"),
+            F.col("rb.i").alias("id_b"),
             F.round(
-                dot_unrolled(
-                    F.col(f"a.{vec_col}").cast("array<double>"),
-                    F.col(f"b.{vec_col}").cast("array<double>"),
-                    dim,
-                )
-                / (F.col("a.__nrm") * F.col("b.__nrm")),
+                dot_unrolled(F.col("ra.v"), F.col("rb.v"), dim)
+                / (F.col("ra.m") * F.col("rb.m")),
                 6,
             ).alias("score"),
         )

@@ -8238,7 +8238,58 @@ def rewrite_union_functions(sql: str, stash: list[str]) -> str:
     return _rewrite_calls(sql, "union_extract", ux)
 
 
+_TRANSPILE_CACHE: dict = {}
+_TRANSPILE_CACHE_MAX = 512
+
+
 def transpile(
+    sql: str,
+    view: str = "data",
+    columns: list[str] | None = None,
+    dataset_path: str | None = None,
+    array_columns: set[str] | None = None,
+    date_columns: set[str] | None = None,
+    integral_columns: set[str] | None = None,
+) -> str:
+    """Memoizing front door for :func:`_transpile_uncached` (r14
+    optimization round). The rewrite chain is a PURE function of its
+    arguments (245 regex passes over module-level constants, no session
+    state — ENUM/DDL-dependent rewrites live in ddl_sql, schema
+    dependence arrives explicitly via columns/array_columns/…), and a
+    big query text costs 65-85 ms per call — paid on EVERY run of a
+    repeated query. This is compiler memoization (query text → query
+    text), not result caching: no data, no testdata paths, invalidated
+    by nothing because nothing it reads can change."""
+    key = (
+        sql,
+        view,
+        tuple(columns) if columns is not None else None,
+        dataset_path,
+        frozenset(array_columns) if array_columns is not None else None,
+        frozenset(date_columns) if date_columns is not None else None,
+        frozenset(integral_columns)
+        if integral_columns is not None
+        else None,
+    )
+    hit = _TRANSPILE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _transpile_uncached(
+        sql,
+        view,
+        columns,
+        dataset_path,
+        array_columns,
+        date_columns,
+        integral_columns,
+    )
+    if len(_TRANSPILE_CACHE) >= _TRANSPILE_CACHE_MAX:
+        _TRANSPILE_CACHE.clear()
+    _TRANSPILE_CACHE[key] = out
+    return out
+
+
+def _transpile_uncached(
     sql: str,
     view: str = "data",
     columns: list[str] | None = None,
