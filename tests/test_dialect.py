@@ -359,6 +359,24 @@ def test_columns_regex_rewrite():
 
 
 
+def test_const_compat_calls_fold_at_transpile():
+    # r14 optimization round: pure compat UDFs over LITERAL arguments
+    # fold at transpile time (no BatchEvalPython node for a constant);
+    # the fold calls the same Python implementation the UDF registry
+    # would, and the differential suite pins the values vs DuckDB.
+    from vscode_parquet_visualizer_spark.plans.dialect import transpile
+
+    out = transpile("SELECT json_structure('[{\"a\":1},{\"a\":2.5}]') AS s")
+    assert "json_structure" not in out
+    assert '\'[{"a":"DOUBLE"}]\'' in out
+    # non-literal argument: left for the runtime UDF
+    out2 = transpile("SELECT json_structure(props) FROM e")
+    assert "json_structure(props)" in out2
+    # invalid JSON literal folds to the UDF's NULL
+    out3 = transpile("SELECT json_structure('nope') AS s")
+    assert "CAST(NULL AS STRING)" in out3
+
+
 def test_chained_json_arrows():
     from vscode_parquet_visualizer_spark.plans.dialect import rewrite_json_arrows
 

@@ -350,6 +350,40 @@ def test_range_running_aggs_group_budget_falls_back_to_kernel(
     assert sorted(tuple(r) for r in df.collect()) == want
 
 
+def test_rows_running_aggs_use_jvm_window_finish(spark, monkeypatch):
+    # all-ROWS running aggregates finish JVM-side (rank.py
+    # _finish_running_aggs_window; guide §4 "eliminate the Python
+    # boundary"): sorted substrate + driver-folded carries as before,
+    # but the per-row running values come from Spark's own WindowExec
+    # over (rendered key, task id) — no MapInArrow kernel. Mixed
+    # sum/avg/min/count over tie-heavy NULL-bearing data, row-equal to
+    # WindowExec.
+    sql = """
+        SELECT uid,
+               sum(k) OVER w AS rs,
+               avg(k) OVER w AS ra,
+               min(k) OVER w AS rmin,
+               count(*) OVER w AS rc
+        FROM ties
+        WINDOW w AS (PARTITION BY g ORDER BY k, uid
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    df = run_sql(spark, sql)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan, "all-ROWS specs must skip the kernel"
+    assert "Window" in plan, "in-task running values come from WindowExec"
+    assert sorted(tuple(r) for r in df.collect()) == want
+    # the env escape hatch restores the Arrow kernel, same rows
+    monkeypatch.setenv("SPARK_GRAFT_RAGG_ROWS_ROUTE", "kernel")
+    df2 = run_sql(spark, sql)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan2
+    assert sorted(tuple(r) for r in df2.collect()) == want
+
+
 # ---- round 13: subquery guard, bounded NDV probe, size-scaled route ----
 
 

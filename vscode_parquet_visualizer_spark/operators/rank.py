@@ -620,6 +620,124 @@ def _attach_running_aggs_grouped(
     )
 
 
+def _finish_running_aggs_window(
+    spark,
+    s: DataFrame,
+    specs: list[tuple[str, tuple]],
+    measure_specs: list,
+    ops: list[str],
+    kinds: list[str],
+    carries: dict,
+) -> DataFrame:
+    """JVM finish for all-ROWS-frame running aggregates (r14
+    optimization round, guide §4 "eliminate the Python boundary").
+
+    The Arrow kernel's cost at sf10 was dominated by moving every row
+    JVM→Python→JVM (measured: ~19 s kernel stage wall with the Python
+    compute itself at 0.3 s/task). For ROWS frames no tie machinery is
+    needed, so the same two-pass structure — sorted substrate + bounded
+    stats pass + inter-task carries — can finish entirely JVM-side:
+
+    1. the driver-folded carries (already computed by the stats pass)
+       become a tiny broadcast-joined relation on (__rpid, __rwkey) —
+       #tasks × key-NDV rows, the same driver state the kernel shipped;
+    2. Spark's own WindowExec over (PARTITION BY __rwkey, __rpid ORDER
+       BY __rmid) computes the in-task running values — the partition
+       key includes the task id, so every window group is at most one
+       substrate partition: bounded memory, full parallelism, no
+       one-task-per-window-partition wall;
+    3. the carry combines with the in-task value per measure with the
+       kernel's exact semantics (NULL until the frame has seen a value;
+       integral sums accumulate in int64; avg divides the exact int64
+       sum by the total count once).
+
+    Measured at sf10 (OPTIMIZATION_r14.md): running sum ROWS 14.5 s
+    (Arrow kernel) → see route table; the WindowExec here costs one
+    hash exchange of the substrate, which the JVM-only pipeline more
+    than buys back from the removed row↔Arrow conversion.
+    ``SPARK_GRAFT_RAGG_ROWS_ROUTE=kernel`` forces the Arrow kernel.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window as _W
+
+    n_meta = len(ops)
+    cfields = [
+        T.StructField("__rpid", T.IntegerType()),
+        T.StructField("__rwkey", T.StringType()),
+    ]
+    for j in range(n_meta):
+        cfields.append(T.StructField(f"__cc{j}", T.LongType()))
+        cfields.append(
+            T.StructField(
+                f"__cv{j}",
+                T.LongType() if kinds[j] == "int" else T.DoubleType(),
+            )
+        )
+    crows = []
+    for (pid, wk), entry in carries.items():
+        row: list = [pid, wk]
+        for j in range(n_meta):
+            c0, v0 = entry[j]
+            row.append(int(c0))
+            if v0 is None:
+                row.append(None)
+            else:
+                row.append(int(v0) if kinds[j] == "int" else float(v0))
+        crows.append(tuple(row))
+    if crows:
+        cdf = spark.createDataFrame(crows, T.StructType(cfields))
+        s2 = s.join(F.broadcast(cdf), ["__rpid", "__rwkey"], "left")
+    else:  # empty input: NULL carries keep the expressions well-typed
+        s2 = s.withColumns(
+            {f.name: F.lit(None).cast(f.dataType) for f in cfields[2:]}
+        )
+    w = (
+        _W.partitionBy("__rwkey", "__rpid")
+        .orderBy("__rmid")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    out_cols: dict[str, Column] = {}
+    for j in range(n_meta):
+        op, kind = ops[j], kinds[j]
+        acc_t = "long" if kind == "int" else "double"
+        m = F.col(f"__rm{j}").cast(acc_t)
+        cv, cc = F.col(f"__cv{j}"), F.col(f"__cc{j}")
+        if op in ("sum", "avg"):
+            in_v = F.sum(m).over(w)
+            comb = (
+                F.when(cv.isNull(), in_v)
+                .when(in_v.isNull(), cv)
+                .otherwise(cv + in_v)
+            )
+            if op == "avg":
+                tot_c = F.coalesce(cc, F.lit(0)) + F.count(m).over(w)
+                # exact int64 (or sequential f64) sum, ONE division;
+                # total count 0 → NULL, the not-yet-seen-a-value state
+                val = F.when(tot_c > 0, comb.cast("double") / tot_c)
+            else:
+                val = comb
+        else:
+            in_v = (F.min if op == "min" else F.max)(m).over(w)
+            pick = F.least if op == "min" else F.greatest
+            val = (
+                F.when(cv.isNull(), in_v)
+                .when(in_v.isNull(), cv)
+                .otherwise(pick(cv, in_v))
+            )
+        out_cols[f"__rv{j}"] = val.cast(
+            "long" if kind == "int" and op != "avg" else "double"
+        )
+    r2 = s2.withColumns(out_cols)
+    for j, (i, fn, col) in enumerate(measure_specs):
+        r2 = r2.withColumn(specs[i][0], F.col(f"__rv{j}"))
+    drop = ["__rpid", "__rwkey", "__rmid"]
+    drop += [f"__rm{j}" for j in range(n_meta)]
+    drop += [f"__rv{j}" for j in range(n_meta)]
+    drop += [f"__cc{j}" for j in range(n_meta)]
+    drop += [f"__cv{j}" for j in range(n_meta)]
+    return r2.drop(*drop)
+
+
 def _attach_running_aggs(
     r: DataFrame,
     partition_cols: list[str],
@@ -744,6 +862,13 @@ def _attach_running_aggs(
             meta.append((f"__rm{j}", fn))
     range_outs = [(out, spec) for out, spec in specs if not spec[3]]
     need_tie = bool(range_outs)
+    # all-ROWS specs take the JVM blocked-window finish (r14
+    # optimization round): no tie machinery, no Python kernel — the
+    # in-task running values come from Spark's own WindowExec over
+    # (rendered key, task id). __rmid provides its in-task order.
+    all_rows = not need_tie and os.environ.get(
+        "SPARK_GRAFT_RAGG_ROWS_ROUTE", "window"
+    ) != "kernel"
     if need_tie:
         # tie (peer) identity = the rendered ORDER keys; __rmid orders
         # rows globally (range partition ids increase with the range,
@@ -752,6 +877,8 @@ def _attach_running_aggs(
         # the stats and kernel passes because both read the SAME
         # checkpointed blocks
         mcols["__rtkey"] = _render_keys(order_cols)
+        mcols["__rmid"] = F.monotonically_increasing_id()
+    elif all_rows:
         mcols["__rmid"] = F.monotonically_increasing_id()
     if presorted:
         s = r.withColumns(mcols)
@@ -838,6 +965,11 @@ def _attach_running_aggs(
                     _combine(ops[j], v0, row[f"__av{j}"]),
                 )
         carries[k] = entry
+
+    if all_rows:
+        return _finish_running_aggs_window(
+            spark, s, specs, measure_specs, ops, kinds, carries
+        )
 
     # ---- tie groups spanning a task boundary (range frames only): a
     # peer group split across tasks needs its group-END value pushed

@@ -8238,6 +8238,49 @@ def rewrite_union_functions(sql: str, stash: list[str]) -> str:
     return _rewrite_calls(sql, "union_extract", ux)
 
 
+def fold_const_compat_calls(sql: str, stash: list[str]) -> str:
+    """Constant-fold pure single-string-argument compat UDFs applied to
+    LITERALS at transpile time (r14 optimization round, guide §4 —
+    eliminate the Python boundary). ``json_structure('[…]')`` over a
+    literal otherwise plans a BatchEvalPython node: a per-action Python
+    worker round-trip and a broken codegen stage, to compute a constant.
+    The fold calls the SAME Python implementation the UDF registry
+    would, so the value is identical by construction; non-literal
+    arguments are left for the runtime UDF unchanged."""
+    low = sql.lower()
+    if not any(
+        n in low for n in ("json_structure", "json_quote", "json_type", "json")
+    ):
+        return sql
+    from vscode_parquet_visualizer_spark.functions import udf_compat
+
+    fns = {
+        "json_structure": udf_compat.json_structure,
+        "json_quote": udf_compat.json_quote,
+        "json_type": udf_compat.json_type_of,
+        "json": udf_compat.json_canonical,
+    }
+    lit = re.compile(r"^\x00LIT(\d+)\x00$")
+
+    for name, fn in fns.items():
+        if name not in low:
+            continue
+
+        def xf(args, fn=fn):
+            if len(args) != 1:
+                return None
+            m = lit.match(args[0])
+            if m is None:
+                return None
+            out = fn(_lit_text(stash, m.group(1)))
+            if out is None:
+                return "CAST(NULL AS STRING)"
+            return _stash_add(stash, "'" + out.replace("'", "''") + "'")
+
+        sql = _rewrite_calls(sql, name, xf)
+    return sql
+
+
 _TRANSPILE_CACHE: dict = {}
 _TRANSPILE_CACHE_MAX = 512
 
@@ -8424,6 +8467,7 @@ def _transpile_uncached(
     sql = rewrite_unnest_in_expression(sql)
     sql = rewrite_function_shapes(sql, stash)
     sql = rewrite_union_functions(sql, stash)
+    sql = fold_const_compat_calls(sql, stash)
     # DuckDB's FILTER (pred) shorthand (no WHERE keyword) — only after a
     # closing paren, so the filter() higher-order FUNCTION is untouched
     sql = re.sub(
