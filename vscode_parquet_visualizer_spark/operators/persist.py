@@ -1,8 +1,8 @@
 """Salted in-query persist (r14 optimization round).
 
 ``persist_salted(df)`` caches an intermediate that one query consumes
-several times (a self-join's two sides, a stats pass + a kernel pass)
-in Spark's columnar cache, with two properties a bare ``df.persist()``
+several times (the window substrate's stats pass + value pass) in
+Spark's columnar cache, with two properties a bare ``df.persist()``
 does not have:
 
 1. **A unique plan salt per build.** Spark's CacheManager substitutes
