@@ -234,16 +234,18 @@ def test_running_avg_lowering(spark, monkeypatch):
 
 def _assert_no_wall_windows(df):
     # r14 optimization round: the distributed running-agg routes never
-    # plan WindowExec over the DATA. The all-RANGE group-broadcast
-    # route DOES run one Window over the bounded GROUP TABLE (its
-    # input is the per-group partial aggregate — recognizable by our
-    # __gv/__gc partial columns, and capped by the broadcast budget),
-    # which is exactly the design; any other WindowExec is the
-    # one-task-per-window-partition wall and fails here.
+    # plan WindowExec with a data-cardinality partition key. Two Window
+    # shapes are the design, both bounded: the all-RANGE group-broadcast
+    # route's Window over the GROUP TABLE (per-group partials,
+    # recognizable by __gv/__gc, capped by the broadcast budget), and
+    # the JVM finish's Window partitioned by (__rwkey, __rpid[, tie]) —
+    # the task id in the key caps every group at one substrate
+    # partition. Any other WindowExec is the one-task-per-window-
+    # partition wall and fails here.
     plan = df._jdf.queryExecution().executedPlan().toString()
     for ln in plan.splitlines():
         if "Window [" in ln:
-            assert "__gv" in ln or "__gc" in ln, ln
+            assert "__gv" in ln or "__gc" in ln or "__rpid" in ln, ln
 
 
 def test_optin_families_keep_window_plan_in_auto_mode(spark, monkeypatch):
@@ -332,8 +334,9 @@ def test_range_running_aggs_group_budget_falls_back_to_kernel(
     spark, monkeypatch
 ):
     # a group table over SPARK_GRAFT_RAGG_BCAST_MAX rows cannot be
-    # broadcast: the route must fall back to the positional kernel
-    # (MapInArrow), which is correct at any order-key NDV.
+    # broadcast: the route must fall back to the positional finish
+    # (r14: the JVM tie-aware window finish; the Arrow kernel behind
+    # SPARK_GRAFT_RAGG_ROWS_ROUTE=kernel), correct at any order-key NDV.
     from vscode_parquet_visualizer_spark.operators import rank
 
     monkeypatch.setattr(rank, "_RAGG_BCAST_MAX", 1)  # auto-restored
@@ -346,8 +349,14 @@ def test_range_running_aggs_group_budget_falls_back_to_kernel(
     monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
     df = run_sql(spark, sql)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "MapInArrow" in plan, "over-budget group table must use kernel"
+    assert "MapInArrow" not in plan, "tie-aware JVM finish, not the kernel"
+    assert "Window" in plan
     assert sorted(tuple(r) for r in df.collect()) == want
+    # the kernel escape hatch still answers identically
+    monkeypatch.setenv("SPARK_GRAFT_RAGG_ROWS_ROUTE", "kernel")
+    df2 = run_sql(spark, sql)
+    assert "MapInArrow" in df2._jdf.queryExecution().executedPlan().toString()
+    assert sorted(tuple(r) for r in df2.collect()) == want
 
 
 def test_rows_running_aggs_use_jvm_window_finish(spark, monkeypatch):
@@ -382,6 +391,32 @@ def test_rows_running_aggs_use_jvm_window_finish(spark, monkeypatch):
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" in plan2
     assert sorted(tuple(r) for r in df2.collect()) == want
+
+
+def test_mixed_rows_range_running_aggs_jvm_finish(spark, monkeypatch):
+    # ROWS and RANGE specs in ONE window clause: the JVM finish computes
+    # ROWS per-row and RANGE via the tie-group-last window, both over
+    # the same substrate — no kernel. Tie-heavy NULL-bearing data.
+    sql = """
+        SELECT uid,
+               sum(k)   OVER (PARTITION BY g ORDER BY k, uid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs,
+               sum(uid) OVER (PARTITION BY g ORDER BY k) AS ts,
+               avg(uid) OVER (PARTITION BY g ORDER BY k) AS ta
+        FROM ties
+    """
+    from vscode_parquet_visualizer_spark.operators import rank
+
+    # force past the group-broadcast route so the finish itself is on
+    # trial even for the all-RANGE members
+    monkeypatch.setattr(rank, "_RAGG_BCAST_MAX", 1)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    df = run_sql(spark, sql)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan
+    assert sorted(tuple(r) for r in df.collect()) == want
 
 
 # ---- round 13: subquery guard, bounded NDV probe, size-scaled route ----

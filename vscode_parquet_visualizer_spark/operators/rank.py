@@ -628,15 +628,16 @@ def _finish_running_aggs_window(
     ops: list[str],
     kinds: list[str],
     carries: dict,
+    overrides_by_pid: dict | None = None,
 ) -> DataFrame:
-    """JVM finish for all-ROWS-frame running aggregates (r14
-    optimization round, guide §4 "eliminate the Python boundary").
+    """JVM finish for running aggregates (r14 optimization round,
+    guide §4 "eliminate the Python boundary").
 
     The Arrow kernel's cost at sf10 was dominated by moving every row
     JVM→Python→JVM (measured: ~19 s kernel stage wall with the Python
-    compute itself at 0.3 s/task). For ROWS frames no tie machinery is
-    needed, so the same two-pass structure — sorted substrate + bounded
-    stats pass + inter-task carries — can finish entirely JVM-side:
+    compute itself at 0.3 s/task). The same two-pass structure — sorted
+    substrate + bounded stats pass + inter-task carries — finishes
+    entirely JVM-side:
 
     1. the driver-folded carries (already computed by the stats pass)
        become a tiny broadcast-joined relation on (__rpid, __rwkey) —
@@ -649,18 +650,31 @@ def _finish_running_aggs_window(
     3. the carry combines with the in-task value per measure with the
        kernel's exact semantics (NULL until the frame has seen a value;
        integral sums accumulate in int64; avg divides the exact int64
-       sum by the total count once).
+       sum by the total count once);
+    4. a RANGE-frame (tie-inclusive) spec takes its tie GROUP's last
+       combined value — ``last(...) OVER (PARTITION BY key, task, tie
+       ORDER BY __rmid ROWS UNBOUNDED..UNBOUNDED)``. The tie window
+       re-sorts but does NOT re-shuffle: hashpartitioning(key, task)
+       satisfies the (key, task, tie) clustering. Tie groups spanning a
+       task boundary (driver-detected; a rendered-key guard in
+       practice, see the override block in the caller) arrive as a
+       second broadcast-joined override relation on (task, key, tie)
+       whose absolute (count, value) replaces the local result — the
+       same replacement the kernel's np.where override performed.
 
-    Measured at sf10 (OPTIMIZATION_r14.md): running sum ROWS 14.5 s
-    (Arrow kernel) → see route table; the WindowExec here costs one
-    hash exchange of the substrate, which the JVM-only pipeline more
-    than buys back from the removed row↔Arrow conversion.
-    ``SPARK_GRAFT_RAGG_ROWS_ROUTE=kernel`` forces the Arrow kernel.
+    Measured at sf10 (OPTIMIZATION_r14.md): rows-frame running sum
+    12.66 s (Arrow kernel, interleaved min-of-5) → 7.25 s; the
+    WindowExec here costs one hash exchange of the substrate, which
+    the JVM-only pipeline more than buys back from the removed
+    row↔Arrow conversion. ``SPARK_GRAFT_RAGG_ROWS_ROUTE=kernel``
+    forces the Arrow kernel.
     """
     from pyspark.sql import types as T
     from pyspark.sql.window import Window as _W
 
     n_meta = len(ops)
+    rows_frame = [bool(specs[j][1][3]) for j in range(n_meta)]
+    need_tie = not all(rows_frame)
     cfields = [
         T.StructField("__rpid", T.IntegerType()),
         T.StructField("__rwkey", T.StringType()),
@@ -691,10 +705,59 @@ def _finish_running_aggs_window(
         s2 = s.withColumns(
             {f.name: F.lit(None).cast(f.dataType) for f in cfields[2:]}
         )
+    # boundary-spanning tie groups: absolute (count, value) overrides,
+    # broadcast-joined on (task, key, tie) — empty in practice (the
+    # range partitioner colocates equal sort keys; this is the rendered-
+    # key-collision guard the kernel also carried)
+    has_ov = F.lit(False)
+    if need_tie and overrides_by_pid:
+        ofields = [
+            T.StructField("__rpid", T.IntegerType()),
+            T.StructField("__rwkey", T.StringType()),
+            T.StructField("__rtkey", T.StringType()),
+        ]
+        for j in range(n_meta):
+            ofields.append(T.StructField(f"__oc{j}", T.LongType()))
+            ofields.append(
+                T.StructField(
+                    f"__ov{j}",
+                    T.LongType() if kinds[j] == "int" else T.DoubleType(),
+                )
+            )
+        ofields.append(T.StructField("__ovp", T.BooleanType()))
+        orows = []
+        for pid, entries in overrides_by_pid.items():
+            for wk, tk, entry in entries:
+                row: list = [pid, wk, tk]
+                for j in range(n_meta):
+                    cnt, val = entry[j]
+                    row.append(int(cnt))
+                    if val is None:
+                        row.append(None)
+                    else:
+                        row.append(
+                            int(val) if kinds[j] == "int" else float(val)
+                        )
+                row.append(True)
+                orows.append(tuple(row))
+        odf = spark.createDataFrame(orows, T.StructType(ofields))
+        s2 = s2.join(
+            F.broadcast(odf), ["__rpid", "__rwkey", "__rtkey"], "left"
+        )
+        has_ov = F.coalesce(F.col("__ovp"), F.lit(False))
     w = (
         _W.partitionBy("__rwkey", "__rpid")
         .orderBy("__rmid")
         .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    # tie-group-last window: same (key, task) distribution — Spark
+    # plans a sort, not a second exchange
+    w_tie = (
+        _W.partitionBy("__rwkey", "__rpid", "__rtkey")
+        .orderBy("__rmid")
+        .rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+        if need_tie
+        else None
     )
     out_cols: dict[str, Column] = {}
     for j in range(n_meta):
@@ -702,6 +765,7 @@ def _finish_running_aggs_window(
         acc_t = "long" if kind == "int" else "double"
         m = F.col(f"__rm{j}").cast(acc_t)
         cv, cc = F.col(f"__cv{j}"), F.col(f"__cc{j}")
+        tie = not rows_frame[j]
         if op in ("sum", "avg"):
             in_v = F.sum(m).over(w)
             comb = (
@@ -709,13 +773,29 @@ def _finish_running_aggs_window(
                 .when(in_v.isNull(), cv)
                 .otherwise(cv + in_v)
             )
+            if tie:
+                comb = F.last(comb).over(w_tie)
             if op == "avg":
                 tot_c = F.coalesce(cc, F.lit(0)) + F.count(m).over(w)
+                if tie:
+                    tot_c = F.last(tot_c).over(w_tie)
                 # exact int64 (or sequential f64) sum, ONE division;
                 # total count 0 → NULL, the not-yet-seen-a-value state
                 val = F.when(tot_c > 0, comb.cast("double") / tot_c)
+                if tie and overrides_by_pid:
+                    oval = F.when(
+                        F.col(f"__oc{j}") > 0,
+                        F.col(f"__ov{j}").cast("double")
+                        / F.col(f"__oc{j}"),
+                    )
+                    val = F.when(has_ov, oval).otherwise(val)
             else:
                 val = comb
+                if tie and overrides_by_pid:
+                    oval = F.when(
+                        F.col(f"__oc{j}") > 0, F.col(f"__ov{j}")
+                    )
+                    val = F.when(has_ov, oval).otherwise(val)
         else:
             in_v = (F.min if op == "min" else F.max)(m).over(w)
             pick = F.least if op == "min" else F.greatest
@@ -724,6 +804,13 @@ def _finish_running_aggs_window(
                 .when(in_v.isNull(), cv)
                 .otherwise(pick(cv, in_v))
             )
+            if tie:
+                val = F.last(val).over(w_tie)
+                if overrides_by_pid:
+                    oval = F.when(
+                        F.col(f"__oc{j}") > 0, F.col(f"__ov{j}")
+                    )
+                    val = F.when(has_ov, oval).otherwise(val)
         out_cols[f"__rv{j}"] = val.cast(
             "long" if kind == "int" and op != "avg" else "double"
         )
@@ -735,6 +822,12 @@ def _finish_running_aggs_window(
     drop += [f"__rv{j}" for j in range(n_meta)]
     drop += [f"__cc{j}" for j in range(n_meta)]
     drop += [f"__cv{j}" for j in range(n_meta)]
+    if need_tie:
+        drop.append("__rtkey")
+        if overrides_by_pid:
+            drop.append("__ovp")
+            drop += [f"__oc{j}" for j in range(n_meta)]
+            drop += [f"__ov{j}" for j in range(n_meta)]
     return r2.drop(*drop)
 
 
@@ -862,11 +955,13 @@ def _attach_running_aggs(
             meta.append((f"__rm{j}", fn))
     range_outs = [(out, spec) for out, spec in specs if not spec[3]]
     need_tie = bool(range_outs)
-    # all-ROWS specs take the JVM blocked-window finish (r14
-    # optimization round): no tie machinery, no Python kernel — the
-    # in-task running values come from Spark's own WindowExec over
-    # (rendered key, task id). __rmid provides its in-task order.
-    all_rows = not need_tie and os.environ.get(
+    # JVM window finish (r14 optimization round): after the stats pass
+    # below, the per-row running values come from Spark's own WindowExec
+    # over (rendered key, task id) instead of the Arrow kernel — ROWS
+    # specs directly, RANGE specs via the tie-group-last window plus
+    # the driver-computed boundary overrides. The kernel stays
+    # reachable behind SPARK_GRAFT_RAGG_ROWS_ROUTE=kernel.
+    use_window_finish = os.environ.get(
         "SPARK_GRAFT_RAGG_ROWS_ROUTE", "window"
     ) != "kernel"
     if need_tie:
@@ -874,11 +969,11 @@ def _attach_running_aggs(
         # rows globally (range partition ids increase with the range,
         # the local counter with the local sort) for the stats pass's
         # first/last-row-of-task identification — consistent across
-        # the stats and kernel passes because both read the SAME
+        # the stats and kernel/window passes because both read the SAME
         # checkpointed blocks
         mcols["__rtkey"] = _render_keys(order_cols)
         mcols["__rmid"] = F.monotonically_increasing_id()
-    elif all_rows:
+    elif use_window_finish:
         mcols["__rmid"] = F.monotonically_increasing_id()
     if presorted:
         s = r.withColumns(mcols)
@@ -966,11 +1061,6 @@ def _attach_running_aggs(
                 )
         carries[k] = entry
 
-    if all_rows:
-        return _finish_running_aggs_window(
-            spark, s, specs, measure_specs, ops, kinds, carries
-        )
-
     # ---- tie groups spanning a task boundary (range frames only): a
     # peer group split across tasks needs its group-END value pushed
     # back to every earlier row. The range partitioner colocates equal
@@ -1051,6 +1141,12 @@ def _attach_running_aggs(
                     overrides_by_pid.setdefault(p, []).append(
                         (w, t, entry)
                     )
+
+    if use_window_finish:
+        return _finish_running_aggs_window(
+            spark, s, specs, measure_specs, ops, kinds, carries,
+            overrides_by_pid,
+        )
 
     bc = spark.sparkContext.broadcast((carries, overrides_by_pid))
 
