@@ -21,30 +21,80 @@ from vscode_parquet_visualizer_spark import workload  # noqa: E402
 from vscode_parquet_visualizer_spark.session import get_spark  # noqa: E402
 
 
+# Frozen shed set (r15, r14 verdict item 1): the driver's PERF diff keys
+# on the stdout line's `queries` dict, so a TIMING-dependent shed set
+# manufactures phantom dropped/new-in-bench entries every round (r14: 7
+# "dropped", 3 "new" — all artifacts). Renaming keys to shorter ones
+# would fix the width but the driver contract forbids renames, so
+# instead: (a) the line is minified (compact separators, lean envelope —
+# full detail still goes to BENCH_DETAIL.json), which fits 71 of the 78
+# full-name entries; (b) the 7 that cannot fit are ALWAYS the same ones
+# — this frozen list, exactly the set r14's line shed (they are the 7
+# fastest queries, 0.05-0.11 s committed detail), so the line's key set
+# is a strict superset of r14's (0 dropped) and identical from r15 on
+# (0 dropped/new forever); (c) the shed entries still reach the line in
+# the compact `qshed` string ("q06:.07,…" — unique prefixes), so every
+# per-query timing is in the driver's record even for shed queries.
+# Dynamic fastest-first shedding remains ONLY as a last-resort fallback
+# (e.g. a contaminated run pushing many values to ≥10 s widths).
+_LINE_SHED_ORDER = (
+    "q06_revenue_forecast",
+    "q07_customers_without_orders",
+    "q09_running_total",
+    "q19_case_when",
+    "q21_date_functions",
+    "q38_lang_id",
+    "q77_positional_sql",
+)
+
+
 def shed_to_fit(
-    line_out: dict, timings: dict[str, float], limit: int = 1800
+    line_out: dict, timings: dict[str, float], limit: int = 1990
 ) -> str:
-    """Serialize the stdout JSON line, shedding the fastest per-query
-    entries until it fits ``limit`` — the driver records only the last
-    2000 chars of stdout and parses the final line, so an over-long line
-    is recorded as parsed=null (rounds 1-2 both hit this)."""
+    """Serialize the stdout JSON line so it fits ``limit`` — the driver
+    records only the last 2000 chars of stdout and parses the final
+    line, so an over-long line is recorded as parsed=null (rounds 1-2
+    both hit this). Minified JSON; if over, shed the FROZEN set first
+    (key-set stability for the driver's round-over-round diff), then
+    fastest-first; shed timings stay visible in the compact ``qshed``
+    field."""
     ok = {k: v for k, v in timings.items() if v >= 0}
-    slowest = sorted(ok, key=ok.get, reverse=True)
-    shed = dict(line_out)
-    shed["queries"] = {}
-    line = json.dumps(shed)
-    keep = len(slowest)
-    while keep > 0:
-        candidate = dict(line_out)
-        candidate["queries"] = {
-            k: round(timings[k], 2) for k in sorted(slowest[:keep])
-        }
-        text = json.dumps(candidate)
+
+    def render(kept: set, shed: list) -> str:
+        d = dict(line_out)
+        d["queries"] = {k: round(ok[k], 2) for k in sorted(kept)}
+        if shed:
+            d["qshed"] = ",".join(
+                f"{k.split('_', 1)[0]}:{('%.2f' % ok[k]).lstrip('0')}"
+                for k in sorted(shed)
+            )
+        return json.dumps(d, separators=(",", ":"))
+
+    kept = set(ok)
+    shed: list = []
+    text = render(kept, shed)
+    if len(text) <= limit:
+        return text
+    order = [k for k in _LINE_SHED_ORDER if k in kept]
+    order += sorted(
+        (k for k in kept if k not in _LINE_SHED_ORDER), key=ok.get
+    )
+    for k in order:
+        kept.discard(k)
+        shed.append(k)
+        text = render(kept, shed)
         if len(text) <= limit:
-            line = text
-            break
-        keep -= max(1, keep // 10)
-    return line
+            return text
+    # pathological fallback (qshed itself outgrew the limit): plain
+    # fastest-first shedding with no qshed — the pre-r15 behavior
+    slowest = sorted(ok, key=ok.get, reverse=True)
+    keep_n = len(slowest)
+    while keep_n > 0:
+        text = render(set(slowest[:keep_n]), [])
+        if len(text) <= limit:
+            return text
+        keep_n -= max(1, keep_n // 10)
+    return render(set(), [])
 
 
 def _reference_timings(here: str, sf: str) -> dict[str, float]:
@@ -211,9 +261,16 @@ def main() -> None:
     # the shared table cache (each parquet is scanned once for the whole
     # 47-query run), and the Python UDF worker pool (mapInPandas spawns
     # workers lazily on first use).
+    # SPARK_GRAFT_WARM_TABLES=0 (r15, r14 verdict item 7) skips the
+    # table-cache warm so the FIRST query that touches each hot table
+    # pays its cache populate inside the timed region — the recorded
+    # cache-posture run that makes the base-table-persist cost visible
+    # (PERF.md "measurement posture"). Default unchanged: warm outside,
+    # the interactive open-dataset model both engines get.
     tables = workload.load_tables(spark, sf_dir)
-    for t in workload._HOT:
-        tables[t].count()
+    if os.environ.get("SPARK_GRAFT_WARM_TABLES", "1") != "0":
+        for t in workload._HOT:
+            tables[t].count()
     import pandas as pd
 
     spark.range(4).mapInPandas(
@@ -401,6 +458,35 @@ def main() -> None:
     # records parsed=null (rounds 1 and 2 both hit this). The line keeps
     # the headline metrics plus the slowest queries, shedding entries
     # until it fits.
+    out["n_queries"] = len(timings)
+    out["failed"] = sorted(k for k, v in timings.items() if v < 0)
+    # Scale trend from the LATEST committed crossover artifact
+    # (min-of-process-runs Spark/DuckDB ratios — see the matching
+    # CROSSOVER_r*.json for raw numbers and methodology). Detail-file
+    # only since r15: the stdout line spends its chars on per-query
+    # entries.
+    try:
+        import glob as _glob
+        import re as _re
+
+        _here = os.path.dirname(os.path.abspath(__file__))
+
+        def _xround(path):
+            # numeric round order, not lexicographic ("r10" > "r2")
+            m = _re.search(r"CROSSOVER_r(\d+)", os.path.basename(path))
+            return int(m.group(1)) if m else -1
+
+        latest = max(
+            _glob.glob(os.path.join(_here, "CROSSOVER_r*.json")),
+            key=_xround,
+            default=None,
+        )
+        if latest:
+            with open(latest) as fh:
+                key = os.path.splitext(os.path.basename(latest))[0].lower()
+                out[key] = json.load(fh)["ratio_spark_over_duckdb"]
+    except (OSError, KeyError, ValueError):
+        pass
     # A SPARK_GRAFT_QUERIES-restricted run must not clobber the committed
     # full-sweep detail file — it now feeds the outlier-pass references.
     detail_path = os.path.join(
@@ -412,35 +498,26 @@ def main() -> None:
             json.dump(out, fh, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"bench detail write failed: {exc}", file=sys.stderr)
-    line_out = dict(out)
-    line_out["n_queries"] = len(timings)
-    line_out["failed"] = sorted(k for k, v in timings.items() if v < 0)
-    line_out["detail"] = os.path.basename(detail_path)
-    # Scale trend from the LATEST committed crossover artifact
-    # (min-of-process-runs Spark/DuckDB ratios at sf0.1/1/10 — see the
-    # matching CROSSOVER_r*.json for raw numbers and methodology).
-    try:
-        import glob as _glob
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        def _round_no(path):
-            # numeric round order, not lexicographic ("r10" > "r2")
-            import re as _re
-
-            m = _re.search(r"CROSSOVER_r(\d+)", os.path.basename(path))
-            return int(m.group(1)) if m else -1
-
-        latest = max(
-            _glob.glob(os.path.join(here, "CROSSOVER_r*.json")),
-            key=_round_no,
-            default=None,
-        )
-        if latest:
-            with open(latest) as fh:
-                key = os.path.splitext(os.path.basename(latest))[0].lower()
-                line_out[key] = json.load(fh)["ratio_spark_over_duckdb"]
-    except (OSError, KeyError, ValueError):
-        pass
+    # LEAN stdout envelope (r15, r14 verdict item 1): every char spent on
+    # envelope prose is a per-query entry that falls off the driver's
+    # 2000-char tail. The line keeps the contract fields plus the
+    # honesty-critical run context (failures, outlier reruns, 1-min load
+    # at start/end — the contamination tell); protocol prose, subsets,
+    # cold_sec and the crossover trend stay in BENCH_DETAIL.json (the
+    # full `out` above), which the sweep commits alongside.
+    line_out = {
+        "metric": out["metric"],
+        "value": round(out["value"], 2),
+        "unit": out["unit"],
+        "queries": timings,
+        "sf": out["sf"],
+        "failed": sorted(k for k, v in timings.items() if v < 0),
+        "load": [
+            round(load_start[0], 2), round(os.getloadavg()[0], 2)
+        ],
+    }
+    if rerun:
+        line_out["outlier_rerun"] = sorted(rerun)
     print(shed_to_fit(line_out, timings))
     spark.stop()
 
