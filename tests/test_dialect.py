@@ -375,6 +375,18 @@ def test_const_compat_calls_fold_at_transpile():
     # invalid JSON literal folds to the UDF's NULL
     out3 = transpile("SELECT json_structure('nope') AS s")
     assert "CAST(NULL AS STRING)" in out3
+    # r14 ADVICE: a folded value containing a BACKSLASH would re-embed
+    # as a literal whose meaning depends on escapedStringLiterals — the
+    # fold declines and leaves the runtime UDF call (value identical,
+    # mode-independent). json_quote of a string with an embedded quote
+    # produces \" in its JSON output.
+    out4 = transpile("SELECT json_quote('a\"b') AS s")
+    assert "json_quote" in out4
+    assert "\\" not in out4.replace("json_quote", "")
+    # ... while a backslash-free json_quote still folds
+    out5 = transpile("SELECT json_quote('plain') AS s")
+    assert "json_quote" not in out5
+    assert "'\"plain\"'" in out5
 
 
 def test_chained_json_arrows():

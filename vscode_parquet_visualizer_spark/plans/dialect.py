@@ -8275,6 +8275,17 @@ def fold_const_compat_calls(sql: str, stash: list[str]) -> str:
             out = fn(_lit_text(stash, m.group(1)))
             if out is None:
                 return "CAST(NULL AS STRING)"
+            if "\\" in out:
+                # A folded value containing backslashes re-embeds as a
+                # SQL literal whose meaning depends on the parser mode:
+                # under escapedStringLiterals=true (this engine's
+                # sessions) the bytes pass through verbatim, but a
+                # consumer running transpile() output on a default
+                # session would decode them as escapes (r14 ADVICE).
+                # Backslash outputs are rare (json_quote of a string
+                # with quotes/controls) — leave the runtime UDF call in
+                # place: fail-open, mode-independent, value-identical.
+                return None
             return _stash_add(stash, "'" + out.replace("'", "''") + "'")
 
         sql = _rewrite_calls(sql, name, xf)
