@@ -351,12 +351,125 @@ def test_range_running_aggs_group_budget_falls_back_to_kernel(
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" not in plan, "tie-aware JVM finish, not the kernel"
     assert "Window" in plan
+    # r15 (r14 verdict item 3): the pure-RANGE over-budget finish is a
+    # SINGLE window — the RANGE frame's peers are the tie group, so the
+    # r14 second (tie-last) window and its extra in-task sort are gone
+    assert plan.count("Window") == 1, plan
     assert sorted(tuple(r) for r in df.collect()) == want
     # the kernel escape hatch still answers identically
     monkeypatch.setenv("SPARK_GRAFT_RAGG_ROWS_ROUTE", "kernel")
     df2 = run_sql(spark, sql)
     assert "MapInArrow" in df2._jdf.queryExecution().executedPlan().toString()
     assert sorted(tuple(r) for r in df2.collect()) == want
+
+
+def test_range_tie_finish_escape_hatch_matches(spark, monkeypatch):
+    # SPARK_GRAFT_RAGG_TIE_FINISH=last restores the r14 two-window
+    # formulation; it must answer row-identically to the r15
+    # single-window RANGE finish (and plan TWO windows where the
+    # default plans one)
+    from vscode_parquet_visualizer_spark.operators import rank
+
+    monkeypatch.setattr(rank, "_RAGG_BCAST_MAX", 1)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    sql = """
+        SELECT uid,
+               sum(uid) OVER w AS rs,
+               avg(k)   OVER w AS ra,
+               min(uid) OVER w AS rmin,
+               count(k) OVER w AS rc
+        FROM ties
+        WINDOW w AS (PARTITION BY g ORDER BY k)
+    """
+    want = sorted(tuple(r) for r in run_sql(spark, sql).collect())
+    monkeypatch.setenv("SPARK_GRAFT_RAGG_TIE_FINISH", "last")
+    df = run_sql(spark, sql)
+    assert (
+        df._jdf.queryExecution().executedPlan().toString().count("Window")
+        == 2
+    )
+    assert sorted(tuple(r) for r in df.collect()) == want
+
+
+def test_range_overbudget_fallback_releases_group_table(
+    spark, monkeypatch
+):
+    # r14 ADVICE (medium): the budget fallback must unpersist the
+    # abandoned group table immediately, not leave it in the columnar
+    # cache until 4 later builds retire it
+    from vscode_parquet_visualizer_spark.operators import persist, rank
+
+    released = []
+    real = persist.release_salted
+
+    def spy(df):
+        released.append(df)
+        real(df)
+
+    monkeypatch.setattr(rank, "release_salted", spy)
+    monkeypatch.setattr(rank, "_RAGG_BCAST_MAX", 1)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    df = run_sql(
+        spark,
+        "SELECT uid, sum(uid) OVER (PARTITION BY g ORDER BY k) AS rs "
+        "FROM ties",
+    )
+    df.collect()
+    assert len(released) == 1, "fallback must release the group table"
+    src = getattr(released[0], "_salted_source", None)
+    assert src is not None and src not in persist._LIVE
+
+
+def test_range_ndv_preprobe_skips_group_table_build(spark, monkeypatch):
+    # r15 (r14 verdict item 6 + ADVICE): above the probe size floor, an
+    # obviously over-budget approx NDV skips building (and persisting)
+    # the group table entirely; the query still answers row-identically
+    # through the JVM finish
+    from vscode_parquet_visualizer_spark.operators import rank
+
+    substrates = []
+    real = rank._persist_substrate
+
+    def spy(df):
+        substrates.append(df)
+        return real(df)
+
+    monkeypatch.setattr(rank, "_persist_substrate", spy)
+    monkeypatch.setattr(rank, "_RAGG_BCAST_MAX", 1)
+    monkeypatch.setattr(rank, "_RAGG_PROBE_MIN_BYTES", 0)
+    sql = (
+        "SELECT uid, sum(uid) OVER (PARTITION BY g ORDER BY k) AS rs "
+        "FROM ties"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "window")
+    want = _rows(spark, sql)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    assert _rows(spark, sql) == want
+    # nothing persisted: the probe skipped the group-table build, and
+    # the default substrate strategy (recompute) does not cache either
+    assert len(substrates) == 0
+
+
+def test_ragg_substrate_strategies_agree(spark, monkeypatch):
+    # r15: the substrate sharing strategy (recompute default vs the r14
+    # salted cache) must be invisible in results — both rely on the
+    # same deterministic re-derivation of __rpid/__rmid
+    from vscode_parquet_visualizer_spark.operators import rank
+
+    monkeypatch.setattr(rank, "_RAGG_BCAST_MAX", 1)
+    monkeypatch.setenv("SPARK_GRAFT_RANK", "distributed")
+    sql = """
+        SELECT uid,
+               sum(k)   OVER (PARTITION BY g ORDER BY k, uid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs,
+               avg(uid) OVER (PARTITION BY g ORDER BY k) AS ta
+        FROM ties
+    """
+    monkeypatch.setenv("SPARK_GRAFT_RAGG_SUBSTRATE", "recompute")
+    a = sorted(tuple(r) for r in run_sql(spark, sql).collect())
+    monkeypatch.setenv("SPARK_GRAFT_RAGG_SUBSTRATE", "cache")
+    b = sorted(tuple(r) for r in run_sql(spark, sql).collect())
+    assert a == b
 
 
 def test_rows_running_aggs_use_jvm_window_finish(spark, monkeypatch):

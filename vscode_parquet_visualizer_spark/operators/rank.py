@@ -63,6 +63,7 @@ _MAP_LITERAL_MAX = 1000
 
 from vscode_parquet_visualizer_spark.operators.persist import (  # noqa: E402
     persist_salted,
+    release_salted,
 )
 
 
@@ -507,6 +508,21 @@ def _attach_lag_leads_blocked(
 # aggregated shuffle of partials, paid once.
 _RAGG_BCAST_MAX = int(os.environ.get("SPARK_GRAFT_RAGG_BCAST_MAX", 4_000_000))
 
+# NDV pre-probe floor (r15, r14 verdict item 6 + ADVICE medium): below
+# this estimated input size the grouped route builds the group table
+# outright — the partial-agg job that decides the route doubles as the
+# cache-populate job the success path needs anyway, so there is nothing
+# to save. Above it (the 100 TB regime, where a high-NDV order key —
+# timestamps — makes the partial-agg shuffle near data-sized AND the
+# budget fallback near certain) a cheap approx_count_distinct probe
+# runs first: one scan, map-side HLL partials, a one-row shuffle — and
+# an over-budget estimate skips the doomed build entirely. Advisory
+# only: an under-estimate falls through to the exact count gate below,
+# so the route decision stays correct either way.
+_RAGG_PROBE_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_RAGG_PROBE_MIN_BYTES", 4 << 30)
+)
+
 
 def _attach_running_aggs_grouped(
     r: DataFrame,
@@ -575,10 +591,39 @@ def _attach_running_aggs_grouped(
             aggs.append(F.min(cast).alias(f"__gv{j}"))
         else:
             aggs.append(F.max(cast).alias(f"__gv{j}"))
+    # Route-decision cost accounting (r14 verdict item 6): on the
+    # success path the count() below is NOT an extra pass — it is the
+    # FIRST action on the salted-persisted group table, so it both
+    # decides the route and populates the cache the window + broadcast
+    # passes then reuse (job-count evidence in OPTIMIZATION_r15.md).
+    # The waste case is a LARGE input with over-budget NDV: the build
+    # is abandoned after a near-data-sized shuffle. The approx pre-probe
+    # (gated on estimated input bytes, _RAGG_PROBE_MIN_BYTES) skips the
+    # build in exactly that regime.
+    try:
+        est_bytes = int(
+            r._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est_bytes = 0  # unknown: probe would cost a scan; build decides
+    if est_bytes >= _RAGG_PROBE_MIN_BYTES:
+        ndv = r.select(
+            F.approx_count_distinct(
+                F.struct(*[F.col(k) for k in keys])
+            ).alias("__ndv")
+        ).collect()[0]["__ndv"]
+        # 1.2× margin over the default 5% rsd: estimates this far over
+        # budget cannot plausibly be under it; closer calls fall
+        # through to the exact gate
+        if ndv > int(_RAGG_BCAST_MAX * 1.2):
+            return None  # kernel route: correct at any order-key NDV
     gt = _persist_substrate(
         r.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
     )
     if gt.count() > _RAGG_BCAST_MAX:
+        # eager release (r14 ADVICE): the abandoned group table must not
+        # occupy the columnar cache until 4 later builds retire it
+        release_salted(gt)
         return None  # kernel route: correct at any order-key NDV
     w = (
         Window.partitionBy(*[F.col(c) for c in partition_cols])
@@ -629,6 +674,7 @@ def _finish_running_aggs_window(
     kinds: list[str],
     carries: dict,
     overrides_by_pid: dict | None = None,
+    tie_order: list[Column] | None = None,
 ) -> DataFrame:
     """JVM finish for running aggregates (r14 optimization round,
     guide §4 "eliminate the Python boundary").
@@ -651,16 +697,23 @@ def _finish_running_aggs_window(
        kernel's exact semantics (NULL until the frame has seen a value;
        integral sums accumulate in int64; avg divides the exact int64
        sum by the total count once);
-    4. a RANGE-frame (tie-inclusive) spec takes its tie GROUP's last
-       combined value — ``last(...) OVER (PARTITION BY key, task, tie
-       ORDER BY __rmid ROWS UNBOUNDED..UNBOUNDED)``. The tie window
-       re-sorts but does NOT re-shuffle: hashpartitioning(key, task)
-       satisfies the (key, task, tie) clustering. Tie groups spanning a
-       task boundary (driver-detected; a rendered-key guard in
-       practice, see the override block in the caller) arrive as a
-       second broadcast-joined override relation on (task, key, tie)
-       whose absolute (count, value) replaces the local result — the
-       same replacement the kernel's np.where override performed.
+    4. a RANGE-frame (tie-inclusive) spec is computed in ONE window
+       (r15, r14 verdict item 3): ``agg(m) OVER (PARTITION BY key, task
+       ORDER BY <order sort keys> RANGE UNBOUNDED PRECEDING..CURRENT
+       ROW)`` — the RANGE frame's peer rows ARE the tie group, so the
+       frame already ends at the tie group's last row and the r14
+       two-step (ROWS running value + ``last(...)`` over a second
+       (key, task, tie)-partitioned window, costing an extra full
+       in-task sort) is gone. The ordering is the substrate's own
+       order-key sort expressions (``tie_order``), so the one sort this
+       window pays is the same (key, task, order-keys) sort the r14
+       shape paid FIRST of two. Tie groups spanning a task boundary
+       (driver-detected; a rendered-key guard in practice, see the
+       override block in the caller) arrive as a broadcast-joined
+       override relation on (task, key, tie) whose absolute (count,
+       value) replaces the local result — the same replacement the
+       kernel's np.where override performed. When ``tie_order`` is not
+       supplied, the r14 two-window formulation remains as fallback.
 
     Measured at sf10 (OPTIMIZATION_r14.md): rows-frame running sum
     12.66 s (Arrow kernel, interleaved min-of-5) → 7.25 s; the
@@ -750,13 +803,36 @@ def _finish_running_aggs_window(
         .orderBy("__rmid")
         .rowsBetween(_W.unboundedPreceding, _W.currentRow)
     )
-    # tie-group-last window: same (key, task) distribution — Spark
-    # plans a sort, not a second exchange
+    # single-window tie formulation (r15): RANGE frame over the actual
+    # order-key sort expressions — peers (equal order keys) share one
+    # frame that ends at the tie group's last row, which IS the
+    # tie-inclusive running value. Same (key, task) distribution as
+    # ``w``; a pure-RANGE clause therefore plans exactly ONE Window and
+    # ONE in-task sort (plans/r15/ragg_range_overbudget_after.txt).
+    # SPARK_GRAFT_RAGG_TIE_FINISH=last restores the r14 two-window
+    # (tie-last) formulation — kept as the A/B + differential escape
+    # hatch, same policy as SPARK_GRAFT_RAGG_ROWS_ROUTE=kernel
+    use_range = (
+        need_tie
+        and tie_order is not None
+        and os.environ.get("SPARK_GRAFT_RAGG_TIE_FINISH", "range")
+        != "last"
+    )
+    w_rng = (
+        _W.partitionBy("__rwkey", "__rpid")
+        .orderBy(*tie_order)
+        .rangeBetween(_W.unboundedPreceding, _W.currentRow)
+        if use_range
+        else None
+    )
+    # r14 fallback (no order expressions supplied): tie-group-last
+    # window: same (key, task) distribution — Spark plans a sort, not a
+    # second exchange
     w_tie = (
         _W.partitionBy("__rwkey", "__rpid", "__rtkey")
         .orderBy("__rmid")
         .rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
-        if need_tie
+        if need_tie and not use_range
         else None
     )
     out_cols: dict[str, Column] = {}
@@ -766,18 +842,19 @@ def _finish_running_aggs_window(
         m = F.col(f"__rm{j}").cast(acc_t)
         cv, cc = F.col(f"__cv{j}"), F.col(f"__cc{j}")
         tie = not rows_frame[j]
+        w_j = w_rng if (tie and use_range) else w
         if op in ("sum", "avg"):
-            in_v = F.sum(m).over(w)
+            in_v = F.sum(m).over(w_j)
             comb = (
                 F.when(cv.isNull(), in_v)
                 .when(in_v.isNull(), cv)
                 .otherwise(cv + in_v)
             )
-            if tie:
+            if tie and not use_range:
                 comb = F.last(comb).over(w_tie)
             if op == "avg":
-                tot_c = F.coalesce(cc, F.lit(0)) + F.count(m).over(w)
-                if tie:
+                tot_c = F.coalesce(cc, F.lit(0)) + F.count(m).over(w_j)
+                if tie and not use_range:
                     tot_c = F.last(tot_c).over(w_tie)
                 # exact int64 (or sequential f64) sum, ONE division;
                 # total count 0 → NULL, the not-yet-seen-a-value state
@@ -797,7 +874,7 @@ def _finish_running_aggs_window(
                     )
                     val = F.when(has_ov, oval).otherwise(val)
         else:
-            in_v = (F.min if op == "min" else F.max)(m).over(w)
+            in_v = (F.min if op == "min" else F.max)(m).over(w_j)
             pick = F.least if op == "min" else F.greatest
             val = (
                 F.when(cv.isNull(), in_v)
@@ -805,7 +882,8 @@ def _finish_running_aggs_window(
                 .otherwise(pick(cv, in_v))
             )
             if tie:
-                val = F.last(val).over(w_tie)
+                if not use_range:
+                    val = F.last(val).over(w_tie)
                 if overrides_by_pid:
                     oval = F.when(
                         F.col(f"__oc{j}") > 0, F.col(f"__ov{j}")
@@ -979,11 +1057,45 @@ def _attach_running_aggs(
         s = r.withColumns(mcols)
     else:
         parts = num_partitions or spark.sparkContext.defaultParallelism
-        s = _persist_substrate(
+        built = (
             r.repartitionByRange(parts, *sort_cols)
             .sortWithinPartitions(*sort_cols)
             .withColumns(mcols)
         )
+        # Substrate sharing strategy (r15, measured — guide §1/§5). The
+        # stats pass and the finish pass are SEPARATE ACTIONS, so they
+        # can only share the sort through a materialization. Two ways:
+        #
+        # - "recompute" (default): no materialization — each action
+        #   re-executes the ~2 stage sort plan. Costs one extra scan +
+        #   range shuffle per query; correct because the re-execution is
+        #   DETERMINISTIC (fixed-seed range sampling over identical
+        #   input splits, stable local sort, __rpid/__rmid derived from
+        #   the sorted partitions) — the exact determinism class the
+        #   cache strategy already relied on for evicted-partition
+        #   recompute (see _persist_substrate).
+        # - "cache" (SPARK_GRAFT_RAGG_SUBSTRATE=cache): the r14 shape —
+        #   one salted columnar-cache materialization serves both
+        #   passes. Preferable when the input scan is the dominant cost
+        #   (very wide rows, cold remote storage); at 100 TB this is a
+        #   deployment decision, hence a conf.
+        #
+        # Measured on this round's box (sf10 orders, 15 M rows, quiet,
+        # isolated): sort+renders run 2.4 s warm, while BUILDING the
+        # columnar cache of the same frame costs 22 s (first build) to
+        # 120 s (cache churn) — Spark's cache writer appends row-by-row
+        # through per-column builders, ~µs/cell, and GC churn compounds
+        # it (full bisect in OPTIMIZATION_r15.md). Paying ≤2 extra
+        # 2.4 s sorts beats one 22-120 s cache build by an order of
+        # magnitude; the r14 box measured the build at ~6 s, where the
+        # choice is near-even — both postures stay one env var apart.
+        if (
+            os.environ.get("SPARK_GRAFT_RAGG_SUBSTRATE", "recompute")
+            == "cache"
+        ):
+            s = _persist_substrate(built)
+        else:
+            s = built
     dtypes = dict(s.dtypes)
     kinds = []
     for j in range(len(meta)):
@@ -1145,7 +1257,7 @@ def _attach_running_aggs(
     if use_window_finish:
         return _finish_running_aggs_window(
             spark, s, specs, measure_specs, ops, kinds, carries,
-            overrides_by_pid,
+            overrides_by_pid, tie_order=sort_cols,
         )
 
     bc = spark.sparkContext.broadcast((carries, overrides_by_pid))
