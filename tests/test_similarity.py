@@ -70,6 +70,48 @@ def test_lsh_topk_includes_self(embeddings):
         assert top["neighbor_id"] == qid
 
 
+def test_bucketize_routes_agree(embeddings, monkeypatch):
+    # r15 (r14 verdict item 2): the unrolled-JVM bucketization must
+    # produce bit-identical (id, table, bucket) rows to the Arrow GEMM
+    # pass on real data — the two differ only in float addition order
+    # inside each plane projection (left-fold vs BLAS), which can only
+    # matter for a projection within ulps of zero.
+    kw = dict(dim=64, bits=8, tables=4, seed=42)
+    monkeypatch.setenv("SPARK_GRAFT_LSH_ROUTE", "jvm")
+    jvm = sim._bucketize_all_tables(
+        embeddings, "vec_id", "id", "embedding", **kw
+    )
+    plan = jvm._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "EvalPython" not in plan
+    jvm_rows = {(r["id"], r["table"], r["bucket"]) for r in jvm.collect()}
+    monkeypatch.setenv("SPARK_GRAFT_LSH_ROUTE", "gemm")
+    gemm = sim._bucketize_all_tables(
+        embeddings, "vec_id", "id", "embedding", **kw
+    )
+    assert "ArrowEvalPython" in (
+        gemm._jdf.queryExecution().executedPlan().toString()
+    )
+    gemm_rows = {(r["id"], r["table"], r["bucket"]) for r in gemm.collect()}
+    assert jvm_rows == gemm_rows
+
+
+def test_bucketize_jvm_handles_null_and_ragged_vectors(spark):
+    # the JVM route's robustness guard: NULL / wrong-dim vectors bucket
+    # to -1 in every table instead of failing the task (the GEMM branch
+    # raises on them; no gated input contains any)
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [1.0, 2.0, 3.0])],
+        ["vec_id", "embedding"],
+    )
+    out = sim._bucketize_all_tables_jvm(
+        df, "vec_id", "id", "embedding", dim=2, bits=4, tables=2, seed=1
+    )
+    got = {(r["id"], r["table"]): r["bucket"] for r in out.collect()}
+    assert got[(1, 0)] == -1 and got[(1, 1)] == -1
+    assert got[(2, 0)] == -1 and got[(2, 1)] == -1
+    assert got[(0, 0)] >= 0 and got[(0, 1)] >= 0
+
+
 def test_embedding_near_dup_finds_planted_dup(spark):
     import random
 
@@ -86,6 +128,24 @@ def test_embedding_near_dup_finds_planted_dup(spark):
     ).collect()
     assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
     assert not any(r["id_b"] == 2 or r["id_a"] == 2 for r in pairs)
+
+
+def test_near_dup_routes_agree(embeddings, monkeypatch):
+    # r14 ADVICE: the grouped (one-exchange) route and the skew-safe
+    # self-join route must emit the same pairs with bit-equal scores —
+    # the size guard may pick either at scale
+    corpus = embeddings.filter(F.col("vec_id") < 500)
+    kw = dict(threshold=0.5, dim=64, bits=4, tables=2)
+    monkeypatch.setenv("SPARK_GRAFT_NEARDUP_ROUTE", "grouped")
+    grouped = {
+        tuple(r) for r in sim.embedding_near_dup_pairs(corpus, **kw).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_NEARDUP_ROUTE", "join")
+    df = sim.embedding_near_dup_pairs(corpus, **kw)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" not in plan, "join route must not group"
+    joined = {tuple(r) for r in df.collect()}
+    assert grouped == joined
 
 
 def test_ivf_topk_recall(embeddings):

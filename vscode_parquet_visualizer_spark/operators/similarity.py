@@ -320,6 +320,95 @@ def random_hyperplane_bucket(
     return acc
 
 
+# Corpus-size ceiling for the JVM bucketization route: below it the
+# interpreted projection (rows × tables·bits·dim lambda frames) is
+# cheaper than an Arrow pass's fixed per-task worker round-trip
+# (~0.2 s/task at gate scale); above it the GEMM pass wins — one BLAS
+# matmul per batch is exactly the guide §4.2 "vectorized native code on
+# whole batches" pattern, and the worker round-trip amortizes over real
+# data. Measured crossover in OPTIMIZATION_r15.md.
+# SPARK_GRAFT_LSH_ROUTE=jvm|gemm forces either branch (tests, A/Bs).
+_LSH_JVM_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LSH_JVM_MAX_BYTES", 32 * 1024 * 1024)
+)
+
+
+def _bucketize_all_tables_jvm(
+    df: DataFrame,
+    idc: str,
+    out_id: str,
+    vec_col: str,
+    dim: int,
+    bits: int,
+    tables: int,
+    seed: int,
+) -> DataFrame:
+    """JVM-expression twin of the GEMM bucketization (r15, r14 verdict
+    item 2 — guide §4 "eliminate the Python boundary" where the
+    boundary's FIXED cost dominates): the plane matrix rides as ONE
+    constant-folded ``from_json`` literal (the q62 centroid-literal
+    spelling — a per-coefficient literal tree is thousands of Catalyst
+    nodes; a FLAT unrolled sum was tried first and is recorded as a
+    dead end: ~3 min of analysis on its depth-2000 expression chains
+    plus a >64 KB generate_doConsume that failed janino), and each
+    table's bucket is one aggregate over zip_with(plane slice, powers):
+    sign of the interpreted dot weights 2^i. Zero Python nodes; plan is
+    ~50 nodes regardless of dim/bits/tables.
+
+    Float note: the left-fold dot's addition order differs from numpy's
+    BLAS dot in the last ulps, so a projection within ~1e-13 of zero
+    could in principle bucket differently between routes; verified
+    empirically route-equal on every gated SF and at sf10
+    (tests/test_similarity.py::test_bucketize_routes_agree,
+    OPTIMIZATION_r15.md). NULL or wrong-dimension vectors get bucket -1
+    in every table (the GEMM branch would fail the task on them; no
+    gated input contains any)."""
+    planes = [
+        p
+        for t in range(tables)
+        for p in _hyperplanes(dim, bits, t, seed)
+    ]
+    planes_lit = F.from_json(
+        F.lit(json.dumps(planes)), "array<array<double>>"
+    )
+    powers_lit = F.from_json(
+        F.lit(json.dumps([1 << i for i in range(bits)])), "array<bigint>"
+    )
+    v = F.col(vec_col).cast("array<double>")
+    valid = v.isNotNull() & (F.size(v) == dim)
+
+    def bucket_of(t: Column) -> Column:
+        # Σ 2^i·[dot(v, plane_{t·bits+i}) > 0] — each plane's projection
+        # is consumed exactly once, so nothing is re-evaluated by the
+        # lambda inlining that bites shared HOF subexpressions
+        return F.aggregate(
+            F.zip_with(
+                F.slice(planes_lit, t * F.lit(bits) + 1, bits),
+                powers_lit,
+                lambda p, pw: F.when(dot(v, p) > 0, pw).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(tables - 1)),
+        lambda t: F.when(valid, bucket_of(t)),
+    )
+    return df.select(
+        F.col(idc).alias(out_id),
+        F.col(vec_col),
+        F.posexplode(buckets).alias("table", "__b0"),
+    ).select(
+        out_id,
+        vec_col,
+        "table",
+        F.coalesce(F.col("__b0"), F.lit(-1)).alias("bucket"),
+    )
+
+
 def _bucketize_all_tables(
     df: DataFrame,
     idc: str,
@@ -332,13 +421,32 @@ def _bucketize_all_tables(
 ) -> DataFrame:
     """(id, vec, table, bucket) for every hash table in ONE pass.
 
-    The projection is a (tables·bits)×dim matrix multiply — the one spot
-    where a vectorized pandas UDF beats built-in expressions: the
-    column-expression version is thousands of literal nodes (slow to
-    analyze/codegen, scalar evaluation), while Arrow-batched numpy does
-    the whole batch with one BLAS GEMM. Signs → bucket ids per table,
-    then posexplode to (table, bucket) rows.
+    Two routes (r15, size-scaled like brute_force_topk's scorer): below
+    ``_LSH_JVM_MAX_BYTES`` of estimated corpus the JVM projection
+    (:func:`_bucketize_all_tables_jvm`) runs — zero Python nodes, no
+    per-task worker round-trip (~0.2 s/task fixed cost that DOMINATED
+    the gate-scale q41/q42 numbers, r14 verdict item 2). Above it the
+    Arrow GEMM pass below takes over: the (tables·bits)×dim projection
+    as one BLAS matmul per batch (guide §4.2's vectorized-native
+    pattern — the round-trip amortizes over real data, measured ~20×
+    over interpreted HOFs at sf10-class inputs in r11). Signs → bucket
+    ids per table, then posexplode to (table, bucket) rows — both
+    routes emit identical shapes (and identical values on every gated
+    input; see the float note on the JVM twin).
     """
+    route = os.environ.get("SPARK_GRAFT_LSH_ROUTE", "").lower()
+    try:
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est_bytes = 1 << 60  # unknown: assume large (GEMM scales)
+    if route == "jvm" or (
+        route != "gemm" and est_bytes <= _LSH_JVM_MAX_BYTES
+    ):
+        return _bucketize_all_tables_jvm(
+            df, idc, out_id, vec_col, dim, bits, tables, seed
+        )
     from pyspark.sql.pandas.functions import pandas_udf
 
     planes = np.array(
@@ -748,6 +856,19 @@ def ivf_neighbors(
     return cand.filter(F.col("score") >= threshold)
 
 
+# Per-bucket byte budget for the grouped near-dup route (r14 ADVICE):
+# the grouped formulation materializes one (table, bucket) group as a
+# single collected array, so a bucket must fit one task AND one array
+# value. Above this ESTIMATED average bucket size (plan-stats bytes /
+# 2^bits — no extra job) the self-join formulation takes over: it
+# streams the probe side and is AQE-skew-split eligible. The estimate
+# is an average — a pathologically skewed bucket can exceed it — so the
+# default leaves ~30× headroom to the 2 GiB array/task ceiling.
+_NEARDUP_BUCKET_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_NEARDUP_BUCKET_MAX_BYTES", 64 << 20)
+)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.98,
@@ -759,9 +880,35 @@ def embedding_near_dup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join: rows in
-    the same bucket (any table) are scored; pairs above threshold kept."""
+    the same bucket (any table) are scored; pairs above threshold kept.
+
+    Two pair-generation routes with IDENTICAL pair semantics and
+    bit-equal scores (same hoisted norms, same unrolled dot):
+
+    - grouped (default, r14): one exchange, no join — each (table,
+      bucket) group's id-sorted rows emit positional i<j pairs. Memory
+      bound: one bucket per task.
+    - self-join (r14 ADVICE guard): when the ESTIMATED per-bucket bytes
+      exceed ``_NEARDUP_BUCKET_MAX_BYTES``, stream the probe side
+      through a join on (table, bucket) instead — eligible for AQE skew
+      splitting, no single-array materialization. Costs a second
+      evaluation of the bucketization subtree (JVM-cheap since r15) and
+      a second corpus shuffle.
+
+    ``SPARK_GRAFT_NEARDUP_ROUTE=grouped|join`` forces either."""
     if dim is None:
         dim = _vector_dim(df, vec_col)
+    force = os.environ.get("SPARK_GRAFT_NEARDUP_ROUTE", "").lower()
+    try:
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est_bytes = 0  # unknown: grouped (the r14-audited default)
+    use_join = force == "join" or (
+        force != "grouped"
+        and est_bytes // (1 << bits) > _NEARDUP_BUCKET_MAX_BYTES
+    )
     b = _bucketize_all_tables(df, id_col, "id", vec_col, dim, bits, tables, seed)
     # Precompute each vector's norm ONCE before the self-join (r11
     # verdict item 4): the interpreted array-HOF norm used to run twice
@@ -771,6 +918,34 @@ def embedding_near_dup_pairs(
     b = b.withColumn(
         "__nrm", norm(F.col(vec_col).cast("array<double>"))
     )
+    if use_join:
+        # skew-safe formulation: same candidate set (rows sharing any
+        # (table, bucket)), same scores (identical FP ops), streamed
+        # probe side — one task never holds a whole bucket
+        a, c = b.alias("a"), b.alias("b")
+        return (
+            a.join(
+                c,
+                (F.col("a.table") == F.col("b.table"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(
+                    dot_unrolled(
+                        F.col(f"a.{vec_col}").cast("array<double>"),
+                        F.col(f"b.{vec_col}").cast("array<double>"),
+                        dim,
+                    )
+                    / (F.col("a.__nrm") * F.col("b.__nrm")),
+                    6,
+                ).alias("score"),
+            )
+            .filter(F.col("score") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+        )
     # Pair generation WITHOUT a self-join (r14 optimization round,
     # guide §2.4 "remove shuffles outright" / §8 "move big rows once"):
     # the former a⋈b bucket self-join evaluated the whole Arrow
