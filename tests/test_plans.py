@@ -169,13 +169,18 @@ def test_topk_partial_limit_before_shuffle(spark, sf_dir):
     assert "Partial" in plan[ex:]
 
 
-def test_ann_join_does_not_duplicate_python_udf(spark, sf_dir):
+def test_ann_join_does_not_duplicate_python_udf(spark, sf_dir, monkeypatch):
     """A join key produced by a nullable Python UDF gets an implicit
     IsNotNull, which Catalyst pushes below the projection by DUPLICATING
     the ArrowEvalPython — the corpus then crosses the Python boundary
     twice in series (measured 10x the pass cost). The coalesce(udf, -1)
     non-nullable-key guard must keep exactly ONE ArrowEvalPython per
-    join side: corpus assign/bucketize + broadcast probe/bucketize."""
+    join side: corpus assign/bucketize + broadcast probe/bucketize.
+
+    Round 15: bucketization is size-routed (similarity.py
+    `_bucketize_all_tables`) — below the JVM-route budget there are ZERO
+    Python nodes; the duplication guard is now exercised by forcing the
+    GEMM route, where the pin stays exactly 2 (one per join side)."""
     from vscode_parquet_visualizer_spark.operators.similarity import (
         ivf_neighbors,
         lsh_neighbors,
@@ -196,6 +201,12 @@ def test_ann_join_does_not_duplicate_python_udf(spark, sf_dir):
     # being duplicated by an injected IsNotNull.
     plan = simple_plan(ivf_neighbors(emb, queries, threshold=0.9))
     assert plan.count("ArrowEvalPython") == 0  # fully JVM-side
+    # r15 default at gate scale: the JVM bucketization route — no Python
+    plan = simple_plan(lsh_neighbors(emb, queries, threshold=0.9, dim=64))
+    assert plan.count("ArrowEvalPython") == 0
+    # forced GEMM route: the duplication guard must hold the count at
+    # exactly one ArrowEvalPython per join side
+    monkeypatch.setenv("SPARK_GRAFT_LSH_ROUTE", "gemm")
     plan = simple_plan(lsh_neighbors(emb, queries, threshold=0.9, dim=64))
     assert plan.count("ArrowEvalPython") == 2  # corpus + query bucketize
 
