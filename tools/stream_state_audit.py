@@ -91,7 +91,7 @@ def main() -> None:
         "q71_session_window": lambda: sev.sessionize(chunk_stream()),
         "q61_streaming_dedup": lambda: chunk_stream()
         .withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"]),
+        .dropDuplicatesWithinWatermark(["event_id"]),
         "q70_stream_stream_join": lambda: purchases_with_prior_views(
             chunk_stream()
         ),

@@ -2209,10 +2209,11 @@ def q60(spark, sf_dir):
     """,
 )
 def q61(spark, sf_dir):
-    """Streaming exact dedup: dropDuplicates over a keyed stream with a
-    watermark bounding the dedup state — the streaming counterpart of
-    q33's batch dedup (state is dropped for keys older than the watermark,
-    so memory is bounded at any input volume). Deterministic end to end —
+    """Streaming exact dedup: dropDuplicatesWithinWatermark over a keyed
+    stream — the streaming counterpart of q33's batch dedup (state for
+    keys older than the watermark is evicted, so memory is bounded at any
+    input volume; plain dropDuplicates without the event-time column in
+    the subset would keep state forever — measured in STREAM_STATE_r15). Deterministic end to end —
     the duplicated rows are identical, so whichever arrives first leaves
     the same survivor — and therefore fully value-ORACLED against the
     batch distinct count.
@@ -2235,9 +2236,19 @@ def q61(spark, sf_dir):
     stream = stream_ops.read_events_stream(
         spark, f"{sf_dir}/events.parquet", schema=t["events"].schema
     )
-    # duplicate the stream (union with itself) then dedup on event_id
+    # duplicate the stream (union with itself) then dedup on event_id.
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates: with the
+    # event-time column absent from the dedup subset, dropDuplicates
+    # keeps every key's state FOREVER (the r15 state audit measured it —
+    # linear growth, 0 evictions at sf10), unbounded at 100 TB.
+    # WithinWatermark evicts keys older than the watermark (audit:
+    # plateau + steady eviction); duplicates here are identical rows
+    # (same ts), always within any delay, so the survivors — and the
+    # aggregated result — are unchanged.
     dup = stream.unionByName(stream)
-    deduped = dup.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    deduped = dup.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
     name = "q61_stream_sink"
     agg = deduped.groupBy("event_type").count()
     with _stream_profile(spark, sf_dir):
